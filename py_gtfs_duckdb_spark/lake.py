@@ -1,0 +1,210 @@
+"""GtfsLake — the Parquet-lake replacement for the reference's embedded
+DuckDB file database (``GtfsDuckDB``, ddb.py:19-64).
+
+Layout: ``<root>/<table>/v=<N>/part-*.parquet`` with a ``_CURRENT`` pointer
+file per table. Every mutation is read → transform → write v=N+1 → atomically
+swap the pointer — which gives:
+
+- the reference's writer/reader isolation (its second-connection
+  workaround, realtime.py:38-41) for free: readers keep the version they
+  opened, the streaming writer publishes new versions;
+- idempotent retries (a failed write never corrupts the current version);
+- time-travel for debugging (old versions kept until vacuum()).
+
+At cluster scale the same pattern holds on object storage (pointer swap =
+one small-object PUT); a transactional table format (Delta/Iceberg) is the
+drop-in upgrade, not available in this container (SURVEY §7 hard part 4).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from py_gtfs_duckdb_spark.operators.mutation import delete_not_in, upsert
+from py_gtfs_duckdb_spark.schemas import ALL_SCHEMAS, PRIMARY_KEYS
+
+
+class GtfsLake:
+    """One lake root ≙ one GtfsDuckDB database file (ddb.py:20)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- table registry (≙ CREATE TABLE IF NOT EXISTS, ddb.py:55-64) --------
+
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_CURRENT")
+
+    def current_version(self, table: str) -> int | None:
+        try:
+            with open(self._pointer(table)) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def exists(self, table: str) -> bool:
+        return self.current_version(table) is not None
+
+    def table_path(self, table: str) -> str | None:
+        v = self.current_version(table)
+        if v is None:
+            return None
+        return os.path.join(self._tdir(table), f"v={v}")
+
+    def table(self, table: str) -> DataFrame:
+        """Read the current version; empty (schema-correct) frame if the
+        table was never written — matching the reference's eagerly created
+        empty tables."""
+        path = self.table_path(table)
+        if path is None:
+            schema = ALL_SCHEMAS.get(table)
+            if schema is None:
+                raise KeyError(f"unknown table {table!r}")
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path)
+
+    # -- writes -------------------------------------------------------------
+
+    def write(self, table: str, df: DataFrame, dedup_pk: bool = True) -> None:
+        """Publish ``df`` as the table's next version (atomic pointer swap).
+
+        ``dedup_pk`` enforces the reference's PRIMARY KEYs at write time
+        (Spark has no constraint enforcement — SURVEY §7 hard part 3).
+        """
+        pk = PRIMARY_KEYS.get(table)
+        if dedup_pk and pk:
+            df = df.dropDuplicates(pk)
+        v = (self.current_version(table) or 0) + 1
+        out = os.path.join(self._tdir(table), f"v={v}")
+        df.write.mode("overwrite").parquet(out)
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, self._pointer(table))  # atomic on POSIX
+
+    def append(self, table: str, df: DataFrame) -> None:
+        """≙ batched INSERT (ddb.py:377-384): union with current + publish."""
+        if self.exists(table):
+            df = self.table(table).unionByName(df, allowMissingColumns=True)
+        self.write(table, df)
+
+    def upsert(self, table: str, updates: DataFrame, keys: Sequence[str] | None = None) -> None:
+        """Set-based merge (≙ strategy/match_stop_id.py UPDATE-else-INSERT
+        and ddb.py:296-332 delete-then-insert)."""
+        keys = list(keys or PRIMARY_KEYS[table])
+        base = self.table(table)
+        self.write(table, upsert(base, updates, keys), dedup_pk=False)
+
+    def delete_where(self, table: str, condition) -> None:
+        """≙ DELETE FROM table WHERE cond (pattern deletes ddb.py:76-88)."""
+        df = self.table(table)
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        self.write(table, df.filter(~F.coalesce(cond, F.lit(False))), dedup_pk=False)
+
+    def vacuum(self, table: str | None = None, keep: int = 1) -> None:
+        """Drop superseded versions (old readers must be done)."""
+        tables = [table] if table else [
+            d for d in os.listdir(self.root)
+            if os.path.isdir(self._tdir(d))
+        ]
+        for tb in tables:
+            cur = self.current_version(tb)
+            if cur is None:
+                continue
+            for entry in os.listdir(self._tdir(tb)):
+                if entry.startswith("v="):
+                    v = int(entry.split("=", 1)[1])
+                    if v <= cur - keep:
+                        shutil.rmtree(os.path.join(self._tdir(tb), entry))
+
+    def drop(self, table: str) -> None:
+        """≙ DROP TABLE (ddb.py:90-98 drop_static/drop_realtime)."""
+        if os.path.isdir(self._tdir(table)):
+            shutil.rmtree(self._tdir(table))
+
+    # -- GTFS-specific mutations -------------------------------------------
+
+    def remove_pattern(self, agency_pattern: str) -> None:
+        """≙ ``remove`` CLI (ddb.py:75-88): delete agencies/routes/trips by
+        SQL-LIKE pattern, then cascade-clean orphans."""
+        self.delete_where("agency", F.col("agency_id").like(agency_pattern))
+        self.delete_where("routes", F.col("agency_id").like(agency_pattern))
+        # trips whose route is gone are handled by the cascade below; the
+        # reference also pattern-deletes trips via their route_id prefix.
+        self.cascade_clean()
+
+    def cascade_clean(self) -> None:
+        """≙ _clear_database (ddb.py:336-348): 9 NOT-IN cascade deletes with
+        exact SQL NULL semantics (delete_not_in — SURVEY §7 hard part 2).
+
+        Order matters (parents first), mirroring the reference sequence:
+        routes→agency, trips→routes, stop_times→trips, stops→stop_times
+        (platforms) / stops.parent_station (stations), shapes→trips,
+        transfers→routes/trips, calendar/calendar_dates→trips.
+        """
+        agency = self.table("agency")
+        self.write(
+            "routes",
+            delete_not_in(self.table("routes"), agency, "agency_id", "agency_id"),
+            dedup_pk=False,
+        )
+        routes = self.table("routes")
+        self.write(
+            "trips",
+            delete_not_in(self.table("trips"), routes, "route_id", "route_id"),
+            dedup_pk=False,
+        )
+        trips = self.table("trips")
+        self.write(
+            "stop_times",
+            delete_not_in(self.table("stop_times"), trips, "trip_id", "trip_id"),
+            dedup_pk=False,
+        )
+        stop_times = self.table("stop_times")
+        # Platforms (location_type 0/'' /NULL) must be referenced by a
+        # stop_time; stations (type '1') must still have a child platform
+        # (ddb.py:341-342).
+        stops = self.table("stops")
+        platforms = stops.filter(
+            F.coalesce(F.col("location_type"), F.lit("")).isin("", "0")
+        )
+        stations = stops.filter(F.col("location_type") == "1")
+        kept_platforms = delete_not_in(platforms, stop_times, "stop_id", "stop_id")
+        kept_stations = delete_not_in(
+            stations, kept_platforms, "stop_id", "parent_station"
+        )
+        self.write(
+            "stops", kept_platforms.unionByName(kept_stations), dedup_pk=False
+        )
+        self.write(
+            "shapes",
+            delete_not_in(self.table("shapes"), trips, "shape_id", "shape_id"),
+            dedup_pk=False,
+        )
+        transfers = delete_not_in(
+            self.table("transfers"), routes, "from_route_id", "route_id"
+        )
+        transfers = delete_not_in(transfers, trips, "from_trip_id", "trip_id")
+        self.write("transfers", transfers, dedup_pk=False)
+        self.write(
+            "calendar",
+            delete_not_in(self.table("calendar"), trips, "service_id", "service_id"),
+            dedup_pk=False,
+        )
+        self.write(
+            "calendar_dates",
+            delete_not_in(
+                self.table("calendar_dates"), trips, "service_id", "service_id"
+            ),
+            dedup_pk=False,
+        )

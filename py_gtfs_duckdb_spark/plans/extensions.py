@@ -1,0 +1,365 @@
+"""Extension battery: dedup, similarity search, multimodal, text analysis
+(SURVEY.md §7 phase 5 — the LLM-data-pipeline operators, designed for
+100 TB).
+
+MinHash parity note: both sides derive shingle hashes from md5 hex (no
+engine-private hash functions), so the whole MinHash+LSH pipeline is
+bit-for-bit reproducible in the DuckDB oracle — the SQL below is generated
+from the same permutation constants the Spark operator uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from py_gtfs_duckdb_spark.operators import dedup as D
+from py_gtfs_duckdb_spark.operators import multimodal as M
+from py_gtfs_duckdb_spark.operators import similarity as S
+from py_gtfs_duckdb_spark.operators import text as X
+from py_gtfs_duckdb_spark.plans import query
+from py_gtfs_duckdb_spark.plans._tables import t
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content digest; keeper = min id.
+    Shuffles 16-byte digests, never document bodies."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+@query(
+    "q_dedup_bow",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(
+               regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS bow_hash,
+           MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words dedup: documents with identical distinct-token sets
+    collapse (order/word-frequency insensitive near-exact dedup)."""
+    d = t(spark, sf_dir, "documents")
+    bow = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+                )
+            ),
+            " ",
+        )
+    )
+    return (
+        d.select(bow.alias("bow_hash"), "doc_id")
+        .groupBy("bow_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def _minhash_oracle_sql(threshold: float = 0.7) -> str:
+    perms_values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.MINHASH_PERMS)
+    )
+    rows_per_band = D.MINHASH_K // D.LSH_BANDS
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id AS id,
+               ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
+        FROM (
+            SELECT doc_id,
+                   unnest([substring(text, i, 3)
+                           for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS s
+            FROM documents
+        )
+    ), perms AS (
+        SELECT * FROM (VALUES {perms_values}) t(perm_idx, a, b)
+    ), sig AS (
+        SELECT id, perm_idx,
+               MIN(((h % {D.MINHASH_P}) * a + b) % {D.MINHASH_P}) AS minhash
+        FROM sh CROSS JOIN perms GROUP BY id, perm_idx
+    ), bands AS (
+        SELECT id, perm_idx // {rows_per_band} AS band_idx,
+               md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm_idx))
+                   AS band_key
+        FROM sig GROUP BY id, perm_idx // {rows_per_band}
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                    AND a.id < b.id
+    ), sizes AS (
+        SELECT id, COUNT(*) AS sz FROM sh GROUP BY id
+    ), inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.id = c.id_a
+        JOIN sh sb ON sb.id = c.id_b AND sb.h = sa.h
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           floor((n_inter / (za.sz + zb.sz - n_inter)) * 10000.0 + 0.5) / 10000.0
+               AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.id = i.id_a
+    JOIN sizes zb ON zb.id = i.id_b
+    WHERE floor((n_inter / (za.sz + zb.sz - n_inter)) * 10000.0 + 0.5) / 10000.0
+              >= {threshold}
+    """
+
+
+@query("q_dedup_minhash_lsh", oracle=_minhash_oracle_sql())
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification
+    (shingle→minhash→band→bucket-join; see operators/dedup.py)."""
+    d = t(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(d, "text", "doc_id", k=3, threshold=0.7)
+
+
+@query("q_dedup_simhash")  # rows-only: relies on a pandas UDF, not SQL-expressible
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) — banded signature join;
+    property-tested in tests/test_dedup.py."""
+    d = t(spark, sf_dir, "documents")
+    sig = D.simhash_signatures(d, "text", "doc_id")
+    return D.simhash_near_pairs(sig, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT)
+               AS n_punct,
+           floor((CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 0
+                      THEN CAST(length(text) AS DOUBLE)
+                           / len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                      ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS chars_per_word,
+           floor((CASE WHEN length(text) > 0
+                      THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                           AS DOUBLE) / length(text)
+                      ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS punct_ratio
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats — pure codegen'd column expressions."""
+    return X.text_stats(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_text_quality",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE)
+                   AS n_words,
+               CAST(len(regexp_extract_all(lower(text),
+                   '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE) AS sw,
+               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                   AS n_punct
+        FROM documents
+    )
+    SELECT doc_id,
+           GREATEST(LEAST(floor((
+               0.5 * LEAST(n_chars / 200.0, 1.0)
+             + 0.5 * LEAST(CASE WHEN n_words > 0 THEN sw / n_words ELSE 0.0 END
+                           * 5.0, 1.0)
+             - 0.25 * LEAST(CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                            ELSE 0.0 END * 5.0, 1.0)) * 10000.0 + 0.5) / 10000.0,
+             1.0), 0.0) AS quality
+    FROM s
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length/stopword/punctuation bands)."""
+    return X.quality_score(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_lang_id",
+    oracle=r"""
+    WITH h AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text),
+                   '\b(the|and|of|to|in|is|a)\b')) AS BIGINT) AS hits_en,
+               CAST(len(regexp_extract_all(lower(text),
+                   '\b(der|die|das|und|ist|ein|nicht)\b')) AS BIGINT) AS hits_de,
+               CAST(len(regexp_extract_all(lower(text),
+                   '\b(le|la|les|et|est|une|pas)\b')) AS BIGINT) AS hits_fr,
+               CAST(len(regexp_extract_all(lower(text),
+                   '\b(el|la|los|y|es|una|que)\b')) AS BIGINT) AS hits_es
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr
+                     AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+                WHEN hits_de >= hits_fr AND hits_de >= hits_es
+                     AND hits_de > 0 THEN 'de'
+                WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+                WHEN hits_es > 0 THEN 'es'
+                ELSE 'und' END AS pred_lang,
+           hits_en, hits_de, hits_fr, hits_es
+    FROM h
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (n-gram heuristic class)."""
+    return X.language_id(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint + BPE-ish token count."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.fingerprint(F.col("text")).alias("fingerprint"),
+        X.token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_knn_cosine",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               floor((
+                   list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))))
+                   * 10000.0 + 0.5) / 10000.0 AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: broadcast queries,
+    one corpus scan, zip_with dot products in codegen (no UDF)."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("q_ann_lsh")  # rows-only: approximate by construction
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (random hyperplanes + multiprobe);
+    recall vs the brute-force oracle asserted in tests/test_similarity.py."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.lsh_bucketed_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "q_embed_norm",
+    oracle="""
+    SELECT vec_id,
+           floor(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))
+                 * 10000.0 + 0.5) / 10000.0 AS l2_norm,
+           CAST(len(embedding) AS BIGINT) AS dim
+    FROM embeddings
+    """,
+)
+def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector L2 norms + dimension check — the cheap full-scan vector
+    profile."""
+    e = t(spark, sf_dir, "embeddings")
+    from py_gtfs_duckdb_spark.operators.similarity import _norm
+
+    from py_gtfs_duckdb_spark.functions import pround
+
+    return e.select(
+        "vec_id",
+        pround(_norm(F.col("embedding")), 4).alias("l2_norm"),
+        F.size("embedding").cast("bigint").alias("dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_bytes",
+    oracle="""
+    SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT)
+               AS n_bytes,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+)
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata pass: payload byte length + digest (the
+    always-available face of the multimodal table)."""
+    media = M.documents_as_media(t(spark, sf_dir, "documents"))
+    docs = t(spark, sf_dir, "documents").select("doc_id", F.sha2("text", 256).alias("payload_sha"))
+    return (
+        media.select("media_id", F.octet_length("payload").cast("bigint").alias("n_bytes"))
+        .join(docs, media.media_id == docs.doc_id)
+        .select("media_id", "n_bytes", "payload_sha")
+    )
+
+
+@query("q_multimodal_features")  # rows-only: fake decoder behind mapInPandas
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract plumbing over binary payloads (deterministic
+    fake decoder — real decode stubbed per environment constraints)."""
+    media = M.documents_as_media(t(spark, sf_dir, "documents"))
+    return M.extract_features(media, fake=True)
+
+
+@query("q_multimodal_frames")  # rows-only: binary slicing output
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling row-explosion shape over payload bytes."""
+    media = M.documents_as_media(t(spark, sf_dir, "documents"))
+    return M.sample_frames(media).select(
+        "media_id", "frame_idx", F.octet_length("frame_bytes").cast("bigint").alias("frame_len")
+    )

@@ -1,0 +1,231 @@
+"""Event-table battery: windowed aggregations, sessionization, keyed-state
+snapshots, retention — the batch-checkable faces of SURVEY.md §2.8's
+streaming semantics, plus pivot/unpivot reshaping.
+
+The reference has NO event-time windows (state is keyed by entity id only);
+these are part of the streaming surface a lake engine must offer
+(SURVEY §7 phase 5). Batch formulations here are oracle-checked; the live
+Structured Streaming forms live in ``streaming/`` with their own tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from py_gtfs_duckdb_spark.plans import query
+from py_gtfs_duckdb_spark.plans._tables import t
+
+
+@query(
+    "q_window_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (Structured Streaming's
+    ``F.window``; epoch-aligned so it equals date_trunc('hour'))."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_window_sliding",
+    oracle="""
+    WITH b AS (
+        SELECT event_id, value, epoch_ms(ts) // 1800000 AS bucket FROM events
+    ), assigned AS (
+        SELECT make_timestamp(bucket * 1800 * 1000000) AS window_start, value
+        FROM b
+        UNION ALL
+        SELECT make_timestamp((bucket - 1) * 1800 * 1000000) AS window_start, value
+        FROM b
+    )
+    SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM assigned GROUP BY window_start
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: width 1 h, slide 30 min — every event lands in two
+    windows. Spark expresses it natively (``F.window(ts, '1 hour',
+    '30 minutes')``); the oracle materializes the same window assignment by
+    hand."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "q_window_session",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(is_new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_idx
+        FROM ordered
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_idx
+    """,
+)
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap: lag → gap flag →
+    running sum = session index → per-session aggregate. One shuffle on
+    user_id serves both window and aggregation. (Streaming form:
+    ``F.session_window`` — see streaming/.)"""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    is_new = (
+        F.when(gap_ms > 1800000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        e.withColumn("is_new_session", is_new)
+        .withColumn(
+            "session_idx",
+            F.sum("is_new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", F.col("session_idx").cast("bigint").alias("session_idx"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "q_stream_dedup_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 keyed-upsert state, batch view: latest record per key wins
+    (reference ddb.py:296-332 delete-then-insert per entity id). The same
+    window powers the streaming merge in streaming/merge.py."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+@query(
+    "q_ttl_retention",
+    oracle="""
+    SELECT event_id, ts FROM events
+    WHERE ts > (SELECT MAX(ts) FROM events) - INTERVAL 2 HOUR
+    """,
+)
+def q_ttl_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 state TTL: drop state older than the review horizon (reference
+    ddb.py:282-293, data_review_seconds=7200). Anchored to max(ts) so the
+    check is deterministic; the scalar aggregate is broadcast, not
+    collected."""
+    e = t(spark, sf_dir, "events")
+    cutoff = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("__cutoff")
+    )
+    return (
+        e.join(F.broadcast(cutoff), how="cross")
+        .filter(F.col("ts") > F.col("__cutoff"))
+        .select("event_id", "ts")
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT user_id,
+           COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+           COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view,
+           COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+           COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
+           COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user over a FIXED value list (unfixed pivot
+    needs a pre-pass to enumerate values — an extra job at scale)."""
+    e = t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(k), F.lit(0)).cast("bigint").alias(k) for k in kinds],
+        )
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack) three measure columns into long form — narrow
+    transform, no shuffle."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+        " AS (metric, val)",
+    )

@@ -1,0 +1,96 @@
+"""Local replica of the driver's DuckDB-oracle differential check:
+row count + column set + order-insensitive value comparison.
+
+Stricter than a hash: on mismatch it reports WHICH rows differ, so
+parity bugs are debuggable before the driver ever runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    conn = duckdb.connect()
+    for t in TABLES:
+        conn.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return conn
+
+
+def _canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if hasattr(v, "isoformat"):  # datetime/date
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_cell(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return round(float(v), 9)
+    # numpy scalars
+    if hasattr(v, "item"):
+        return _canon_cell(v.item())
+    return v
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(_canon_cell(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t),
+    )
+
+
+def compare(spark_df, conn, sql: str, name: str = "?", max_report: int = 5):
+    """Returns (ok, message)."""
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = conn.sql(sql)
+    d_cols = list(rel.columns)
+    d_rows = rel.fetchall()
+
+    problems = []
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}")
+    if not problems:
+        cs = _canon_rows(s_cols, s_rows)
+        cd = _canon_rows(d_cols, d_rows)
+        if cs != cd:
+            diffs = [
+                (a, b) for a, b in zip(cs, cd) if a != b
+            ][:max_report]
+            only_s = [r for r in cs if r not in set(cd)][:max_report]
+            only_d = [r for r in cd if r not in set(cs)][:max_report]
+            problems.append(
+                f"values differ; first aligned diffs={diffs!r}; "
+                f"spark-only={only_s!r}; duckdb-only={only_d!r}"
+            )
+    if problems:
+        return False, f"[{name}] " + " | ".join(problems)
+    return True, f"[{name}] OK ({len(s_rows)} rows)"
