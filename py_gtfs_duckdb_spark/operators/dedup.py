@@ -73,52 +73,43 @@ def shingle_hashes(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Dat
 
 
 def minhash_signature(shingled: DataFrame) -> DataFrame:
-    """(id, perm_idx, minhash) from (id, h): cross with the K permutation
-    constants (a tiny broadcast literal table), min per (id, perm)."""
-    spark = shingled.sparkSession
-    perms = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PERMS)],
-        "perm_idx INT, a BIGINT, b BIGINT",
-    )
-    return (
-        shingled.join(F.broadcast(perms))
-        .select(
-            "id",
-            "perm_idx",
-            (((F.col("h") % MINHASH_P) * F.col("a") + F.col("b")) % MINHASH_P).alias(
-                "hv"
-            ),
-        )
-        .groupBy("id", "perm_idx")
-        .agg(F.min("hv").alias("minhash"))
-    )
+    """Wide signature (id, mh_0..mh_{K-1}): ONE groupBy over the shingle set
+    with K min-aggregates. The naive formulation (cross-join the K
+    permutation constants, then group by (id, perm)) multiplies the shuffle
+    K-fold; K parallel aggregates over one shuffle produce identical values
+    ~K× cheaper — the shape that matters at corpus scale."""
+    h = F.col("h") % MINHASH_P
+    aggs = [
+        F.min((h * a + b) % MINHASH_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return shingled.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     """(id_a, id_b) candidate pairs sharing at least one LSH band bucket.
 
-    Band key = md5 of the ordered minhash values in the band. The self-join
-    happens on (band_idx, band_key) — i.e. only within buckets — which is
-    what keeps this sub-quadratic at corpus scale.
+    Band key = md5 of the ordered minhash values in the band (4 bands from
+    the wide signature row — a narrow explode, no extra shuffle). The
+    self-join happens on (band_idx, band_key) — i.e. only within buckets —
+    which is what keeps this sub-quadratic at corpus scale.
     """
     rows_per_band = MINHASH_K // LSH_BANDS
-    banded = (
-        signatures.withColumn("band_idx", (F.col("perm_idx") / rows_per_band).cast("int"))
-        .groupBy("id", "band_idx")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("perm_idx", "minhash"))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_key")
+    band_structs = []
+    for bi in range(LSH_BANDS):
+        cols = [
+            F.col(f"mh_{bi * rows_per_band + j}").cast("string")
+            for j in range(rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
+            )
         )
-    )
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -133,28 +124,59 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     )
 
 
-def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
-    """Verify candidate pairs with exact shingle-set Jaccard:
-    |A∩B| / (|A|+|B|-|A∩B|). Joins on the shingle hash — the pair list is
-    small after LSH, so these joins broadcast."""
-    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    sa = shingled.select(F.col("id").alias("id_a"), "h")
-    sb = shingled.select(F.col("id").alias("id_b"), "h")
-    inter = (
-        pairs.join(sa, "id_a")
-        .join(sb, ["id_b", "h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+# Candidate pairs whose signature-estimated Jaccard (matching minhash
+# fraction) falls below EST_MIN_MATCHES/K are pruned before exact
+# verification. 7/16 ≈ 0.44 keeps ~97% recall at true J=0.7 while killing
+# the flood of sub-threshold candidates a low-selectivity corpus produces.
+EST_MIN_MATCHES = 7
+
+
+def estimate_filter_pairs(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
+    """Keep candidate pairs with >= EST_MIN_MATCHES matching minhash
+    positions. One narrow broadcast join per side + a codegen'd sum of K
+    column equalities — orders of magnitude cheaper than exact verification,
+    which is why it goes first."""
+    sig_a = signatures.select(
+        F.col("id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(MINHASH_K)]
+    )
+    sig_b = signatures.select(
+        F.col("id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(MINHASH_K)]
+    )
+    n_match = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
     )
     return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        pairs.join(F.broadcast(sig_a), "id_a")
+        .join(F.broadcast(sig_b), "id_b")
+        .withColumn("__n_match", n_match)
+        .filter(F.col("__n_match") >= EST_MIN_MATCHES)
+        .select("id_a", "id_b")
+    )
+
+
+def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard:
+    |A∩B| / (|A|+|B|-|A∩B|), computed as array_intersect over each
+    document's sorted shingle-hash array. Set-per-row beats an exploded
+    shingle equi-join by ~|shingles| in shuffle volume once the pair list
+    is bounded (post estimate_filter_pairs)."""
+    sets = shingled.groupBy("id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    sa = sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b"))
+    n_inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .select(
             "id_a",
             "id_b",
             pround(
-                F.col("n_inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                n_inter.cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - n_inter),
                 4,
             ).alias("jaccard"),
         )
@@ -164,12 +186,20 @@ def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
 def minhash_lsh_dedup(
     df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.7
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle → minhash → LSH buckets → exact
-    Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard)."""
-    sh = shingle_hashes(df, text_col, id_col, k)
-    sig = minhash_signature(sh)
+    """Full near-dup pipeline: shingle → minhash → LSH band buckets →
+    signature-estimate prune → exact Jaccard verify ≥ threshold.
+    Returns (id_a, id_b, jaccard).
+
+    The estimate prune makes the pipeline robust to low-selectivity corpora
+    (when most documents hover near the band threshold, bucket joins alone
+    admit O(n²) candidates — observed 3.3M pairs on 5k synthetic docs).
+    The shingle set feeds multiple consumers — persist it once instead of
+    re-running the substring+md5 scan per consumer."""
+    sh = shingle_hashes(df, text_col, id_col, k).persist()
+    sig = minhash_signature(sh).persist()
     cand = lsh_candidate_pairs(sig)
-    return exact_jaccard(cand, sh).filter(F.col("jaccard") >= threshold)
+    pruned = estimate_filter_pairs(cand, sig)
+    return exact_jaccard(pruned, sh).filter(F.col("jaccard") >= threshold)
 
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -62,19 +62,29 @@ def cosine_topk(
     Returns (query_id, vec_id, cosine, rank). Ties broken by vec_id so the
     result is deterministic and oracle-comparable.
     """
+    # Norms are per-vector, not per-pair: compute each side's norm once
+    # before the |Q|x|C| pair blow-up (|C| norm evals instead of |Q|x|C|).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            pround(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), round_digits).alias(
-                "cosine"
-            ),
+            pround(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                round_digits,
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")

@@ -104,23 +104,27 @@ def _minhash_oracle_sql(threshold: float = 0.7) -> str:
         FROM bands a
         JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
                     AND a.id < b.id
-    ), sizes AS (
-        SELECT id, COUNT(*) AS sz FROM sh GROUP BY id
-    ), inter AS (
-        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+    ), est AS (
+        SELECT c.id_a, c.id_b
         FROM cand c
-        JOIN sh sa ON sa.id = c.id_a
-        JOIN sh sb ON sb.id = c.id_b AND sb.h = sa.h
+        JOIN sig sa ON sa.id = c.id_a
+        JOIN sig sb ON sb.id = c.id_b AND sb.perm_idx = sa.perm_idx
         GROUP BY c.id_a, c.id_b
+        HAVING SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                   >= {D.EST_MIN_MATCHES}
+    ), sets AS (
+        SELECT id, list_sort(list(h)) AS hs, COUNT(*) AS sz FROM sh GROUP BY id
     )
-    SELECT i.id_a, i.id_b,
-           floor((n_inter / (za.sz + zb.sz - n_inter)) * 10000.0 + 0.5) / 10000.0
-               AS jaccard
-    FROM inter i
-    JOIN sizes za ON za.id = i.id_a
-    JOIN sizes zb ON zb.id = i.id_b
-    WHERE floor((n_inter / (za.sz + zb.sz - n_inter)) * 10000.0 + 0.5) / 10000.0
-              >= {threshold}
+    SELECT e.id_a, e.id_b,
+           floor((CAST(len(list_intersect(za.hs, zb.hs)) AS DOUBLE)
+                  / (za.sz + zb.sz - len(list_intersect(za.hs, zb.hs))))
+                 * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM est e
+    JOIN sets za ON za.id = e.id_a
+    JOIN sets zb ON zb.id = e.id_b
+    WHERE floor((CAST(len(list_intersect(za.hs, zb.hs)) AS DOUBLE)
+                 / (za.sz + zb.sz - len(list_intersect(za.hs, zb.hs))))
+                * 10000.0 + 0.5) / 10000.0 >= {threshold}
     """
 
 
