@@ -52,38 +52,60 @@ MINHASH_K = len(MINHASH_PERMS)  # 16 hashes
 LSH_BANDS = 4  # 4 bands x 4 rows -> s-curve threshold ~ (1/4)^(1/4) ~ 0.71
 
 
-def shingle_hashes(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle_hash) — distinct k-character shingles per document,
-    hashed to a 48-bit integer via md5 (engine-portable). One narrow pass:
-    sequence → transform → array_distinct → explode."""
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, hs: array<bigint>, sz) — each document's distinct k-WORD
+    shingles hashed to 48-bit integers via md5 (engine-portable), kept as a
+    per-row sorted array. Entirely narrow: split → window-slice →
+    array_distinct → per-element md5 — ZERO shuffles, no explode, no
+    groupBy. At corpus scale this is the whole per-document cost and it is
+    embarrassingly parallel.
+
+    Word shingles, not character shingles: on natural text the background
+    (non-duplicate) character-trigram Jaccard is ~0.3-0.5, which floods LSH
+    buckets with candidate pairs; word k-gram background similarity is
+    ~0.001, so band buckets stay selective and the verify stage stays
+    near-linear."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1))),
-            lambda i: F.substr(F.col(text_col), i, F.lit(k)),
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
         )
     )
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles).alias("shingle")
+    hs = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint"),
     )
-    return exploded.select(
-        "id",
-        (F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("bigint"))
-        .alias("h"),
-    ).dropDuplicates(["id", "h"])
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.sort_array(hs).alias("hs"),
+        F.size(hs).cast("bigint").alias("sz"),
+    )
 
 
-def minhash_signature(shingled: DataFrame) -> DataFrame:
-    """Wide signature (id, mh_0..mh_{K-1}): ONE groupBy over the shingle set
-    with K min-aggregates. The naive formulation (cross-join the K
-    permutation constants, then group by (id, perm)) multiplies the shuffle
-    K-fold; K parallel aggregates over one shuffle produce identical values
-    ~K× cheaper — the shape that matters at corpus scale."""
-    h = F.col("h") % MINHASH_P
-    aggs = [
-        F.min((h * a + b) % MINHASH_P).alias(f"mh_{i}")
+def shingle_hashes(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Exploded (id, h) view of :func:`shingle_sets` for set-oriented
+    consumers (e.g. a posting-list join formulation)."""
+    return shingle_sets(df, text_col, id_col, k).select(
+        "id", F.explode("hs").alias("h")
+    )
+
+
+def minhash_signature(sets: DataFrame) -> DataFrame:
+    """Wide signature (id, mh_0..mh_{K-1}) from (id, hs): each minhash is
+    array_min over a transformed copy of the shingle array — a narrow
+    projection, NO shuffle. (The classic formulations — cross-join K
+    permutation constants, or even K parallel min-aggregates over an
+    exploded shingle table — each cost a full shuffle of the shingle set;
+    per-row array math costs none.)"""
+    def perm(a: int, b: int):
+        return lambda h: ((h % MINHASH_P) * a + b) % MINHASH_P
+
+    mh = [
+        F.array_min(F.transform(F.col("hs"), perm(a, b))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)
     ]
-    return shingled.groupBy("id").agg(*aggs)
+    return sets.select("id", *mh)
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
@@ -133,9 +155,11 @@ EST_MIN_MATCHES = 7
 
 def estimate_filter_pairs(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
     """Keep candidate pairs with >= EST_MIN_MATCHES matching minhash
-    positions. One narrow broadcast join per side + a codegen'd sum of K
-    column equalities — orders of magnitude cheaper than exact verification,
-    which is why it goes first."""
+    positions. One narrow join per side + a codegen'd sum of K column
+    equalities — orders of magnitude cheaper than exact verification, which
+    is why it goes first. Join strategy is left to AQE: the signature side
+    broadcasts while it fits and degrades to a shuffle hash join at corpus
+    scale (a forced broadcast hint would OOM there)."""
     sig_a = signatures.select(
         F.col("id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(MINHASH_K)]
     )
@@ -147,30 +171,28 @@ def estimate_filter_pairs(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
         for i in range(MINHASH_K)
     )
     return (
-        pairs.join(F.broadcast(sig_a), "id_a")
-        .join(F.broadcast(sig_b), "id_b")
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
         .withColumn("__n_match", n_match)
         .filter(F.col("__n_match") >= EST_MIN_MATCHES)
         .select("id_a", "id_b")
     )
 
 
-def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
+def exact_jaccard(pairs: DataFrame, sets: DataFrame) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard:
     |A∩B| / (|A|+|B|-|A∩B|), computed as array_intersect over each
-    document's sorted shingle-hash array. Set-per-row beats an exploded
-    shingle equi-join by ~|shingles| in shuffle volume once the pair list
-    is bounded (post estimate_filter_pairs)."""
-    sets = shingled.groupBy("id").agg(
-        F.sort_array(F.collect_list("h")).alias("hs"),
-        F.count(F.lit(1)).alias("sz"),
-    )
+    document's sorted shingle-hash array (from :func:`shingle_sets`).
+    Set-per-row beats an exploded shingle equi-join by ~|shingles| in
+    shuffle volume once the pair list is bounded (post
+    estimate_filter_pairs). Join strategy left to AQE (see
+    estimate_filter_pairs)."""
     sa = sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b"))
     n_inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     return (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -186,20 +208,21 @@ def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
 def minhash_lsh_dedup(
     df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.7
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle → minhash → LSH band buckets →
+    """Full near-dup pipeline: shingle sets → minhash → LSH band buckets →
     signature-estimate prune → exact Jaccard verify ≥ threshold.
     Returns (id_a, id_b, jaccard).
 
-    The estimate prune makes the pipeline robust to low-selectivity corpora
-    (when most documents hover near the band threshold, bucket joins alone
-    admit O(n²) candidates — observed 3.3M pairs on 5k synthetic docs).
-    The shingle set feeds multiple consumers — persist it once instead of
-    re-running the substring+md5 scan per consumer."""
-    sh = shingle_hashes(df, text_col, id_col, k).persist()
-    sig = minhash_signature(sh).persist()
+    Shape at scale: ONE narrow pass builds per-doc shingle arrays +
+    signatures (no shuffle at all); the only shuffles are the band-bucket
+    self-join (bucket-local, sub-quadratic) and the two verify joins on the
+    surviving pair list. The estimate prune keeps the pipeline robust to
+    low-selectivity corpora, where bucket joins alone would admit O(n²)
+    candidates. `sets` feeds three consumers — persist it once."""
+    sets = shingle_sets(df, text_col, id_col, k).persist()
+    sig = minhash_signature(sets)
     cand = lsh_candidate_pairs(sig)
     pruned = estimate_filter_pairs(cand, sig)
-    return exact_jaccard(pruned, sh).filter(F.col("jaccard") >= threshold)
+    return exact_jaccard(pruned, sets).filter(F.col("jaccard") >= threshold)
 
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

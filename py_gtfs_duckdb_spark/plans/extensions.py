@@ -79,14 +79,17 @@ def _minhash_oracle_sql(threshold: float = 0.7) -> str:
     )
     rows_per_band = D.MINHASH_K // D.LSH_BANDS
     return f"""
-    WITH sh AS (
-        SELECT DISTINCT doc_id AS id,
-               ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
+    WITH w AS (
+        SELECT doc_id AS id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
         FROM (
-            SELECT doc_id,
-                   unnest([substring(text, i, 3)
-                           for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS s
-            FROM documents
+            SELECT DISTINCT id,
+                   unnest([array_to_string(ws[i : i + 2], ' ')
+                           for i in range(1, greatest(len(ws) - 2, 1) + 1)]) AS s
+            FROM w
         )
     ), perms AS (
         SELECT * FROM (VALUES {perms_values}) t(perm_idx, a, b)
