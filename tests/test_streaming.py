@@ -1,0 +1,183 @@
+"""Streaming semantics (SURVEY §5 item 4): scripted FeedEntity sequences
+through the foreachBatch merge — upsert, update, tombstone, stale message,
+TTL expiry — asserting state table contents per micro-batch
+(reference semantics: ddb.py:282-332, adapter/gtfsrt.py:32-37,49-51)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_gtfs_duckdb_spark.lake import GtfsLake
+from py_gtfs_duckdb_spark.streaming import (
+    RealtimeMerger,
+    reset_realtime,
+    run_spool_stream,
+    spool_write_json,
+)
+
+NOW = int(time.time())
+
+
+def alert(eid, header="Alert!", deleted=False, ts=NOW):
+    ent = {"id": eid, "is_deleted": deleted}
+    if not deleted:
+        ent["alert"] = {
+            "cause": "CONSTRUCTION",
+            "effect": "DETOUR",
+            "header_text": [{"text": header, "language": "de"}],
+            "description_text": [{"text": "desc", "language": "en"}],
+            "active_period": [{"start": ts - 100, "end": ts + 100}],
+            "informed_entity": [{"route_id": "r1"}],
+        }
+    return {"feed_timestamp": ts, "entity": ent}
+
+
+def trip_update(eid, delay=60, deleted=False, ts=NOW):
+    ent = {"id": eid, "is_deleted": deleted}
+    if not deleted:
+        ent["trip_update"] = {
+            "trip": {"trip_id": eid, "route_id": "r1", "start_time": "08:00:00",
+                     "start_date": "20250101"},
+            "timestamp": ts,
+            "stop_time_update": [
+                {"stop_sequence": 1, "stop_id": "st1",
+                 "arrival": {"time": ts, "delay": delay},
+                 "departure": {"time": ts + 30, "delay": delay}},
+                {"stop_sequence": 2, "stop_id": "st2",
+                 "arrival": {"time": ts + 600, "delay": delay}},
+            ],
+        }
+    return {"feed_timestamp": ts, "entity": ent}
+
+
+def vehicle(eid, lat=48.7, ts=NOW):
+    return {
+        "feed_timestamp": ts,
+        "entity": {
+            "id": eid,
+            "vehicle": {
+                "trip": {"trip_id": "t1", "route_id": "r1"},
+                "vehicle": {"id": f"bus-{eid}", "label": "Bus"},
+                "position": {"latitude": lat, "longitude": 9.1, "speed": 12.5},
+                "current_stop_sequence": 1,
+                "current_status": "IN_TRANSIT_TO",
+                "timestamp": ts,
+            },
+        },
+    }
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    lk = GtfsLake(spark, str(tmp_path / "rt_lake"))
+    reset_realtime(lk)
+    return lk
+
+
+@pytest.fixture()
+def merger(lake):
+    return RealtimeMerger(lake)
+
+
+def batch(spark, messages):
+    import json
+
+    return spark.createDataFrame([(json.dumps(m),) for m in messages], "value string")
+
+
+def test_upsert_then_update_latest_wins(spark, lake, merger):
+    merger.process_batch(batch(spark, [trip_update("tu1", delay=60, ts=NOW - 10),
+                                       trip_update("tu1", delay=120, ts=NOW)]))
+    tu = lake.table("realtime_trip_updates").collect()
+    assert len(tu) == 1  # newest per key wins within the batch (R4)
+    stus = lake.table("realtime_trip_stop_time_updates").collect()
+    assert len(stus) == 2
+    assert {r["arrival_delay"] for r in stus} == {120}
+
+    # second micro-batch replaces parent + children wholesale
+    merger.process_batch(batch(spark, [trip_update("tu1", delay=300)]))
+    stus = lake.table("realtime_trip_stop_time_updates").collect()
+    assert len(stus) == 2
+    assert {r["arrival_delay"] for r in stus} == {300}
+
+
+def test_tombstone_removes_parent_and_children(spark, lake, merger):
+    merger.process_batch(batch(spark, [alert("al1"), alert("al2")]))
+    assert lake.table("realtime_service_alerts").count() == 2
+    assert lake.table("realtime_alert_active_periods").count() == 2
+    merger.process_batch(batch(spark, [alert("al1", deleted=True)]))
+    alerts = lake.table("realtime_service_alerts").collect()
+    assert [r["service_alert_id"] for r in alerts] == ["al2"]
+    assert lake.table("realtime_alert_active_periods").count() == 1
+    assert lake.table("realtime_alert_informed_entities").count() == 1
+
+
+def test_translation_pick_de_else_first(spark, lake, merger):
+    merger.process_batch(batch(spark, [alert("al1", header="Umleitung")]))
+    row = lake.table("realtime_service_alerts").first()
+    assert row["header_text"] == "Umleitung"  # de picked
+    assert row["description_text"] == "desc"  # no de -> first
+
+
+def test_stale_message_rejected(spark, lake, merger):
+    stale_ts = NOW - 3 * 3600  # older than the 2h cutoff (gtfsrt.py:32-37)
+    merger.process_batch(batch(spark, [alert("old", ts=stale_ts), alert("new")]))
+    alerts = [r["service_alert_id"] for r in lake.table("realtime_service_alerts").collect()]
+    assert alerts == ["new"]
+
+
+def test_ttl_expires_trips_not_alerts(spark, lake):
+    merger = RealtimeMerger(lake, ttl_seconds=3600)
+    merger.process_batch(batch(spark, [trip_update("tu1"), alert("al1"), vehicle("v1")]))
+    # age the stamps beyond the TTL (alerts exempt, ddb.py:287-288)
+    for table in ("realtime_trip_updates", "realtime_trip_stop_time_updates",
+                  "realtime_vehicle_positions", "realtime_service_alerts"):
+        aged = lake.table(table).withColumn(
+            "last_updated_timestamp",
+            F.col("last_updated_timestamp") - F.expr("INTERVAL 2 HOURS"),
+        )
+        lake.write(table, aged, dedup_pk=False)
+    merger.process_batch(batch(spark, []))
+    assert lake.table("realtime_trip_updates").count() == 0
+    assert lake.table("realtime_trip_stop_time_updates").count() == 0
+    assert lake.table("realtime_vehicle_positions").count() == 0
+    assert lake.table("realtime_service_alerts").count() == 1  # exempt
+
+
+def test_vehicle_position_flatten(spark, lake, merger):
+    merger.process_batch(batch(spark, [vehicle("v1", lat=48.77)]))
+    row = lake.table("realtime_vehicle_positions").first()
+    assert row["vehicle_position_id"] == "v1"
+    assert row["position_latitude"] == 48.77
+    assert row["vehicle_id"] == "bus-v1"
+    assert row["current_status"] == "IN_TRANSIT_TO"
+
+
+def test_spool_stream_end_to_end(spark, lake, tmp_path):
+    """R1: actual Structured Streaming micro-batch run over the spool dir
+    (availableNow drains and stops)."""
+    spool = str(tmp_path / "spool")
+    # distinct feed timestamps: batch order is defined by the feed header
+    # timestamp, not file arrival (a distributed batch has no arrival order)
+    spool_write_json(spool, [trip_update("tu1", ts=NOW - 5), alert("al1")])
+    spool_write_json(spool, [trip_update("tu1", delay=999), vehicle("v1")])
+    q = run_spool_stream(
+        spark, lake, spool,
+        available_now=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert lake.table("realtime_trip_updates").count() == 1
+    stus = lake.table("realtime_trip_stop_time_updates").collect()
+    assert {r["arrival_delay"] for r in stus} == {999}
+    assert lake.table("realtime_service_alerts").count() == 1
+    assert lake.table("realtime_vehicle_positions").count() == 1
+
+
+def test_reset_realtime_clears_state(spark, lake, merger):
+    merger.process_batch(batch(spark, [alert("al1")]))
+    reset_realtime(lake)
+    assert lake.table("realtime_service_alerts").count() == 0
