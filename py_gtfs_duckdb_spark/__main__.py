@@ -1,0 +1,235 @@
+"""CLI — command-for-command parity with the reference's click CLI
+(``src/gtfsduckdb/__main__.py:1-121``): load / remove / drop / export /
+sql / show / realtime, plus ``csvload`` (the generic ``csvddb`` loader CLI,
+csvddb.py:71-91) and ``vacuum``. The positional ``database`` argument is a
+lake root directory instead of a ``.ddb`` file.
+
+Usage: ``python -m py_gtfs_duckdb_spark <command> <lake_root> [options]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import sys
+import time
+
+
+def _lake(args):
+    from py_gtfs_duckdb_spark.lake import GtfsLake
+    from py_gtfs_duckdb_spark.session import get_spark
+
+    return GtfsLake(get_spark("gtfs-cli"), args.database)
+
+
+def cmd_load(args) -> None:
+    from py_gtfs_duckdb_spark.sources import load_static_dir, load_static_zip
+    import os
+
+    lake = _lake(args)
+    if os.path.isdir(args.input):
+        loaded = load_static_dir(lake, args.input)
+    else:
+        loaded = load_static_zip(lake, args.input)
+    print(f"loaded tables: {', '.join(loaded)}")
+
+
+def cmd_remove(args) -> None:
+    """≙ ``remove`` (__main__.py:35-53): pattern deletes then one cascade.
+    CLI patterns use ``*`` wildcards mapped to SQL LIKE ``%``
+    (docs/COMMANDS.md:30-32)."""
+    from pyspark.sql import functions as F
+
+    lake = _lake(args)
+
+    def like(col, pattern):
+        return F.col(col).like(pattern.replace("*", "%"))
+
+    for pat in args.agencies or []:
+        lake.delete_where("agency", like("agency_id", pat))
+    for pat in args.routes or []:
+        lake.delete_where("routes", like("route_id", pat))
+    for pat in args.trips or []:
+        lake.delete_where("trips", like("trip_id", pat))
+    lake.cascade_clean()
+    print("removed; cascade clean done")
+
+
+def cmd_drop(args) -> None:
+    """≙ ``drop`` (__main__.py:55-64): merge subset lakes into the main
+    lake with the match_stop_id strategy (stops upsert by stop_id, other
+    tables appended — strategy/match_stop_id.py)."""
+    from py_gtfs_duckdb_spark.lake import GtfsLake
+    from py_gtfs_duckdb_spark.schemas import STATIC_TABLES
+
+    lake = _lake(args)
+    for subset_root in args.inputs:
+        subset = GtfsLake(lake.spark, subset_root)
+        for table in STATIC_TABLES:
+            if not subset.exists(table):
+                continue
+            if table == "stops":
+                lake.upsert("stops", subset.table("stops"), keys=["stop_id"])
+            else:
+                lake.append(table, subset.table(table))
+    print(f"merged {len(args.inputs)} subset(s)")
+
+
+def cmd_export(args) -> None:
+    from py_gtfs_duckdb_spark.sources import export_static, export_static_zip
+
+    lake = _lake(args)
+    if args.output.endswith(".zip"):
+        written = export_static_zip(lake, args.output)
+    else:
+        written = export_static(lake, args.output)
+    print(f"exported tables: {', '.join(written)}")
+
+
+def cmd_sql(args) -> None:
+    from py_gtfs_duckdb_spark.queries import GtfsQueries
+
+    q = GtfsQueries(_lake(args))
+    for path in args.files:
+        result = q.execute_sql_file(path)
+        result.show(args.num_results, truncate=False)
+
+
+def cmd_show(args) -> None:
+    """≙ ``show`` (__main__.py:85-108) incl. its wall-clock timing."""
+    from py_gtfs_duckdb_spark.queries import GtfsQueries
+
+    opd = dt.datetime.strptime(args.date, "%Y%m%d").date()
+    q = GtfsQueries(_lake(args))
+    start = time.time()
+    trips = q.fetch_nominal_operation_day_trips(opd, args.full_trips)
+    if args.output:
+        from py_gtfs_duckdb_spark.sources.gtfs import _write_single_csv
+
+        _write_single_csv(trips, args.output)
+        elapsed = time.time() - start
+        print(f"written to {args.output} in {elapsed:.3f} seconds")
+    else:
+        rows = trips.limit(args.num_results).select(
+            "route_id", "trip_id", "direction_id", "trip_headsign",
+            "stop_id", "departure_time",
+        )
+        n = trips.count()
+        elapsed = time.time() - start
+        print(f"found {n} ({min(n, args.num_results)} shown) results in {elapsed} seconds")
+        rows.show(args.num_results, truncate=False)
+
+
+def cmd_csvload(args) -> None:
+    """≙ the generic ``csvddb`` CLI (csvddb.py:71-91): any CSV into any
+    declared table with header projection."""
+    from py_gtfs_duckdb_spark.sources import load_csv_file
+
+    lake = _lake(args)
+    df = load_csv_file(lake.spark, args.table, args.input, sep=args.sep)
+    if args.append:
+        lake.append(args.table, df)
+    else:
+        lake.write(args.table, df)
+    print(f"loaded {lake.table(args.table).count()} rows into {args.table}")
+
+
+def cmd_vacuum(args) -> None:
+    lake = _lake(args)
+    lake.vacuum(keep=args.keep)
+    print("vacuumed")
+
+
+def cmd_realtime(args) -> None:
+    """≙ ``realtime`` (__main__.py:110-119): start the spool-driven
+    Structured Streaming merge; the HTTP edge needs fastapi/uvicorn (absent
+    here), so this serves the snapshot files instead."""
+    from py_gtfs_duckdb_spark.config import load_config
+    from py_gtfs_duckdb_spark.streaming import (
+        RealtimeMerger,
+        reset_realtime,
+        run_spool_stream,
+    )
+    from py_gtfs_duckdb_spark.streaming.matching import match_trip_updates
+
+    lake = _lake(args)
+    cfg = load_config(args.config)
+    reset_realtime(lake)  # R6 startup reset
+    mcfg = cfg["matching"]
+
+    def matcher(parents, stus):
+        return match_trip_updates(
+            parents, stus, lake.table("trips"), lake.table("stop_times"),
+            match_against_first_stop_id=mcfg["match_against_first_stop_id"],
+            match_against_stop_ids=mcfg["match_against_stop_ids"],
+            remove_invalid_stop_ids=mcfg["remove_invalid_stop_ids"],
+        )
+
+    merger = RealtimeMerger(
+        lake,
+        ttl_seconds=cfg["app"]["data_review_seconds"],
+        trip_matcher=matcher if lake.exists("trips") else None,
+    )
+    query = run_spool_stream(lake.spark, lake, args.spool, merger=merger)
+    print(f"streaming from spool {args.spool}; Ctrl-C to stop")
+    try:
+        query.awaitTermination()
+    except KeyboardInterrupt:
+        query.stop()
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="py_gtfs_duckdb_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def cmd(name, fn, **kwargs):
+        sp = sub.add_parser(name, **kwargs)
+        sp.add_argument("database", help="lake root directory")
+        sp.set_defaults(fn=fn)
+        return sp
+
+    sp = cmd("load", cmd_load, help="load a GTFS ZIP or directory")
+    sp.add_argument("--input", "-i", required=True)
+
+    sp = cmd("remove", cmd_remove, help="remove agencies/routes/trips by pattern")
+    sp.add_argument("--agencies", "-a", action="append")
+    sp.add_argument("--routes", "-r", action="append")
+    sp.add_argument("--trips", "-t", action="append")
+
+    sp = cmd("drop", cmd_drop, help="merge subset lakes into this lake")
+    sp.add_argument("--inputs", "-i", action="append", required=True)
+    sp.add_argument("--strategy", "-s", default="match_stop_id")
+
+    sp = cmd("export", cmd_export, help="export GTFS to a directory or ZIP")
+    sp.add_argument("--output", "-o", required=True)
+
+    sp = cmd("sql", cmd_sql, help="run SQL files over the lake")
+    sp.add_argument("--files", "-f", action="append", required=True)
+    sp.add_argument("--num-results", "-n", type=int, default=200)
+
+    sp = cmd("show", cmd_show, help="show nominal trips for an operation day")
+    sp.add_argument("--date", "-d", required=True)
+    sp.add_argument("--num-results", "-n", type=int, default=200)
+    sp.add_argument("--full-trips", "-f", action="store_true")
+    sp.add_argument("--output", "-o", default=None)
+
+    sp = cmd("csvload", cmd_csvload, help="load a generic CSV into a table")
+    sp.add_argument("--table", "-t", required=True)
+    sp.add_argument("--input", "-i", required=True)
+    sp.add_argument("--sep", default=",")
+    sp.add_argument("--append", action="store_true")
+
+    sp = cmd("vacuum", cmd_vacuum, help="drop superseded table versions")
+    sp.add_argument("--keep", type=int, default=1)
+
+    sp = cmd("realtime", cmd_realtime, help="run the realtime merge from a spool dir")
+    sp.add_argument("--spool", required=True)
+    sp.add_argument("--config", "-c", default=None)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

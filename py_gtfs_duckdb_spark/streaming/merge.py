@@ -68,10 +68,15 @@ class RealtimeMerger:
         lake: GtfsLake,
         ttl_seconds: int = 7200,
         max_age_seconds: int = 7200,
+        trip_matcher=None,
     ):
         self.lake = lake
         self.ttl_seconds = ttl_seconds  # R3 (config.py:22 data_review_seconds)
         self.max_age_seconds = max_age_seconds  # R2 stale-message cutoff
+        # Optional (parents, stus) -> (parents, stus) hook run on the
+        # trip-update family before merging — see streaming/matching.py
+        # (J7). Unmatched unknown trips drop out of the batch there.
+        self.trip_matcher = trip_matcher
 
     # -- R3: state TTL ------------------------------------------------------
 
@@ -122,16 +127,25 @@ class RealtimeMerger:
             ).select(F.col("entity.id").alias("entity_key"))
             stamp = F.current_timestamp()
             for kind, (key, tables) in _FAMILIES.items():
-                upsert_keys = gtfsrt._upserts(latest, kind).select(
-                    F.col("entity.id").alias(key)
-                )
-                changed_keys = upsert_keys.unionByName(
-                    dead.select(F.col("entity_key").alias(key))
-                ).dropDuplicates([key])
-                for table, builder in tables:
-                    fresh = builder(latest).withColumn(
-                        "last_updated_timestamp", stamp
+                fresh = {table: builder(latest) for table, builder in tables}
+                if kind == "trip_update" and self.trip_matcher is not None:
+                    parents, stus = self.trip_matcher(
+                        fresh["realtime_trip_updates"],
+                        fresh["realtime_trip_stop_time_updates"],
                     )
+                    fresh["realtime_trip_updates"] = parents
+                    fresh["realtime_trip_stop_time_updates"] = stus
+                parent_table = tables[0][0]
+                # keys from the POST-match parents (matching rewrites ids
+                # and drops unmatchable entities) plus tombstones.
+                changed_keys = (
+                    fresh[parent_table]
+                    .select(key)
+                    .unionByName(dead.select(F.col("entity_key").alias(key)))
+                    .dropDuplicates([key])
+                )
+                for table, _ in tables:
+                    rows = fresh[table].withColumn("last_updated_timestamp", stamp)
                     base = self.lake.table(table)
                     # delete-then-insert per key (ddb.py:296-332): drop every
                     # row whose entity key appears in this batch (upsert or
@@ -139,7 +153,7 @@ class RealtimeMerger:
                     survivors = base.join(changed_keys, [key], "left_anti")
                     self.lake.write(
                         table,
-                        survivors.unionByName(fresh, allowMissingColumns=True),
+                        survivors.unionByName(rows, allowMissingColumns=True),
                         dedup_pk=False,
                     )
         finally:
