@@ -225,6 +225,71 @@ def minhash_lsh_dedup(
     return exact_jaccard(pruned, sets).filter(F.col("jaccard") >= threshold)
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.7
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via prefix filtering (the
+    PPJoin-family pruning, public similarity-join literature): a pair with
+    J ≥ t must share an element within each side's prefix of the
+    (sz − ⌈t·sz⌉ + 1) globally-smallest shingle hashes — so the candidate
+    join explodes ONLY prefixes, not whole shingle sets, and is exact (no
+    LSH false negatives). Verification reuses the per-row array
+    intersection. Returns (id_a, id_b, jaccard ≥ threshold).
+
+    Scale shape: prefix explode is ~(1−t)·|shingles| rows; the equi-join on
+    the hash is the only shuffle and it is bounded by prefix length."""
+    sets = shingle_sets(df, text_col, id_col, k).persist()
+    prefix_len = (F.col("sz") - F.ceil(F.col("sz") * threshold) + 1).cast("int")
+    prefixes = sets.select(
+        "id", F.explode(F.slice(F.col("hs"), F.lit(1), prefix_len)).alias("h")
+    )
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return exact_jaccard(pairs, sets).filter(F.col("jaccard") >= threshold)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs with coarse-cell blocking: the pair
+    join runs only WITHIN a quantization cell (here the precomputed
+    ``cell_col``; in a full pipeline the IVF/k-means assignment), which is
+    what keeps an all-pairs cosine join sub-quadratic at corpus scale.
+    Returns (id_a, id_b, cosine ≥ threshold), deterministic and
+    oracle-checkable (pure column math, no UDF)."""
+    from py_gtfs_duckdb_spark.operators.similarity import _dot, _norm
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(cell_col).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            pround(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document via a vectorized pandas UDF (Arrow batch
     in, numpy bit math inside — the sanctioned slow path; per-row Python

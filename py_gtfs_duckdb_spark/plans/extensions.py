@@ -139,6 +139,75 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(d, "text", "doc_id", k=3, threshold=0.7)
 
 
+def _ngram_jaccard_oracle_sql(threshold: float = 0.7) -> str:
+    return f"""
+    WITH w AS (
+        SELECT doc_id AS id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
+        FROM (
+            SELECT DISTINCT id,
+                   unnest([array_to_string(ws[i : i + 2], ' ')
+                           for i in range(1, greatest(len(ws) - 2, 1) + 1)]) AS s
+            FROM w
+        )
+    ), sets AS (
+        SELECT id, list_sort(list(h)) AS hs, COUNT(*) AS sz FROM sh GROUP BY id
+    ), prefixes AS (
+        SELECT id, unnest(list_slice(hs, 1,
+                   CAST(sz - ceil(sz * {threshold}) + 1 AS INT))) AS h
+        FROM sets
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM prefixes a JOIN prefixes b ON a.h = b.h AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b,
+           floor((CAST(len(list_intersect(za.hs, zb.hs)) AS DOUBLE)
+                  / (za.sz + zb.sz - len(list_intersect(za.hs, zb.hs))))
+                 * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM cand c
+    JOIN sets za ON za.id = c.id_a
+    JOIN sets zb ON zb.id = c.id_b
+    WHERE floor((CAST(len(list_intersect(za.hs, zb.hs)) AS DOUBLE)
+                 / (za.sz + zb.sz - len(list_intersect(za.hs, zb.hs))))
+                * 10000.0 + 0.5) / 10000.0 >= {threshold}
+    """
+
+
+@query("q_dedup_ngram_jaccard", oracle=_ngram_jaccard_oracle_sql())
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (prefix filtering — no LSH
+    false negatives; see operators/dedup.py:ngram_jaccard_pairs)."""
+    d = t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.7)
+
+
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm))
+                 * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm))
+                * 10000.0 + 0.5) / 10000.0 >= 0.35
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by the coarse cell (label ≙
+    IVF centroid assignment) so the pair join never goes all-pairs."""
+    e = t(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(e, "embedding", "vec_id", "label", 0.35)
+
+
 @query("q_dedup_simhash")  # rows-only: relies on a pandas UDF, not SQL-expressible
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3) — banded signature join;
