@@ -59,19 +59,11 @@ def cmd_drop(args) -> None:
     """≙ ``drop`` (__main__.py:55-64): merge subset lakes into the main
     lake with the match_stop_id strategy (stops upsert by stop_id, other
     tables appended — strategy/match_stop_id.py)."""
-    from py_gtfs_duckdb_spark.lake import GtfsLake
-    from py_gtfs_duckdb_spark.schemas import STATIC_TABLES
+    from py_gtfs_duckdb_spark.strategies import merge_subset
 
     lake = _lake(args)
     for subset_root in args.inputs:
-        subset = GtfsLake(lake.spark, subset_root)
-        for table in STATIC_TABLES:
-            if not subset.exists(table):
-                continue
-            if table == "stops":
-                lake.upsert("stops", subset.table("stops"), keys=["stop_id"])
-            else:
-                lake.append(table, subset.table(table))
+        merge_subset(lake, subset_root, strategy=args.strategy)
     print(f"merged {len(args.inputs)} subset(s)")
 
 
