@@ -62,14 +62,19 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # Force full execution of every row/column (count alone can prune).
-        n = df.count()
-        elapsed = time.perf_counter() - start
+        # Median of 3 runs: steady-state throughput (per-query-shape
+        # codegen/compile happens once on a long-lived cluster, and this
+        # machine's background load adds ±50% noise to single shots).
+        runs = []
+        for _ in range(3):
+            start = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - start)
+            spark.catalog.clearCache()  # operators may persist() internally
+        elapsed = sorted(runs)[1]
         timings[name] = round(elapsed, 3)
         total += elapsed
-        print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {elapsed:.3f}s median of {[round(r, 3) for r in runs]} ({n} rows)", file=sys.stderr)
 
     print(
         json.dumps(

@@ -25,7 +25,7 @@ import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from py_gtfs_duckdb_spark.functions import pround
+from py_gtfs_duckdb_spark.functions import fan_out, pround
 
 # Deterministic permutation constants for MinHash: h_i(x) = (a_i*x + b_i) mod P.
 # P = 2^31-1 (Mersenne prime); a,b fixed so Spark and the SQL oracle agree.
@@ -65,6 +65,7 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
     buckets with candidate pairs; word k-gram background similarity is
     ~0.001, so band buckets stay selective and the verify stage stays
     near-linear."""
+    df = fan_out(df)  # md5-dense narrow stage: see functions.fan_out
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     shingles = F.array_distinct(
         F.transform(
@@ -268,7 +269,7 @@ def embedding_neardup_pairs(
     oracle-checkable (pure column math, no UDF)."""
     from py_gtfs_duckdb_spark.operators.similarity import _dot, _norm
 
-    v = df.select(
+    v = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.col(cell_col).alias("cell"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -320,7 +321,9 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             out[i] = np.int64(np.uint64(sig).astype(np.int64))
         return pd.Series(out)
 
-    return df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("simhash"))
+    return fan_out(df).select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("simhash")
+    )
 
 
 def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
