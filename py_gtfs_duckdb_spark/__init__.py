@@ -18,5 +18,23 @@ columns, text analysis) the reference does not have.
 
 from py_gtfs_duckdb_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def __getattr__(name: str):
+    # Lazy re-exports: importing the package must not drag the whole engine
+    # (and a JVM) in; the submodules import pyspark.sql.functions eagerly.
+    lazy = {
+        "GtfsLake": ("py_gtfs_duckdb_spark.lake", "GtfsLake"),
+        "GtfsQueries": ("py_gtfs_duckdb_spark.queries", "GtfsQueries"),
+        "RealtimeMerger": ("py_gtfs_duckdb_spark.streaming.merge", "RealtimeMerger"),
+        "load_config": ("py_gtfs_duckdb_spark.config", "load_config"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = ["get_spark", "GtfsLake", "GtfsQueries", "RealtimeMerger", "load_config"]
 __version__ = "0.1.0"

@@ -38,6 +38,66 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+class NominalIndexCache:
+    """R8 daily rollover (realtime.py:229-265): the matcher's nominal
+    inputs are rebuilt when the operation-day string changes, and the
+    previous day's cached frames are released (the reference frees its
+    source frame after building the dicts for the same reason — its
+    ``# performance issues`` comment, §4 X3).
+
+    ``matcher()`` returns a (parents, stus) -> (parents, stus) callable
+    bound to today's nominal slice — plug it into
+    :class:`~py_gtfs_duckdb_spark.streaming.merge.RealtimeMerger`.
+    """
+
+    def __init__(self, lake, **match_flags):
+        self.lake = lake
+        self.match_flags = match_flags
+        self._day = None
+        self._trips = None
+        self._stop_times = None
+
+    def _refresh(self, day) -> None:
+        import datetime as dt  # noqa: F401  (kept local; day is a date)
+
+        from py_gtfs_duckdb_spark.queries import GtfsQueries
+
+        for cached in (self._trips, self._stop_times):
+            if cached is not None:
+                cached.unpersist()
+        service_ids = GtfsQueries(self.lake).active_service_ids(day)
+        self._trips = (
+            self.lake.table("trips")
+            .join(F.broadcast(service_ids), "service_id", "left_semi")
+            .persist()
+        )
+        self._stop_times = (
+            self.lake.table("stop_times")
+            .join(
+                self._trips.select("trip_id").dropDuplicates(["trip_id"]),
+                "trip_id",
+                "left_semi",
+            )
+            .persist()
+        )
+        self._day = day
+
+    def matcher(self, today=None):
+        import datetime as dt
+
+        day = today or dt.date.today()
+        if day != self._day:
+            self._refresh(day)
+        trips, stop_times = self._trips, self._stop_times
+
+        def apply(parents: DataFrame, stus: DataFrame):
+            return match_trip_updates(
+                parents, stus, trips, stop_times, **self.match_flags
+            )
+
+        return apply
+
+
 def nominal_first_departures(trips: DataFrame, stop_times: DataFrame) -> DataFrame:
     """(route_id, start_time, cand_trip_id, cand_rank) — the Spark form of
     the reference's ``route_id → start_time → [trip_id]`` index

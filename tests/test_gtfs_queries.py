@@ -200,3 +200,21 @@ def test_sql_passthrough_file(q, lake, tmp_path):
     p = tmp_path / "query.sql"
     p.write_text("SELECT COUNT(*) AS n FROM trips")
     assert q.execute_sql_file(str(p)).first()["n"] == 3
+
+
+def test_nominal_index_cache_rollover(spark, lake):
+    """R8: the matcher's nominal slice follows the operation day and is
+    rebuilt (not reused) when the day changes."""
+    from py_gtfs_duckdb_spark.streaming.matching import NominalIndexCache
+
+    cache = NominalIndexCache(lake)
+    cache.matcher(OPD)
+    assert {r["trip_id"] for r in cache._trips.collect()} == {"t_extra"}
+    day2 = dt.date(2025, 6, 7)  # Saturday: s_weekend runs
+    cache.matcher(day2)
+    assert {r["trip_id"] for r in cache._trips.collect()} == {"t_weekend"}
+    assert cache._day == day2
+    # same day again -> no rebuild (same cached object)
+    before = cache._trips
+    cache.matcher(day2)
+    assert cache._trips is before
