@@ -1,0 +1,86 @@
+"""Custom stateful streaming operator: keyed latest-value state with TTL
+via ``applyInPandasWithState``.
+
+This is the engine-native scale path for the reference's realtime state
+semantics (newest message per entity id wins, state expires after
+``data_review_seconds`` without refresh — ddb.py:282-332): state lives in
+Spark's state store, partitioned by key across executors, instead of in a
+single mutable database. The ``foreachBatch`` merge in
+``streaming/merge.py`` remains the default because it materializes
+queryable snapshot tables (the serving edge needs them); this operator is
+the right shape when state is large (millions of keys) and only the
+*stream* of changes is needed downstream.
+
+Semantics per key:
+- newest row by ``ts`` wins (arrival order within a batch is undefined in
+  a distributed stream, so ordering is explicit — same contract as the
+  merge);
+- state not refreshed within ``ttl_seconds`` times out and is dropped
+  (ProcessingTimeTimeout, the processing-time contract the reference's
+  TTL delete implements);
+- each update emits the winning row downstream, so the output stream is
+  the per-key changelog.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# Output/state schema: key, latest payload (JSON), its event ts.
+_STATE_SCHEMA = "key STRING, payload STRING, ts LONG"
+_OUTPUT_SCHEMA = "key STRING, payload STRING, ts LONG"
+
+
+def _update_latest(ttl_ms: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # TTL expiry (ddb.py:290-293): drop the key, emit nothing.
+            state.remove()
+            return
+        best_ts, best_payload = -1, None
+        if state.exists:
+            best_payload, best_ts = state.get[1], state.get[2]
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            idx = pdf["ts"].idxmax()
+            if int(pdf.loc[idx, "ts"]) >= best_ts:
+                best_ts = int(pdf.loc[idx, "ts"])
+                best_payload = pdf.loc[idx, "payload"]
+        state.update((key[0], best_payload, best_ts))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({"key": [key[0]], "payload": [best_payload], "ts": [best_ts]})
+
+    return fn
+
+
+def latest_per_key_stream(
+    stream: DataFrame,
+    key_col: str = "key",
+    payload_col: str = "payload",
+    ts_col: str = "ts",
+    ttl_seconds: int = 7200,
+) -> DataFrame:
+    """Keyed last-writer-wins state with TTL over a streaming DataFrame.
+    Input needs (key, payload, ts); returns the changelog stream of
+    winning rows."""
+    from pyspark.sql import functions as F
+
+    normalized = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(payload_col).cast("string").alias("payload"),
+        F.col(ts_col).cast("long").alias("ts"),
+    )
+    return normalized.groupBy("key").applyInPandasWithState(
+        _update_latest(ttl_seconds * 1000),
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -181,3 +181,48 @@ def test_reset_realtime_clears_state(spark, lake, merger):
     merger.process_batch(batch(spark, [alert("al1")]))
     reset_realtime(lake)
     assert lake.table("realtime_service_alerts").count() == 0
+
+
+def test_stateful_latest_per_key_stream(spark, tmp_path):
+    """applyInPandasWithState path: last-writer-wins keyed state across
+    micro-batches; state survives between batches within the run."""
+    import json as _json
+
+    from py_gtfs_duckdb_spark.streaming.stateful import latest_per_key_stream
+
+    spool = tmp_path / "sspool"
+    spool.mkdir()
+    rows1 = [
+        {"key": "k1", "payload": "v1@t1", "ts": 100},
+        {"key": "k1", "payload": "v1@t2", "ts": 200},
+        {"key": "k2", "payload": "v2@t1", "ts": 150},
+    ]
+    (spool / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows1))
+    # second file: older message for k1 must NOT displace newer state
+    rows2 = [
+        {"key": "k1", "payload": "stale", "ts": 50},
+        {"key": "k3", "payload": "v3", "ts": 10},
+    ]
+    (spool / "b2.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+
+    stream = spark.readStream.schema("key string, payload string, ts long").json(
+        str(spool)
+    )
+    out = latest_per_key_stream(stream, ttl_seconds=3600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("latest_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT key, last(payload) AS payload, last(ts) AS ts FROM latest_state "
+        "GROUP BY key"
+    ).collect()
+    state = {r["key"]: (r["payload"], r["ts"]) for r in rows}
+    assert state["k1"] == ("v1@t2", 200)  # newest wins, stale update ignored
+    assert state["k2"] == ("v2@t1", 150)
+    assert state["k3"] == ("v3", 10)
