@@ -242,12 +242,21 @@ def ngram_jaccard_pairs(
     sets = shingle_sets(df, text_col, id_col, k).persist()
     prefix_len = (F.col("sz") - F.ceil(F.col("sz") * threshold) + 1).cast("int")
     prefixes = sets.select(
-        "id", F.explode(F.slice(F.col("hs"), F.lit(1), prefix_len)).alias("h")
+        "id", "sz", F.explode(F.slice(F.col("hs"), F.lit(1), prefix_len)).alias("h")
     )
     a = prefixes.alias("a")
     b = prefixes.alias("b")
+    # Length filter (exact, PPJoin-family): J(A,B) >= t forces
+    # t*|A| <= |B| and t*|B| <= |A|, so size-mismatched pairs are pruned
+    # inside the join before the dedup shuffle ever sees them.
     pairs = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.sz") >= F.col("b.sz") * threshold)
+            & (F.col("b.sz") >= F.col("a.sz") * threshold),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
