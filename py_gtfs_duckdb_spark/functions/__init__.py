@@ -26,6 +26,47 @@ def pround_sql(expr: str, digits: int = 4) -> str:
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
 
 
+def salted_collect_list(
+    df,
+    keys,
+    value_col: str,
+    n_salt: int = 16,
+    out_col: str | None = None,
+):
+    """Skew-safe ``groupBy(keys).agg(sort_array(collect_list(value)))``.
+
+    Algebraic aggregates (sum/count/min) are skew-immune — map-side partial
+    aggregation collapses each key to one row per partition before the
+    shuffle. Holistic aggregates like ``collect_list`` are NOT: every value
+    of a hot key lands on one reducer, and at corpus scale a single viral
+    key can hold gigabytes. AQE's skew-join splitting doesn't apply to
+    aggregations, so this is the one place manual salting still earns its
+    keep.
+
+    Two phases: (1) group by (keys, salt) where salt =
+    ``pmod(xxhash64(value), n_salt)`` — deterministic, so retries are
+    idempotent — collecting per-salt partial lists; (2) group by keys,
+    flatten the ≤ n_salt partials. The hot key's work now spreads over
+    n_salt reducers; phase 2 touches only n_salt rows per key. Output is
+    ``sort_array``-ed: order-canonical, engine-portable.
+    """
+    from pyspark.sql import DataFrame  # local: avoid cycle at import time
+
+    assert isinstance(df, DataFrame)
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    out_col = out_col or f"{value_col}s"
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salt)).alias("__salt")
+    partial = (
+        df.select(*keys, F.col(value_col), salt)
+        .groupBy(*keys, "__salt")
+        .agg(F.collect_list(value_col).alias("__part"))
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(F.sort_array(F.flatten(F.collect_list("__part"))).alias(out_col))
+    )
+
+
 def fan_out(df, min_ratio: float = 0.5):
     """Ensure a CPU-dense narrow stage actually parallelizes.
 

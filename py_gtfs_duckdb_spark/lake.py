@@ -132,6 +132,57 @@ class GtfsLake:
         if os.path.isdir(self._tdir(table)):
             shutil.rmtree(self._tdir(table))
 
+    # -- bucketed physical layout (scale path) ------------------------------
+
+    def bucketed_name(self, table: str) -> str:
+        return f"bucketed_{table}"
+
+    def write_bucketed(
+        self,
+        table: str,
+        df: DataFrame | None = None,
+        keys: Sequence[str] | None = None,
+        num_buckets: int = 64,
+    ) -> str:
+        """Publish a BUCKETED copy of ``table`` into the session catalog
+        (``bucketBy(num_buckets, keys) + sortBy(keys)``) and return its
+        catalog name.
+
+        This is a derived physical layout for repeated big-big joins, not
+        the source of truth (the versioned Parquet dir stays canonical):
+        two tables bucketed on their join key with the same bucket count
+        join WITHOUT a shuffle — Catalyst sees the co-partitioning and
+        drops both Exchanges. At 100 TB this turns every
+        stop_times ⋈ trips / fact ⋈ fact plan from a full-table shuffle
+        into a bucket-local merge, paid once at write time. Keys default to
+        the reference PRIMARY KEY head (the join key in every reference
+        query shape).
+        """
+        if df is None:
+            df = self.table(table)
+        keys = list(keys or PRIMARY_KEYS[table][:1])
+        name = self.bucketed_name(table)
+        # External table anchored under the lake root: survives as plain
+        # files, and a stale in-memory catalog entry (fresh session, old
+        # directory) can't collide the way managed-table locations do.
+        path = os.path.join(self.root, "_bucketed", table)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", path)
+            .bucketBy(num_buckets, *keys)
+            .sortBy(*keys)
+            .saveAsTable(name)
+        )
+        return name
+
+    def bucketed_table(self, table: str) -> DataFrame:
+        """Read the bucketed copy (raises if never written)."""
+        return self.spark.table(self.bucketed_name(table))
+
     # -- GTFS-specific mutations -------------------------------------------
 
     def remove_pattern(self, agency_pattern: str) -> None:
