@@ -1,0 +1,75 @@
+"""Physical-plan shape assertions for the headline queries.
+
+Correctness tests prove the VALUES; these prove the PLAN — the thing that
+actually decides whether a query survives a 100 TB scale-up. Guarded
+properties:
+
+- predicate pushdown reaches the Parquet scan (PushedFilters non-empty);
+- column pruning reaches the scan (ReadSchema carries only used columns);
+- small dimension sides broadcast (BroadcastHashJoin, no full shuffle of
+  the fact side against a dim);
+- no plan ever degenerates to CartesianProduct / BroadcastNestedLoopJoin.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    from py_gtfs_duckdb_spark.plans import QUERIES
+
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_queries_push_predicates(spark, sf_dir):
+    for name in ("q_filter_range", "q_filter_eq", "q_filter_first_stop"):
+        plan = _plan(spark, sf_dir, name)
+        pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
+        assert pushed and any("[]" not in l for l in pushed), (name, pushed)
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_project_cols")
+    reads = [l for l in plan.splitlines() if "ReadSchema:" in l]
+    assert reads
+    # the query projects a single column; the scan must not read more
+    assert all(l.count(":") <= 3 for l in reads), reads
+
+
+def test_flagship_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_flagship_nominal_trips")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_join_chain_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_chain_left")
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_flagship_nominal_trips",
+        "q_join_chain_left",
+        "q_match_trip_candidates",
+        "q_topk_per_group",
+        "q_dedup_minhash_lsh",
+        "q_dedup_ngram_jaccard",
+        "q_knn_cosine",
+    ],
+)
+def test_no_degenerate_joins(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    # brute-force knn intentionally crossjoins a tiny query side via
+    # broadcast; everything else must not nested-loop either
+    if name != "q_knn_cosine":
+        assert "BroadcastNestedLoopJoin" not in plan, name
