@@ -1,0 +1,76 @@
+"""Exactness guard for the prefix-filter similarity join.
+
+ngram_jaccard_pairs claims EXACTNESS (unlike MinHash-LSH): every pair with
+Jaccard >= t must survive the prefix, length, and positional prunes. That
+claim is easy to break with an off-by-one in prefix length or a too-tight
+positional bound, so it is checked here against an unpruned brute-force
+all-pairs join over generated corpora with planted near-duplicates —
+mutation rates straddle the threshold so borderline pairs exist on both
+sides of it.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _corpus(seed: int, n_docs: int = 80) -> list[tuple[str, str]]:
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = []
+    for i in range(n_docs):
+        words = [rng.choice(vocab) for _ in range(rng.randint(20, 60))]
+        docs.append((f"d{i:03d}", " ".join(words)))
+    # planted near-dups at varying mutation rates (some above, some below
+    # the 0.7 threshold after 3-shingling)
+    for j in range(20):
+        base_id, base_text = docs[rng.randrange(n_docs)]
+        words = base_text.split()
+        n_mut = rng.randint(0, max(1, len(words) // 4))
+        for _ in range(n_mut):
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        docs.append((f"m{j:03d}_{base_id}", " ".join(words)))
+    return docs
+
+
+def _brute_force(spark, docs_df, threshold: float):
+    from py_gtfs_duckdb_spark.operators.dedup import exact_jaccard, shingle_sets
+
+    sets = shingle_sets(docs_df, "text", "doc_id")
+    a = sets.select(F.col("id").alias("id_a"))
+    b = sets.select(F.col("id").alias("id_b"))
+    all_pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return exact_jaccard(all_pairs, sets).filter(F.col("jaccard") >= threshold)
+
+
+@pytest.mark.parametrize("seed", [7, 21, 1999])
+def test_prefix_filter_join_equals_brute_force(spark, seed):
+    from py_gtfs_duckdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(_corpus(seed), "doc_id string, text string")
+    threshold = 0.7
+    got = sorted(
+        tuple(r) for r in ngram_jaccard_pairs(docs, "text", "doc_id").collect()
+    )
+    want = sorted(tuple(r) for r in _brute_force(spark, docs, threshold).collect())
+    assert got == want
+    assert want, "corpus must actually contain near-duplicate pairs"
+
+
+def test_freq_order_variant_equals_default(spark):
+    from py_gtfs_duckdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(_corpus(42), "doc_id string, text string")
+    default = sorted(
+        tuple(r) for r in ngram_jaccard_pairs(docs, "text", "doc_id").collect()
+    )
+    freq = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", freq_order=True
+        ).collect()
+    )
+    assert default == freq
