@@ -47,16 +47,22 @@ def q_flagship_nominal_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = t(spark, sf_dir, "lineitem")
     customer = t(spark, sf_dir, "customer")
 
-    ids_a = orders.filter(F.col("o_orderstatus") == "O").select(
-        F.col("o_custkey").alias("id")
-    )
-    ids_b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_custkey").alias("id")
-    )
+    # (ids_a UNION ids_b) == one OR-filtered scan + distinct: same set, one
+    # fewer pass over the fact table. EXCEPT == left_anti against the
+    # (distinct) left side, with the small removed set broadcast — saves
+    # the two-sided shuffle subtract() would plan.
     removed = customer.filter(F.col("c_acctbal") < 0).select(
         F.col("c_custkey").alias("id")
     )
-    active = ids_a.union(ids_b).distinct().subtract(removed)
+    active = (
+        orders.filter(
+            (F.col("o_orderstatus") == "O")
+            | (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select(F.col("o_custkey").alias("id"))
+        .distinct()
+        .join(F.broadcast(removed), "id", "left_anti")
+    )
 
     first_stops = lineitem.filter(F.col("l_linenumber") == 1)
     return (
