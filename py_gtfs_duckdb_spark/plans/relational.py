@@ -385,14 +385,21 @@ def q_match_trip_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     o = t(spark, sf_dir, "orders")
     joined = e.join(o, o.o_custkey == e.user_id).select(
-        "event_id", "user_id", F.col("o_orderkey").alias("matched_trip_id"),
-        "o_orderdate",
+        "event_id", "user_id", "o_orderdate", "o_orderkey"
     )
-    w = W.partitionBy("event_id").orderBy("o_orderdate", "matched_trip_id")
+    # "first candidate in deterministic order" == min of the ordering tuple.
+    # An algebraic min(struct) gets map-side partial aggregation — the
+    # post-join shuffle carries one row per (event, partition) instead of
+    # every candidate, where a window row_number would re-shuffle and sort
+    # the full candidate list. (Struct comparison is field-order
+    # lexicographic, so min(struct(date, key)) IS the row_number()==1 row;
+    # o_orderkey is unique, so no ties.)
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "matched_trip_id")
+        joined.groupBy("event_id", "user_id")
+        .agg(F.min(F.struct("o_orderdate", "o_orderkey")).alias("b"))
+        .select(
+            "event_id", "user_id", F.col("b.o_orderkey").alias("matched_trip_id")
+        )
     )
 
 
