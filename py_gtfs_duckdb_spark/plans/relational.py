@@ -447,6 +447,35 @@ def q_agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_collect_list_salted",
+    oracle="""
+    SELECT l_orderkey,
+           string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber)
+               AS stops_csv,
+           COUNT(*) AS n_stops
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_agg_collect_list_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 via the skew-safe two-phase salted aggregation
+    (functions.salted_collect_list): identical result to
+    q_agg_collect_list — same oracle — but a hot group key spreads over
+    n_salt reducers in phase 1, the shape that survives a viral key at
+    corpus scale. Holistic aggregates get no map-side combine, so salting
+    is the only skew defense here (AQE skew splitting covers joins only)."""
+    from py_gtfs_duckdb_spark.functions import salted_collect_list
+
+    li = t(spark, sf_dir, "lineitem")
+    return salted_collect_list(li, "l_orderkey", "l_linenumber").select(
+        "l_orderkey",
+        F.array_join(
+            F.transform(F.col("l_linenumbers"), lambda x: x.cast("string")), ","
+        ).alias("stops_csv"),
+        F.size("l_linenumbers").cast("long").alias("n_stops"),
+    )
+
+
+@query(
     "q_agg_min",
     oracle="""
     SELECT o_custkey, MIN(o_orderdate) AS first_order
