@@ -373,6 +373,54 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ann_ivf",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+        FROM vecs ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ), assign AS (
+        SELECT vec_id, v, nrm, cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY floor((list_dot_product(v, cv) / (nrm * cnrm))
+                                  * 10000.0 + 0.5) / 10000.0 DESC, cid
+               ) AS rn
+        FROM vecs CROSS JOIN cent
+    ), cells AS (
+        SELECT vec_id, v, nrm, cid FROM assign WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid
+        FROM assign WHERE vec_id < 10 AND rn <= 4
+    ), cand AS (
+        SELECT p.query_id, c.vec_id,
+               floor((list_dot_product(p.qv, c.v) / (p.qn * c.nrm))
+                     * 10000.0 + 0.5) / 10000.0 AS cosine
+        FROM probes p JOIN cells c ON c.cid = p.cid AND c.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id
+               ) AS BIGINT) AS rank
+        FROM cand
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: deterministic seed centroids, zero-shuffle
+    cell assignment (literal centroid arrays), nprobe=4 probe join with
+    the query side broadcast. Fully oracle-checked — the cell partition,
+    probe choice, and final ranking all replay exactly in SQL."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
     "q_embed_norm",
     oracle="""
     SELECT vec_id,

@@ -1,0 +1,106 @@
+"""Recall of the approximate ANN paths against the exact brute force.
+
+Approximate search has no value-equality oracle; its contract is recall.
+Both scale paths (LSH multiprobe buckets, IVF nprobe cells) must recover
+most of the true top-k on the driver testdata embeddings.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    from py_gtfs_duckdb_spark.plans._tables import t
+
+    return t(spark, sf_dir, "embeddings")
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def _recall(approx, exact) -> float:
+    hits = total = 0
+    for qid, want in exact.items():
+        got = approx.get(qid, set())
+        hits += len(got & want)
+        total += len(want)
+    return hits / max(1, total)
+
+
+@pytest.fixture(scope="module")
+def exact_top5(spark, embeddings):
+    from py_gtfs_duckdb_spark.operators.similarity import cosine_topk
+
+    q = embeddings.filter(F.col("vec_id") < 10)
+    return _topk_sets(cosine_topk(embeddings, q, k=5))
+
+
+def _clustered_vectors(spark, n_clusters=20, per_cluster=25, dim=64, noise=0.25):
+    """Deterministic planted clusters: members of a cluster have cosine
+    ~0.9 to each other — the regime LSH is FOR. (The driver's synthetic
+    embeddings are near-orthogonal, top-1 cosine ~0.35; no sub-linear
+    method can retrieve those, so recall is asserted here instead.)"""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(n_clusters, dim)
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[ci] + noise * rng.randn(dim)
+            rows.append((vid, ci, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id bigint, cluster int, embedding array<float>"
+    )
+
+
+def test_lsh_recall_on_clustered_data(spark):
+    from py_gtfs_duckdb_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucketed_topk,
+    )
+
+    vecs = _clustered_vectors(spark)
+    q = vecs.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(cosine_topk(vecs, q, k=5))
+    approx = _topk_sets(lsh_bucketed_topk(vecs, q, k=5))
+    assert _recall(approx, exact) >= 0.8
+
+
+def test_lsh_returns_candidates_on_testdata(spark, embeddings):
+    """On the (near-orthogonal) driver embeddings LSH cannot promise
+    recall, but the plumbing must still produce ranked candidates for
+    every query that collides at all."""
+    from py_gtfs_duckdb_spark.operators.similarity import lsh_bucketed_topk
+
+    q = embeddings.filter(F.col("vec_id") < 10)
+    rows = lsh_bucketed_topk(embeddings, q, k=5).collect()
+    assert rows
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+
+
+def test_ivf_recall(spark, embeddings, exact_top5):
+    from py_gtfs_duckdb_spark.operators.similarity import ivf_topk
+
+    q = embeddings.filter(F.col("vec_id") < 10)
+    approx = _topk_sets(ivf_topk(embeddings, q, k=5, nprobe=4))
+    assert _recall(approx, exact_top5) >= 0.5
+
+
+def test_ivf_full_probe_equals_exact(spark, embeddings, exact_top5):
+    """With nprobe == n_centroids every cell is searched — IVF must then
+    equal brute force exactly (same rounding, same tie-breaks)."""
+    from py_gtfs_duckdb_spark.operators.similarity import ivf_topk
+
+    q = embeddings.filter(F.col("vec_id") < 10)
+    full = _topk_sets(ivf_topk(embeddings, q, k=5, n_centroids=16, nprobe=16))
+    assert full == exact_top5
