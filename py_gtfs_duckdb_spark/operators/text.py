@@ -51,6 +51,78 @@ def fingerprint(col) -> Column:
     return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
 
 
+# Winnowing (MOSS-style) parameters: polynomial rolling hash over word
+# hashes, then the minimum of each sliding window of W hashes. Constants
+# shared with the SQL oracle.
+WINNOW_P = 2_147_483_647  # 2^31-1
+WINNOW_B = 69_069  # classic LCG multiplier; B*P < 2^63 so products fit bigint
+WINNOW_K = 3  # words per k-gram
+WINNOW_W = 4  # winnow window (guarantee: any match >= K+W-1 words shares a print)
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, fp) — the document's winnowing fingerprint set: rolling
+    polynomial hash over each k-word window, then per sliding window of W
+    k-gram hashes keep only the minimum. Standard local fingerprinting
+    (Schleimer/Wilkerson/Aiken winnowing): any shared run of at least
+    K+W-1 words between two documents shares at least one fingerprint, at
+    ~1/W the volume of full k-gram shingling.
+
+    Entirely narrow per-row array math (split → word hashes → rolling
+    hash via transform/sequence → windowed array_min → array_distinct →
+    explode) — no shuffle until the consumer aggregates. Word hash is
+    md5-derived so the DuckDB oracle reproduces it bit-for-bit.
+
+    Formulated RELATIONALLY (posexplode → lead() rolling hash → window-
+    frame min), not as per-row array lambdas: higher-order functions are
+    interpreted (CodegenFallback, no subexpression elimination), so any
+    formulation that references the word-hash array more than once pays a
+    full re-evaluation per reference — measured at 100-1000x slower. The
+    window form is all codegen-able JVM operators and costs exactly one
+    shuffle (tokens hash-partitioned by doc id), linear at corpus scale.
+    """
+    from pyspark.sql.window import Window
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    wh = F.transform(
+        words,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint"),
+            F.lit(WINNOW_P),
+        ),
+    )
+    tok = df.select(
+        F.col(id_col).alias("id"), F.posexplode(wh).alias("pos", "h")
+    )
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    # Horner rolling hash over the next K-1 tokens; null past the tail,
+    # which drops the last K-1 positions (no k-gram starts there).
+    kh = F.col("h")
+    for j in range(1, WINNOW_K):
+        kh = F.pmod(
+            kh * F.lit(WINNOW_B) + F.lead("h", j).over(w_ord), F.lit(WINNOW_P)
+        )
+    kg = tok.select("id", "pos", kh.alias("kh")).filter(F.col("kh").isNotNull())
+    # Winnow: min over the window of W consecutive k-grams (ROWS frame —
+    # k-gram rows are contiguous per doc). Only full windows (plus the
+    # single truncated one when a doc has < W k-grams) produce prints.
+    w_frame = Window.partitionBy("id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    n_kg = F.count(F.lit(1)).over(Window.partitionBy("id"))
+    win = kg.select(
+        "id",
+        "pos",
+        F.min("kh").over(w_frame).alias("fp"),
+        n_kg.alias("n_kg"),
+    )
+    return (
+        win.filter(F.col("pos") <= F.greatest(F.col("n_kg") - WINNOW_W, F.lit(0)))
+        .select("id", "fp")
+        .distinct()
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document stats: chars, words, tokens, punctuation, avg word
     length, punctuation ratio."""

@@ -328,6 +328,44 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_doc_winnow",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id AS id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), wh AS (
+        SELECT id,
+               [('0x' || substr(md5(x), 1, 12))::BIGINT % 2147483647
+                for x in ws] AS hs,
+               len(ws) AS n
+        FROM w
+    ), kg AS (
+        SELECT id,
+               [((hs[i] * 69069 + hs[i+1]) % 2147483647 * 69069 + hs[i+2])
+                 % 2147483647
+                for i in range(1, n - 2 + 1)] AS kh
+        FROM wh WHERE n >= 3
+    ), fp AS (
+        SELECT id,
+               list_distinct([list_min(kh[i : i + 3])
+                              for i in range(1, greatest(len(kh) - 3, 1) + 1)])
+                   AS fps
+        FROM kg
+    )
+    SELECT id, unnest(fps) AS fp FROM fp
+    """,
+)
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprint sets: k-gram polynomial
+    rolling hash, sliding-window minima (MOSS-style local fingerprinting;
+    see operators/text.py:winnow_fingerprints). Any shared run of
+    K+W-1 words between two documents shares a fingerprint."""
+    d = t(spark, sf_dir, "documents")
+    return X.winnow_fingerprints(d, "text", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
