@@ -37,6 +37,9 @@ HEADLINE = [
     "q_text_stats",
     "q_lang_id",
     "q_knn_cosine",
+    "q_agg_collect_list_salted",
+    "q_doc_winnow",
+    "q_ann_ivf",
 ]
 
 
