@@ -98,6 +98,28 @@ def cosine_topk(
 # -- IVF (inverted-file) path ------------------------------------------------
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Collect the deterministic seed centroid rows (cid, cv, cnrm) —
+    the 'train' step. Centroids are reference data: compute once per
+    corpus version, reuse across every query batch (callers pass the
+    result to :func:`ivf_topk` via ``centroids=``)."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+            _norm(F.col(vec_col)).alias("cnrm"),
+        )
+        .orderBy(F.md5(F.col("cid").cast("string")), "cid")
+        .limit(n_centroids)
+        .collect()
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -106,6 +128,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into
     ``n_centroids`` cells (nearest seed centroid by cosine), then search
@@ -125,15 +148,8 @@ def ivf_topk(
     id / vec_id on pround()ed cosines). Returns
     (query_id, vec_id, cosine, rank).
     """
-    cent_rows = (
-        corpus.select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).cast("array<double>").alias("cv"),
-            _norm(F.col(vec_col)).alias("cnrm"),
-        )
-        .orderBy(F.md5(F.col("cid").cast("string")), "cid")
-        .limit(n_centroids)
-        .collect()
+    cent_rows = centroids if centroids is not None else ivf_centroids(
+        corpus, n_centroids, id_col, vec_col
     )
     cent_arr = F.array(
         *[

