@@ -102,6 +102,49 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=schema)
 
 
+def resize_media(
+    media: DataFrame, out_w: int = 4, fake: bool = True
+) -> DataFrame:
+    """(media_id, meta, resized array<double>) — resize plumbing via
+    mapInPandas: decode each payload, average-pool the pixel vector down
+    to ``out_w`` cells, emit alongside updated typed metadata (width
+    becomes out_w). With a real decoder the body becomes
+    ``PIL.Image.resize``; the Spark-side contract — Arrow batch shape,
+    binary-in/array-out schema, metadata rewrite — is exactly what a 100 TB
+    image pipeline runs, and is what this exercises."""
+    schema = (
+        "media_id long, kind string, width int, height int, "
+        "resized array<double>"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out.append(None)
+                    continue
+                px = decode_media(p, fake=fake)
+                # avg-pool to out_w cells (pad the tail cell as needed)
+                n = len(px)
+                cells = np.array_split(px, out_w) if n else [np.zeros(1)] * out_w
+                out.append([float(c.mean()) if len(c) else 0.0 for c in cells])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype(np.int64),
+                    "kind": pdf["kind"],
+                    "width": np.full(len(pdf), out_w, dtype="int32"),
+                    "height": pdf["meta"].map(lambda m: m["height"]).astype("int32"),
+                    "resized": out,
+                }
+            )
+
+    return media.mapInPandas(run, schema=schema)
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
     """Frame-sampling plumbing: emit up to ``max_frames`` fixed-offset
     "frames" (byte slices) per payload — the row-explosion shape of video

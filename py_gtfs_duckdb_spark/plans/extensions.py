@@ -535,3 +535,11 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(media).select(
         "media_id", "frame_idx", F.octet_length("frame_bytes").cast("bigint").alias("frame_len")
     )
+
+
+@query("q_multimodal_resize")  # rows-only: fake decoder behind mapInPandas
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: decode → avg-pool to fixed width → metadata
+    rewrite, Arrow-batched (operators/multimodal.py:resize_media)."""
+    media = M.documents_as_media(t(spark, sf_dir, "documents"))
+    return M.resize_media(media, out_w=4)
