@@ -323,29 +323,28 @@ def embedding_neardup_pairs(
     join runs only WITHIN a quantization cell (here the precomputed
     ``cell_col``; in a full pipeline the IVF/k-means assignment), which is
     what keeps an all-pairs cosine join sub-quadratic at corpus scale.
-    Returns (id_a, id_b, cosine ≥ threshold), deterministic and
-    oracle-checkable (pure column math, no UDF)."""
-    from py_gtfs_duckdb_spark.operators.similarity import _dot, _norm
+    Scoring is the shared vectorized Arrow kernel with oracle-exact FP
+    order (similarity.batch_cosine_scores). Returns
+    (id_a, id_b, cosine ≥ threshold), deterministic and oracle-checkable."""
+    from py_gtfs_duckdb_spark.operators.similarity import batch_cosine_scores
 
     v = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.col(cell_col).alias("cell"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        _norm(F.col(vec_col).cast("array<double>")).alias("nrm"),
+        F.col(vec_col).alias("v"),
     )
     a, b = v.alias("a"), v.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            pround(cos, 4).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.v").alias("va"),
+        F.col("b.v").alias("vb"),
+    )
+    return batch_cosine_scores(pairs, "va", "vb", ["id_a", "id_b"]).filter(
+        F.col("cosine") >= threshold
     )
 
 

@@ -1,32 +1,53 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two tiers, same contract (query_id, vec_id, cosine, rank):
+Three tiers, same contract (query_id, vec_id, cosine, rank):
 
 - ``cosine_topk`` — brute force: broadcast the (small) query set, scan the
-  corpus once, per-query top-k via window. Exact; the right shape whenever
+  corpus once, score pairs vectorized. Exact; the right shape whenever
   |queries| * |corpus| work fits the cluster (corpus is scanned once, never
   shuffled — only the tiny (query, candidate) pairs shuffle for top-k).
-- ``lsh_bucketed_topk`` — the scale path: random-hyperplane LSH buckets
-  computed vectorized (numpy via mapInPandas over Arrow batches), then
-  exact cosine only within matching buckets (multi-probe over all hyper-
-  plane sign-flips at Hamming distance ≤ 1). Approximate; recall is
-  tested against the brute-force oracle in tests/test_similarity.py.
+- ``ivf_topk`` — IVF cells from deterministic seed centroids; queries probe
+  only their nearest cells. The corpus pass is narrow (no shuffle).
+- ``lsh_bucketed_topk`` — random-hyperplane LSH buckets, exact cosine only
+  within matching buckets (multi-probe at Hamming distance ≤ 1).
+  Approximate; recall tested against brute force in tests/test_similarity.py.
 
-Dot products stay JVM-side via ``F.zip_with`` + ``F.aggregate`` (no UDF in
-the exact path); all floats are computed in double and rounded for
-engine-portable comparison.
+Dense vector math runs VECTORIZED over Arrow batches (mapInPandas + numpy)
+— the sanctioned Python path for linear algebra. Three formulations were
+measured on the way here:
+
+- higher-order functions (``zip_with``+``aggregate``): interpreted
+  (CodegenFallback, no CSE) — per-element lambda allocation on every row;
+- unrolled per-element expressions (64-term ``get()`` chains): thousands of
+  py4j calls at plan-build (10+ s driver time) or, as one big ``F.expr``,
+  seconds of analyzer/codegen time per query — fixed costs that scale with
+  dim, not rows;
+- numpy over Arrow batches: microseconds per thousand rows, constant plan
+  size. This is the only shape that survives both a 64-dim toy and a
+  100 TB corpus.
+
+ORACLE-EXACT FLOATING POINT: every accumulation below iterates the vector
+DIMENSION sequentially (``acc = acc + x_i * y_i``), so each element sees
+exactly the IEEE op sequence of SQL's left-fold ``list_dot_product`` /
+``aggregate`` — one rounded multiply, one rounded add per step, in index
+order — making results bit-identical to the DuckDB oracle. Do NOT replace
+the loops with ``np.dot``/``@`` (BLAS reassociates the sum).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from py_gtfs_duckdb_spark.functions import pround
 
 
 def _dot(a, b):
+    """Dot product of two array columns, double math, relational form
+    (interpreted HOF — fine off the hot path; hot paths use the batch
+    scorer below)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -35,6 +56,7 @@ def _dot(a, b):
 
 
 def _norm(a):
+    """L2 norm of an array column, double math, relational form."""
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -49,6 +71,74 @@ def cosine_similarity_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _seq_cosine(qm, cm, scale: float | None = 1e4):
+    """Rounded cosine rows for two (n, dim) float64 matrices with the
+    oracle's exact IEEE op order (see module docstring). ``scale=None``
+    skips rounding."""
+    import numpy as np
+
+    n, dim = qm.shape
+    dot = np.zeros(n)
+    qn = np.zeros(n)
+    cn = np.zeros(n)
+    for i in range(dim):
+        qi = qm[:, i]
+        ci = cm[:, i]
+        dot = dot + qi * ci
+        qn = qn + qi * qi
+        cn = cn + ci * ci
+    cos = dot / (np.sqrt(qn) * np.sqrt(cn))
+    if scale is None:
+        return cos
+    return np.floor(cos * scale + 0.5) / scale
+
+
+def _vstack64(series):
+    import numpy as np
+
+    return np.vstack(series.map(lambda v: np.asarray(v, dtype=np.float64)))
+
+
+def batch_cosine_scores(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    keep_cols: list[str],
+    round_digits: int = 4,
+    out_col: str = "cosine",
+) -> DataFrame:
+    """(keep_cols..., cosine) from a DataFrame of vector pairs — the
+    vectorized scoring kernel shared by every similarity operator. Narrow
+    (mapInPandas, no shuffle); emits only ids + score, so whatever shuffle
+    follows (top-k, threshold filter) moves no vectors."""
+    fields = [pairs.schema[c] for c in keep_cols]
+    schema = T.StructType(fields + [T.StructField(out_col, T.DoubleType())])
+    scale = float(10**round_digits)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf[keep_cols].assign(**{out_col: pd.Series([], dtype="float64")})
+                continue
+            cos = _seq_cosine(_vstack64(pdf[a_col]), _vstack64(pdf[b_col]), scale)
+            yield pdf[keep_cols].assign(**{out_col: cos})
+
+    return pairs.mapInPandas(run, schema=schema)
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+        )
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -60,39 +150,19 @@ def cosine_topk(
     """Exact top-k neighbors for each query vector (excluding self-matches).
 
     Returns (query_id, vec_id, cosine, rank). Ties broken by vec_id so the
-    result is deterministic and oracle-comparable.
+    result is deterministic and oracle-comparable. Plan shape: broadcast
+    the query side, scan the corpus once (never shuffled), batch-score the
+    pairs, shuffle only (query_id, vec_id, cosine) for the windowed top-k.
     """
-    # Norms are per-vector, not per-pair: compute each side's norm once
-    # before the |Q|x|C| pair blow-up (|C| norm evals instead of |Q|x|C|).
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("c_norm"),
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    pairs = c.join(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    scored = batch_cosine_scores(
+        pairs, "q_vec", "c_vec", ["query_id", "vec_id"], round_digits
     )
-    scored = (
-        c.join(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            pround(
-                _dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                round_digits,
-            ).alias("cosine"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
-    )
+    return _topk(scored, k)
 
 
 # -- IVF (inverted-file) path ------------------------------------------------
@@ -112,12 +182,72 @@ def ivf_centroids(
         corpus.select(
             F.col(id_col).alias("cid"),
             F.col(vec_col).cast("array<double>").alias("cv"),
-            _norm(F.col(vec_col)).alias("cnrm"),
         )
         .orderBy(F.md5(F.col("cid").cast("string")), "cid")
         .limit(n_centroids)
+        # norm AFTER the limit: n_centroids rows pay the interpreted HOF,
+        # not the whole corpus.
+        .select("cid", "cv", _norm(F.col("cv")).alias("cnrm"))
         .collect()
     )
+
+
+def _assign_cells(
+    df: DataFrame,
+    cent_rows: list,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    out_vec: str,
+    nprobe: int,
+) -> DataFrame:
+    """(out_id, out_vec, cell) with ``nprobe`` rows per input vector — its
+    nearest seed cells by rounded cosine, ties to the smaller cid. One
+    narrow Arrow-batched pass; with nprobe=1 this is the corpus-side cell
+    assignment, with nprobe>1 the query-side probe expansion."""
+    import numpy as np
+
+    # Columns ordered by ascending cid so ties resolve to the smaller cid
+    # via stable selection below — mirroring the oracle's ORDER BY cos
+    # DESC, cid.
+    cent = sorted(cent_rows, key=lambda r: int(r.cid))
+    cmat = np.asarray([r.cv for r in cent], dtype=np.float64)  # (m, dim)
+    cnrm = np.asarray([float(r.cnrm) for r in cent])
+    cids = np.asarray([int(r.cid) for r in cent], dtype=np.int64)
+    m, dim = cmat.shape
+
+    src = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+    schema = T.StructType(
+        [src.schema[out_id], src.schema[out_vec], T.StructField("cell", T.LongType())]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(cell=pd.Series([], dtype="int64"))
+                continue
+            vm = _vstack64(pdf[out_vec])
+            n = len(pdf)
+            dots = np.zeros((n, m))
+            nacc = np.zeros(n)
+            # dimension-sequential: each (row, centroid) entry accumulates
+            # in index order — the oracle's exact FP op sequence.
+            for i in range(dim):
+                vi = vm[:, i]
+                nacc = nacc + vi * vi
+                dots = dots + vi[:, None] * cmat[None, :, i]
+            cos = dots / (np.sqrt(nacc)[:, None] * cnrm[None, :])
+            cos = np.floor(cos * 1e4 + 0.5) / 1e4
+            # stable argsort on -cos keeps ascending-cid order among ties
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+            rep = pdf.iloc[np.repeat(np.arange(n), order.shape[1])].reset_index(
+                drop=True
+            )
+            yield rep.assign(cell=cids[order.ravel()])
+
+    return src.mapInPandas(run, schema=schema)
 
 
 def ivf_topk(
@@ -138,100 +268,30 @@ def ivf_topk(
     corpus vectors with the smallest ``md5(vec_id)`` (an engine-portable
     pseudo-random sample; a production pipeline would Lloyd-iterate, which
     changes recall, not the dataflow shape). Centroids are collect()ed and
-    embedded as LITERAL arrays, so cell assignment is pure per-row column
-    math: the corpus is NEVER shuffled for assignment, and the probe join
-    broadcasts the (tiny) query-probe set — the only shuffle in the whole
-    plan is the final per-query top-k. That is the IVF scale contract: a
-    100 TB corpus is scanned once, narrow, and only candidates move.
+    shipped in the task closure, so cell assignment is one narrow
+    vectorized pass: the corpus is NEVER shuffled for assignment, the
+    probe join broadcasts the (tiny) query-probe set, and the only shuffle
+    in the whole plan is the final per-query top-k over (id, id, score)
+    rows. That is the IVF scale contract: a 100 TB corpus is scanned once,
+    narrow, and only candidates move.
 
-    Deterministic and oracle-checkable end-to-end (ties broken by centroid
-    id / vec_id on pround()ed cosines). Returns
-    (query_id, vec_id, cosine, rank).
+    Deterministic and oracle-checkable end-to-end (rounded cosines, ties
+    broken by centroid id / vec_id). Returns (query_id, vec_id, cosine,
+    rank).
     """
     cent_rows = centroids if centroids is not None else ivf_centroids(
         corpus, n_centroids, id_col, vec_col
     )
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(r.cid).cast("bigint").alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r.cv]).alias("cv"),
-                F.lit(float(r.cnrm)).alias("cnrm"),
-            )
-            for r in cent_rows
-        ]
+    cells = _assign_cells(corpus, cent_rows, id_col, vec_col, "vec_id", "c_vec", 1)
+    probes = _assign_cells(
+        queries, cent_rows, id_col, vec_col, "query_id", "q_vec", nprobe
     )
-
-    def cell_scores(vec, nrm):
-        # (rounded cosine, cid) per centroid — rounded so near-tie ordering
-        # collapses to the deterministic cid tie-break on BOTH engines.
-        return F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                pround(_dot(vec, c["cv"]) / (nrm * c["cnrm"]), 4).alias("cos"),
-                c["cid"].alias("cid"),
-            ),
-        )
-
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("c_vec"),
-        _norm(F.col(vec_col)).alias("c_norm"),
-    )
-    # argmax cell: lexicographic max of (cos, -cid) == highest cosine,
-    # smallest cid on ties. Narrow — no shuffle.
-    best = F.array_max(
-        F.transform(
-            cell_scores(F.col("c_vec"), F.col("c_norm")),
-            lambda s: F.struct(
-                s["cos"].alias("cos"), (-s["cid"]).alias("ncid")
-            ),
-        )
-    )
-    cells = c.withColumn("cell", -best["ncid"])
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
-    )
-    # nprobe nearest cells per query: sort ascending by (-cos, cid), take
-    # the head. Still narrow; the explode multiplies only the query set.
-    probe_order = F.transform(
-        cell_scores(F.col("q_vec"), F.col("q_norm")),
-        lambda s: F.struct((-s["cos"]).alias("ncos"), s["cid"].alias("cid")),
-    )
-    probes = q.select(
-        "query_id",
-        "q_vec",
-        "q_norm",
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(probe_order), 1, nprobe), lambda s: s["cid"]
-            )
-        ).alias("cell"),
-    )
-    scored = (
+    pairs = (
         cells.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            pround(
-                _dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                4,
-            ).alias("cosine"),
-        )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
-        )
-    )
+    scored = batch_cosine_scores(pairs, "q_vec", "c_vec", ["query_id", "vec_id"])
+    return _topk(scored, k)
 
 
 # -- approximate path --------------------------------------------------------
@@ -329,21 +389,11 @@ def lsh_bucketed_topk(
             ],
         )
         q = q.select("query_id", "q_vec", F.explode(probes).alias("bucket"))
-    scored = (
+    pairs = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            pround(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 4).alias(
-                "cosine"
-            ),
-        )
-        .dropDuplicates(["query_id", "vec_id"])
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
-    )
+    scored = batch_cosine_scores(
+        pairs, "q_vec", "c_vec", ["query_id", "vec_id"]
+    ).dropDuplicates(["query_id", "vec_id"])
+    return _topk(scored, k)

@@ -399,7 +399,8 @@ _IVF_CENTROIDS: dict[str, list] = {}  # per-corpus trained centroids (see q_ann_
 )
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 10 query vectors: broadcast queries,
-    one corpus scan, zip_with dot products in codegen (no UDF)."""
+    one corpus scan, pairs scored by the vectorized Arrow kernel with
+    oracle-exact FP order (similarity.batch_cosine_scores)."""
     e = t(spark, sf_dir, "embeddings")
     return S.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
