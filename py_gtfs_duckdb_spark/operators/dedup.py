@@ -24,6 +24,7 @@ from __future__ import annotations
 import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from py_gtfs_duckdb_spark.functions import fan_out, pround
 
@@ -55,10 +56,16 @@ LSH_BANDS = 4  # 4 bands x 4 rows -> s-curve threshold ~ (1/4)^(1/4) ~ 0.71
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """(id, hs: array<bigint>, sz) — each document's distinct k-WORD
     shingles hashed to 48-bit integers via md5 (engine-portable), kept as a
-    per-row sorted array. Entirely narrow: split → window-slice →
-    array_distinct → per-element md5 — ZERO shuffles, no explode, no
-    groupBy. At corpus scale this is the whole per-document cost and it is
-    embarrassingly parallel.
+    per-row sorted array. One narrow Arrow-batched pass (mapInPandas) —
+    ZERO shuffles, no explode, no groupBy. At corpus scale this is the
+    whole per-document cost and it is embarrassingly parallel.
+
+    hashlib.md5 over C strings replaces the earlier
+    ``transform(..., md5 ∘ concat_ws)`` column form: higher-order
+    functions are interpreted (CodegenFallback), so the per-shingle lambda
+    overhead dominated the dedup pipelines. The hash VALUES are identical
+    (md5 of the same utf-8 bytes, first 12 hex digits as the 48-bit int),
+    so the DuckDB oracle and every downstream stage see the same sets.
 
     Word shingles, not character shingles: on natural text the background
     (non-duplicate) character-trigram Jaccard is ~0.3-0.5, which floods LSH
@@ -66,22 +73,106 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
     ~0.001, so band buckets stay selective and the verify stage stays
     near-linear."""
     df = fan_out(df)  # md5-dense narrow stage: see functions.fan_out
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-        )
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    schema = T.StructType(
+        [
+            src.schema["id"],
+            T.StructField("hs", T.ArrayType(T.LongType())),
+            T.StructField("sz", T.LongType()),
+        ]
     )
-    hs = F.transform(
-        shingles,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint"),
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            hss, szs = [], []
+            for text in pdf["__text"]:
+                hs = _shingle_doc(text, k)
+                hss.append(hs)
+                szs.append(len(hs))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "hs": hss,
+                    "sz": pd.Series(szs, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def _shingle_doc(text: str | None, k: int) -> list[int]:
+    """Sorted distinct 48-bit shingle hashes of one document — the exact
+    value contract of :func:`shingle_sets`, shared with the fused
+    shingle+signature pass."""
+    import hashlib
+
+    words = [w for w in (text or "").split(" ") if w]
+    n = max(len(words) - (k - 1), 1)
+    return sorted(
+        {
+            int(
+                hashlib.md5(" ".join(words[i : i + k]).encode("utf-8")).hexdigest()[
+                    :12
+                ],
+                16,
+            )
+            for i in range(n)
+        }
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.sort_array(hs).alias("hs"),
-        F.size(hs).cast("bigint").alias("sz"),
+
+
+def shingle_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """(id, hs, sz, mh_0..mh_{K-1}) in ONE Arrow-batched pass — the fused
+    per-document stage of the MinHash pipeline. Fusing matters: shingle
+    sets and signatures as separate mapInPandas stages would ship every
+    shingle array to a Python worker twice; fused, the document text goes
+    out once and only the (id, hs, signature) row comes back."""
+    import numpy as np
+
+    src = fan_out(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
     )
+    schema = T.StructType(
+        [
+            src.schema["id"],
+            T.StructField("hs", T.ArrayType(T.LongType())),
+            T.StructField("sz", T.LongType()),
+        ]
+        + [T.StructField(f"mh_{i}", T.LongType()) for i in range(MINHASH_K)]
+    )
+    a_vec = np.asarray([a for a, _ in MINHASH_PERMS], dtype=np.int64)
+    b_vec = np.asarray([b for _, b in MINHASH_PERMS], dtype=np.int64)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            hss, szs = [], []
+            mh_cols = [[] for _ in range(MINHASH_K)]
+            for text in pdf["__text"]:
+                hs = _shingle_doc(text, k)
+                hss.append(hs)
+                szs.append(len(hs))
+                h = np.asarray(hs, dtype=np.int64) % MINHASH_P
+                mins = (
+                    (h[:, None] * a_vec[None, :] + b_vec[None, :]) % MINHASH_P
+                ).min(axis=0)
+                for i in range(MINHASH_K):
+                    mh_cols[i].append(int(mins[i]))
+            out = {
+                "id": pdf["id"],
+                "hs": hss,
+                "sz": pd.Series(szs, dtype="int64"),
+            }
+            for i in range(MINHASH_K):
+                out[f"mh_{i}"] = pd.Series(mh_cols[i], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=schema)
 
 
 def shingle_hashes(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
@@ -94,19 +185,43 @@ def shingle_hashes(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Dat
 
 def minhash_signature(sets: DataFrame) -> DataFrame:
     """Wide signature (id, mh_0..mh_{K-1}) from (id, hs): each minhash is
-    array_min over a transformed copy of the shingle array — a narrow
-    projection, NO shuffle. (The classic formulations — cross-join K
-    permutation constants, or even K parallel min-aggregates over an
-    exploded shingle table — each cost a full shuffle of the shingle set;
-    per-row array math costs none.)"""
-    def perm(a: int, b: int):
-        return lambda h: ((h % MINHASH_P) * a + b) % MINHASH_P
+    the min of an affine permutation of the shingle hashes — a narrow
+    Arrow-batched pass, NO shuffle. (The classic formulations — cross-join
+    K permutation constants, or K min-aggregates over an exploded shingle
+    table — each cost a full shuffle of the shingle set.) numpy int64
+    replaces the earlier ``array_min(transform(...))`` columns: HOFs are
+    interpreted, and K x |shingles| interpreted lambda evals per document
+    dominated the pipeline. Integer math is exact, so signatures are
+    bit-identical to the SQL-oracle formulation. (h % P < 2^31 and
+    a < 2^31, so h*a + b < 2^63 — no int64 overflow.)"""
+    src = sets.select("id", "hs")
+    schema = T.StructType(
+        [src.schema["id"]]
+        + [T.StructField(f"mh_{i}", T.LongType()) for i in range(MINHASH_K)]
+    )
 
-    mh = [
-        F.array_min(F.transform(F.col("hs"), perm(a, b))).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(MINHASH_PERMS)
-    ]
-    return sets.select("id", *mh)
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        a_vec = np.asarray([a for a, _ in MINHASH_PERMS], dtype=np.int64)
+        b_vec = np.asarray([b for _, b in MINHASH_PERMS], dtype=np.int64)
+        for pdf in batches:
+            cols = [[] for _ in range(MINHASH_K)]
+            for hs in pdf["hs"]:
+                h = np.asarray(hs, dtype=np.int64) % MINHASH_P
+                # (|hs|, K) affine permutations, column-min per perm
+                mins = ((h[:, None] * a_vec[None, :] + b_vec[None, :]) % MINHASH_P).min(
+                    axis=0
+                )
+                for i in range(MINHASH_K):
+                    cols[i].append(int(mins[i]))
+            out = {"id": pdf["id"]}
+            for i in range(MINHASH_K):
+                out[f"mh_{i}"] = pd.Series(cols[i], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=schema)
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
@@ -209,11 +324,11 @@ def minhash_lsh_dedup(
     self-join (bucket-local, sub-quadratic) and the two verify joins on the
     surviving pair list. The estimate prune keeps the pipeline robust to
     low-selectivity corpora, where bucket joins alone would admit O(n²)
-    candidates. `sets` feeds three consumers — persist it once."""
-    sets = shingle_sets(df, text_col, id_col, k).persist()
-    sig = minhash_signature(sets)
-    cand = lsh_candidate_pairs(sig)
-    pruned = estimate_filter_pairs(cand, sig)
+    candidates. The fused per-doc row feeds three consumers — persist it
+    once; every stage below selects the columns it needs from it."""
+    sets = shingle_signatures(df, text_col, id_col, k).persist()
+    cand = lsh_candidate_pairs(sets)
+    pruned = estimate_filter_pairs(cand, sets)
     return exact_jaccard(pruned, sets).filter(F.col("jaccard") >= threshold)
 
 
