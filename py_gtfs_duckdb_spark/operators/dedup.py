@@ -7,7 +7,10 @@ Scale shapes (the point of each design):
 - MinHash+LSH: shingle → 48-bit shingle hash → K permuted min-hashes →
   band buckets → candidate pairs only within equal buckets → exact Jaccard
   verify on candidates. The candidate join is the only quadratic-risk step
-  and it is bounded per bucket; everything stays JVM-side (no UDFs).
+  and it is bounded per bucket. The per-document stage (shingling +
+  signatures) is ONE Arrow-batched pass (hashlib/numpy beat interpreted
+  higher-order-function columns ~2x end-to-end); joins and set
+  intersection stay JVM-side.
 - SimHash: 64-bit signature per document via a vectorized pandas UDF
   (numpy bit-twiddling is the fast path for per-token bit spreads);
   near-dups = signatures at small Hamming distance, banded the same way.
@@ -249,7 +252,10 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     return (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        # NOTE: duplicates (pairs sharing >1 band) are NOT dropped here: a
+        # dropDuplicates on the raw candidate set would be its only
+        # shuffle. Downstream prune stages are narrow (broadcast joins),
+        # so duplicates ride along cheaply and collapse AFTER pruning.
     )
 
 
@@ -328,7 +334,9 @@ def minhash_lsh_dedup(
     once; every stage below selects the columns it needs from it."""
     sets = shingle_signatures(df, text_col, id_col, k).persist()
     cand = lsh_candidate_pairs(sets)
-    pruned = estimate_filter_pairs(cand, sets)
+    # estimate prune first (narrow), THEN collapse band-duplicates: the
+    # dedup shuffle moves only the pruned survivors, not the raw flood.
+    pruned = estimate_filter_pairs(cand, sets).dropDuplicates(["id_a", "id_b"])
     return exact_jaccard(pruned, sets).filter(F.col("jaccard") >= threshold)
 
 
@@ -412,19 +420,25 @@ def ngram_jaccard_pairs(
     overlap_ub = 1 + F.least(
         F.col("a.sz") - F.col("a.pos") - 1, F.col("b.sz") - F.col("b.pos") - 1
     )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (F.col("a.sz") >= F.col("b.sz") * threshold)
-            & (F.col("b.sz") >= F.col("a.sz") * threshold)
-            & (overlap_ub >= o_min),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    pairs = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.col("a.sz") >= F.col("b.sz") * threshold)
+        & (F.col("b.sz") >= F.col("a.sz") * threshold)
+        & (overlap_ub >= o_min),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    # Duplicate candidates (pairs sharing several prefix tokens, ~4% on
+    # this corpus) are collapsed AFTER verification: the verify joins are
+    # broadcast (sets is small relative to executors) so dupes only add
+    # narrow work, and dropping duplicates early would shuffle the whole
+    # candidate set just to save it. Jaccard is identical per pair, so
+    # late dedup changes nothing.
+    return (
+        exact_jaccard(pairs, sets)
+        .filter(F.col("jaccard") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
-    return exact_jaccard(pairs, sets).filter(F.col("jaccard") >= threshold)
 
 
 def embedding_neardup_pairs(

@@ -454,9 +454,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: deterministic seed centroids, zero-shuffle
-    cell assignment (literal centroid arrays), nprobe=4 probe join with
-    the query side broadcast. Fully oracle-checked — the cell partition,
-    probe choice, and final ranking all replay exactly in SQL.
+    cell assignment (centroid matrix in the task closure, one vectorized
+    Arrow pass), nprobe=4 probe join with the query side broadcast. Fully
+    oracle-checked — the cell partition, probe choice, and final ranking
+    all replay exactly in SQL (dimension-sequential FP accumulation).
 
     Centroids are cached per corpus dir (train once, serve many — the
     IVF operating model; same pattern as the daily nominal-index
