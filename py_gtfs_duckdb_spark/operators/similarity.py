@@ -192,6 +192,98 @@ def ivf_centroids(
     )
 
 
+def ivf_train_lloyd(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_centroids: list | None = None,
+) -> list:
+    """Lloyd-iterated IVF centroids: refine the deterministic seeds with
+    ``n_iter`` k-means steps (assign → per-cell mean). Returns centroid
+    rows in the same (cid, cv, cnrm) shape :func:`ivf_topk` consumes, so
+    training composes with serving: ``ivf_topk(..., centroids=trained)``.
+
+    Scale shape per iteration: ONE narrow assignment pass (centroid matrix
+    in the closure, same kernel as serving), then per-PARTITION partial
+    (cell, count, component-sums) rows — at most n_centroids rows per
+    partition regardless of corpus size — combined by a groupBy over
+    n_centroids*dim tiny rows. The corpus is never shuffled and the full
+    (row, component) explode never materializes; this is the treeAggregate
+    shape expressed relationally. Empty cells keep their previous
+    centroid. Deterministic (no RNG; seeds are the md5-ordered sample)."""
+    from collections import namedtuple
+
+    import numpy as np
+
+    Cent = namedtuple("Cent", ["cid", "cv", "cnrm"])
+    cent = list(
+        seed_centroids
+        if seed_centroids is not None
+        else ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    )
+    dim = len(cent[0].cv)
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("cell", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("sums", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    for _ in range(n_iter):
+        assigned = _assign_cells(corpus, cent, id_col, vec_col, "_id", "_v", 1)
+
+        def partials(batches):
+            import pandas as pd
+
+            acc: dict[int, tuple[int, object]] = {}
+            for pdf in batches:
+                for cell, vec in zip(pdf["cell"], pdf["_v"]):
+                    v = np.asarray(vec, dtype=np.float64)
+                    if cell in acc:
+                        cnt, s = acc[cell]
+                        acc[cell] = (cnt + 1, s + v)
+                    else:
+                        acc[cell] = (1, v.copy())
+            yield pd.DataFrame(
+                {
+                    "cell": list(acc.keys()),
+                    "cnt": [c for c, _ in acc.values()],
+                    "sums": [list(s) for _, s in acc.values()],
+                }
+            )
+
+        combined = (
+            assigned.mapInPandas(partials, schema=partial_schema)
+            .select("cell", "cnt", F.posexplode("sums").alias("pos", "s"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("n"))
+            .collect()
+        )
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for r in combined:
+            arr = sums.setdefault(int(r.cell), np.zeros(dim))
+            arr[int(r.pos)] = float(r.s)
+            counts[int(r.cell)] = int(r.n)
+        new_cent = []
+        for c in cent:
+            cid = int(c.cid)
+            if cid in sums and counts[cid] > 0:
+                mean = sums[cid] / counts[cid]
+                acc2 = 0.0
+                for x in mean:  # sequential — mirrors _norm's fold
+                    acc2 += float(x) * float(x)
+                new_cent.append(Cent(cid, [float(x) for x in mean], acc2**0.5))
+            else:
+                new_cent.append(Cent(int(c.cid), list(c.cv), float(c.cnrm)))
+        cent = new_cent
+    return cent
+
+
 def _assign_cells(
     df: DataFrame,
     cent_rows: list,

@@ -470,6 +470,24 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_LLOYD: dict[str, list] = {}
+
+
+@query("q_ann_ivf_lloyd")  # rows-only: k-means means are not FP-replayable in SQL
+def q_ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with Lloyd-refined centroids (2 k-means iterations over the
+    corpus, per-partition partial sums — similarity.ivf_train_lloyd).
+    Same serving plan as q_ann_ivf; only the 'train' step deepens. The
+    cell means average in parallel, so this is recall-tested
+    (tests/test_similarity.py) rather than SQL-oracle-checked."""
+    e = t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_LLOYD:
+        _IVF_LLOYD[sf_dir] = S.ivf_train_lloyd(e, 16, n_iter=2)
+    return S.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, centroids=_IVF_LLOYD[sf_dir]
+    )
+
+
 @query(
     "q_embed_norm",
     oracle="""

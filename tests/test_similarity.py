@@ -104,3 +104,44 @@ def test_ivf_full_probe_equals_exact(spark, embeddings, exact_top5):
     q = embeddings.filter(F.col("vec_id") < 10)
     full = _topk_sets(ivf_topk(embeddings, q, k=5, n_centroids=16, nprobe=16))
     assert full == exact_top5
+
+
+def test_lloyd_training_improves_or_holds_recall(spark):
+    """Lloyd iterations must not hurt recall on clustered data — with
+    20 true clusters and 16 cells, refined centroids should track the
+    planted structure at least as well as the raw md5 seed sample."""
+    from py_gtfs_duckdb_spark.operators.similarity import (
+        cosine_topk,
+        ivf_centroids,
+        ivf_topk,
+        ivf_train_lloyd,
+    )
+
+    vecs = _clustered_vectors(spark)
+    q = vecs.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(cosine_topk(vecs, q, k=5))
+    seeds = ivf_centroids(vecs, 16)
+    trained = ivf_train_lloyd(vecs, 16, n_iter=2, seed_centroids=seeds)
+    seed_recall = _recall(
+        _topk_sets(ivf_topk(vecs, q, k=5, nprobe=4, centroids=seeds)), exact
+    )
+    lloyd_recall = _recall(
+        _topk_sets(ivf_topk(vecs, q, k=5, nprobe=4, centroids=trained)), exact
+    )
+    assert lloyd_recall >= seed_recall - 1e-9
+    assert lloyd_recall >= 0.5
+
+
+def test_lloyd_centroids_move_toward_cluster_means(spark):
+    """After 2 iterations each centroid is the mean of its cell — verify
+    the fixed-shape contract (cid stable, dim preserved, finite norms)."""
+    from py_gtfs_duckdb_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_train_lloyd,
+    )
+
+    vecs = _clustered_vectors(spark, n_clusters=4, per_cluster=10)
+    seeds = ivf_centroids(vecs, 4)
+    trained = ivf_train_lloyd(vecs, 4, n_iter=2, seed_centroids=seeds)
+    assert [c.cid for c in trained] == [c.cid for c in seeds]
+    assert all(len(c.cv) == 64 and c.cnrm > 0 for c in trained)
