@@ -87,7 +87,7 @@ def _minhash_oracle_sql(threshold: float = 0.7) -> str:
         SELECT id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
         FROM (
             SELECT DISTINCT id,
-                   unnest([array_to_string(ws[i : i + 2], ' ')
+                   unnest([coalesce(array_to_string(ws[i : i + 2], ' '), '')
                            for i in range(1, greatest(len(ws) - 2, 1) + 1)]) AS s
             FROM w
         )
@@ -149,7 +149,7 @@ def _ngram_jaccard_oracle_sql(threshold: float = 0.7) -> str:
         SELECT id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
         FROM (
             SELECT DISTINCT id,
-                   unnest([array_to_string(ws[i : i + 2], ' ')
+                   unnest([coalesce(array_to_string(ws[i : i + 2], ' '), '')
                            for i in range(1, greatest(len(ws) - 2, 1) + 1)]) AS s
             FROM w
         )
