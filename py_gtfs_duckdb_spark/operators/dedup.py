@@ -452,29 +452,64 @@ def embedding_neardup_pairs(
     join runs only WITHIN a quantization cell (here the precomputed
     ``cell_col``; in a full pipeline the IVF/k-means assignment), which is
     what keeps an all-pairs cosine join sub-quadratic at corpus scale.
-    Scoring is the shared vectorized Arrow kernel with oracle-exact FP
-    order (similarity.batch_cosine_scores). Returns
-    (id_a, id_b, cosine ≥ threshold), deterministic and oracle-checkable."""
-    from py_gtfs_duckdb_spark.operators.similarity import batch_cosine_scores
+    Shape: ONE linear shuffle of (id, vector) rows by cell
+    (``applyInPandas``), then the quadratic pairing happens in memory per
+    cell over the upper triangle — pair rows with duplicated vectors are
+    never materialized, so shuffle volume is corpus-linear instead of
+    candidate-quadratic. FP accumulation is dimension-sequential
+    (oracle-exact; see similarity module docstring). A pathologically fat
+    cell at 100 TB wants within-cell chunking; cells here are quantization
+    buckets sized by construction. Returns (id_a, id_b, cosine ≥
+    threshold), deterministic and oracle-checkable."""
+    import numpy as np
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score_cell(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=pdf["id"].dtype),
+                    "id_b": pd.Series([], dtype=pdf["id"].dtype),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.vstack(
+            pdf["v"].iloc[order].map(lambda x: np.asarray(x, dtype=np.float64))
+        )
+        iu, jv = np.triu_indices(n, k=1)
+        dot = np.zeros(len(iu))
+        sq = np.zeros(n)
+        for i in range(M.shape[1]):  # dimension-sequential: oracle FP order
+            col = M[:, i]
+            sq = sq + col * col
+            dot = dot + col[iu] * col[jv]
+        nrm = np.sqrt(sq)
+        cos = np.floor(dot / (nrm[iu] * nrm[jv]) * 1e4 + 0.5) / 1e4
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[iu[keep]], "id_b": ids[jv[keep]], "cosine": cos[keep]}
+        )
 
     v = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.col(cell_col).alias("cell"),
         F.col(vec_col).alias("v"),
     )
-    a, b = v.alias("a"), v.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.col("a.v").alias("va"),
-        F.col("b.v").alias("vb"),
-    )
-    return batch_cosine_scores(pairs, "va", "vb", ["id_a", "id_b"]).filter(
-        F.col("cosine") >= threshold
-    )
+    return v.groupBy("cell").applyInPandas(score_cell, schema=out_schema)
 
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
