@@ -75,12 +75,31 @@ class GtfsLake:
 
     # -- writes -------------------------------------------------------------
 
+    def _conform(self, table: str, df: DataFrame) -> DataFrame:
+        """Align ``df`` to the table's declared schema, the way the
+        reference's fixed-DDL INSERT does (ddb.py:55-64): absent optional
+        columns become typed NULLs, extras are dropped, order/type follow
+        the schema. Tables without a declared schema pass through as-is.
+        """
+        schema = ALL_SCHEMAS.get(table)
+        if schema is None:
+            return df
+        have = {f.name for f in df.schema.fields}
+        cols = [
+            (F.col(f.name) if f.name in have else F.lit(None))
+            .cast(f.dataType)
+            .alias(f.name)
+            for f in schema.fields
+        ]
+        return df.select(*cols)
+
     def write(self, table: str, df: DataFrame, dedup_pk: bool = True) -> None:
         """Publish ``df`` as the table's next version (atomic pointer swap).
 
         ``dedup_pk`` enforces the reference's PRIMARY KEYs at write time
         (Spark has no constraint enforcement — SURVEY §7 hard part 3).
         """
+        df = self._conform(table, df)
         pk = PRIMARY_KEYS.get(table)
         if dedup_pk and pk:
             df = df.dropDuplicates(pk)
@@ -103,7 +122,10 @@ class GtfsLake:
         and ddb.py:296-332 delete-then-insert)."""
         keys = list(keys or PRIMARY_KEYS[table])
         base = self.table(table)
-        self.write(table, upsert(base, updates, keys), dedup_pk=False)
+        # Delete-then-insert replaces the WHOLE row (ddb.py:296-332):
+        # conform partial update frames so unspecified columns become NULL
+        # rather than a union arity error.
+        self.write(table, upsert(base, self._conform(table, updates), keys), dedup_pk=False)
 
     def delete_where(self, table: str, condition) -> None:
         """≙ DELETE FROM table WHERE cond (pattern deletes ddb.py:76-88)."""
@@ -222,30 +244,47 @@ class GtfsLake:
             dedup_pk=False,
         )
         stop_times = self.table("stop_times")
-        # Platforms (location_type 0/'' /NULL) must be referenced by a
-        # stop_time; stations (type '1') must still have a child platform
-        # (ddb.py:341-342).
+        # Two sequential conditional DELETEs (ddb.py:340-341), each scoped
+        # by a location_type predicate. Stops whose type is neither
+        # '0'/'' nor '1' — including NULL-typed ones, where the SQL
+        # predicate evaluates UNKNOWN — are never deleted.
         stops = self.table("stops")
-        platforms = stops.filter(
-            F.coalesce(F.col("location_type"), F.lit("")).isin("", "0")
+        is_platform = F.col("location_type").isin("", "0")  # NULL → not platform
+        is_station = F.col("location_type") == "1"
+        others = stops.filter(~F.coalesce(is_platform | is_station, F.lit(False)))
+        kept_platforms = delete_not_in(
+            stops.filter(is_platform), stop_times, "stop_id", "stop_id"
         )
-        stations = stops.filter(F.col("location_type") == "1")
-        kept_platforms = delete_not_in(platforms, stop_times, "stop_id", "stop_id")
+        # The station DELETE's subquery reads stops AFTER the platform
+        # delete committed (statement-level snapshot): parent_station of
+        # ALL remaining stops, not just platforms. With any NULL
+        # parent_station in that set, NOT IN is never TRUE → no deletes —
+        # delete_not_in reproduces exactly that.
+        stops_after_platforms = kept_platforms.unionByName(
+            stops.filter(F.coalesce(is_station, F.lit(False)))
+        ).unionByName(others)
         kept_stations = delete_not_in(
-            stations, kept_platforms, "stop_id", "parent_station"
+            stops.filter(is_station), stops_after_platforms, "stop_id", "parent_station"
         )
         self.write(
-            "stops", kept_platforms.unionByName(kept_stations), dedup_pk=False
+            "stops",
+            kept_platforms.unionByName(kept_stations).unionByName(others),
+            dedup_pk=False,
         )
         self.write(
             "shapes",
             delete_not_in(self.table("shapes"), trips, "shape_id", "shape_id"),
             dedup_pk=False,
         )
+        # DELETE ... WHERE a NOT IN (...) OR b NOT IN (...) ≡ chained
+        # single-key deletes: a row survives iff no term is TRUE
+        # (ddb.py:344-345 — both sides of the transfer, routes then trips).
         transfers = delete_not_in(
             self.table("transfers"), routes, "from_route_id", "route_id"
         )
+        transfers = delete_not_in(transfers, routes, "to_route_id", "route_id")
         transfers = delete_not_in(transfers, trips, "from_trip_id", "trip_id")
+        transfers = delete_not_in(transfers, trips, "to_trip_id", "trip_id")
         self.write("transfers", transfers, dedup_pk=False)
         self.write(
             "calendar",
