@@ -447,6 +447,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     cell_col: str = "label",
     threshold: float = 0.35,
+    pair_chunk_rows: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs with coarse-cell blocking: the pair
     join runs only WITHIN a quantization cell (here the precomputed
@@ -458,9 +459,11 @@ def embedding_neardup_pairs(
     never materialized, so shuffle volume is corpus-linear instead of
     candidate-quadratic. FP accumulation is dimension-sequential
     (oracle-exact; see similarity module docstring). A pathologically fat
-    cell at 100 TB wants within-cell chunking; cells here are quantization
-    buckets sized by construction. Returns (id_a, id_b, cosine ≥
-    threshold), deterministic and oracle-checkable."""
+    cell is handled by blocking the upper triangle into fixed-size row
+    chunks (scratch memory O(chunk·n) instead of O(n²)); per-pair FP order
+    is unchanged, so chunked and unchunked results are bit-identical.
+    Returns (id_a, id_b, cosine ≥ threshold), deterministic and
+    oracle-checkable."""
     import numpy as np
 
     id_type = df.schema[id_col].dataType
@@ -490,19 +493,45 @@ def embedding_neardup_pairs(
         M = np.vstack(
             pdf["v"].iloc[order].map(lambda x: np.asarray(x, dtype=np.float64))
         )
-        iu, jv = np.triu_indices(n, k=1)
-        dot = np.zeros(len(iu))
         sq = np.zeros(n)
-        for i in range(M.shape[1]):  # dimension-sequential: oracle FP order
-            col = M[:, i]
+        for d in range(M.shape[1]):  # dimension-sequential: oracle FP order
+            col = M[:, d]
             sq = sq + col * col
-            dot = dot + col[iu] * col[jv]
         nrm = np.sqrt(sq)
-        cos = np.floor(dot / (nrm[iu] * nrm[jv]) * 1e4 + 0.5) / 1e4
-        keep = cos >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[iu[keep]], "id_b": ids[jv[keep]], "cosine": cos[keep]}
+        # Block the upper triangle: row chunk [s, e) pairs against all
+        # j > i. Scratch per chunk is O(chunk·n) — a fat cell degrades to
+        # more iterations, never to O(n²) memory. Per-pair accumulation
+        # stays dimension-sequential, so chunking never changes a value.
+        chunk = max(1, pair_chunk_rows)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=ids.dtype),
+                "id_b": pd.Series(dtype=ids.dtype),
+                "cosine": pd.Series(dtype="float64"),
+            }
         )
+        frames = [empty]  # single-row cells: no pairs, concat stays valid
+        for s in range(0, n - 1, chunk):
+            e = min(s + chunk, n - 1)
+            counts = n - 1 - np.arange(s, e)
+            iu = np.repeat(np.arange(s, e), counts)
+            jv = np.concatenate([np.arange(i + 1, n) for i in range(s, e)])
+            dot = np.zeros(len(iu))
+            for d in range(M.shape[1]):
+                col = M[:, d]
+                dot = dot + col[iu] * col[jv]
+            cos = np.floor(dot / (nrm[iu] * nrm[jv]) * 1e4 + 0.5) / 1e4
+            keep = cos >= threshold
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[iu[keep]],
+                        "id_b": ids[jv[keep]],
+                        "cosine": cos[keep],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
     v = fan_out(df).select(
         F.col(id_col).alias("id"),

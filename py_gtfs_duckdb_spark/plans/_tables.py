@@ -35,10 +35,19 @@ def ensure_battery_confs(spark: SparkSession) -> None:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_battery_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is physically TIMESTAMP(NANOS); with nanosAsLong it arrives
-    # as epoch-nanos LONG. Convert via integer division (DIV keeps 64-bit
-    # integer math — a double roundtrip would lose sub-ms precision).
+    # events.ts is physically TIMESTAMP(NANOS). Depending on the Spark
+    # version/confs it surfaces as epoch-nanos LONG (legacy nanosAsLong),
+    # TIMESTAMP_NTZ (Spark 4.1+ native nanos read, micros-truncated), or
+    # already TIMESTAMP. Normalize all three to TIMESTAMP (LTZ): with the
+    # UTC session timezone set above, the NTZ→LTZ cast and the integer
+    # nanos→micros division land on the same instant the DuckDB oracle sees.
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+        if field.name != "ts":
+            continue
+        if isinstance(field.dataType, T.LongType):
+            # DIV keeps 64-bit integer math — a double roundtrip would
+            # lose sub-ms precision.
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df

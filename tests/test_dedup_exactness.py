@@ -74,3 +74,39 @@ def test_freq_order_variant_equals_default(spark):
         ).collect()
     )
     assert default == freq
+
+
+def test_embedding_neardup_fat_cell_chunking(spark):
+    """One synthetic fat cell (all rows share one quantization cell) must
+    produce identical pairs whether the upper triangle is scored in one
+    block or in many small chunks — and the chunked path is what bounds
+    executor memory when a cell is pathologically skewed."""
+    import numpy as np
+
+    from py_gtfs_duckdb_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = random.Random(7)
+    dim, n = 16, 120
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:  # near-dup of base -> pairs above threshold exist
+            v = [x + rng.gauss(0, 0.01) for x in base]
+        else:
+            v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, "fat", v))
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+
+    whole = embedding_neardup_pairs(
+        df, "embedding", "vec_id", "label", 0.35, pair_chunk_rows=10**6
+    ).collect()
+    chunked = embedding_neardup_pairs(
+        df, "embedding", "vec_id", "label", 0.35, pair_chunk_rows=7
+    ).collect()
+
+    key = lambda r: (r.id_a, r.id_b)
+    assert sorted(key(r) for r in whole) == sorted(key(r) for r in chunked)
+    assert len(whole) >= (n // 3) * (n // 3 - 1) // 2  # near-dup clique found
+    w = {key(r): r.cosine for r in whole}
+    c = {key(r): r.cosine for r in chunked}
+    assert w == c  # bit-identical cosines: chunking never changes FP order
