@@ -184,11 +184,11 @@ def q_ttl_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot",
     oracle="""
     SELECT user_id,
-           COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
-           COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view,
-           COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
-           COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
-           COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error
+           COALESCE(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT), 0) AS click,
+           COALESCE(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT), 0) AS view,
+           COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT), 0) AS purchase,
+           COALESCE(CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT), 0) AS signup,
+           COALESCE(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT), 0) AS error
     FROM events GROUP BY user_id
     """,
 )

@@ -65,6 +65,23 @@ def _canon_rows(cols, rows):
     )
 
 
+def _dtype_kind_skew(s_pdf, d_pdf):
+    """Driver-replica dtype check: the driver hashes pandas-materialized
+    values, so a column whose *numpy kind* differs between the two sides
+    (e.g. DuckDB HUGEINT -> float64 'f' vs Spark bigint -> int64 'i')
+    hash-mismatches even when every value compares equal. Width skew
+    (int32 vs int64) is tolerated — same kind, same hashed value.
+    """
+    skews = []
+    for c in sorted(set(s_pdf.columns) & set(d_pdf.columns)):
+        sk, dk = s_pdf[c].dtype.kind, d_pdf[c].dtype.kind
+        # int-vs-float is only a real skew when one side stayed integral;
+        # a nullable int column degrades to float64 on BOTH sides.
+        if sk != dk and {sk, dk} != {"i", "u"}:
+            skews.append(f"{c}: spark dtype kind '{sk}' vs duckdb '{dk}'")
+    return skews
+
+
 def compare(spark_df, conn, sql: str, name: str = "?", max_report: int = 5):
     """Returns (ok, message)."""
     s_cols = list(spark_df.columns)
@@ -76,6 +93,10 @@ def compare(spark_df, conn, sql: str, name: str = "?", max_report: int = 5):
     problems = []
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+    else:
+        skews = _dtype_kind_skew(spark_df.toPandas(), conn.sql(sql).df())
+        if skews:
+            problems.append("dtype skew (driver hash would fail): " + "; ".join(skews))
     if len(s_rows) != len(d_rows):
         problems.append(f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}")
     if not problems:
