@@ -148,18 +148,21 @@ def _feed_header(timestamp: int | None = None) -> dict:
 def feed_message_alerts(lake: GtfsLake, timestamp: int | None = None) -> dict:
     entities = []
     for row in alerts_with_children(lake).collect():
+        # translations carry language 'de-DE' and url is a TranslatedString,
+        # matching the reference serializer exactly (realtime.py:636-672)
+        def _ts(text):
+            return {"translation": [{"text": text, "language": "de-DE"}]}
+
         alert = {
             "cause": row["cause"],
             "effect": row["effect"],
-            "url": row["url"],
-            "header_text": {"translation": [{"text": row["header_text"]}]},
-            "description_text": {"translation": [{"text": row["description_text"]}]},
-            "tts_header_text": {"translation": [{"text": row["tts_header_text"]}]}
+            "url": _ts(row["url"]) if row["url"] is not None else None,
+            "header_text": _ts(row["header_text"]),
+            "description_text": _ts(row["description_text"]),
+            "tts_header_text": _ts(row["tts_header_text"])
             if row["tts_header_text"]
             else None,
-            "tts_description_text": {
-                "translation": [{"text": row["tts_description_text"]}]
-            }
+            "tts_description_text": _ts(row["tts_description_text"])
             if row["tts_description_text"]
             else None,
             "severity_level": row["severity_level"],
@@ -262,19 +265,12 @@ def to_json(feed: dict) -> str:
 
 
 def to_protobuf(feed: dict) -> bytes:
-    """S10 binary face: dict tree → FeedMessage bytes. Needs the public
-    ``gtfs-realtime-bindings`` package (absent here — gated)."""
-    try:
-        from google.protobuf.json_format import ParseDict
-        from google.transit import gtfs_realtime_pb2
-    except ImportError as exc:  # pragma: no cover - optional dependency
-        raise NotImplementedError(
-            "protobuf serialization needs 'gtfs-realtime-bindings'; "
-            "serve to_json(feed) instead"
-        ) from exc
-    msg = gtfs_realtime_pb2.FeedMessage()
-    ParseDict(feed, msg, ignore_unknown_fields=True)
-    return msg.SerializeToString()
+    """S10 binary face: dict tree → FeedMessage wire bytes via the
+    vendored GTFS-RT codec (realtime.py:293-303 ``ParseDict`` +
+    ``SerializeToString``, minus the external bindings dependency)."""
+    from py_gtfs_duckdb_spark.streaming import gtfsrt_wire
+
+    return gtfsrt_wire.encode(feed, "FeedMessage")
 
 
 def alerts_rss(lake: GtfsLake, base_url: str = "") -> str:

@@ -10,10 +10,11 @@ batches. At cluster scale the spool directory is object storage or is
 replaced by a Kafka topic — the downstream plan (parse → merge) is
 unchanged.
 
-The protobuf decode (gtfs-realtime-bindings) and MQTT client (paho) are
-OPTIONAL dependencies, gated behind import-try: absent in this container,
-the JSON spool path is fully functional and the protobuf/MQTT edges raise
-``NotImplementedError`` with instructions.
+The protobuf decode runs on the vendored wire codec
+(streaming/gtfsrt_wire.py) — no external protobuf runtime required. Only
+the MQTT client (paho) remains an OPTIONAL dependency gated behind
+import-try: absent in this container, spool files can be written directly
+(spool_write_json) and the downstream plan is identical.
 """
 
 from __future__ import annotations
@@ -41,24 +42,51 @@ def spool_write_json(spool_dir: str, messages: list[dict]) -> str:
 
 def feed_message_to_spool_dicts(payload: bytes) -> list[dict]:
     """Decode a GTFS-RT protobuf ``FeedMessage`` into spool dicts
-    (gtfsrt.py:28-29 ``ParseFromString`` + field extraction). Requires
-    ``gtfs-realtime-bindings`` (not installed in this container)."""
-    try:
-        from google.protobuf.json_format import MessageToDict
-        from google.transit import gtfs_realtime_pb2
-    except ImportError as exc:  # pragma: no cover - optional dependency
-        raise NotImplementedError(
-            "protobuf decode needs the public 'gtfs-realtime-bindings' "
-            "package; spool JSON directly instead (spool_write_json)"
-        ) from exc
-    feed = gtfs_realtime_pb2.FeedMessage()
-    feed.ParseFromString(payload)
-    header_ts = feed.header.timestamp if feed.header.HasField("timestamp") else None
-    out = []
-    for entity in feed.entity:
-        d = MessageToDict(entity, preserving_proto_field_name=True)
-        out.append({"feed_timestamp": header_ts, "entity": d})
-    return out
+    (gtfsrt.py:28-29 ``ParseFromString`` + field extraction) using the
+    vendored wire codec (streaming/gtfsrt_wire.py — no external protobuf
+    runtime needed). Output matches the ``MessageToDict(...,
+    preserving_proto_field_name=True)`` shape FEED_ENTITY_SCHEMA expects."""
+    from py_gtfs_duckdb_spark.streaming import gtfsrt_wire
+
+    feed = gtfsrt_wire.decode(payload, "FeedMessage")
+    header_ts = feed.get("header", {}).get("timestamp")
+    return [
+        {"feed_timestamp": header_ts, "entity": _normalize_entity(entity)}
+        for entity in feed.get("entity", [])
+    ]
+
+
+def _pick_translation(ts_dict: dict | None, lang: str = "de") -> str | None:
+    """≙ adapter/gtfsrt.py:145-153 ``_extract_translation_value``: the
+    ``lang`` translation if present, else the first, else None."""
+    translations = (ts_dict or {}).get("translation") or []
+    for item in translations:
+        if item.get("language") == lang:
+            return item.get("text")
+    return translations[0].get("text") if translations else None
+
+
+def _normalize_entity(entity: dict) -> dict:
+    """Conform a decoded FeedEntity to FEED_ENTITY_SCHEMA (streaming/
+    gtfsrt.py): TranslatedString wrappers flatten to their translation
+    arrays, ``url`` is translation-picked to a plain string
+    (adapter/gtfsrt.py:117), and a missing ``severity_level`` defaults to
+    UNKNOWN_SEVERITY (adapter/gtfsrt.py:121)."""
+    alert = entity.get("alert")
+    if alert is not None:
+        alert = dict(alert)
+        alert["url"] = _pick_translation(alert.get("url"))
+        for field in (
+            "header_text",
+            "description_text",
+            "tts_header_text",
+            "tts_description_text",
+        ):
+            if field in alert:
+                alert[field] = (alert[field] or {}).get("translation") or []
+        alert.setdefault("severity_level", "UNKNOWN_SEVERITY")
+        entity = {**entity, "alert": alert}
+    return entity
 
 
 class MqttSpooler:
