@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -67,21 +69,68 @@ def salted_collect_list(
     )
 
 
+def _parse_byte_conf(value: str) -> int:
+    """Parse Spark byte-size conf strings ('134217728b', '128m', '1g')."""
+    v = value.strip().lower()
+    units = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    if v and v[-1] in units:
+        return int(float(v[:-1]) * units[v[-1]])
+    return int(v)
+
+
 def fan_out(df, min_ratio: float = 0.5):
     """Ensure a CPU-dense narrow stage actually parallelizes.
 
     Small single-file Parquet inputs (one row group) arrive as ONE
     partition, which serializes embarrassingly-parallel per-row work
-    (hashing, shingling, vector math) onto one core. If the frame has
-    fewer partitions than ``min_ratio ×`` the cluster's default
-    parallelism, repartition up to default parallelism — the shuffle moves
-    only the (small, by construction) input. At real scale inputs span
-    many splits and this is a NO-OP, so the guard never shuffles big data.
+    (hashing, shingling, vector math) onto one core. The split count is
+    estimated from the scan's file index only (``df.inputFiles()`` +
+    ``spark.sql.files.maxPartitionBytes``) — metadata already cached by
+    the relation, no plan-time RDD materialization. If the estimate falls
+    below ``min_ratio ×`` default parallelism, repartition up to default
+    parallelism — the shuffle moves only the (small, by construction)
+    input. At real scale inputs span many files/splits, the estimate
+    clears the bar, and this is a NO-OP that never shuffles big data.
+    Non-file frames (in-memory relations, post-shuffle stages) pass
+    through untouched.
     """
     from pyspark.sql import DataFrame  # local: avoid cycle at import time
 
     assert isinstance(df, DataFrame)
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(1, int(target * min_ratio)):
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files:
+        return df
+    # inputFiles() sees through to leaf scans, so a derived frame whose
+    # plan already shuffles (agg/join/window/...) would re-shuffle here for
+    # nothing. Probe the analyzed logical plan (computed lazily once and
+    # cached by the session — no optimization or physical planning) and
+    # pass such frames through.
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(
+            op in plan
+            for op in ("Aggregate", "Join", "Window", "Repartition", "Sort", "Deduplicate")
+        ):
+            return df
+    except Exception:
+        pass  # non-classic backends: fall through to the file heuristic
+    splits = len(files)
+    if splits < max(1, int(target * min_ratio)):
+        # count real split potential: local files split at maxPartitionBytes
+        try:
+            max_pb = _parse_byte_conf(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+            )
+            total = sum(
+                os.path.getsize(f[len("file:") :] if f.startswith("file:") else f)
+                for f in files
+                if not f.startswith(("hdfs:", "s3", "abfs", "gs:", "wasb"))
+            )
+            splits = max(splits, -(-total // max_pb))
+        except OSError:
+            pass  # remote/unstattable paths: fall back to the file count
+    if splits < max(1, int(target * min_ratio)):
         return df.repartition(target)
     return df
