@@ -7,8 +7,10 @@ with none of the ``session.get_spark()`` factory confs. Two confs are
 load-bearing for correctness and both are runtime-settable:
 
 - ``spark.sql.legacy.parquet.nanosAsLong``: events.parquet is physically
-  INT64 TIMESTAMP(NANOS), which Spark's parquet reader rejects outright
-  (PARQUET_TYPE_ILLEGAL) unless told to surface it as a LONG.
+  INT64 TIMESTAMP(NANOS). Depending on the Spark version that surfaces
+  three ways — epoch-nanos LONG (with this legacy conf), TIMESTAMP_NTZ
+  (Spark 4.1+ native nanos read, micros-truncated), or plain TIMESTAMP —
+  and :func:`t` normalizes all three to TIMESTAMP (LTZ).
 - ``spark.sql.session.timeZone=UTC``: the DuckDB oracle is UTC-naive; any
   timestamp→string formatting or epoch extraction must agree.
 """
@@ -46,8 +48,16 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             continue
         if isinstance(field.dataType, T.LongType):
             # DIV keeps 64-bit integer math — a double roundtrip would
-            # lose sub-ms precision.
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            # lose sub-ms precision. DIV truncates toward zero while the
+            # native NTZ read floor-truncates, so pre-epoch (negative)
+            # nanos need the remainder adjustment to land on the same
+            # microsecond.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp_micros(ts DIV 1000 - CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"
+                ),
+            )
         elif isinstance(field.dataType, T.TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
