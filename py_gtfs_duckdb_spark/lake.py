@@ -18,6 +18,7 @@ drop-in upgrade, not available in this container (SURVEY §7 hard part 4).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from collections.abc import Sequence
@@ -27,6 +28,14 @@ from pyspark.sql import functions as F
 
 from py_gtfs_duckdb_spark.operators.mutation import delete_not_in, upsert
 from py_gtfs_duckdb_spark.schemas import ALL_SCHEMAS, PRIMARY_KEYS
+
+
+def buckets_to_forget(buckets: dict, touched, new_meta: dict) -> list[str]:
+    """Manifest entries superseded by a keyed write: the buckets it set out
+    to rewrite (they may now be empty), or every old bucket on migration."""
+    if touched is None:
+        return list(buckets)
+    return [str(b) for b in touched]
 
 
 class GtfsLake:
@@ -53,7 +62,10 @@ class GtfsLake:
             return None
 
     def exists(self, table: str) -> bool:
-        return self.current_version(table) is not None
+        return (
+            self.current_version(table) is not None
+            or self.keyed_manifest(table) is not None
+        )
 
     def table_path(self, table: str) -> str | None:
         v = self.current_version(table)
@@ -64,14 +76,24 @@ class GtfsLake:
     def table(self, table: str) -> DataFrame:
         """Read the current version; empty (schema-correct) frame if the
         table was never written — matching the reference's eagerly created
-        empty tables."""
+        empty tables. Keyed-state tables (bucket manifest) resolve to the
+        current path set across bucket versions."""
+        manifest = self.keyed_manifest(table)
+        if manifest is not None:
+            paths = self._keyed_paths(table, manifest)
+            if not paths:
+                return self._empty(table)
+            return self.spark.read.parquet(*paths)
         path = self.table_path(table)
         if path is None:
-            schema = ALL_SCHEMAS.get(table)
-            if schema is None:
-                raise KeyError(f"unknown table {table!r}")
-            return self.spark.createDataFrame([], schema)
+            return self._empty(table)
         return self.spark.read.parquet(path)
+
+    def _empty(self, table: str) -> DataFrame:
+        schema = ALL_SCHEMAS.get(table)
+        if schema is None:
+            raise KeyError(f"unknown table {table!r}")
+        return self.spark.createDataFrame([], schema)
 
     # -- writes -------------------------------------------------------------
 
@@ -103,13 +125,190 @@ class GtfsLake:
         pk = PRIMARY_KEYS.get(table)
         if dedup_pk and pk:
             df = df.dropDuplicates(pk)
-        v = (self.current_version(table) or 0) + 1
+        v = self._next_version(table)
         out = os.path.join(self._tdir(table), f"v={v}")
         df.write.mode("overwrite").parquet(out)
+        # a full overwrite supersedes any keyed-state layout: drop the
+        # bucket manifest so the plain pointer is authoritative again
+        if os.path.exists(self._manifest_path(table)):
+            os.remove(self._manifest_path(table))
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(str(v))
         os.replace(tmp, self._pointer(table))  # atomic on POSIX
+
+    def _next_version(self, table: str) -> int:
+        """Next unused version number across BOTH layouts (plain pointer
+        and keyed bucket manifest)."""
+        versions = [self.current_version(table) or 0]
+        manifest = self.keyed_manifest(table)
+        if manifest:
+            versions.extend(b["v"] for b in manifest["buckets"].values())
+        return max(versions) + 1
+
+    # -- keyed state layout (streaming scale path) ---------------------------
+    #
+    # A realtime state table at cluster scale is much larger than any one
+    # micro-batch, so rewriting the whole table per 15 s flush (the
+    # reference's model at reference-sized state) becomes the bottleneck.
+    # Keyed layout: rows hash into ``n_buckets`` by entity key; a version
+    # dir holds only the buckets its batch touched
+    # (``v=<N>/__bucket=<B>/``), and ``_CURRENT.json`` maps every live
+    # bucket to the version that last wrote it (plus the bucket's
+    # min(last_updated) epoch for TTL pruning). One atomic manifest swap
+    # preserves the pointer-swap reader isolation; a merge rewrites ONLY
+    # partitions containing changed keys, and TTL expiry rewrites only
+    # buckets whose min-stamp proves they can hold expired rows.
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_CURRENT.json")
+
+    def keyed_manifest(self, table: str) -> dict | None:
+        try:
+            with open(self._manifest_path(table)) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _write_manifest(self, table: str, manifest: dict) -> None:
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path(table))
+        # the manifest supersedes the plain pointer
+        if os.path.exists(self._pointer(table)):
+            os.remove(self._pointer(table))
+
+    def _keyed_paths(
+        self, table: str, manifest: dict, buckets: Sequence[int] | None = None
+    ) -> list[str]:
+        wanted = None if buckets is None else {str(b) for b in buckets}
+        return [
+            os.path.join(self._tdir(table), f"v={meta['v']}", f"__bucket={b}")
+            for b, meta in sorted(manifest["buckets"].items(), key=lambda kv: int(kv[0]))
+            if wanted is None or b in wanted
+        ]
+
+    @staticmethod
+    def _bucket_expr(key: str, n_buckets: int):
+        return F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets))
+
+    def merge_keyed(
+        self,
+        table: str,
+        fresh: DataFrame,
+        changed_keys: DataFrame,
+        key: str,
+        n_buckets: int = 16,
+        stamp_col: str = "last_updated_timestamp",
+    ) -> None:
+        """Delete-then-insert by entity key (ddb.py:296-332) touching only
+        the hash buckets that contain changed keys.
+
+        ``changed_keys`` is a one-column frame of ``key`` values (upserts +
+        tombstones); ``fresh`` carries the replacement rows. A plain-layout
+        table is migrated into keyed layout on first merge.
+        """
+        fresh = self._conform(table, fresh)
+        manifest = self.keyed_manifest(table)
+        v = self._next_version(table)
+        bucket = self._bucket_expr(key, n_buckets)
+        changed_buckets = sorted(
+            r["b"]
+            for r in changed_keys.select(bucket.alias("b")).distinct().collect()
+            if r["b"] is not None
+        )
+        if manifest is None or manifest.get("n_buckets") != n_buckets:
+            # migration: the whole current table rewrites once into buckets
+            base = self.table(table)
+            touched = None  # every bucket of the output is (re)written
+        else:
+            base = (
+                self.spark.read.parquet(
+                    *self._keyed_paths(table, manifest, changed_buckets)
+                )
+                if self._keyed_paths(table, manifest, changed_buckets)
+                else self._empty(table)
+            )
+            touched = changed_buckets
+        survivors = base.join(
+            changed_keys.select(key).dropDuplicates([key]), [key], "left_anti"
+        )
+        out = survivors.unionByName(fresh, allowMissingColumns=False).withColumn(
+            "__bucket", bucket
+        )
+        if touched is not None:
+            out = out.where(F.col("__bucket").isin([int(b) for b in touched]))
+        out_dir = os.path.join(self._tdir(table), f"v={v}")
+        out.write.mode("overwrite").partitionBy("__bucket").parquet(out_dir)
+        # stat the buckets this version actually produced (reading back the
+        # just-written files: small — changed buckets only)
+        new_meta = self._bucket_stats(out_dir, stamp_col)
+        buckets = {} if manifest is None else dict(manifest["buckets"])
+        for b in buckets_to_forget(buckets, touched, new_meta):
+            buckets.pop(b, None)
+        buckets.update(new_meta)
+        self._write_manifest(
+            table, {"key": key, "n_buckets": n_buckets, "buckets": buckets}
+        )
+
+    def _bucket_stats(self, version_dir: str, stamp_col: str) -> dict:
+        """Per-bucket {v, min_ts} for the buckets present in a version dir."""
+        v = int(os.path.basename(version_dir).split("=", 1)[1])
+        present = [
+            e.split("=", 1)[1]
+            for e in os.listdir(version_dir)
+            if e.startswith("__bucket=")
+        ]
+        if not present:
+            return {}
+        df = self.spark.read.option("basePath", version_dir).parquet(
+            *(os.path.join(version_dir, f"__bucket={b}") for b in present)
+        )
+        if stamp_col in df.columns:
+            rows = (
+                df.groupBy("__bucket")
+                .agg(F.min(F.unix_timestamp(F.col(stamp_col))).alias("m"))
+                .collect()
+            )
+            mins = {str(r["__bucket"]): r["m"] for r in rows}
+        else:
+            mins = {b: None for b in present}
+        return {b: {"v": v, "min_ts": mins.get(b)} for b in present}
+
+    def expire_keyed(
+        self,
+        table: str,
+        cutoff_epoch: float,
+        stamp_col: str = "last_updated_timestamp",
+    ) -> None:
+        """TTL sweep (ddb.py:282-293) that rewrites ONLY buckets whose
+        min-stamp shows they can contain rows at or before the cutoff;
+        buckets proven fresh are untouched."""
+        manifest = self.keyed_manifest(table)
+        if manifest is None:
+            return
+        stale = [
+            b
+            for b, meta in manifest["buckets"].items()
+            if meta.get("min_ts") is None or meta["min_ts"] <= cutoff_epoch
+        ]
+        if not stale:
+            return
+        v = self._next_version(table)
+        df = self.spark.read.parquet(*self._keyed_paths(table, manifest, stale))
+        kept = df.where(F.unix_timestamp(F.col(stamp_col)) > F.lit(cutoff_epoch))
+        bucket = self._bucket_expr(manifest["key"], manifest["n_buckets"])
+        out_dir = os.path.join(self._tdir(table), f"v={v}")
+        kept.withColumn("__bucket", bucket).write.mode("overwrite").partitionBy(
+            "__bucket"
+        ).parquet(out_dir)
+        new_meta = self._bucket_stats(out_dir, stamp_col)
+        buckets = dict(manifest["buckets"])
+        for b in stale:
+            buckets.pop(b, None)  # empty-after-expiry buckets disappear
+        buckets.update(new_meta)
+        self._write_manifest(table, {**manifest, "buckets": buckets})
 
     def append(self, table: str, df: DataFrame) -> None:
         """≙ batched INSERT (ddb.py:377-384): union with current + publish."""
@@ -140,6 +339,18 @@ class GtfsLake:
             if os.path.isdir(self._tdir(d))
         ]
         for tb in tables:
+            manifest = self.keyed_manifest(tb)
+            if manifest is not None:
+                # keyed layout: a version dir is live while any bucket
+                # references it
+                live = {meta["v"] for meta in manifest["buckets"].values()}
+                ceiling = (max(live) if live else self._next_version(tb)) - keep
+                for entry in os.listdir(self._tdir(tb)):
+                    if entry.startswith("v="):
+                        v = int(entry.split("=", 1)[1])
+                        if v not in live and v <= ceiling:
+                            shutil.rmtree(os.path.join(self._tdir(tb), entry))
+                continue
             cur = self.current_version(tb)
             if cur is None:
                 continue

@@ -69,10 +69,14 @@ class RealtimeMerger:
         ttl_seconds: int = 7200,
         max_age_seconds: int = 7200,
         trip_matcher=None,
+        n_buckets: int = 16,
     ):
         self.lake = lake
         self.ttl_seconds = ttl_seconds  # R3 (config.py:22 data_review_seconds)
         self.max_age_seconds = max_age_seconds  # R2 stale-message cutoff
+        # hash-bucket count for the keyed state layout; size so one
+        # bucket ≈ one executor-comfortable partition at target state size
+        self.n_buckets = n_buckets
         # Optional (parents, stus) -> (parents, stus) hook run on the
         # trip-update family before merging — see streaming/matching.py
         # (J7). Unmatched unknown trips drop out of the batch there.
@@ -83,17 +87,24 @@ class RealtimeMerger:
     def expire(self) -> None:
         """Drop realtime rows not refreshed within ``ttl_seconds``
         (ddb.py:282-293; ``<= cutoff`` deletes, so survivors are strictly
-        newer)."""
-        cutoff = F.current_timestamp() - F.expr(
-            f"INTERVAL {int(self.ttl_seconds)} SECONDS"
-        )
+        newer). Keyed-state tables prune by bucket min-stamp — only
+        buckets that can actually hold expired rows rewrite."""
+        import time as _time
+
+        cutoff_epoch = _time.time() - self.ttl_seconds
         for table in _TTL_TABLES:
             if not self.lake.exists(table):
+                continue
+            if self.lake.keyed_manifest(table) is not None:
+                self.lake.expire_keyed(table, cutoff_epoch)
                 continue
             df = self.lake.table(table)
             self.lake.write(
                 table,
-                df.where(F.col("last_updated_timestamp") > cutoff),
+                df.where(
+                    F.unix_timestamp(F.col("last_updated_timestamp"))
+                    > F.lit(cutoff_epoch)
+                ),
                 dedup_pk=False,
             )
 
@@ -146,15 +157,16 @@ class RealtimeMerger:
                 )
                 for table, _ in tables:
                     rows = fresh[table].withColumn("last_updated_timestamp", stamp)
-                    base = self.lake.table(table)
                     # delete-then-insert per key (ddb.py:296-332): drop every
                     # row whose entity key appears in this batch (upsert or
-                    # tombstone), then add the fresh rows.
-                    survivors = base.join(changed_keys, [key], "left_anti")
-                    self.lake.write(
+                    # tombstone), then add the fresh rows — touching only the
+                    # hash buckets that contain changed keys (lake.merge_keyed).
+                    self.lake.merge_keyed(
                         table,
-                        survivors.unionByName(rows, allowMissingColumns=True),
-                        dedup_pk=False,
+                        rows,
+                        changed_keys,
+                        key=key,
+                        n_buckets=self.n_buckets,
                     )
         finally:
             latest.unpersist()

@@ -1,0 +1,111 @@
+"""Keyed (bucket-manifest) state layout: merges rewrite only buckets
+containing changed keys, TTL expiry prunes by bucket min-stamp, and
+readers always see one consistent manifest snapshot."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from py_gtfs_duckdb_spark.lake import GtfsLake
+
+N_BUCKETS = 8
+
+
+def _mk_lake(spark, tmp_path):
+    return GtfsLake(spark, str(tmp_path / "lake"))
+
+
+def _vp_rows(spark, ids, ts=None):
+    ts = ts or time.time()
+    stamp = F.to_timestamp(F.lit(time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime(ts))))
+    return spark.createDataFrame(
+        [(i, float(hash(i) % 90), 9.0) for i in ids],
+        "vehicle_position_id string, position_latitude double, position_longitude double",
+    ).withColumn("last_updated_timestamp", stamp)
+
+
+def _keys(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "vehicle_position_id string")
+
+
+def test_merge_touches_only_changed_buckets(spark, tmp_path):
+    lake = _mk_lake(spark, tmp_path)
+    t = "realtime_vehicle_positions"
+    ids = [f"v{i}" for i in range(40)]
+    lake.merge_keyed(t, _vp_rows(spark, ids), _keys(spark, ids), key="vehicle_position_id", n_buckets=N_BUCKETS)
+    m1 = lake.keyed_manifest(t)
+    assert m1 is not None and len(m1["buckets"]) >= 2
+    assert lake.table(t).count() == 40
+
+    # update ONE key: only its bucket's version may advance
+    lake.merge_keyed(t, _vp_rows(spark, ["v0"]), _keys(spark, ["v0"]), key="vehicle_position_id", n_buckets=N_BUCKETS)
+    m2 = lake.keyed_manifest(t)
+    changed = [b for b in m2["buckets"] if m2["buckets"][b]["v"] != m1["buckets"].get(b, {}).get("v")]
+    assert len(changed) == 1, f"expected exactly 1 rewritten bucket, got {changed}"
+    assert lake.table(t).count() == 40  # replaced, not duplicated
+
+
+def test_tombstone_only_merge_removes_rows(spark, tmp_path):
+    lake = _mk_lake(spark, tmp_path)
+    t = "realtime_vehicle_positions"
+    ids = [f"v{i}" for i in range(10)]
+    lake.merge_keyed(t, _vp_rows(spark, ids), _keys(spark, ids), key="vehicle_position_id", n_buckets=N_BUCKETS)
+    empty = _vp_rows(spark, [])
+    lake.merge_keyed(t, empty, _keys(spark, ["v3"]), key="vehicle_position_id", n_buckets=N_BUCKETS)
+    left = {r["vehicle_position_id"] for r in lake.table(t).collect()}
+    assert left == set(ids) - {"v3"}
+
+
+def test_expire_keyed_prunes_by_bucket_min_stamp(spark, tmp_path):
+    lake = _mk_lake(spark, tmp_path)
+    t = "realtime_vehicle_positions"
+    old_ids = [f"old{i}" for i in range(6)]
+    new_ids = [f"new{i}" for i in range(6)]
+    now = time.time()
+    lake.merge_keyed(t, _vp_rows(spark, old_ids, ts=now - 9000), _keys(spark, old_ids), key="vehicle_position_id", n_buckets=N_BUCKETS)
+    lake.merge_keyed(t, _vp_rows(spark, new_ids, ts=now), _keys(spark, new_ids), key="vehicle_position_id", n_buckets=N_BUCKETS)
+    before = lake.keyed_manifest(t)["buckets"]
+    lake.expire_keyed(t, cutoff_epoch=now - 7200)
+    left = {r["vehicle_position_id"] for r in lake.table(t).collect()}
+    assert left == set(new_ids)
+    after = lake.keyed_manifest(t)["buckets"]
+    # buckets holding only fresh rows must not have been rewritten
+    fresh_only = [
+        b for b, meta in before.items()
+        if meta["min_ts"] is not None and meta["min_ts"] > now - 7200
+    ]
+    for b in fresh_only:
+        assert after[b]["v"] == before[b]["v"], f"fresh bucket {b} was rewritten"
+
+
+def test_full_write_supersedes_keyed_layout(spark, tmp_path):
+    lake = _mk_lake(spark, tmp_path)
+    t = "realtime_vehicle_positions"
+    ids = [f"v{i}" for i in range(5)]
+    lake.merge_keyed(t, _vp_rows(spark, ids), _keys(spark, ids), key="vehicle_position_id", n_buckets=N_BUCKETS)
+    assert lake.keyed_manifest(t) is not None
+    lake.write(t, _vp_rows(spark, ["solo"]), dedup_pk=False)
+    assert lake.keyed_manifest(t) is None
+    assert lake.table(t).count() == 1
+
+
+def test_vacuum_keeps_live_keyed_versions(spark, tmp_path):
+    import os
+
+    lake = _mk_lake(spark, tmp_path)
+    t = "realtime_vehicle_positions"
+    ids = [f"v{i}" for i in range(20)]
+    lake.merge_keyed(t, _vp_rows(spark, ids), _keys(spark, ids), key="vehicle_position_id", n_buckets=N_BUCKETS)
+    for k in ("v0", "v1", "v2"):
+        lake.merge_keyed(t, _vp_rows(spark, [k]), _keys(spark, [k]), key="vehicle_position_id", n_buckets=N_BUCKETS)
+    lake.vacuum(t, keep=1)
+    assert lake.table(t).count() == 20  # every live bucket still readable
+    live = {m["v"] for m in lake.keyed_manifest(t)["buckets"].values()}
+    on_disk = {
+        int(e.split("=", 1)[1])
+        for e in os.listdir(lake._tdir(t))
+        if e.startswith("v=")
+    }
+    assert live <= on_disk
