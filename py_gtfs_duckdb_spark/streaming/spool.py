@@ -10,11 +10,10 @@ batches. At cluster scale the spool directory is object storage or is
 replaced by a Kafka topic — the downstream plan (parse → merge) is
 unchanged.
 
-The protobuf decode runs on the vendored wire codec
-(streaming/gtfsrt_wire.py) — no external protobuf runtime required. Only
-the MQTT client (paho) remains an OPTIONAL dependency gated behind
-import-try: absent in this container, spool files can be written directly
-(spool_write_json) and the downstream plan is identical.
+Both edges are dependency-free: the protobuf decode runs on the vendored
+wire codec (streaming/gtfsrt_wire.py) and the MQTT subscription on the
+vendored MQTT 3.1.1 client (streaming/mqtt.py). Spool files can also be
+written directly (spool_write_json) — the downstream plan is identical.
 """
 
 from __future__ import annotations
@@ -91,31 +90,33 @@ def _normalize_entity(entity: dict) -> dict:
 
 class MqttSpooler:
     """MQTT subscriber → spool directory (replaces the reference's paho
-    ``on_message`` → queue push, realtime.py:60-77,149-199). Requires
-    ``paho-mqtt`` (not installed in this container)."""
+    ``on_message`` → queue push, realtime.py:60-77,149-199) using the
+    vendored MQTT 3.1.1 client (streaming/mqtt.py) — no external package.
+    Each received FeedMessage decodes through the vendored protobuf codec
+    and lands as one atomic spool file; Structured Streaming tails the
+    directory."""
 
     def __init__(self, spool_dir: str, host: str, port: int = 1883, topics: list[str] | None = None):
-        try:
-            import paho.mqtt.client as mqtt
-        except ImportError as exc:  # pragma: no cover - optional dependency
-            raise NotImplementedError(
-                "MQTT ingest needs the public 'paho-mqtt' package; write "
-                "spool files directly instead (spool_write_json)"
-            ) from exc
+        from py_gtfs_duckdb_spark.streaming.mqtt import MqttClient
+
         self.spool_dir = spool_dir
         self.topics = topics or ["#"]
-        self._client = mqtt.Client()
+        self._client = MqttClient(host, port)
         self._client.on_message = self._on_message
-        self._client.connect(host, port)
+        self._client.connect()
 
-    def _on_message(self, client, userdata, message) -> None:  # pragma: no cover
-        spool_write_json(self.spool_dir, feed_message_to_spool_dicts(message.payload))
+    def _on_message(self, topic: str, payload: bytes) -> None:
+        try:
+            messages = feed_message_to_spool_dicts(payload)
+        except Exception:
+            return  # skip undecodable payloads (gtfsrt.py try/except posture)
+        if messages:
+            spool_write_json(self.spool_dir, messages)
 
-    def start(self) -> None:  # pragma: no cover
-        for topic in self.topics:
-            self._client.subscribe(topic)
+    def start(self) -> None:
+        self._client.subscribe(self.topics)
         self._client.loop_start()
 
-    def stop(self) -> None:  # pragma: no cover
+    def stop(self) -> None:
         self._client.loop_stop()
         self._client.disconnect()
