@@ -208,13 +208,59 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_neardup_pairs(e, "embedding", "vec_id", "label", 0.35)
 
 
-@query("q_dedup_simhash")  # rows-only: relies on a pandas UDF, not SQL-expressible
+@query(
+    "q_dedup_simhash",
+    # The oracle recomputes the md5-derived 64-bit SimHash bit-for-bit in
+    # SQL (distinct whitespace tokens -> per-bit +/-1 majority -> two's
+    # complement) and takes ALL pairs at Hamming <= 3; the Spark side's
+    # 16-bit-chunk banding is exact for <= 3 by pigeonhole, so the result
+    # sets must be identical.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(list_distinct(regexp_split_to_array(lower(text), '\s+')),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 16))::UBIGINT AS hv
+      FROM (SELECT doc_id, unnest(ts) AS tok FROM toks) t
+    ),
+    acc AS (
+      SELECT doc_id, j.j,
+             SUM(CASE WHEN (hv >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS a
+      FROM h, (SELECT unnest(generate_series(0, 63)) AS j) j
+      GROUP BY doc_id, j.j
+    ),
+    sig AS (
+      SELECT doc_id,
+             COALESCE(SUM(CASE WHEN a > 0 THEN (1::UBIGINT << j)::HUGEINT
+                           ELSE 0 END), 0) AS u
+      FROM acc GROUP BY doc_id
+    ),
+    s AS (
+      SELECT t.doc_id AS id,
+             CAST(CASE WHEN s.u >= 9223372036854775808
+                       THEN s.u - 18446744073709551616
+                       ELSE COALESCE(s.u, 0) END AS BIGINT) AS simhash
+      FROM toks t LEFT JOIN sig s USING (doc_id)
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM s a, s b
+    WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3) — banded signature join;
-    property-tested in tests/test_dedup.py."""
+    property-tested in tests/test_dedup.py and oracle-checked against a
+    bit-exact SQL recomputation."""
     d = t(spark, sf_dir, "documents")
     sig = D.simhash_signatures(d, "text", "doc_id")
-    return D.simhash_near_pairs(sig, max_hamming=3)
+    pairs = D.simhash_near_pairs(sig, max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -540,7 +586,36 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_features")  # rows-only: fake decoder behind mapInPandas
+# The documents table is ASCII (verified across SFs), so the deterministic
+# fake-decode semantics (byte histogram / byte slices) are exactly
+# SQL-expressible over the text column: char positions == byte offsets and
+# ord(char) == byte value. That turns the mapInPandas plumbing into a real
+# differential check (Arrow batch shape, dtype handling, null handling).
+_FEATURE_HIST_SQL = """
+    WITH codes AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             list_transform(range(1, length(text) + 1),
+                            i -> ord(substring(text, i, 1))) AS cs
+      FROM documents
+    )
+"""
+_HIST_CELLS = ",\n        ".join(
+    f"CAST(len(list_filter(cs, c -> c // 32 = {k})) AS DOUBLE)" for k in range(8)
+)
+
+
+@query(
+    "q_multimodal_features",
+    oracle=_FEATURE_HIST_SQL
+    + f"""
+    SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_bytes,
+           list_value(
+        {_HIST_CELLS}
+           ) AS features
+    FROM codes
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract plumbing over binary payloads (deterministic
     fake decoder — real decode stubbed per environment constraints)."""
@@ -548,16 +623,48 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(media, fake=True)
 
 
-@query("q_multimodal_frames")  # rows-only: binary slicing output
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(f.i AS INTEGER) AS frame_idx,
+           CAST(LEAST(64, octet_length(encode(text)) - f.i * 64) AS BIGINT)
+               AS frame_len,
+           md5(substring(text, CAST(f.i * 64 + 1 AS BIGINT), 64)) AS frame_md5
+    FROM documents, (SELECT unnest(generate_series(0, 3)) AS i) f
+    WHERE f.i * 64 < octet_length(encode(text))
+    """,
+)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling row-explosion shape over payload bytes."""
+    """Frame-sampling row-explosion shape over payload bytes; the md5 of
+    each frame checks slice CONTENT, not just length."""
     media = M.documents_as_media(t(spark, sf_dir, "documents"))
     return M.sample_frames(media).select(
-        "media_id", "frame_idx", F.octet_length("frame_bytes").cast("bigint").alias("frame_len")
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.octet_length("frame_bytes").cast("bigint").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
     )
 
 
-@query("q_multimodal_resize")  # rows-only: fake decoder behind mapInPandas
+@query(
+    "q_multimodal_resize",
+    oracle=_FEATURE_HIST_SQL
+    + f"""
+    , h AS (
+      SELECT doc_id,
+             list_value(
+        {_HIST_CELLS}
+             ) AS px
+      FROM codes
+    )
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(4 AS INTEGER) AS width, CAST(1 AS INTEGER) AS height,
+           list_value((px[1] + px[2]) / 2, (px[3] + px[4]) / 2,
+                      (px[5] + px[6]) / 2, (px[7] + px[8]) / 2) AS resized
+    FROM h
+    """,
+)
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing: decode → avg-pool to fixed width → metadata
     rewrite, Arrow-batched (operators/multimodal.py:resize_media)."""
