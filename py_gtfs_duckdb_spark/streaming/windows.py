@@ -61,6 +61,30 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Watermarked session windows (gap-based, per key) — the streaming
+    twin of batch ``q_window_session``. Sessions merge as events arrive
+    and finalize once the watermark passes the session end + gap; state
+    per key is bounded by the watermark delay."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
 def run_windowed_stream(
     spark,
     source_dir: str,

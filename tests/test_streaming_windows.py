@@ -140,3 +140,47 @@ def test_streaming_agg_matches_batch_on_closed_windows(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert got == expected
+
+
+def test_streaming_session_windows_merge_and_finalize(spark, tmp_path):
+    """Session windows: events within the gap merge into one session; the
+    session finalizes (append emission) once the watermark passes its end."""
+    from py_gtfs_duckdb_spark.streaming.windows import session_window_counts
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    # user 1: events at 00:00, 00:10, 00:40 (gap 30m -> ONE session 00:00-01:10)
+    # user 2: single event at 00:05 (session 00:05-00:35)
+    # sentinel at 06:00 advances the watermark (2h) to 04:00 -> both finalize
+    spec = [
+        (1, "click", 0, 1.0),
+        (2, "click", 10, 1.0),
+        (3, "click", 40, 1.0),
+        (4, "view", 5, 1.0),
+        (5, "view", 360, 1.0),
+    ]
+    rows = [
+        (i, k, BASE + dt.timedelta(minutes=m), float(v), 1 if k == "click" else 2)
+        for i, k, m, v in spec
+    ]
+    schema = T.StructType(
+        SCHEMA.fields + [T.StructField("user_id", T.IntegerType())]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    agg = session_window_counts(
+        spark.readStream.schema(schema).parquet(src), gap="30 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"].minute + 60 * r["session_start"].hour): r["n_events"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {(1, 0): 3, (2, 5): 1}, got
