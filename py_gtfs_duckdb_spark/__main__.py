@@ -134,8 +134,11 @@ def cmd_vacuum(args) -> None:
 
 def cmd_realtime(args) -> None:
     """≙ ``realtime`` (__main__.py:110-119): start the spool-driven
-    Structured Streaming merge; the HTTP edge needs fastapi/uvicorn (absent
-    here), so this serves the snapshot files instead."""
+    Structured Streaming merge, with the vendored MQTT subscriber feeding
+    the spool when the config names a broker (mqtt.host +
+    mqtt.subscriptions — realtime.py:149-199); the HTTP edge needs
+    fastapi/uvicorn (absent here), so this serves the snapshot files
+    instead."""
     from py_gtfs_duckdb_spark.config import load_config
     from py_gtfs_duckdb_spark.streaming import (
         RealtimeMerger,
@@ -148,6 +151,24 @@ def cmd_realtime(args) -> None:
     cfg = load_config(args.config)
     reset_realtime(lake)  # R6 startup reset
     mcfg = cfg["matching"]
+
+    spooler = None
+    mqtt_cfg = cfg["mqtt"]
+    if cfg["app"]["mqtt_enabled"] and mqtt_cfg.get("host"):
+        from py_gtfs_duckdb_spark.streaming.spool import MqttSpooler
+
+        spooler = MqttSpooler(
+            args.spool,
+            mqtt_cfg["host"],
+            mqtt_cfg.get("port", 1883),
+            topics=list(mqtt_cfg.get("subscriptions") or ["#"]),
+            client_id=mqtt_cfg.get("client"),
+            keepalive=mqtt_cfg.get("keepalive", 60),
+            username=mqtt_cfg.get("username"),
+            password=mqtt_cfg.get("password"),
+        )
+        spooler.start()
+        print(f"subscribed to mqtt://{mqtt_cfg['host']}:{mqtt_cfg.get('port', 1883)}")
 
     def matcher(parents, stus):
         return match_trip_updates(
@@ -168,6 +189,9 @@ def cmd_realtime(args) -> None:
         query.awaitTermination()
     except KeyboardInterrupt:
         query.stop()
+    finally:
+        if spooler is not None:
+            spooler.stop()
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -88,10 +88,13 @@ class MqttClient:
         port: int = 1883,
         client_id: str | None = None,
         keepalive: int = 60,
+        username: str | None = None,
+        password: str | None = None,
     ):
         self.host, self.port = host, port
         self.client_id = client_id or f"pygtfs-{int(time.time() * 1000) & 0xFFFF}"
         self.keepalive = keepalive
+        self.username, self.password = username, password
         self.on_message = None
         self._sock: socket.socket | None = None
         self._thread: threading.Thread | None = None
@@ -109,13 +112,22 @@ class MqttClient:
 
     def connect(self, timeout: float = 10.0) -> None:
         self._sock = socket.create_connection((self.host, self.port), timeout=timeout)
-        # CONNECT: protocol "MQTT", level 4, clean session, keepalive
+        # CONNECT: protocol "MQTT", level 4, clean session (+auth), keepalive
+        flags = 0x02
+        if self.username is not None:
+            flags |= 0x80
+        if self.password is not None:
+            flags |= 0x40
         body = (
             _utf8_field("MQTT")
-            + bytes([0x04, 0x02])
+            + bytes([0x04, flags])
             + self.keepalive.to_bytes(2, "big")
             + _utf8_field(self.client_id)
         )
+        if self.username is not None:
+            body += _utf8_field(self.username)
+        if self.password is not None:
+            body += _utf8_field(self.password)
         self._send_packet(0x10, body)
         # await CONNACK
         first = _read_exact(self._sock, 1)[0]

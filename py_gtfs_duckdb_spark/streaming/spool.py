@@ -96,12 +96,29 @@ class MqttSpooler:
     and lands as one atomic spool file; Structured Streaming tails the
     directory."""
 
-    def __init__(self, spool_dir: str, host: str, port: int = 1883, topics: list[str] | None = None):
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str,
+        port: int = 1883,
+        topics: list[str] | None = None,
+        client_id: str | None = None,
+        keepalive: int = 60,
+        username: str | None = None,
+        password: str | None = None,
+    ):
         from py_gtfs_duckdb_spark.streaming.mqtt import MqttClient
 
         self.spool_dir = spool_dir
         self.topics = topics or ["#"]
-        self._client = MqttClient(host, port)
+        self._client = MqttClient(
+            host,
+            port,
+            client_id=client_id,
+            keepalive=keepalive,
+            username=username,
+            password=password,
+        )
         self._client.on_message = self._on_message
         self._client.connect()
 

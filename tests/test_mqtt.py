@@ -163,3 +163,42 @@ def test_mqtt_spooler_end_to_end(tmp_path):
     assert msg["entity"]["id"] == "e1"
     assert msg["entity"]["trip_update"]["trip"]["trip_id"] == "t1"
     assert msg["entity"]["trip_update"]["stop_time_update"][0]["arrival"]["delay"] == 42
+
+
+def test_mqtt_connect_carries_auth():
+    """CONNECT with username/password sets flags 0x80|0x40 and appends the
+    credential fields after the client id. Parses the CONNECT packet the
+    client sends through a stub socket."""
+    sent = []
+
+    class Sock:
+        def sendall(self, data):
+            sent.append(bytes(data))
+
+        def settimeout(self, t):
+            pass
+
+        def recv(self, n):
+            # feed a CONNACK after the CONNECT is sent
+            buf = b"\x20\x02\x00\x00"
+            if not hasattr(self, "pos"):
+                self.pos = 0
+            chunk = buf[self.pos : self.pos + n]
+            self.pos += n
+            return chunk
+
+    client = MqttClient("x", 1, client_id="cid", username="user", password="pw")
+    import socket as socket_mod
+
+    orig = socket_mod.create_connection
+    socket_mod.create_connection = lambda *a, **k: Sock()
+    try:
+        client.connect()
+    finally:
+        socket_mod.create_connection = orig
+    connect = sent[0]
+    assert connect[0] == 0x10
+    body = connect[2:]  # 1-byte remaining length here (small packet)
+    flags = body[7]
+    assert flags & 0x80 and flags & 0x40 and flags & 0x02
+    assert b"\x00\x03cid\x00\x04user\x00\x02pw" in body
