@@ -201,6 +201,7 @@ def run_spool_stream(
     available_now: bool = False,
     processing_interval: str = "15 seconds",
     checkpoint_dir: str | None = None,
+    clean_source: str | None = "delete",
 ):
     """Wire the spool directory to the merge: ``readStream.text(spool)`` →
     ``foreachBatch(RealtimeMerger)``.
@@ -208,11 +209,21 @@ def run_spool_stream(
     Default trigger = 15 s processing time, the reference's flush interval
     (realtime.py:42,127). ``available_now=True`` drains the spool and stops
     (used by tests and backfills). Returns the StreamingQuery.
+
+    ``clean_source`` is the spool janitor: the file source's own
+    completed-file cleaner (``delete`` default — a spool file is a
+    transient envelope, state lives in the lake; ``archive``/``off`` for
+    audit trails). Without it a long-running ingest accumulates files
+    forever AND the source's file-listing per trigger degrades — the
+    retention knob is a scale requirement, not housekeeping.
     """
     merger = merger or RealtimeMerger(lake)
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="gtfsrt_ckpt_")
     os.makedirs(checkpoint, exist_ok=True)
-    lines = spark.readStream.format("text").load(spool_dir)
+    reader = spark.readStream.format("text")
+    if clean_source:
+        reader = reader.option("cleanSource", clean_source)
+    lines = reader.load(spool_dir)
     writer = (
         lines.writeStream.foreachBatch(merger.process_batch)
         .option("checkpointLocation", checkpoint)

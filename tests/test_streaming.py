@@ -226,3 +226,43 @@ def test_stateful_latest_per_key_stream(spark, tmp_path):
     assert state["k1"] == ("v1@t2", 200)  # newest wins, stale update ignored
     assert state["k2"] == ("v2@t1", 150)
     assert state["k3"] == ("v3", 10)
+
+
+def test_spool_clean_source_deletes_processed_files(spark, lake, tmp_path):
+    """Spool retention: processed spool files are deleted by the file
+    source's cleaner, so a long-running ingest doesn't accumulate files."""
+    import os
+    import time as _t
+
+    spool = str(tmp_path / "spool")
+    first = spool_write_json(spool, [trip_update("tu1")])
+    first_name = os.path.basename(first)
+
+    # a counting merger isolates the janitor from merge latency (the file
+    # source cleans a completed file when it constructs the NEXT batch)
+    class CountingMerger:
+        batches = 0
+
+        def process_batch(self, df, batch_id=None):
+            df.count()
+            CountingMerger.batches += 1
+
+    q = run_spool_stream(
+        spark, lake, spool,
+        merger=CountingMerger(),
+        processing_interval="1 second",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        clean_source="delete",
+    )
+    try:
+        deadline = _t.time() + 60
+        while _t.time() < deadline and CountingMerger.batches == 0:
+            _t.sleep(0.5)
+        assert CountingMerger.batches > 0, "first batch never ran"
+        spool_write_json(spool, [trip_update("tu2")])
+        deadline = _t.time() + 90
+        while _t.time() < deadline and first_name in os.listdir(spool):
+            _t.sleep(0.5)
+        assert first_name not in os.listdir(spool), "processed spool file not cleaned"
+    finally:
+        q.stop()
