@@ -170,6 +170,16 @@ def cmd_realtime(args) -> None:
         spooler.start()
         print(f"subscribed to mqtt://{mqtt_cfg['host']}:{mqtt_cfg.get('port', 1883)}")
 
+    http_server = None
+    if getattr(args, "http_port", None) is not None:
+        from py_gtfs_duckdb_spark.serving_http import RealtimeHttpServer
+
+        http_server = RealtimeHttpServer(
+            lake, config=cfg, host="0.0.0.0", port=args.http_port
+        )
+        http_server.start()
+        print(f"serving realtime endpoints on :{http_server.port}")
+
     def matcher(parents, stus):
         return match_trip_updates(
             parents, stus, lake.table("trips"), lake.table("stop_times"),
@@ -192,6 +202,8 @@ def cmd_realtime(args) -> None:
     finally:
         if spooler is not None:
             spooler.stop()
+        if http_server is not None:
+            http_server.stop()
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -241,6 +253,12 @@ def main(argv: list[str] | None = None) -> int:
     sp = cmd("realtime", cmd_realtime, help="run the realtime merge from a spool dir")
     sp.add_argument("--spool", required=True)
     sp.add_argument("--config", "-c", default=None)
+    sp.add_argument(
+        "--http-port",
+        type=int,
+        default=None,
+        help="serve the pbf/json/rss/monitor endpoints on this port",
+    )
 
     args = p.parse_args(argv)
     args.fn(args)
