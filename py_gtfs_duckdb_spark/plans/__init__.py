@@ -109,6 +109,7 @@ _PRIORITY = [
     # multimodal plumbing (oracle-checkable tier)
     "q_multimodal_bytes",
     # --- tail: operator variants already evidenced above ---
+    "q_dedup_clusters",
     "q_agg_collect_list_salted",
     "q_topk_per_group",
     "q_agg_count_distinct",

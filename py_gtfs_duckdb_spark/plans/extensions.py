@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from py_gtfs_duckdb_spark.operators import dedup as D
+from py_gtfs_duckdb_spark.operators import graph as G
 from py_gtfs_duckdb_spark.operators import multimodal as M
 from py_gtfs_duckdb_spark.operators import similarity as S
 from py_gtfs_duckdb_spark.operators import text as X
@@ -137,6 +138,40 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shingle→minhash→band→bucket-join; see operators/dedup.py)."""
     d = t(spark, sf_dir, "documents")
     return D.minhash_lsh_dedup(d, "text", "doc_id", k=3, threshold=0.7)
+
+
+@query(
+    "q_dedup_clusters",
+    # Transitive closure of the near-dup pairs: cluster = min reachable
+    # doc id. The oracle runs the SAME pairs SQL, then a recursive CTE for
+    # reachability — an end-to-end check of the iterative Spark algorithm.
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    und AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM und) nodes
+        UNION
+        SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u
+    )
+    SELECT CAST(u AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair → cluster resolution: connected components over the MinHash
+    near-dup pairs (operators/graph.py min-label propagation); cluster id =
+    the canonical (minimum) doc id, i.e. the representative a dedup
+    pipeline keeps."""
+    d = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(d, "text", "doc_id", k=3, threshold=0.7)
+    cc = G.connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
 
 
 def _ngram_jaccard_oracle_sql(threshold: float = 0.7) -> str:
