@@ -218,6 +218,16 @@ class GtfsLake:
             for r in changed_keys.select(bucket.alias("b")).distinct().collect()
             if r["b"] is not None
         )
+        if (
+            manifest is not None
+            and manifest.get("n_buckets") == n_buckets
+            and not changed_buckets
+        ):
+            # nothing keyed changed and fresh keys are a subset of
+            # changed_keys by the merge contract — skip the write jobs
+            # entirely (a batch with only one entity family must not pay
+            # version bumps for the other five tables)
+            return
         if manifest is None or manifest.get("n_buckets") != n_buckets:
             # migration: the whole current table rewrites once into buckets
             base = self.table(table)

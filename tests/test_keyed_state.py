@@ -109,3 +109,16 @@ def test_vacuum_keeps_live_keyed_versions(spark, tmp_path):
         if e.startswith("v=")
     }
     assert live <= on_disk
+
+
+def test_empty_merge_is_a_noop(spark, tmp_path):
+    """A merge with no changed keys must not bump versions or run write
+    jobs (one-family batches shouldn't rewrite the other five tables)."""
+    lake = _mk_lake(spark, tmp_path)
+    t = "realtime_vehicle_positions"
+    ids = ["a", "b"]
+    lake.merge_keyed(t, _vp_rows(spark, ids), _keys(spark, ids), key="vehicle_position_id", n_buckets=N_BUCKETS)
+    before = lake.keyed_manifest(t)
+    lake.merge_keyed(t, _vp_rows(spark, []), _keys(spark, []), key="vehicle_position_id", n_buckets=N_BUCKETS)
+    assert lake.keyed_manifest(t) == before
+    assert lake.table(t).count() == 2
