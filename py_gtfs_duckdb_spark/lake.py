@@ -128,14 +128,18 @@ class GtfsLake:
         v = self._next_version(table)
         out = os.path.join(self._tdir(table), f"v={v}")
         df.write.mode("overwrite").parquet(out)
-        # a full overwrite supersedes any keyed-state layout: drop the
-        # bucket manifest so the plain pointer is authoritative again
-        if os.path.exists(self._manifest_path(table)):
-            os.remove(self._manifest_path(table))
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(str(v))
         os.replace(tmp, self._pointer(table))  # atomic on POSIX
+        # a full overwrite supersedes any keyed-state layout: drop the
+        # bucket manifest so the plain pointer is authoritative again.
+        # Order matters for readers — table() prefers the manifest, so
+        # removing it only AFTER the pointer swap means a concurrent
+        # reader sees either the old keyed state or the new version,
+        # never an empty table.
+        if os.path.exists(self._manifest_path(table)):
+            os.remove(self._manifest_path(table))
 
     def _next_version(self, table: str) -> int:
         """Next unused version number across BOTH layouts (plain pointer
