@@ -265,6 +265,20 @@ _VARINT_TYPES = {"int32", "int64", "uint32", "uint64", "bool"}
 # --------------------------------------------------------------------------
 
 
+def _expected_wire_type(ftype) -> int:
+    if isinstance(ftype, tuple):
+        return _WT_VARINT if ftype[0] == "enum" else _WT_BYTES
+    if ftype in _VARINT_TYPES:
+        return _WT_VARINT
+    if ftype == "string":
+        return _WT_BYTES
+    if ftype == "float":
+        return _WT_FIXED32
+    if ftype == "double":
+        return _WT_FIXED64
+    raise ValueError(f"unhandled field type {ftype!r}")
+
+
 def _decode_scalar(ftype, wire_type: int, payload):
     if isinstance(ftype, tuple) and ftype[0] == "enum":
         names = {num: name for name, num in ftype[1].items()}
@@ -310,6 +324,13 @@ def decode(data: bytes, message: str = "FeedMessage") -> dict:
         if spec is None:
             continue  # unknown field: skip (forward compatibility)
         name, ftype, repeated = spec
+        expected_wt = _expected_wire_type(ftype)
+        if wire_type != expected_wt:
+            # a KNOWN field on the wrong wire type is a malformed message,
+            # not a forward-compat skip (the real bindings reject it too)
+            raise ValueError(
+                f"{message}.{name}: wire type {wire_type}, expected {expected_wt}"
+            )
         if isinstance(ftype, tuple) and ftype[0] == "msg":
             value = decode(raw, ftype[1])
         else:

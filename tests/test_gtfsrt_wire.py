@@ -234,3 +234,12 @@ def test_bytes_to_spool_to_merge_to_serve_roundtrip(spark, tmp_path):
     assert veh["vehicle"]["id"] == "bus-7"
     assert veh["position"]["latitude"] == pytest.approx(48.78, abs=1e-5)
     assert veh["current_status"] == "IN_TRANSIT_TO"
+
+
+def test_wire_type_mismatch_rejected():
+    """A KNOWN field on the wrong wire type is a malformed message (the
+    real bindings reject it), unlike unknown fields which skip."""
+    # FeedEntity.id (field 1) is a string (wire type 2); send it as varint
+    bad = b"\x08\x2a"  # tag=(1<<3)|0, value 42
+    with pytest.raises(ValueError, match="wire type"):
+        gtfsrt_wire.decode(bad, "FeedEntity")
