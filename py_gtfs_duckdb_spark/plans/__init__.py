@@ -110,6 +110,7 @@ _PRIORITY = [
     "q_multimodal_bytes",
     # --- tail: operator variants already evidenced above ---
     "q_dedup_clusters",
+    "q_text_top_tokens",
     "q_agg_collect_list_salted",
     "q_topk_per_group",
     "q_agg_count_distinct",

@@ -304,6 +304,39 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_top_tokens",
+    oracle=r"""
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    )
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 100
+    """,
+)
+def q_text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy-hitters: top-100 lowercase tokens by
+    frequency (tie-break token asc, deterministic LIMIT). Scale shape:
+    explode is narrow, the count groupBy partial-aggregates map-side, and
+    only per-partition token partials reach the shuffle — the standard
+    vocab-stats pass of a training-data pipeline."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(100)
+    )
+
+
+@query(
     "q_text_stats",
     oracle=r"""
     SELECT doc_id,
