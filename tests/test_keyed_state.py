@@ -122,3 +122,64 @@ def test_empty_merge_is_a_noop(spark, tmp_path):
     lake.merge_keyed(t, _vp_rows(spark, []), _keys(spark, []), key="vehicle_position_id", n_buckets=N_BUCKETS)
     assert lake.keyed_manifest(t) == before
     assert lake.table(t).count() == 2
+
+
+def test_randomized_ops_match_dict_model(spark, tmp_path):
+    """Model-based check: random interleavings of keyed merges, tombstone
+    deletes, and TTL expiry must leave exactly the state a plain
+    dict-of-rows model predicts."""
+    import random
+
+    t = "realtime_vehicle_positions"
+    base_ts = 1_700_000_000.0
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        lake = GtfsLake(spark, str(tmp_path / f"lake{seed}"))
+        model: dict[str, float] = {}  # id -> last stamp
+        now = base_ts
+        for step in range(10):
+            now += rng.uniform(10, 500)
+            op = rng.choice(["upsert", "tombstone", "expire", "mixed"])
+            if op in ("upsert", "mixed"):
+                ids = [f"k{rng.randrange(12)}" for _ in range(rng.randrange(1, 5))]
+                ids = sorted(set(ids))
+                dead = (
+                    sorted({f"k{rng.randrange(12)}" for _ in range(rng.randrange(0, 3))} - set(ids))
+                    if op == "mixed"
+                    else []
+                )
+                lake.merge_keyed(
+                    t,
+                    _vp_rows(spark, ids, ts=now),
+                    _keys(spark, ids + dead),
+                    key="vehicle_position_id",
+                    n_buckets=N_BUCKETS,
+                )
+                for i in ids:
+                    # _vp_rows stamps at whole-second granularity
+                    model[i] = float(int(now))
+                for i in dead:
+                    model.pop(i, None)
+            elif op == "tombstone":
+                dead = sorted({f"k{rng.randrange(12)}" for _ in range(rng.randrange(1, 4))})
+                lake.merge_keyed(
+                    t,
+                    _vp_rows(spark, [], ts=now),
+                    _keys(spark, dead),
+                    key="vehicle_position_id",
+                    n_buckets=N_BUCKETS,
+                )
+                for i in dead:
+                    model.pop(i, None)
+            else:  # expire
+                cutoff = now - rng.uniform(50, 800)
+                lake.expire_keyed(t, cutoff_epoch=cutoff)
+                model = {i: ts for i, ts in model.items() if ts > cutoff}
+            got = {
+                r["vehicle_position_id"]
+                for r in lake.table(t).collect()
+            }
+            assert got == set(model), (
+                f"seed {seed} step {step} op {op}: lake={sorted(got)} "
+                f"model={sorted(model)}"
+            )
