@@ -136,9 +136,8 @@ def cmd_realtime(args) -> None:
     """≙ ``realtime`` (__main__.py:110-119): start the spool-driven
     Structured Streaming merge, with the vendored MQTT subscriber feeding
     the spool when the config names a broker (mqtt.host +
-    mqtt.subscriptions — realtime.py:149-199); the HTTP edge needs
-    fastapi/uvicorn (absent here), so this serves the snapshot files
-    instead."""
+    mqtt.subscriptions — realtime.py:149-199), and the stdlib HTTP edge
+    (serving_http.py) when ``--http-port`` is given."""
     from py_gtfs_duckdb_spark.config import load_config
     from py_gtfs_duckdb_spark.streaming import (
         RealtimeMerger,

@@ -12,27 +12,36 @@ immutable) is the shared cache layer and this only saves re-rendering.
 
 from __future__ import annotations
 
+import threading
 import time
 from collections.abc import Callable
 
 
 class ResponseCache:
+    """Thread-safe: the HTTP edge calls this from ThreadingHTTPServer
+    handler threads, so expiry of the same key may race — the lock keeps
+    the dict consistent (concurrent renders of an expired key are allowed,
+    same as the reference's memcached pattern)."""
+
     def __init__(self, clock: Callable[[], float] = time.monotonic):
         self._clock = clock
         self._store: dict[str, tuple[float, object]] = {}
+        self._lock = threading.Lock()
 
     def get(self, key: str):
-        hit = self._store.get(key)
-        if hit is None:
-            return None
-        expires, value = hit
-        if self._clock() >= expires:
-            del self._store[key]
-            return None
-        return value
+        with self._lock:
+            hit = self._store.get(key)
+            if hit is None:
+                return None
+            expires, value = hit
+            if self._clock() >= expires:
+                self._store.pop(key, None)
+                return None
+            return value
 
     def set(self, key: str, value, ttl_seconds: float) -> None:
-        self._store[key] = (self._clock() + ttl_seconds, value)
+        with self._lock:
+            self._store[key] = (self._clock() + ttl_seconds, value)
 
     def get_or_render(self, key: str, ttl_seconds: float, render: Callable[[], object]):
         """The reference's endpoint pattern (realtime.py:277-305): cached

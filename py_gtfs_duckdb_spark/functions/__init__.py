@@ -69,6 +69,30 @@ def salted_collect_list(
     )
 
 
+_WIDE_PLAN_NODES = {
+    "Aggregate",
+    "Join",
+    "Window",
+    "Sort",
+    "Repartition",
+    "RepartitionByExpression",
+    "Deduplicate",
+    "Intersect",
+    "Except",
+}
+
+
+def _plan_has_wide_op(jplan) -> bool:
+    """True if any logical-plan node class is a shuffle-introducing
+    operator (recursive walk over the py4j plan tree)."""
+    if jplan.getClass().getSimpleName() in _WIDE_PLAN_NODES:
+        return True
+    children = jplan.children()
+    return any(
+        _plan_has_wide_op(children.apply(i)) for i in range(children.size())
+    )
+
+
 def _parse_byte_conf(value: str) -> int:
     """Parse Spark byte-size conf strings ('134217728b', '128m', '1g')."""
     v = value.strip().lower()
@@ -104,15 +128,13 @@ def fan_out(df, min_ratio: float = 0.5):
         return df
     # inputFiles() sees through to leaf scans, so a derived frame whose
     # plan already shuffles (agg/join/window/...) would re-shuffle here for
-    # nothing. Probe the analyzed logical plan (computed lazily once and
-    # cached by the session — no optimization or physical planning) and
-    # pass such frames through.
+    # nothing. Walk the analyzed logical plan's NODE CLASSES (computed
+    # lazily once and cached by the session — no optimization or physical
+    # planning) and pass such frames through. Exact class names, not a
+    # rendered-string search: a file path like /data/Sorted/ or a column
+    # alias WindowStart must not disable the guard.
     try:
-        plan = df._jdf.queryExecution().analyzed().toString()
-        if any(
-            op in plan
-            for op in ("Aggregate", "Join", "Window", "Repartition", "Sort", "Deduplicate")
-        ):
+        if _plan_has_wide_op(df._jdf.queryExecution().analyzed()):
             return df
     except Exception:
         pass  # non-classic backends: fall through to the file heuristic

@@ -30,14 +30,6 @@ from py_gtfs_duckdb_spark.operators.mutation import delete_not_in, upsert
 from py_gtfs_duckdb_spark.schemas import ALL_SCHEMAS, PRIMARY_KEYS
 
 
-def buckets_to_forget(buckets: dict, touched, new_meta: dict) -> list[str]:
-    """Manifest entries superseded by a keyed write: the buckets it set out
-    to rewrite (they may now be empty), or every old bucket on migration."""
-    if touched is None:
-        return list(buckets)
-    return [str(b) for b in touched]
-
-
 class GtfsLake:
     """One lake root ≙ one GtfsDuckDB database file (ddb.py:20)."""
 
@@ -259,7 +251,9 @@ class GtfsLake:
         # just-written files: small — changed buckets only)
         new_meta = self._bucket_stats(out_dir, stamp_col)
         buckets = {} if manifest is None else dict(manifest["buckets"])
-        for b in buckets_to_forget(buckets, touched, new_meta):
+        # forget the buckets this write set out to rewrite (they may now be
+        # empty); a migration (touched None) supersedes every old bucket
+        for b in list(buckets) if touched is None else [str(b) for b in touched]:
             buckets.pop(b, None)
         buckets.update(new_meta)
         self._write_manifest(
@@ -280,9 +274,12 @@ class GtfsLake:
             *(os.path.join(version_dir, f"__bucket={b}") for b in present)
         )
         if stamp_col in df.columns:
+            # cast-to-double keeps sub-second precision (unix_timestamp
+            # truncates; a truncated min would still be CONSERVATIVE for
+            # expiry — more rewrites, never missed rows — but exact is free)
             rows = (
                 df.groupBy("__bucket")
-                .agg(F.min(F.unix_timestamp(F.col(stamp_col))).alias("m"))
+                .agg(F.min(F.col(stamp_col).cast("double")).alias("m"))
                 .collect()
             )
             mins = {str(r["__bucket"]): r["m"] for r in rows}
@@ -311,7 +308,9 @@ class GtfsLake:
             return
         v = self._next_version(table)
         df = self.spark.read.parquet(*self._keyed_paths(table, manifest, stale))
-        kept = df.where(F.unix_timestamp(F.col(stamp_col)) > F.lit(cutoff_epoch))
+        kept = df.where(
+            F.col(stamp_col) > F.timestamp_seconds(F.lit(cutoff_epoch))
+        )
         bucket = self._bucket_expr(manifest["key"], manifest["n_buckets"])
         out_dir = os.path.join(self._tdir(table), f"v={v}")
         kept.withColumn("__bucket", bucket).write.mode("overwrite").partitionBy(

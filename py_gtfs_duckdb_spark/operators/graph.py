@@ -32,11 +32,10 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """(id, component) for every node in ``edges``; component = min node id
-    reachable. Nodes without edges don't appear (callers decide whether
-    singletons form their own clusters)."""
-    e = edges.select(
-        F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v")
-    )
+    reachable (ids keep their native orderable type — numeric or string).
+    Nodes without edges don't appear (callers decide whether singletons
+    form their own clusters)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()

@@ -313,11 +313,20 @@ def decode(data: bytes, message: str = "FeedMessage") -> dict:
             raw, pos = _read_varint(data, pos)
         elif wire_type == _WT_FIXED64:
             raw, pos = data[pos : pos + 8], pos + 8
+            if len(raw) != 8:
+                raise ValueError("truncated fixed64 field")
         elif wire_type == _WT_FIXED32:
             raw, pos = data[pos : pos + 4], pos + 4
+            if len(raw) != 4:
+                raise ValueError("truncated fixed32 field")
         elif wire_type == _WT_BYTES:
             size, pos = _read_varint(data, pos)
             raw, pos = data[pos : pos + size], pos + size
+            if len(raw) != size:
+                # a silently-shortened slice would decode to corrupt
+                # partial values (e.g. a cut-off trip_id); the real
+                # bindings raise on truncation and so do we
+                raise ValueError("truncated length-delimited field")
         else:
             raise ValueError(f"unsupported wire type {wire_type}")
         spec = schema.get(field_no)

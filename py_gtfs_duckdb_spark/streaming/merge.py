@@ -99,11 +99,13 @@ class RealtimeMerger:
                 self.lake.expire_keyed(table, cutoff_epoch)
                 continue
             df = self.lake.table(table)
+            # timestamp_seconds keeps sub-second precision — unix_timestamp
+            # truncates and would expire rows up to 1 s fresher than cutoff
             self.lake.write(
                 table,
                 df.where(
-                    F.unix_timestamp(F.col("last_updated_timestamp"))
-                    > F.lit(cutoff_epoch)
+                    F.col("last_updated_timestamp")
+                    > F.timestamp_seconds(F.lit(cutoff_epoch))
                 ),
                 dedup_pk=False,
             )

@@ -148,19 +148,23 @@ class MqttClient:
 
     # -- reader loop ---------------------------------------------------------
 
+    def _maybe_ping(self, last_ping: float) -> float:
+        """Keepalive counts CLIENT traffic only — incoming PUBLISHes don't
+        reset the broker's 1.5x-keepalive disconnect timer, so the ping
+        must fire on schedule even while messages stream in."""
+        if time.time() - last_ping > self.keepalive / 2:
+            self._send_packet(0xC0, b"")  # PINGREQ
+            return time.time()
+        return last_ping
+
     def _loop(self) -> None:
         assert self._sock is not None
         last_ping = time.time()
         while not self._stop.is_set():
             try:
+                last_ping = self._maybe_ping(last_ping)
                 first = _read_exact(self._sock, 1)[0]
             except socket.timeout:
-                if time.time() - last_ping > self.keepalive / 2:
-                    try:
-                        self._send_packet(0xC0, b"")  # PINGREQ
-                        last_ping = time.time()
-                    except OSError:
-                        return
                 continue
             except (ConnectionError, OSError):
                 return
@@ -171,16 +175,21 @@ class MqttClient:
                 return
             ptype = first >> 4
             if ptype == 3:  # PUBLISH
-                qos = (first >> 1) & 0x3
-                tlen = int.from_bytes(payload[:2], "big")
-                topic = payload[2 : 2 + tlen].decode("utf-8")
-                pos = 2 + tlen + (2 if qos else 0)  # skip packet id at QoS>0
-                body = payload[pos:]
-                if self.on_message is not None and (
-                    not self._subs
-                    or any(topic_matches(p, topic) for p in self._subs)
-                ):
-                    self.on_message(topic, body)
+                # a single malformed packet must not kill the reader
+                # thread (silent ingest death); skip it and keep reading
+                try:
+                    qos = (first >> 1) & 0x3
+                    tlen = int.from_bytes(payload[:2], "big")
+                    topic = payload[2 : 2 + tlen].decode("utf-8")
+                    pos = 2 + tlen + (2 if qos else 0)  # skip pkt id at QoS>0
+                    body = payload[pos:]
+                    if self.on_message is not None and (
+                        not self._subs
+                        or any(topic_matches(p, topic) for p in self._subs)
+                    ):
+                        self.on_message(topic, body)
+                except Exception:
+                    continue
             # SUBACK (9), PINGRESP (13), others: nothing to do at QoS 0
 
     def loop_start(self) -> None:

@@ -30,3 +30,14 @@ def test_long_chain_diameter(spark):
     got = _cc(spark, edges)
     assert set(got.values()) == {100}
     assert len(got) == 12
+
+
+def test_string_ids_supported(spark):
+    df = spark.createDataFrame(
+        [("doc_a", "doc_b"), ("doc_b", "doc_c"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {
+        "doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a", "x": "x", "y": "x",
+    }

@@ -243,3 +243,27 @@ def test_wire_type_mismatch_rejected():
     bad = b"\x08\x2a"  # tag=(1<<3)|0, value 42
     with pytest.raises(ValueError, match="wire type"):
         gtfsrt_wire.decode(bad, "FeedEntity")
+
+
+def test_truncated_messages_rejected():
+    """Truncation must raise, not silently decode partial values (a cut
+    trip_id merging into state would be corrupt data, not missing data)."""
+    full = gtfsrt_wire.encode(
+        _feed([{"id": "e1", "trip_update": {"trip": {"trip_id": "t1"}}}])
+    )
+    saw_value_error = 0
+    for cut in range(1, len(full)):
+        try:
+            gtfsrt_wire.decode(full[:cut])
+        except ValueError:
+            saw_value_error += 1
+        except Exception as exc:  # no other exception types allowed
+            raise AssertionError(f"cut={cut}: {type(exc).__name__}: {exc}")
+        else:
+            # a cut that lands exactly on a field boundary decodes the
+            # prefix — fine; it must simply never yield corrupt strings
+            decoded = gtfsrt_wire.decode(full[:cut])
+            for ent in decoded.get("entity", []):
+                tid = ent.get("trip_update", {}).get("trip", {}).get("trip_id")
+                assert tid in (None, "t1"), f"corrupt trip_id {tid!r} at cut {cut}"
+    assert saw_value_error > 0
