@@ -44,27 +44,25 @@ from py_gtfs_duckdb_spark.plans import extensions  # noqa: E402,F401
 from py_gtfs_duckdb_spark.plans import flagship  # noqa: E402,F401
 
 # Declared-battery priority order. The driver checks the battery in dict
-# order with a bounded budget (rounds 1-2 covered exactly the first 50
+# order with a bounded budget (rounds 1-3 covered exactly the first 50
 # names), so the first 50 slots carry the queries whose oracle evidence
-# matters most: the flagship path, one query per SURVEY §2 operator row,
-# and the extension pillars (dedup / text / similarity / multimodal).
-# Variants whose operator is already evidenced earlier (salted collect,
-# top-k, windows, pivot-complement, hash/json functions) and the
-# rows-only queries (no oracle possible) sit in the tail.
+# matters most. Round-4 rotation (VERDICT r3 Next #1): the 12 oracle-
+# bearing queries that sat past the 50-slot cap in round 3 (windows,
+# top-k, approx/count-distinct, salted collect, json/sha256, unpivot,
+# clusters, top-tokens) are rotated into the window this round so they
+# earn driver hash-parity evidence; 12 singletons that are already
+# driver-green in rounds 1+2+3 (q_scan_star, q_limit, q_agg_count, ...)
+# sit out for one round in the tail. Restore the canonical §2 order in
+# round 5. The true tail holds late-oracled / lower-priority variants
+# and the rows-only queries (no SQL-expressible oracle).
 _PRIORITY = [
     # flagship first — the reference's headline path (ddb.py:177-202)
     "q_flagship_nominal_trips",
-    # SURVEY §2 battery, one query per operator row
-    "q_scan_star",
-    "q_scan_csv_projection",
-    "q_sql_passthrough",
-    "q_project_cols",
+    # SURVEY §2 battery rows not yet triple-evidenced
     "q_project_derived",
     "q_filter_range",
-    "q_filter_eq",
     "q_filter_isin",
     "q_filter_first_stop",
-    "q_filter_like",
     "q_map_id_regex",
     "q_join_inner",
     "q_join_chain_left",
@@ -72,16 +70,10 @@ _PRIORITY = [
     "q_join_semi",
     "q_upsert_stops",
     "q_match_trip_candidates",
-    "q_agg_distinct",
     "q_agg_collect_list",
-    "q_agg_min",
-    "q_agg_count",
     "q_set_union_except",
     "q_sort_multikey",
-    "q_sort_concat",
     "q_sort_by_min_desc",
-    "q_limit",
-    "q_fn_dateformat",
     "q_fn_totimestamp",
     "q_fn_interval",
     "q_fn_epoch",
@@ -90,6 +82,19 @@ _PRIORITY = [
     "q_stream_dedup_latest",
     "q_ttl_retention",
     "q_pivot",
+    # rotated in this round (r3 tail; driver evidence wanted)
+    "q_window_tumbling",
+    "q_window_sliding",
+    "q_window_session",
+    "q_topk_per_group",
+    "q_agg_count_distinct",
+    "q_agg_approx_distinct",
+    "q_agg_collect_list_salted",
+    "q_fn_json",
+    "q_fn_sha256",
+    "q_unpivot",
+    "q_dedup_clusters",
+    "q_text_top_tokens",
     # extension pillars: dedup
     "q_dedup_exact",
     "q_dedup_bow",
@@ -108,19 +113,19 @@ _PRIORITY = [
     "q_embed_norm",
     # multimodal plumbing (oracle-checkable tier)
     "q_multimodal_bytes",
-    # --- tail: operator variants already evidenced above ---
-    "q_dedup_clusters",
-    "q_text_top_tokens",
-    "q_agg_collect_list_salted",
-    "q_topk_per_group",
-    "q_agg_count_distinct",
-    "q_agg_approx_distinct",
-    "q_fn_json",
-    "q_fn_sha256",
-    "q_window_tumbling",
-    "q_window_sliding",
-    "q_window_session",
-    "q_unpivot",
+    # --- sitting out for round 4: triple-green (r1+r2+r3) singletons ---
+    "q_scan_star",
+    "q_scan_csv_projection",
+    "q_sql_passthrough",
+    "q_project_cols",
+    "q_filter_eq",
+    "q_filter_like",
+    "q_agg_distinct",
+    "q_agg_min",
+    "q_agg_count",
+    "q_sort_concat",
+    "q_limit",
+    "q_fn_dateformat",
     # --- tail: rows-only queries (no SQL-expressible oracle) ---
     "q_dedup_simhash",
     "q_ann_lsh",
