@@ -90,25 +90,35 @@ class MqttClient:
         keepalive: int = 60,
         username: str | None = None,
         password: str | None = None,
+        reconnect_min: float = 0.5,
+        reconnect_max: float = 30.0,
     ):
         self.host, self.port = host, port
         self.client_id = client_id or f"pygtfs-{int(time.time() * 1000) & 0xFFFF}"
         self.keepalive = keepalive
         self.username, self.password = username, password
+        self.reconnect_min, self.reconnect_max = reconnect_min, reconnect_max
         self.on_message = None
+        self.reconnects = 0  # successful re-connections (observable in tests)
         self._sock: socket.socket | None = None
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
+        self._send_lock = threading.Lock()
         self._packet_id = 0
         self._subs: list[str] = []
 
     # -- packet send helpers -------------------------------------------------
 
     def _send_packet(self, first_byte: int, body: bytes) -> None:
-        assert self._sock is not None
-        self._sock.sendall(
-            bytes([first_byte]) + encode_remaining_length(len(body)) + body
-        )
+        # The reader thread (PINGREQ) and caller threads (subscribe/
+        # disconnect) share this socket; the lock keeps whole packets
+        # atomic so a keepalive ping can't interleave bytes mid-SUBSCRIBE.
+        sock = self._sock
+        if sock is None:
+            raise ConnectionError("MQTT not connected")
+        data = bytes([first_byte]) + encode_remaining_length(len(body)) + body
+        with self._send_lock:
+            sock.sendall(data)
 
     def connect(self, timeout: float = 10.0) -> None:
         self._sock = socket.create_connection((self.host, self.port), timeout=timeout)
@@ -138,13 +148,17 @@ class MqttClient:
         self._sock.settimeout(max(1.0, self.keepalive / 2))
 
     def subscribe(self, topics: list[str]) -> None:
+        # Record first so a reconnect racing this call still re-subscribes.
+        self._subs.extend(t for t in topics if t not in self._subs)
+        self._send_subscribe(topics)
+        # SUBACK arrives on the reader loop (or here if not started yet)
+
+    def _send_subscribe(self, topics: list[str]) -> None:
         self._packet_id += 1
         body = self._packet_id.to_bytes(2, "big") + b"".join(
             _utf8_field(t) + b"\x00" for t in topics  # QoS 0
         )
         self._send_packet(0x82, body)
-        self._subs.extend(topics)
-        # SUBACK arrives on the reader loop (or here if not started yet)
 
     # -- reader loop ---------------------------------------------------------
 
@@ -157,26 +171,32 @@ class MqttClient:
             return time.time()
         return last_ping
 
-    def _loop(self) -> None:
-        assert self._sock is not None
+    def _read_connection(self) -> None:
+        """Read packets on the current socket until it dies.
+
+        Raises on any connection-fatal condition: broken pipe, broker
+        close, a malformed remaining-length (stream desync), or a
+        ``socket.timeout`` raised MID-packet — a half-received packet means
+        the stream is no longer framable, unlike a timeout while idle
+        waiting for the next packet's first byte, which is the normal
+        keepalive heartbeat path.
+        """
+        sock = self._sock
+        if sock is None:
+            raise ConnectionError("MQTT not connected")
         last_ping = time.time()
         while not self._stop.is_set():
+            last_ping = self._maybe_ping(last_ping)
             try:
-                last_ping = self._maybe_ping(last_ping)
-                first = _read_exact(self._sock, 1)[0]
+                first = _read_exact(sock, 1)[0]
             except socket.timeout:
-                continue
-            except (ConnectionError, OSError):
-                return
-            try:
-                length = _read_remaining_length(self._sock)
-                payload = _read_exact(self._sock, length)
-            except (ConnectionError, OSError, ValueError):
-                return
+                continue  # idle between packets: keep pinging
+            length = _read_remaining_length(sock)
+            payload = _read_exact(sock, length)
             ptype = first >> 4
             if ptype == 3:  # PUBLISH
-                # a single malformed packet must not kill the reader
-                # thread (silent ingest death); skip it and keep reading
+                # a single malformed packet must not kill the connection;
+                # skip it and keep reading
                 try:
                     qos = (first >> 1) & 0x3
                     tlen = int.from_bytes(payload[:2], "big")
@@ -192,6 +212,44 @@ class MqttClient:
                     continue
             # SUBACK (9), PINGRESP (13), others: nothing to do at QoS 0
 
+    def _loop(self) -> None:
+        """Reader thread: read until the connection dies, then reconnect
+        with exponential backoff and re-subscribe — the paho
+        ``loop_start`` auto-reconnect posture the reference relies on for
+        long-running ingest (realtime.py:149-199). A transient broker
+        hiccup therefore degrades to a gap in the differential feed (QoS-0
+        at-most-once, refreshed seconds later) instead of silently killing
+        ingest for good."""
+        while not self._stop.is_set():
+            try:
+                self._read_connection()
+            except (ConnectionError, OSError, ValueError):
+                pass
+            if self._stop.is_set():
+                return
+            self._close_sock()
+            backoff = self.reconnect_min
+            while not self._stop.is_set():
+                if self._stop.wait(backoff):
+                    return
+                backoff = min(backoff * 2, self.reconnect_max)
+                try:
+                    self.connect()
+                    if self._subs:
+                        self._send_subscribe(list(self._subs))
+                    self.reconnects += 1
+                    break
+                except (ConnectionError, OSError):
+                    self._close_sock()
+
+    def _close_sock(self) -> None:
+        sock, self._sock = self._sock, None
+        if sock is not None:
+            try:
+                sock.close()
+            except OSError:
+                pass
+
     def loop_start(self) -> None:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -202,10 +260,12 @@ class MqttClient:
             self._thread.join(timeout)
 
     def disconnect(self) -> None:
+        # Deliberate teardown: stop the reader first so it doesn't treat
+        # the closing socket as a failure and start reconnecting.
+        self._stop.set()
         if self._sock is not None:
             try:
                 self._send_packet(0xE0, b"")  # DISCONNECT
-                self._sock.close()
             except OSError:
                 pass
-            self._sock = None
+            self._close_sock()

@@ -165,6 +165,117 @@ def test_mqtt_spooler_end_to_end(tmp_path):
     assert msg["entity"]["trip_update"]["stop_time_update"][0]["arrival"]["delay"] == 42
 
 
+class FlakyBroker(threading.Thread):
+    """Two-connection broker: conn 1 publishes ``first`` then dies (either
+    an abrupt close or a mid-packet stall, per ``mode``); conn 2 expects a
+    fresh CONNECT + re-SUBSCRIBE and publishes ``second``."""
+
+    def __init__(self, first, second, mode="close"):
+        super().__init__(daemon=True)
+        self.first, self.second, self.mode = first, second, mode
+        self.server = socket.create_server(("127.0.0.1", 0))
+        self.port = self.server.getsockname()[1]
+        self.resubscribed = threading.Event()
+
+    def _handshake(self, conn):
+        first = conn.recv(1)
+        assert first and first[0] == 0x10  # CONNECT
+        length = conn.recv(1)[0]  # small packet: 1-byte remaining length
+        conn.recv(length)
+        conn.sendall(b"\x20\x02\x00\x00")  # CONNACK
+        ptype = conn.recv(1)
+        assert ptype and ptype[0] == 0x82  # SUBSCRIBE
+        length = conn.recv(1)[0]
+        body = conn.recv(length)
+        conn.sendall(b"\x90\x03" + body[:2] + b"\x00")  # SUBACK
+
+    def _publish(self, conn, topic, payload):
+        t = topic.encode()
+        body = len(t).to_bytes(2, "big") + t + payload
+        conn.sendall(b"\x30" + encode_remaining_length(len(body)) + body)
+
+    def run(self):
+        conn, _ = self.server.accept()
+        self._handshake(conn)
+        self._publish(conn, *self.first)
+        if self.mode == "stall":
+            # start a PUBLISH packet but never finish it: the client's
+            # read timeout fires MID-packet, which must be treated as
+            # connection-fatal (reconnect), not as thread death
+            conn.sendall(b"\x30")
+            time.sleep(3.0)
+        conn.close()
+        conn, _ = self.server.accept()
+        self._handshake(conn)
+        self.resubscribed.set()
+        self._publish(conn, *self.second)
+        time.sleep(0.5)
+        conn.close()
+        self.server.close()
+
+
+@pytest.mark.parametrize("mode", ["close", "stall"])
+def test_mqtt_reconnects_after_connection_loss(mode):
+    broker = FlakyBroker(
+        ("gtfsrt/de/trips", b"m1"), ("gtfsrt/de/trips", b"m2"), mode=mode
+    )
+    broker.start()
+    got = []
+    client = MqttClient(
+        "127.0.0.1", broker.port, keepalive=2, reconnect_min=0.1, reconnect_max=0.5
+    )
+    client.on_message = lambda topic, payload: got.append(payload)
+    client.connect()
+    client.subscribe(["gtfsrt/#"])
+    client.loop_start()
+    deadline = time.time() + 15
+    while len(got) < 2 and time.time() < deadline:
+        time.sleep(0.05)
+    client.loop_stop()
+    client.disconnect()
+    assert got == [b"m1", b"m2"], "message received on both sides of the drop"
+    assert broker.resubscribed.is_set(), "client re-SUBSCRIBEd after reconnect"
+    assert client.reconnects == 1
+
+
+def test_mqtt_send_packet_is_serialized():
+    """Concurrent sends (reader-thread PINGREQ vs caller-thread SUBSCRIBE)
+    never interleave bytes on the wire. The fake socket writes one byte at
+    a time with scheduler yields, so without the send lock the two packet
+    types would shuffle together."""
+    wire = bytearray()
+
+    class Sock:
+        def sendall(self, data):
+            for b in data:
+                wire.append(b)
+                time.sleep(0.0002)
+
+    client = MqttClient("x", 1)
+    client._sock = Sock()
+    threads = [
+        threading.Thread(target=client._send_packet, args=(0xC0, b""))
+        for _ in range(8)
+    ] + [
+        threading.Thread(target=client._send_packet, args=(0x82, b"\x00\x01ab"))
+        for _ in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # the byte stream must parse back into exactly the 16 packets sent
+    seen, pos = [], 0
+    while pos < len(wire):
+        first = wire[pos]
+        length = wire[pos + 1]  # all test packets have 1-byte lengths
+        seen.append(bytes(wire[pos : pos + 2 + length]))
+        pos += 2 + length
+    assert sorted(seen) == sorted(
+        [b"\xc0\x00"] * 8 + [b"\x82\x04\x00\x01ab"] * 8
+    ), "each packet is contiguous on the wire"
+
+
 def test_mqtt_connect_carries_auth():
     """CONNECT with username/password sets flags 0x80|0x40 and appends the
     credential fields after the client id. Parses the CONNECT packet the
