@@ -3,17 +3,26 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+ "samples": {...}, "iqr": {...}, "n_samples": N}
 
-value = total wall-clock seconds across the headline set (excluding Spark
+value = sum of per-query medians across the headline set (excluding Spark
 session startup — that cost is amortized away on a long-lived cluster).
-Each query is forced with a count()-style action over its full result.
+
+Variance design (VERDICT r3 "What's wrong" #1: median-of-3 cannot support
+a 2x gate in a +-50%-noise sandbox): one uncounted warmup pass over the
+whole set, then N_SAMPLES measured passes taken ROUND-ROBIN (pass 1 runs
+every query once, then pass 2, ...) so ambient load drift spreads across
+all queries instead of correlating with whichever query was running when
+the sandbox got busy. Per-query medians + IQRs + raw sample arrays are all
+persisted so a future round can distinguish noise from regression.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -42,13 +51,15 @@ HEADLINE = [
     "q_ann_ivf",
 ]
 
+N_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "8"))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from py_gtfs_duckdb_spark.plans import QUERIES
-    from py_gtfs_duckdb_spark.session import get_spark
+    from py_gtfs_duckdb_spark.session import get_spark, load_tables
 
     spark = get_spark("bench")
 
@@ -56,28 +67,43 @@ def main() -> None:
     # long-lived clusters pay footer reads/class-loading once, not per
     # query, so steady-state is the honest per-query figure.
     spark.range(1000).count()
-    from py_gtfs_duckdb_spark.session import load_tables
-
     for df in load_tables(spark, sf_dir, register_views=False).values():
         df.count()
 
+    def run_once(name: str) -> tuple[float, int]:
+        start = time.perf_counter()
+        n = QUERIES[name](spark, sf_dir).count()
+        elapsed = time.perf_counter() - start
+        spark.catalog.clearCache()  # operators may persist() internally
+        return elapsed, n
+
+    # Warmup pass: per-query-shape codegen/compile happens once on a
+    # long-lived cluster, so the first shot of each shape is not
+    # steady-state and is discarded.
+    rowcounts: dict[str, int] = {}
+    for name in HEADLINE:
+        _, rowcounts[name] = run_once(name)
+
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(N_SAMPLES):
+        for name in HEADLINE:
+            elapsed, _ = run_once(name)
+            samples[name].append(elapsed)
+
     timings: dict[str, float] = {}
+    iqr: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        fn = QUERIES[name]
-        # Median of 3 runs: steady-state throughput (per-query-shape
-        # codegen/compile happens once on a long-lived cluster, and this
-        # machine's background load adds ±50% noise to single shots).
-        runs = []
-        for _ in range(3):
-            start = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - start)
-            spark.catalog.clearCache()  # operators may persist() internally
-        elapsed = sorted(runs)[1]
-        timings[name] = round(elapsed, 3)
-        total += elapsed
-        print(f"# {name}: {elapsed:.3f}s median of {[round(r, 3) for r in runs]} ({n} rows)", file=sys.stderr)
+        med = statistics.median(samples[name])
+        q1, q3 = statistics.quantiles(samples[name], n=4)[0], statistics.quantiles(samples[name], n=4)[2]
+        timings[name] = round(med, 3)
+        iqr[name] = round(q3 - q1, 3)
+        total += med
+        print(
+            f"# {name}: {med:.3f}s median, IQR {q3 - q1:.3f}s over "
+            f"{[round(r, 3) for r in samples[name]]} ({rowcounts[name]} rows)",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -87,6 +113,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_samples": N_SAMPLES,
+                "iqr": iqr,
+                "samples": {k: [round(v, 4) for v in vs] for k, vs in samples.items()},
             }
         )
     )
