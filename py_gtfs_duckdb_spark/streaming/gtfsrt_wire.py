@@ -22,9 +22,11 @@ v2.0). This module implements both directly:
 
 Round-trip parity with the real bindings holds because proto2 decoding
 is defined field-by-field: unknown fields are skipped (forward
-compatible with newer GTFS-RT additions), absent optional fields stay
+compatible with newer GTFS-RT additions — including deprecated
+group-typed fields, wire types 3/4), absent optional fields stay
 absent (explicit presence), repeated fields accumulate in arrival
-order, and the last value wins for duplicated scalar fields.
+order, the last value wins for duplicated scalar fields, and duplicated
+non-repeated embedded messages merge field-by-field (``MergeFrom``).
 
 Reference behavior reproduced: ``adapter/gtfsrt.py:28-29``
 (``FeedMessage.ParseFromString``) and ``realtime.py:726-737`` (feed
@@ -300,6 +302,59 @@ def _decode_scalar(ftype, wire_type: int, payload):
     raise ValueError(f"unhandled field type {ftype!r}")
 
 
+_WT_SGROUP = 3  # proto2 group start (deprecated; never in GTFS-RT)
+_WT_EGROUP = 4  # proto2 group end
+
+
+def _skip_group(data: bytes, pos: int, field_no: int) -> int:
+    """Skip a (deprecated) proto2 group field: consume until the matching
+    end-group tag. GTFS-RT defines no group fields, so any group is by
+    definition an unknown field; the real bindings skip it as unknown
+    rather than rejecting the message, and so do we. Nested groups recurse.
+    """
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated group field")
+        tag, pos = _read_varint(data, pos)
+        inner_no, wire_type = tag >> 3, tag & 0x7
+        if wire_type == _WT_EGROUP:
+            if inner_no != field_no:
+                raise ValueError("mismatched end-group tag")
+            return pos
+        if wire_type == _WT_VARINT:
+            _, pos = _read_varint(data, pos)
+        elif wire_type == _WT_FIXED64:
+            pos += 8
+        elif wire_type == _WT_FIXED32:
+            pos += 4
+        elif wire_type == _WT_BYTES:
+            size, pos = _read_varint(data, pos)
+            pos += size
+        elif wire_type == _WT_SGROUP:
+            pos = _skip_group(data, pos, inner_no)
+        else:
+            raise ValueError(f"unsupported wire type {wire_type} in group")
+        if pos > len(data):
+            raise ValueError("truncated group field")
+
+
+def _merge_decoded(old, new):
+    """Proto2 duplicate-field semantics for a non-repeated embedded
+    message: occurrences MERGE field-by-field (``MergeFrom``), they are
+    not replaced wholesale — singular scalars take the later value,
+    singular submessages merge recursively, repeated fields concatenate.
+    Decoded dicts mirror the schema (msg → dict, repeated → list), so a
+    shape-directed merge is exactly the schema-directed one."""
+    if isinstance(old, dict) and isinstance(new, dict):
+        merged = dict(old)
+        for key, value in new.items():
+            merged[key] = _merge_decoded(old[key], value) if key in old else value
+        return merged
+    if isinstance(old, list) and isinstance(new, list):
+        return old + new
+    return new
+
+
 def decode(data: bytes, message: str = "FeedMessage") -> dict:
     """Wire bytes → dict with snake_case keys and enum names (the
     ``MessageToDict(preserving_proto_field_name=True)`` shape)."""
@@ -309,6 +364,11 @@ def decode(data: bytes, message: str = "FeedMessage") -> dict:
     while pos < len(data):
         tag, pos = _read_varint(data, pos)
         field_no, wire_type = tag >> 3, tag & 0x7
+        if wire_type == _WT_SGROUP:
+            pos = _skip_group(data, pos, field_no)
+            continue
+        if wire_type == _WT_EGROUP:
+            raise ValueError("end-group tag without matching start")
         if wire_type == _WT_VARINT:
             raw, pos = _read_varint(data, pos)
         elif wire_type == _WT_FIXED64:
@@ -346,6 +406,12 @@ def decode(data: bytes, message: str = "FeedMessage") -> dict:
             value = _decode_scalar(ftype, wire_type, raw)
         if repeated:
             out.setdefault(name, []).append(value)
+        elif (
+            name in out
+            and isinstance(ftype, tuple)
+            and ftype[0] == "msg"
+        ):
+            out[name] = _merge_decoded(out[name], value)
         else:
             out[name] = value
     return out

@@ -236,6 +236,168 @@ def test_bytes_to_spool_to_merge_to_serve_roundtrip(spark, tmp_path):
     assert veh["current_status"] == "IN_TRANSIT_TO"
 
 
+# -- independent mini-assembler (NOT gtfsrt_wire.encode) -------------------
+# Used to author wire bytes the way arbitrary real-world producers do:
+# non-canonical field order, duplicated submessage fields, over-long
+# varints, unknown fields of every wire type including proto2 groups.
+# Our encoder emits none of these, so these tests exercise decode paths
+# that encode(decode(x)) self-round-trips can never reach.
+
+
+def _vi(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | 0x80 if n else b)
+        if not n:
+            return bytes(out)
+
+
+def _tag(field_no: int, wire_type: int) -> bytes:
+    return _vi((field_no << 3) | wire_type)
+
+
+def _ld(payload: bytes) -> bytes:
+    return _vi(len(payload)) + payload
+
+
+def test_duplicate_submessage_occurrences_merge():
+    """proto2: multiple occurrences of a non-repeated embedded message
+    merge field-by-field (MergeFrom) — singular scalars take the later
+    value, submessages merge recursively, repeated fields concatenate.
+    Real producers split messages this way (e.g. framing by concatenating
+    two partial serializations of the same entity)."""
+    # TripUpdate occurrence A: trip{trip_id="t7"}, timestamp, one STU
+    stu_a = _tag(1, 0) + _vi(1) + _tag(2, 2) + _ld(_tag(1, 0) + _vi(10))
+    tu_a = (
+        _tag(1, 2) + _ld(_tag(1, 2) + _ld(b"t7"))
+        + _tag(4, 0) + _vi(1500000000)
+        + _tag(2, 2) + _ld(stu_a)
+    )
+    # TripUpdate occurrence B: trip{route_id="r9"}, another STU
+    tu_b = (
+        _tag(1, 2) + _ld(_tag(5, 2) + _ld(b"r9"))
+        + _tag(2, 2) + _ld(_tag(1, 0) + _vi(2))
+    )
+    entity = (
+        _tag(1, 2) + _ld(b"e-dup")
+        + _tag(3, 2) + _ld(tu_a)
+        + _tag(3, 2) + _ld(tu_b)
+    )
+    decoded = gtfsrt_wire.decode(entity, "FeedEntity")
+    assert decoded == {
+        "id": "e-dup",
+        "trip_update": {
+            "trip": {"trip_id": "t7", "route_id": "r9"},
+            "timestamp": 1500000000,
+            "stop_time_update": [
+                {"stop_sequence": 1, "arrival": {"delay": 10}},
+                {"stop_sequence": 2},
+            ],
+        },
+    }
+
+
+def test_duplicate_scalar_last_wins():
+    """Duplicated non-repeated scalars: the later value wins (proto2)."""
+    entity = _tag(1, 2) + _ld(b"first") + _tag(1, 2) + _ld(b"second")
+    assert gtfsrt_wire.decode(entity, "FeedEntity") == {"id": "second"}
+
+
+def test_unknown_group_fields_skipped():
+    """Deprecated proto2 groups (wire types 3/4) in unknown fields are
+    skipped like any other unknown field — the bindings don't reject a
+    technically-valid feed that carries one. Nested groups recurse."""
+    group = (
+        _tag(99, 3)                       # start group 99
+        + _tag(1, 0) + _vi(7)             #   varint member
+        + _tag(2, 3) + _tag(2, 4)         #   empty nested group 2
+        + _tag(3, 2) + _ld(b"xyz")        #   bytes member
+        + _tag(99, 4)                     # end group 99
+    )
+    entity = group + _tag(1, 2) + _ld(b"e1") + group
+    assert gtfsrt_wire.decode(entity, "FeedEntity") == {"id": "e1"}
+    # malformed groups still raise: truncated / mismatched end tag
+    with pytest.raises(ValueError):
+        gtfsrt_wire.decode(_tag(99, 3) + _tag(1, 0) + _vi(7), "FeedEntity")
+    with pytest.raises(ValueError):
+        gtfsrt_wire.decode(_tag(99, 3) + _tag(98, 4), "FeedEntity")
+    with pytest.raises(ValueError, match="end-group"):
+        gtfsrt_wire.decode(_tag(99, 4), "FeedEntity")
+
+
+def test_producer_style_feed_fixture():
+    """A full FeedMessage authored byte-by-byte from the proto2 wire spec,
+    independently of the encoder, using encodings real producers emit and
+    ours never does: entities BEFORE the header (field order is free in
+    protobuf), an over-long (non-minimal) varint, unknown extension-range
+    and group fields, an unknown enum number (stays numeric, the
+    adapter's lenient posture), and a duplicated trip submessage.
+
+    The container has no protobuf runtime or network access, so bytes
+    captured from the official gtfs-realtime-bindings aren't obtainable
+    here; this fixture is the strongest available external grounding —
+    it shares no code or byte-assembly with the codec under test."""
+    import struct
+
+    ts = 1500000000
+    # entity 1: duplicated TripUpdate.trip merges
+    tu = (
+        _tag(1, 2) + _ld(_tag(1, 2) + _ld(b"t7"))            # trip{trip_id}
+        + _tag(4, 0) + _vi(ts)                                # timestamp
+        + _tag(1, 2) + _ld(_tag(5, 2) + _ld(b"r9"))          # trip{route_id}
+    )
+    ent1 = _tag(1, 2) + _ld(b"e1") + _tag(3, 2) + _ld(tu)
+    # entity 2: vehicle position with oddities
+    pos = (
+        _tag(1, 5) + struct.pack("<f", 45.0)
+        + _tag(2, 5) + struct.pack("<f", -122.5)
+    )
+    vp = (
+        _tag(2, 2) + _ld(pos)
+        + _tag(3, 0) + b"\x85\x80\x00"                       # 5, over-long varint
+        + _tag(5, 0) + _vi(ts)
+        + _tag(6, 0) + _vi(9)                                 # unknown enum number
+        + _tag(1001, 2) + _ld(b"ext-data")                    # extension-range unknown
+        + _tag(99, 3) + _tag(1, 0) + _vi(7) + _tag(99, 4)     # unknown group
+    )
+    ent2 = _tag(1, 2) + _ld(b"bus123") + _tag(4, 2) + _ld(vp)
+    header = _tag(1, 2) + _ld(b"2.0") + _tag(3, 0) + _vi(ts)
+    feed_bytes = (
+        _tag(2, 2) + _ld(ent1)
+        + _tag(2, 2) + _ld(ent2)
+        + _tag(1, 2) + _ld(header)   # header LAST on the wire
+    )
+
+    expected = {
+        "header": {"gtfs_realtime_version": "2.0", "timestamp": ts},
+        "entity": [
+            {
+                "id": "e1",
+                "trip_update": {
+                    "trip": {"trip_id": "t7", "route_id": "r9"},
+                    "timestamp": ts,
+                },
+            },
+            {
+                "id": "bus123",
+                "vehicle": {
+                    "position": {"latitude": 45.0, "longitude": -122.5},
+                    "current_stop_sequence": 5,
+                    "timestamp": ts,
+                    "congestion_level": 9,
+                },
+            },
+        ],
+    }
+    decoded = gtfsrt_wire.decode(feed_bytes)
+    assert decoded == expected
+    # canonical re-encode round-trips the semantics (unknown fields drop,
+    # exactly what MessageToDict-then-ParseDict does with the bindings)
+    assert gtfsrt_wire.decode(gtfsrt_wire.encode(decoded)) == expected
+
+
 def test_wire_type_mismatch_rejected():
     """A KNOWN field on the wrong wire type is a malformed message (the
     real bindings reject it), unlike unknown fields which skip."""
