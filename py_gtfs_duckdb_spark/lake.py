@@ -209,18 +209,33 @@ class GtfsLake:
         manifest = self.keyed_manifest(table)
         v = self._next_version(table)
         bucket = self._bucket_expr(key, n_buckets)
-        changed_buckets = sorted(
-            r["b"]
-            for r in changed_keys.select(bucket.alias("b")).distinct().collect()
-            if r["b"] is not None
+        # Buckets to rewrite derive from changed_keys ∪ fresh keys, so a
+        # fresh row whose key is missing from changed_keys still lands in
+        # a touched bucket instead of being silently filtered out by the
+        # __bucket isin(touched) clause below (contract violation, but a
+        # data-dropping one — guard cheaply rather than trust).
+        all_keys = changed_keys.select(F.col(key)).unionByName(
+            fresh.select(F.col(key))
         )
+        key_rows = (
+            all_keys.select(bucket.alias("b"), F.col(key).isNull().alias("null_key"))
+            .distinct()
+            .collect()
+        )
+        if any(r["null_key"] for r in key_rows):
+            # a null entity key can't be matched, deleted, or bucketed —
+            # upstream produced garbage; fail loudly instead of dropping
+            raise ValueError(
+                f"merge_keyed({table!r}): null {key!r} in batch "
+                "(changed_keys/fresh rows must carry a non-null entity key)"
+            )
+        changed_buckets = sorted(r["b"] for r in key_rows)
         if (
             manifest is not None
             and manifest.get("n_buckets") == n_buckets
             and not changed_buckets
         ):
-            # nothing keyed changed and fresh keys are a subset of
-            # changed_keys by the merge contract — skip the write jobs
+            # no changed keys AND no fresh rows — skip the write jobs
             # entirely (a batch with only one entity family must not pay
             # version bumps for the other five tables)
             return

@@ -183,3 +183,72 @@ def test_randomized_ops_match_dict_model(spark, tmp_path):
                 f"seed {seed} step {step} op {op}: lake={sorted(got)} "
                 f"model={sorted(model)}"
             )
+
+
+def test_bucket_count_migration_mid_stream(spark, tmp_path):
+    """Changing n_buckets (16 -> 32) mid-stream triggers a one-time full
+    rewrite into the new layout, after which bucket-pruned merges resume.
+    Migration is the rarely-run path that corrupts state in production
+    systems — pin rows, manifest shape, and post-migration prune behavior.
+    """
+    lake = _mk_lake(spark, tmp_path)
+    t = "realtime_vehicle_positions"
+    ids = [f"v{i}" for i in range(60)]
+    lake.merge_keyed(t, _vp_rows(spark, ids), _keys(spark, ids),
+                     key="vehicle_position_id", n_buckets=16)
+    m16 = lake.keyed_manifest(t)
+    assert m16["n_buckets"] == 16
+    assert all(0 <= int(b) < 16 for b in m16["buckets"])
+
+    # same merge API with n_buckets=32: one-time full rewrite
+    lake.merge_keyed(t, _vp_rows(spark, ["v0"]), _keys(spark, ["v0"]),
+                     key="vehicle_position_id", n_buckets=32)
+    m32 = lake.keyed_manifest(t)
+    assert m32["n_buckets"] == 32
+    assert all(0 <= int(b) < 32 for b in m32["buckets"])
+    # every bucket belongs to the migration version (full rewrite, no
+    # stale 16-bucket entries survive)
+    versions = {meta["v"] for meta in m32["buckets"].values()}
+    assert len(versions) == 1
+    assert lake.table(t).count() == 60  # no rows lost or duplicated
+
+    # post-migration: bucket-pruned behavior resumes (single-key update
+    # advances exactly one bucket version)
+    lake.merge_keyed(t, _vp_rows(spark, ["v1"]), _keys(spark, ["v1"]),
+                     key="vehicle_position_id", n_buckets=32)
+    m_after = lake.keyed_manifest(t)
+    changed = [b for b in m_after["buckets"]
+               if m_after["buckets"][b]["v"] != m32["buckets"].get(b, {}).get("v")]
+    assert len(changed) == 1, f"expected 1 rewritten bucket, got {changed}"
+    assert lake.table(t).count() == 60
+
+
+def test_fresh_rows_outside_changed_keys_still_merge(spark, tmp_path):
+    """Contract guard: a fresh row whose key is absent from changed_keys
+    must still be written (buckets derive from changed_keys ∪ fresh keys),
+    not silently filtered by the touched-bucket clause."""
+    lake = _mk_lake(spark, tmp_path)
+    t = "realtime_vehicle_positions"
+    lake.merge_keyed(t, _vp_rows(spark, ["a", "b"]), _keys(spark, ["a", "b"]),
+                     key="vehicle_position_id", n_buckets=N_BUCKETS)
+    # violate the contract: fresh carries "c", changed_keys is EMPTY
+    lake.merge_keyed(t, _vp_rows(spark, ["c"]), _keys(spark, []),
+                     key="vehicle_position_id", n_buckets=N_BUCKETS)
+    got = {r["vehicle_position_id"] for r in lake.table(t).collect()}
+    assert got == {"a", "b", "c"}, "fresh row outside changed_keys was dropped"
+
+
+def test_null_key_fresh_rows_fail_loudly(spark, tmp_path):
+    """A null entity key can't be matched, deleted, or bucketed — the
+    merge raises instead of silently dropping the row."""
+    import pytest
+
+    lake = _mk_lake(spark, tmp_path)
+    t = "realtime_vehicle_positions"
+    bad = spark.createDataFrame(
+        [(None, 1.0, 2.0)],
+        "vehicle_position_id string, position_latitude double, position_longitude double",
+    ).withColumn("last_updated_timestamp", F.current_timestamp())
+    with pytest.raises(ValueError, match="null"):
+        lake.merge_keyed(t, bad, _keys(spark, []),
+                         key="vehicle_position_id", n_buckets=N_BUCKETS)
