@@ -3,20 +3,31 @@
 Dedup pipelines emit PAIRS (MinHash/SimHash/embedding candidates), but the
 action taken is per-CLUSTER: group transitively-linked documents and keep
 one canonical representative. The reference has no graph operator (its
-dedup surface is this repo's extension mandate); this is the standard
-iterative min-label propagation, expressed as DataFrame joins:
+dedup surface is this repo's extension mandate).
 
-    label(v) := min(label(v), min over neighbors label(u))
+Default algorithm: the two-phase **large-star / small-star** formulation
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14), expressed as DataFrame joins. Each round rewires edges toward
+the component minimum:
 
-repeated to fixpoint. Rounds = cluster diameter — near-dup clusters are
-shallow (most are cliques from a shared bucket), so 3-5 rounds is typical.
-Each round is two shuffles (neighbor join + min-aggregate), and
-``localCheckpoint`` truncates the plan lineage each round so the job does
-not recompile an ever-growing DAG (swap for a reliable ``checkpoint`` dir
-on a real cluster). For adversarial high-diameter graphs the
-large-star/small-star formulation (Kiveris et al., "Connected Components
-in MapReduce and Beyond") is the drop-in upgrade — same edge-list
-interface, O(log n) rounds.
+    large-star(u): emit (v, m) for v ∈ Γ(u), v > u, with m = min(Γ⁺(u))
+    small-star(u): emit (v, m) for v ∈ Γ(u) ∪ {u}, with m = min(Γ⁺(u)),
+                   over edges directed larger→smaller
+
+Alternating the two halves the distance-to-minimum geometrically, so
+rounds are O(log n) even on adversarial high-diameter graphs (chains of
+templated near-dup web text), where plain min-label propagation needs
+O(diameter) = O(n) rounds. At convergence the edge set IS the star
+(v → component-min for every non-min v), so labels fall out without a
+driver-side graph. ``localCheckpoint`` truncates lineage each round so
+the job does not recompile an ever-growing DAG (swap for a reliable
+``checkpoint`` dir on a real cluster).
+
+The previous O(diameter) min-label propagation is kept as
+``algorithm="label"`` — it is simpler to audit and equally fast on the
+shallow clique-like clusters LSH buckets produce — and doubles as the
+differential-testing reference for the star implementation
+(tests/test_graph.py).
 """
 
 from __future__ import annotations
@@ -29,12 +40,92 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
+    algorithm: str = "star",
 ) -> DataFrame:
     """(id, component) for every node in ``edges``; component = min node id
     reachable (ids keep their native orderable type — numeric or string).
     Nodes without edges don't appear (callers decide whether singletons
     form their own clusters)."""
+    if algorithm == "star":
+        labels, _ = _star_components(edges, src, dst, max_iter)
+        return labels
+    if algorithm == "label":
+        return _label_propagation(edges, src, dst, max_iter)
+    raise ValueError(f"unknown connected-components algorithm {algorithm!r}")
+
+
+def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Each input pair directed larger→smaller, nulls and self-loops
+    dropped, deduped."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).na.drop()
+    return (
+        e.where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Γ over the symmetrized edges; every neighbor strictly larger than u
+    rewires to u's neighborhood minimum. Output is strictly
+    larger→smaller (m ≤ u < v), so no self-loops can appear."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Over larger→smaller edges: u's smaller neighbors (and u itself)
+    all rewire to the smallest of them."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))  # m < u by direction
+    return (
+        e.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+        .distinct()
+    )
+
+
+def _star_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> tuple[DataFrame, int]:
+    """Returns (labels, rounds). Converged when a large-star + small-star
+    round leaves the edge set unchanged — at that point every edge is
+    (node, component-min)."""
+    e = _canon_edges(edges, src, dst).localCheckpoint()
+    n_prev = e.count()
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        new = _small_star(_large_star(e)).localCheckpoint()
+        n_new = new.count()
+        if n_new == n_prev and new.exceptAll(e).limit(1).count() == 0:
+            e = new
+            break
+        e, n_prev = new, n_new
+    labels = e.select(
+        F.col("u").alias("id"), F.col("v").alias("component")
+    ).unionByName(
+        e.select(F.col("v").alias("id"), F.col("v").alias("component")).distinct()
+    ).distinct()
+    return labels, rounds
+
+
+def _label_propagation(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
+    """O(diameter)-round min-label propagation:
+    label(v) := min(label(v), min over neighbors label(u)) to fixpoint."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
