@@ -199,6 +199,7 @@ def ivf_train_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_centroids: list | None = None,
+    max_driver_elems: int = 1 << 22,
 ) -> list:
     """Lloyd-iterated IVF centroids: refine the deterministic seeds with
     ``n_iter`` k-means steps (assign → per-cell mean). Returns centroid
@@ -212,7 +213,15 @@ def ivf_train_lloyd(
     n_centroids*dim tiny rows. The corpus is never shuffled and the full
     (row, component) explode never materializes; this is the treeAggregate
     shape expressed relationally. Empty cells keep their previous
-    centroid. Deterministic (no RNG; seeds are the md5-ordered sample)."""
+    centroid. Deterministic (no RNG; seeds are the md5-ordered sample).
+
+    DRIVER-SIDE BOUND: each iteration ``.collect()``s the combined
+    n_centroids × dim (cell, pos, sum, count) rows — independent of corpus
+    size, so fine at any realistic IVF shape (4096 cells × 1024 dims = 4M
+    rows), but NOT a path for million-centroid codebooks. The guard below
+    makes that bound explicit instead of letting a future caller discover
+    it as an OOM; raise ``max_driver_elems`` deliberately if you mean it.
+    """
     from collections import namedtuple
 
     import numpy as np
@@ -224,6 +233,14 @@ def ivf_train_lloyd(
         else ivf_centroids(corpus, n_centroids, id_col, vec_col)
     )
     dim = len(cent[0].cv)
+    if len(cent) * dim > max_driver_elems:
+        raise ValueError(
+            f"ivf_train_lloyd: n_centroids*dim = {len(cent)}*{dim} = "
+            f"{len(cent) * dim} exceeds the driver-side aggregation bound "
+            f"({max_driver_elems}); this trainer collects one row per "
+            "(cell, component) per iteration — use fewer/coarser centroids "
+            "or raise max_driver_elems explicitly"
+        )
 
     partial_schema = T.StructType(
         [

@@ -145,3 +145,17 @@ def test_lloyd_centroids_move_toward_cluster_means(spark):
     trained = ivf_train_lloyd(vecs, 4, n_iter=2, seed_centroids=seeds)
     assert [c.cid for c in trained] == [c.cid for c in seeds]
     assert all(len(c.cv) == 64 and c.cnrm > 0 for c in trained)
+
+
+def test_lloyd_driver_bound_guard():
+    """The per-iteration driver-side collect is n_centroids*dim rows; the
+    guard names that bound loudly instead of letting a million-centroid
+    caller discover it as an OOM. Raises before any Spark work."""
+    from collections import namedtuple
+
+    from py_gtfs_duckdb_spark.operators.similarity import ivf_train_lloyd
+
+    Cent = namedtuple("Cent", ["cid", "cv", "cnrm"])
+    seeds = [Cent(i, [0.0] * 4, 0.0) for i in range(2)]  # 2*4 = 8 elems
+    with pytest.raises(ValueError, match="driver-side aggregation bound"):
+        ivf_train_lloyd(None, 2, seed_centroids=seeds, max_driver_elems=7)
