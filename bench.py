@@ -77,12 +77,14 @@ def main() -> None:
         spark.catalog.clearCache()  # operators may persist() internally
         return elapsed, n
 
-    # Warmup pass: per-query-shape codegen/compile happens once on a
-    # long-lived cluster, so the first shot of each shape is not
-    # steady-state and is discarded.
+    # Warmup passes: per-query-shape codegen/compile happens once on a
+    # long-lived cluster, and the JVM's C2 JIT needs a few thousand
+    # invocations to reach steady state — one pass is not enough (measured:
+    # the first post-warmup pass still ran ~2x slow), so warm twice.
     rowcounts: dict[str, int] = {}
-    for name in HEADLINE:
-        _, rowcounts[name] = run_once(name)
+    for _ in range(2):
+        for name in HEADLINE:
+            _, rowcounts[name] = run_once(name)
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(N_SAMPLES):
@@ -116,6 +118,26 @@ def main() -> None:
                 "n_samples": N_SAMPLES,
                 "iqr": iqr,
                 "samples": {k: [round(v, 4) for v in vs] for k, vs in samples.items()},
+                # environment-noise evidence: if some PASSES are uniformly
+                # slow across all queries, the drift is ambient load, not a
+                # query regression. noise_ratio = slowest/fastest pass total;
+                # sum_of_mins approximates the unpolluted steady state.
+                "pass_totals": [
+                    round(sum(samples[k][i] for k in HEADLINE), 3)
+                    for i in range(N_SAMPLES)
+                ],
+                "sum_of_mins": round(sum(min(v) for v in samples.values()), 3),
+                "noise_ratio": round(
+                    max(sum(samples[k][i] for k in HEADLINE) for i in range(N_SAMPLES))
+                    / max(
+                        1e-9,
+                        min(
+                            sum(samples[k][i] for k in HEADLINE)
+                            for i in range(N_SAMPLES)
+                        ),
+                    ),
+                    3,
+                ),
             }
         )
     )
