@@ -126,6 +126,11 @@ _PRIORITY = [
     "q_sort_concat",
     "q_limit",
     "q_fn_dateformat",
+    # --- tail: new round-4 pipeline ops (rotate into the window next
+    # round for driver evidence; locally oracle-checked meanwhile) ---
+    "q_sample_stratified",
+    "q_decontaminate",
+    "q_pack_sequences",
     # --- tail: rows-only queries (no SQL-expressible oracle) ---
     "q_dedup_simhash",
     "q_ann_lsh",

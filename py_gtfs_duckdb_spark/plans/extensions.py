@@ -738,3 +738,142 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite, Arrow-batched (operators/multimodal.py:resize_media)."""
     media = M.documents_as_media(t(spark, sf_dir, "documents"))
     return M.resize_media(media, out_w=4)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline composition (operators/pipeline.py)
+# ---------------------------------------------------------------------------
+
+from py_gtfs_duckdb_spark.operators import pipeline as P  # noqa: E402
+
+# keep-rate per detected language for the sampling demo (per-ten-thousand)
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25}
+_SAMPLE_DEFAULT = 0.1
+
+# the lang-id hits/CASE below mirror q_lang_id's oracle verbatim (kept
+# inline there — it is driver-green and stays byte-identical)
+_LANG_PRED_SQL = r"""
+        SELECT doc_id,
+               CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr
+                         AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+                    WHEN hits_de >= hits_fr AND hits_de >= hits_es
+                         AND hits_de > 0 THEN 'de'
+                    WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+                    WHEN hits_es > 0 THEN 'es'
+                    ELSE 'und' END AS pred_lang
+        FROM (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text),
+                       '\b(the|and|of|to|in|is|a)\b')) AS BIGINT) AS hits_en,
+                   CAST(len(regexp_extract_all(lower(text),
+                       '\b(der|die|das|und|ist|ein|nicht)\b')) AS BIGINT) AS hits_de,
+                   CAST(len(regexp_extract_all(lower(text),
+                       '\b(le|la|les|et|est|une|pas)\b')) AS BIGINT) AS hits_fr,
+                   CAST(len(regexp_extract_all(lower(text),
+                       '\b(el|la|los|y|es|una|que)\b')) AS BIGINT) AS hits_es
+            FROM documents
+        )
+"""
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    WITH lang AS ({_LANG_PRED_SQL})
+    SELECT doc_id, pred_lang
+    FROM lang
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+          < CASE pred_lang
+                WHEN 'en' THEN {int(_SAMPLE_RATES["en"] * 10000)}
+                WHEN 'de' THEN {int(_SAMPLE_RATES["de"] * 10000)}
+                WHEN 'fr' THEN {int(_SAMPLE_RATES["fr"] * 10000)}
+                WHEN 'es' THEN {int(_SAMPLE_RATES["es"] * 10000)}
+                ELSE {int(_SAMPLE_DEFAULT * 10000)} END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling for training-mix re-weighting:
+    keep-rate by detected language, decided by an md5-derived unit hash
+    of the doc id. Reproducible across runs and engines (no RNG, no
+    sample() nondeterminism), join-free, single scan — the 100 TB shape
+    is one codegen'd filter."""
+    d = X.language_id(t(spark, sf_dir, "documents"))
+    return P.stratified_sample(
+        d.select("doc_id", "pred_lang"),
+        "pred_lang",
+        _SAMPLE_RATES,
+        default_rate=_SAMPLE_DEFAULT,
+    )
+
+
+@query(
+    "q_decontaminate",
+    # winnow CTEs mirror q_doc_winnow's oracle verbatim (driver-green)
+    oracle="""
+    WITH w AS (
+        SELECT doc_id AS id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), wh AS (
+        SELECT id,
+               [('0x' || substr(md5(x), 1, 12))::BIGINT % 2147483647
+                for x in ws] AS hs,
+               len(ws) AS n
+        FROM w
+    ), kg AS (
+        SELECT id,
+               [((hs[i] * 69069 + hs[i+1]) % 2147483647 * 69069 + hs[i+2])
+                 % 2147483647
+                for i in range(1, n - 2 + 1)] AS kh
+        FROM wh WHERE n >= 3
+    ), fpl AS (
+        SELECT id,
+               list_distinct([list_min(kh[i : i + 3])
+                              for i in range(1, greatest(len(kh) - 3, 1) + 1)])
+                   AS fps
+        FROM kg
+    ), fps2 AS (
+        SELECT id, unnest(fps) AS fp FROM fpl
+    ), bench AS (
+        SELECT DISTINCT fp FROM fps2 WHERE id % 97 = 0
+    )
+    SELECT f.id AS doc_id, CAST(COUNT(DISTINCT f.fp) AS BIGINT) AS n_shared
+    FROM fps2 f JOIN bench b USING (fp)
+    WHERE f.id % 97 <> 0
+    GROUP BY f.id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing winnowed
+    fingerprints with a held-out benchmark partition (here: doc_id % 97),
+    with the shared-fingerprint count as audit evidence. The benchmark
+    fingerprint set broadcasts (tiny by construction); the corpus side
+    never reshuffles beyond the winnow window."""
+    d = t(spark, sf_dir, "documents")
+    return P.decontaminate(d, F.col("doc_id") % 97 == 0)
+
+
+@query(
+    "q_pack_sequences",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id,
+               CAST(doc_id % 32 AS BIGINT) AS shard,
+               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 2048.0) AS BIGINT) AS bin
+    FROM tk
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batch assembly: budget-boundary bins
+    (2048 tokens) over a deterministic order within hash shards. One
+    window shuffle; shards bound the window partition size at any corpus
+    scale (operators/pipeline.py:pack_sequences)."""
+    return P.pack_sequences(t(spark, sf_dir, "documents"), budget=2048, n_shards=32)
