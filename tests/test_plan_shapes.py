@@ -73,3 +73,34 @@ def test_no_degenerate_joins(spark, sf_dir, name):
     # broadcast; everything else must not nested-loop either
     if name != "q_knn_cosine":
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_stratified_sample_is_shuffle_free(spark, sf_dir):
+    """The sampling decision must stay a codegen'd filter: zero exchanges,
+    scan pruned to the two referenced columns."""
+    plan = _plan(spark, sf_dir, "q_sample_stratified")
+    assert "Exchange" not in plan, "sampling must not shuffle"
+    reads = [l for l in plan.splitlines() if "ReadSchema:" in l]
+    assert reads and all("doc_id" in l and "source" not in l for l in reads)
+
+
+def test_pack_sequences_single_shard_exchange(spark, sf_dir):
+    """Packing pays exactly one hash exchange (the shard window) and the
+    shuffle carries token counts, not document text."""
+    plan = _plan(spark, sf_dir, "q_pack_sequences")
+    exchanges = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and l.strip().endswith("Exchange")
+    ]
+    assert len(exchanges) == 1, exchanges
+    # the Exchange input must already be the narrow projection
+    after = plan.split("Exchange", 2)[-1]
+    inp = [l for l in after.splitlines() if l.startswith("Input")][0]
+    assert "text#" not in inp, inp
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
