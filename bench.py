@@ -97,7 +97,11 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         med = statistics.median(samples[name])
-        q1, q3 = statistics.quantiles(samples[name], n=4)[0], statistics.quantiles(samples[name], n=4)[2]
+        if len(samples[name]) >= 2:
+            quartiles = statistics.quantiles(samples[name], n=4)
+            q1, q3 = quartiles[0], quartiles[2]
+        else:  # SPARK_GRAFT_BENCH_SAMPLES=1 quick runs: no spread to report
+            q1 = q3 = med
         timings[name] = round(med, 3)
         iqr[name] = round(q3 - q1, 3)
         total += med

@@ -252,8 +252,13 @@ class GtfsLake:
                 else self._empty(table)
             )
             touched = changed_buckets
+        # anti-join against changed_keys ∪ fresh keys (NOT just
+        # changed_keys): an out-of-contract fresh row for a PRE-EXISTING
+        # key must replace its old row, not duplicate it — its bucket is
+        # in `touched`, so the old row would otherwise survive the
+        # anti-join and union with the fresh copy
         survivors = base.join(
-            changed_keys.select(key).dropDuplicates([key]), [key], "left_anti"
+            all_keys.dropDuplicates([key]), [key], "left_anti"
         )
         out = survivors.unionByName(fresh, allowMissingColumns=False).withColumn(
             "__bucket", bucket

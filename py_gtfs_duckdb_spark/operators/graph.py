@@ -105,14 +105,24 @@ def _star_components(
     e = _canon_edges(edges, src, dst).localCheckpoint()
     n_prev = e.count()
     rounds = 0
+    converged = n_prev == 0
     for _ in range(max_iter):
         rounds += 1
         new = _small_star(_large_star(e)).localCheckpoint()
         n_new = new.count()
         if n_new == n_prev and new.exceptAll(e).limit(1).count() == 0:
             e = new
+            converged = True
             break
         e, n_prev = new, n_new
+    if not converged:
+        # a non-star edge set would emit CONFLICTING (id, component) rows
+        # for the same node — silently corrupt clusters downstream. The
+        # O(log n) bound makes this unreachable at default max_iter; an
+        # explicit failure beats a silent wrong answer if a caller lowers it.
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iter} rounds"
+        )
     labels = e.select(
         F.col("u").alias("id"), F.col("v").alias("component")
     ).unionByName(

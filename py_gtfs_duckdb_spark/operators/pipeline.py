@@ -70,15 +70,17 @@ def decontaminate(
     benchmark rows). Callers anti-join the result against the corpus to
     drop contaminated documents; returning the overlap count keeps the
     evidence auditable. The benchmark fingerprint set is broadcast."""
-    fps = winnow_fingerprints(docs, text_col, id_col)
-    is_bench = docs.select(
-        F.col(id_col).alias("id"), benchmark_pred.alias("__bench")
+    # Winnowing is per-document, so each side fingerprints only ITS OWN
+    # partition of the corpus: the tiny benchmark side never triggers a
+    # full-corpus winnow pass, and no fps↔membership join is needed.
+    bench_fps = (
+        winnow_fingerprints(docs.where(benchmark_pred), text_col, id_col)
+        .select("fp")
+        .distinct()
     )
-    tagged = fps.join(is_bench, "id")
-    bench_fps = tagged.where(F.col("__bench")).select("fp").distinct()
+    corpus_fps = winnow_fingerprints(docs.where(~benchmark_pred), text_col, id_col)
     return (
-        tagged.where(~F.col("__bench"))
-        .join(F.broadcast(bench_fps), "fp")
+        corpus_fps.join(F.broadcast(bench_fps), "fp")
         .groupBy("id")
         .agg(F.count_distinct("fp").cast("bigint").alias("n_shared"))
         .select(F.col("id").alias("doc_id"), "n_shared")

@@ -227,20 +227,28 @@ def ivf_train_lloyd(
     import numpy as np
 
     Cent = namedtuple("Cent", ["cid", "cv", "cnrm"])
-    cent = list(
-        seed_centroids
-        if seed_centroids is not None
-        else ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    )
+
+    def _check_bound(n_cent: int, d: int) -> None:
+        if n_cent * d > max_driver_elems:
+            raise ValueError(
+                f"ivf_train_lloyd: n_centroids*dim = {n_cent}*{d} = "
+                f"{n_cent * d} exceeds the driver-side aggregation bound "
+                f"({max_driver_elems}); this trainer collects one row per "
+                "(cell, component) per iteration — use fewer/coarser "
+                "centroids or raise max_driver_elems explicitly"
+            )
+
+    if seed_centroids is None:
+        # probe dim BEFORE seeding: ivf_centroids itself collects all
+        # n_centroids vectors to the driver, i.e. the very OOM this guard
+        # exists to pre-empt
+        dim = len(corpus.select(vec_col).first()[0])
+        _check_bound(n_centroids, dim)
+        cent = list(ivf_centroids(corpus, n_centroids, id_col, vec_col))
+    else:
+        cent = list(seed_centroids)
     dim = len(cent[0].cv)
-    if len(cent) * dim > max_driver_elems:
-        raise ValueError(
-            f"ivf_train_lloyd: n_centroids*dim = {len(cent)}*{dim} = "
-            f"{len(cent) * dim} exceeds the driver-side aggregation bound "
-            f"({max_driver_elems}); this trainer collects one row per "
-            "(cell, component) per iteration — use fewer/coarser centroids "
-            "or raise max_driver_elems explicitly"
-        )
+    _check_bound(len(cent), dim)
 
     partial_schema = T.StructType(
         [

@@ -365,6 +365,13 @@ def decode(data: bytes, message: str = "FeedMessage") -> dict:
         tag, pos = _read_varint(data, pos)
         field_no, wire_type = tag >> 3, tag & 0x7
         if wire_type == _WT_SGROUP:
+            if field_no in schema:
+                # same contract as the other wire types: a KNOWN field on
+                # the wrong wire type is a malformed message, not a skip
+                raise ValueError(
+                    f"{message}.{schema[field_no][0]}: group wire type for "
+                    "a non-group field"
+                )
             pos = _skip_group(data, pos, field_no)
             continue
         if wire_type == _WT_EGROUP:

@@ -241,6 +241,12 @@ class MqttClient:
                     break
                 except (ConnectionError, OSError):
                     self._close_sock()
+            # disconnect() may have run while connect() was in flight (it
+            # saw _sock None and had nothing to close) — don't exit the
+            # thread leaving a freshly-connected, subscribed socket alive
+            if self._stop.is_set():
+                self._close_sock()
+                return
 
     def _close_sock(self) -> None:
         sock, self._sock = self._sock, None

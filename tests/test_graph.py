@@ -62,6 +62,18 @@ def test_path_graph_converges_in_log_rounds(spark):
     assert rounds <= 2 * math.ceil(math.log2(n)), f"rounds={rounds}"
 
 
+def test_star_raises_on_exhausted_iterations(spark):
+    """A non-converged star edge set would emit conflicting labels for
+    one node; the operator must fail loudly instead."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+
+
 def test_star_matches_label_propagation_on_random_graphs(spark):
     """Differential test: both algorithms produce identical (id,
     component) maps on random multi-component graphs (self-loops and

@@ -318,6 +318,10 @@ def test_unknown_group_fields_skipped():
     )
     entity = group + _tag(1, 2) + _ld(b"e1") + group
     assert gtfsrt_wire.decode(entity, "FeedEntity") == {"id": "e1"}
+    # a KNOWN field sent as a group is a wire-type mismatch (same
+    # contract as the other wrong-wire-type cases), not a skip
+    with pytest.raises(ValueError, match="group wire type"):
+        gtfsrt_wire.decode(_tag(1, 3) + _tag(1, 4), "FeedEntity")
     # malformed groups still raise: truncated / mismatched end tag
     with pytest.raises(ValueError):
         gtfsrt_wire.decode(_tag(99, 3) + _tag(1, 0) + _vi(7), "FeedEntity")

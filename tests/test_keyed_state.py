@@ -236,6 +236,11 @@ def test_fresh_rows_outside_changed_keys_still_merge(spark, tmp_path):
                      key="vehicle_position_id", n_buckets=N_BUCKETS)
     got = {r["vehicle_position_id"] for r in lake.table(t).collect()}
     assert got == {"a", "b", "c"}, "fresh row outside changed_keys was dropped"
+    # same violation for a PRE-EXISTING key: must replace, not duplicate
+    lake.merge_keyed(t, _vp_rows(spark, ["a"]), _keys(spark, []),
+                     key="vehicle_position_id", n_buckets=N_BUCKETS)
+    rows = [r["vehicle_position_id"] for r in lake.table(t).collect()]
+    assert sorted(rows) == ["a", "b", "c"], f"duplicated entity rows: {sorted(rows)}"
 
 
 def test_null_key_fresh_rows_fail_loudly(spark, tmp_path):

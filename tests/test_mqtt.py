@@ -177,16 +177,27 @@ class FlakyBroker(threading.Thread):
         self.port = self.server.getsockname()[1]
         self.resubscribed = threading.Event()
 
+    @staticmethod
+    def _read_exact(conn, n):
+        # recv() may legally return short reads; loop like mqtt._read_exact
+        buf = b""
+        while len(buf) < n:
+            chunk = conn.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("client closed")
+            buf += chunk
+        return buf
+
     def _handshake(self, conn):
-        first = conn.recv(1)
-        assert first and first[0] == 0x10  # CONNECT
-        length = conn.recv(1)[0]  # small packet: 1-byte remaining length
-        conn.recv(length)
+        first = self._read_exact(conn, 1)
+        assert first[0] == 0x10  # CONNECT
+        length = self._read_exact(conn, 1)[0]  # small pkt: 1-byte remaining len
+        self._read_exact(conn, length)
         conn.sendall(b"\x20\x02\x00\x00")  # CONNACK
-        ptype = conn.recv(1)
-        assert ptype and ptype[0] == 0x82  # SUBSCRIBE
-        length = conn.recv(1)[0]
-        body = conn.recv(length)
+        ptype = self._read_exact(conn, 1)
+        assert ptype[0] == 0x82  # SUBSCRIBE
+        length = self._read_exact(conn, 1)[0]
+        body = self._read_exact(conn, length)
         conn.sendall(b"\x90\x03" + body[:2] + b"\x00")  # SUBACK
 
     def _publish(self, conn, topic, payload):
