@@ -139,8 +139,8 @@ def test_randomized_ops_match_dict_model(spark, tmp_path):
         now = base_ts
         for step in range(10):
             now += rng.uniform(10, 500)
-            op = rng.choice(["upsert", "tombstone", "expire", "mixed"])
-            if op in ("upsert", "mixed"):
+            op = rng.choice(["upsert", "tombstone", "expire", "mixed", "fresh_only"])
+            if op in ("upsert", "mixed", "fresh_only"):
                 ids = [f"k{rng.randrange(12)}" for _ in range(rng.randrange(1, 5))]
                 ids = sorted(set(ids))
                 dead = (
@@ -148,10 +148,14 @@ def test_randomized_ops_match_dict_model(spark, tmp_path):
                     if op == "mixed"
                     else []
                 )
+                # fresh_only violates the merge contract (fresh rows whose
+                # keys are absent from changed_keys, including pre-existing
+                # keys): semantics must still be replace-not-duplicate
+                changed = [] if op == "fresh_only" else ids + dead
                 lake.merge_keyed(
                     t,
                     _vp_rows(spark, ids, ts=now),
-                    _keys(spark, ids + dead),
+                    _keys(spark, changed),
                     key="vehicle_position_id",
                     n_buckets=N_BUCKETS,
                 )
@@ -175,12 +179,13 @@ def test_randomized_ops_match_dict_model(spark, tmp_path):
                 cutoff = now - rng.uniform(50, 800)
                 lake.expire_keyed(t, cutoff_epoch=cutoff)
                 model = {i: ts for i, ts in model.items() if ts > cutoff}
-            got = {
-                r["vehicle_position_id"]
-                for r in lake.table(t).collect()
-            }
-            assert got == set(model), (
-                f"seed {seed} step {step} op {op}: lake={sorted(got)} "
+            # a LIST, not a set: one row per entity key is part of the
+            # invariant (a set comparison would mask duplicate rows)
+            got = sorted(
+                r["vehicle_position_id"] for r in lake.table(t).collect()
+            )
+            assert got == sorted(model), (
+                f"seed {seed} step {step} op {op}: lake={got} "
                 f"model={sorted(model)}"
             )
 
