@@ -611,3 +611,39 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def keep_canonical(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """The dedup ACTION: one representative per near-dup cluster —
+    highest score wins, ties to the smallest id (deterministic). Returns
+    (cluster_col, kept_doc_id, n_members, kept_quality); callers
+    anti-join the non-kept members out of the corpus.
+
+    Scale shape: one hash shuffle on the cluster id serves both window
+    functions (rank and member count share the partitioning); cluster
+    sizes bound the window partitions, and near-dup clusters are small
+    by construction, so no skew path is needed."""
+    from pyspark.sql import Window
+
+    j = clusters.join(scores, id_col)
+    w_rank = Window.partitionBy(cluster_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    w_all = Window.partitionBy(cluster_col)
+    return (
+        j.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("n_members", F.count(F.lit(1)).over(w_all).cast("bigint"))
+        .where(F.col("__rn") == 1)
+        .select(
+            cluster_col,
+            F.col(id_col).alias("kept_doc_id"),
+            "n_members",
+            F.col(score_col).alias("kept_quality"),
+        )
+    )

@@ -131,6 +131,7 @@ _PRIORITY = [
     "q_sample_stratified",
     "q_decontaminate",
     "q_pack_sequences",
+    "q_dedup_keep_canonical",
     # --- tail: rows-only queries (no SQL-expressible oracle) ---
     "q_dedup_simhash",
     "q_ann_lsh",

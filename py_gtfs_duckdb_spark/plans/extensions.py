@@ -877,3 +877,73 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     window shuffle; shards bound the window partition size at any corpus
     scale (operators/pipeline.py:pack_sequences)."""
     return P.pack_sequences(t(spark, sf_dir, "documents"), budget=2048, n_shards=32)
+
+
+# quality SQL mirrors q_text_quality's oracle verbatim (driver-green)
+_QUALITY_SQL = r"""
+        SELECT doc_id,
+               GREATEST(LEAST(floor((
+                   0.5 * LEAST(n_chars / 200.0, 1.0)
+                 + 0.5 * LEAST(CASE WHEN n_words > 0 THEN sw / n_words ELSE 0.0 END
+                               * 5.0, 1.0)
+                 - 0.25 * LEAST(CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                                ELSE 0.0 END * 5.0, 1.0)) * 10000.0 + 0.5) / 10000.0,
+                 1.0), 0.0) AS quality
+        FROM (
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE)
+                       AS n_words,
+                   CAST(len(regexp_extract_all(lower(text),
+                       '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE) AS sw,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                       AS n_punct
+            FROM documents
+        )
+"""
+
+
+@query(
+    "q_dedup_keep_canonical",
+    # clusters CTE mirrors q_dedup_clusters' recursive-CTE oracle
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    und AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM und) nodes
+        UNION
+        SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u
+    ),
+    clusters AS (
+        SELECT CAST(u AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY u
+    ),
+    q AS ({_QUALITY_SQL}),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id, q.quality,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                   ORDER BY q.quality DESC, c.doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY c.cluster_id) AS nm
+        FROM clusters c JOIN q ON q.doc_id = c.doc_id
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id,
+           CAST(nm AS BIGINT) AS n_members, quality AS kept_quality
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup ACTION: near-dup pairs -> connected components ->
+    keep the highest-quality member per cluster (ties to smallest id).
+    The complement of kept_doc_id over cluster members is the drop list a
+    training pipeline applies (operators/dedup.py:keep_canonical)."""
+    d = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(d, "text", "doc_id", k=3, threshold=0.7)
+    cc = G.connected_components(pairs, "id_a", "id_b")
+    clusters = cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    return D.keep_canonical(clusters, X.quality_score(d))

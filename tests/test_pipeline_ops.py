@@ -64,3 +64,22 @@ def test_pack_sequences_budget_boundary_policy(spark):
         64: (0, 3, 1),
         96: (0, 3, 1),
     }
+
+
+def test_keep_canonical_picks_best_quality_then_min_id(spark):
+    from py_gtfs_duckdb_spark.operators.dedup import keep_canonical
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.5)],
+        "doc_id long, quality double",
+    )
+    got = {
+        r["cluster_id"]: (r["kept_doc_id"], r["n_members"], r["kept_quality"])
+        for r in keep_canonical(clusters, scores).collect()
+    }
+    # cluster 1: quality tie 2 vs 3 -> smaller id wins; cluster 10: tie -> 10
+    assert got == {1: (2, 3, 0.9), 10: (10, 2, 0.5)}
