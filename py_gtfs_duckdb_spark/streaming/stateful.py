@@ -84,3 +84,54 @@ def latest_per_key_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def exact_dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup for 100 TB ingest: emit the first row seen
+    per key, suppressing duplicates that arrive within the watermark
+    horizon (``dropDuplicatesWithinWatermark`` — engine-managed keyed
+    state, partitioned across executors).
+
+    This is the streaming twin of the batch exact-dedup battery
+    (q_dedup_exact): a training-data firehose dedups on content digest AT
+    INGEST so duplicates never land in the lake. The watermark is the
+    state bound — dedup state older than the horizon is evicted, so state
+    size tracks (ingest rate x watermark delay), not stream history. The
+    honest consequence, pinned by the test: a duplicate arriving AFTER
+    its original has aged past the watermark is re-admitted; the batch
+    dedup battery remains the exactness backstop downstream.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def run_dedup_stream(
+    spark,
+    source_dir: str,
+    schema,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+):
+    """Parquet-directory stream -> exact_dedup_stream -> parquet sink
+    (append; kept rows emit immediately). availableNow drains and stops;
+    the checkpoint carries watermark + dedup state across restarts."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    kept = exact_dedup_stream(stream, key_cols, ts_col=ts_col, watermark=watermark)
+    return (
+        kept.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -184,3 +184,51 @@ def test_streaming_session_windows_merge_and_finalize(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert got == {(1, 0): 3, (2, 5): 1}, got
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    """Ingest-time exact dedup: duplicates within the watermark horizon
+    are suppressed; a duplicate arriving after its original aged past the
+    watermark is re-admitted (state is BOUNDED — the property that makes
+    this viable at firehose scale), with the batch dedup battery as the
+    downstream exactness backstop."""
+    from py_gtfs_duckdb_spark.streaming.stateful import run_dedup_stream
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: digest d1 twice within the horizon + a watermark-advancing row
+    _write(
+        spark,
+        src,
+        [
+            (1, "d1", 0, 1.0),
+            (2, "d1", 5, 2.0),    # duplicate digest, 5 min later: dropped
+            (3, "d2", 10, 3.0),
+            (4, "zz", 240, 4.0),  # advances watermark to 02:00
+        ],
+    )
+    q = run_dedup_stream(
+        spark, src, SCHEMA, sink, ckpt,
+        key_cols=["event_type"], ts_col="ts", watermark="2 hours",
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(sink).collect()
+    assert sorted(r["event_type"] for r in rows) == ["d1", "d2", "zz"]
+    assert {r["event_id"] for r in rows if r["event_type"] == "d1"} == {1}
+
+    # run 2: d1 again at 05:00 — its original (00:00) aged past the
+    # watermark horizon, state evicted, row re-admitted
+    _write(spark, src, [(5, "d1", 300, 5.0)])
+    q = run_dedup_stream(
+        spark, src, SCHEMA, sink, ckpt,
+        key_cols=["event_type"], ts_col="ts", watermark="2 hours",
+    )
+    q.awaitTermination(120)
+    d1_rows = [
+        r["event_id"]
+        for r in spark.read.parquet(sink).collect()
+        if r["event_type"] == "d1"
+    ]
+    assert sorted(d1_rows) == [1, 5], d1_rows
