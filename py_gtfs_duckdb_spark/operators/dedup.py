@@ -625,15 +625,22 @@ def keep_canonical(
     (cluster_col, kept_doc_id, n_members, kept_quality); callers
     anti-join the non-kept members out of the corpus.
 
+    ``scores`` joins LEFT: a member missing from a partial score table
+    (e.g. quality computed after a language filter) still counts in
+    n_members and can still be kept (unscored members rank below any
+    scored one, ties to smallest id; kept_quality is then null). An inner
+    join here would silently delete entire clusters whose members all
+    lack scores — fatal under the documented anti-join usage.
+
     Scale shape: one hash shuffle on the cluster id serves both window
     functions (rank and member count share the partitioning); cluster
     sizes bound the window partitions, and near-dup clusters are small
     by construction, so no skew path is needed."""
     from pyspark.sql import Window
 
-    j = clusters.join(scores, id_col)
+    j = clusters.join(scores, id_col, "left")
     w_rank = Window.partitionBy(cluster_col).orderBy(
-        F.desc(score_col), F.asc(id_col)
+        F.desc_nulls_last(score_col), F.asc(id_col)
     )
     w_all = Window.partitionBy(cluster_col)
     return (

@@ -140,13 +140,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(d, "text", "doc_id", k=3, threshold=0.7)
 
 
-@query(
-    "q_dedup_clusters",
-    # Transitive closure of the near-dup pairs: cluster = min reachable
-    # doc id. The oracle runs the SAME pairs SQL, then a recursive CTE for
-    # reachability — an end-to-end check of the iterative Spark algorithm.
-    oracle=f"""
-    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+def _clusters_oracle_ctes() -> str:
+    """CTE chain ``pairs → und → reach → clusters`` ending in
+    (doc_id, cluster_id) — the ONE definition of the transitive-closure
+    oracle (recursive-CTE reachability over the MinHash pairs), shared by
+    q_dedup_clusters and q_dedup_keep_canonical. Must follow a
+    ``WITH RECURSIVE``."""
+    return f"""pairs AS ({_minhash_oracle_sql()}),
     und AS (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION
@@ -156,9 +156,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT u, u FROM (SELECT DISTINCT u FROM und) nodes
         UNION
         SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u
-    )
-    SELECT CAST(u AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY u
+    ),
+    clusters AS (
+        SELECT CAST(u AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY u
+    )"""
+
+
+@query(
+    "q_dedup_clusters",
+    # Transitive closure of the near-dup pairs: cluster = min reachable
+    # doc id. The oracle runs the SAME pairs SQL, then a recursive CTE for
+    # reachability — an end-to-end check of the iterative Spark algorithm.
+    oracle=f"""
+    WITH RECURSIVE {_clusters_oracle_ctes()}
+    SELECT doc_id, cluster_id FROM clusters
     """,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,9 +373,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.text_stats(t(spark, sf_dir, "documents"))
 
 
-@query(
-    "q_text_quality",
-    oracle=r"""
+def _quality_oracle_sql() -> str:
+    """(doc_id, quality) — the ONE definition of the heuristic quality
+    oracle, shared by q_text_quality and q_dedup_keep_canonical so the
+    formula can never drift between copies."""
+    return r"""
     WITH s AS (
         SELECT doc_id,
                CAST(length(text) AS DOUBLE) AS n_chars,
@@ -384,8 +398,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ELSE 0.0 END * 5.0, 1.0)) * 10000.0 + 0.5) / 10000.0,
              1.0), 0.0) AS quality
     FROM s
-    """,
-)
+    """
+
+
+@query("q_text_quality", oracle=_quality_oracle_sql())
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score (length/stopword/punctuation bands)."""
     return X.quality_score(t(spark, sf_dir, "documents"))
@@ -879,50 +895,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.pack_sequences(t(spark, sf_dir, "documents"), budget=2048, n_shards=32)
 
 
-# quality SQL mirrors q_text_quality's oracle verbatim (driver-green)
-_QUALITY_SQL = r"""
-        SELECT doc_id,
-               GREATEST(LEAST(floor((
-                   0.5 * LEAST(n_chars / 200.0, 1.0)
-                 + 0.5 * LEAST(CASE WHEN n_words > 0 THEN sw / n_words ELSE 0.0 END
-                               * 5.0, 1.0)
-                 - 0.25 * LEAST(CASE WHEN n_chars > 0 THEN n_punct / n_chars
-                                ELSE 0.0 END * 5.0, 1.0)) * 10000.0 + 0.5) / 10000.0,
-                 1.0), 0.0) AS quality
-        FROM (
-            SELECT doc_id,
-                   CAST(length(text) AS DOUBLE) AS n_chars,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE)
-                       AS n_words,
-                   CAST(len(regexp_extract_all(lower(text),
-                       '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE) AS sw,
-                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-                       AS n_punct
-            FROM documents
-        )
-"""
-
-
 @query(
     "q_dedup_keep_canonical",
-    # clusters CTE mirrors q_dedup_clusters' recursive-CTE oracle
+    # composes the SAME clusters CTEs and quality SQL as q_dedup_clusters
+    # and q_text_quality — one definition each, no copies to drift
     oracle=f"""
-    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
-    und AS (
-        SELECT id_a AS u, id_b AS v FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs
-    ),
-    reach(u, r) AS (
-        SELECT u, u FROM (SELECT DISTINCT u FROM und) nodes
-        UNION
-        SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u
-    ),
-    clusters AS (
-        SELECT CAST(u AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
-        FROM reach GROUP BY u
-    ),
-    q AS ({_QUALITY_SQL}),
+    WITH RECURSIVE {_clusters_oracle_ctes()},
+    q AS ({_quality_oracle_sql()}),
     ranked AS (
         SELECT c.cluster_id, c.doc_id, q.quality,
                ROW_NUMBER() OVER (PARTITION BY c.cluster_id

@@ -92,10 +92,13 @@ def exact_dedup_stream(
     ts_col: str = "ts",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Streaming exact dedup for 100 TB ingest: emit the first row seen
-    per key, suppressing duplicates that arrive within the watermark
-    horizon (``dropDuplicatesWithinWatermark`` — engine-managed keyed
-    state, partitioned across executors).
+    """Streaming exact dedup for 100 TB ingest: emit ONE row per key,
+    suppressing duplicates that arrive within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — engine-managed keyed state,
+    partitioned across executors). Which duplicate survives within a
+    single micro-batch is batch-internal arrival order, NOT event-time
+    order — for content-digest dedup any copy is equivalent, which is the
+    intended use; do not rely on the earliest-``ts`` row being kept.
 
     This is the streaming twin of the batch exact-dedup battery
     (q_dedup_exact): a training-data firehose dedups on content digest AT
@@ -125,13 +128,15 @@ def run_dedup_stream(
     """Parquet-directory stream -> exact_dedup_stream -> parquet sink
     (append; kept rows emit immediately). availableNow drains and stops;
     the checkpoint carries watermark + dedup state across restarts."""
-    stream = spark.readStream.schema(schema).parquet(source_dir)
-    kept = exact_dedup_stream(stream, key_cols, ts_col=ts_col, watermark=watermark)
-    return (
-        kept.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    from py_gtfs_duckdb_spark.streaming.windows import run_parquet_stream
+
+    return run_parquet_stream(
+        spark,
+        source_dir,
+        schema,
+        sink_dir,
+        checkpoint_dir,
+        lambda stream: exact_dedup_stream(
+            stream, key_cols, ts_col=ts_col, watermark=watermark
+        ),
     )

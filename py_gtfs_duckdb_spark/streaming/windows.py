@@ -85,6 +85,31 @@ def session_window_counts(
     )
 
 
+def run_parquet_stream(
+    spark,
+    source_dir: str,
+    schema,
+    sink_dir: str,
+    checkpoint_dir: str,
+    transform,
+):
+    """Shared runner: parquet-directory stream → ``transform`` → parquet
+    sink in append mode (the sink that actually supports checkpoint
+    recovery, unlike ``memory``). Returns the StreamingQuery;
+    ``availableNow`` drains what's present and stops, and the checkpoint
+    carries watermark + operator state across restarts."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        transform(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_windowed_stream(
     spark,
     source_dir: str,
@@ -97,25 +122,20 @@ def run_windowed_stream(
     slide: str | None = None,
     watermark: str = "2 hours",
 ):
-    """Wire a parquet-directory stream through the windowed aggregation to
-    a parquet sink (append mode: finalized windows only — and the sink
-    that actually supports checkpoint recovery, unlike ``memory``).
-    Returns the StreamingQuery; ``availableNow`` drains what's present and
-    stops, and the checkpoint carries the watermark across restarts — the
-    property the late-data test pins."""
-    stream = spark.readStream.schema(schema).parquet(source_dir)
-    agg = windowed_event_counts(
-        stream,
-        ts_col=ts_col,
-        window_duration=window_duration,
-        slide=slide,
-        watermark=watermark,
-    )
-    return (
-        agg.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    """Windowed aggregation over a parquet stream (append mode: finalized
+    windows only); the checkpoint carries the watermark across restarts —
+    the property the late-data test pins."""
+    return run_parquet_stream(
+        spark,
+        source_dir,
+        schema,
+        sink_dir,
+        checkpoint_dir,
+        lambda stream: windowed_event_counts(
+            stream,
+            ts_col=ts_col,
+            window_duration=window_duration,
+            slide=slide,
+            watermark=watermark,
+        ),
     )

@@ -83,3 +83,22 @@ def test_keep_canonical_picks_best_quality_then_min_id(spark):
     }
     # cluster 1: quality tie 2 vs 3 -> smaller id wins; cluster 10: tie -> 10
     assert got == {1: (2, 3, 0.9), 10: (10, 2, 0.5)}
+
+
+def test_keep_canonical_tolerates_partial_scores(spark):
+    """Members missing from a partial score table still count and can
+    still be kept (null scores rank last); a fully-unscored cluster keeps
+    its smallest id instead of vanishing — an inner join here would
+    silently delete whole clusters under the documented anti-join usage."""
+    from py_gtfs_duckdb_spark.operators.dedup import keep_canonical
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (20, 20), (21, 20)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame([(2, 0.4)], "doc_id long, quality double")
+    got = {
+        r["cluster_id"]: (r["kept_doc_id"], r["n_members"], r["kept_quality"])
+        for r in keep_canonical(clusters, scores).collect()
+    }
+    assert got == {1: (2, 2, 0.4), 20: (20, 2, None)}
