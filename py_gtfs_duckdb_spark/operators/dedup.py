@@ -654,3 +654,36 @@ def keep_canonical(
             F.col(score_col).alias("kept_quality"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al., "SemDeDup", 2023 — public arXiv:2303.09540): documents
+    whose embeddings sit within ``threshold`` cosine of each other inside
+    the same coarse cluster cell are semantic duplicates; keep ONE
+    representative per transitive group. Composition of existing scale
+    paths — no new shuffle shapes:
+
+      cell-blocked cosine pairs (embedding_neardup_pairs: linear shuffle,
+      per-cell in-memory upper triangle) → connected components
+      (large-star/small-star, O(log n) rounds) → min-id representative.
+
+    Returns (cluster_id, kept_vec_id, n_members); callers anti-join the
+    non-kept members away. The representative is the smallest id (the
+    SemDeDup paper keeps e.g. lowest-perplexity; with no score column on
+    an embedding table, min id is the deterministic stand-in — callers
+    with a score should use ``keep_canonical`` instead)."""
+    from py_gtfs_duckdb_spark.operators.graph import connected_components
+
+    pairs = embedding_neardup_pairs(df, vec_col, id_col, cell_col, threshold)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.min("id").alias("kept_vec_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )

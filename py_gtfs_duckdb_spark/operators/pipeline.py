@@ -117,3 +117,111 @@ def pack_sequences(
         .cast("bigint")
         .alias("bin"),
     )
+
+
+# Split fractions in basis points of the unit hash (train gets the rest).
+SPLIT_VAL_BP = 100  # 1%
+SPLIT_TEST_BP = 100  # 1%
+
+
+def split_col(key: Column) -> Column:
+    """Deterministic train/val/test assignment from the md5 unit hash of
+    the row key — the standard leakage-safe split: membership is a pure
+    function of the key, so re-runs, backfills, and late-arriving shards
+    land in the same split on any engine."""
+    h = unit_hash(key)
+    return (
+        F.when(h < F.lit(10_000 - SPLIT_VAL_BP - SPLIT_TEST_BP), F.lit("train"))
+        .when(h < F.lit(10_000 - SPLIT_TEST_BP), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def split_assign(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-split accounting: (split, n_docs, total_chars, total_tokens).
+    The assignment itself is a narrow expression; the roll-up is a
+    3-group aggregation with full map-side partial aggregation — shuffle
+    volume is O(partitions), not O(rows), at any corpus size."""
+    return (
+        df.select(
+            split_col(F.col(key_col)).alias("split"),
+            F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+            token_count(F.col(text_col)).alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Power-of-two token-length histogram: bucket = floor(log2(tokens)),
+    computed portably as ``length(bin(n)) - 1`` (binary digit count —
+    exact integer math, no floating log2 edge cases at powers of two).
+    Drives sequence-packing budget decisions and truncation accounting.
+    Narrow expression + tiny aggregation: map-side combine reduces each
+    partition to <= ~40 bucket rows before the shuffle."""
+    nt = token_count(F.col(text_col))
+    bucket = (F.length(F.bin(F.greatest(nt, F.lit(1)))) - 1).cast("bigint")
+    return (
+        df.select(bucket.alias("bucket"), nt.alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+    )
+
+
+def source_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source corpus curation report: document count, exact-dup rate
+    (via the normalized-content fingerprint), token volume, and mean
+    quality. The quality mean is computed from an INTEGER sum of the
+    4-decimal-fixed-point per-row scores, so it is independent of
+    aggregation order — float SUM order differs between engines and
+    executors, fixed-point does not. One hash aggregation keyed by
+    source; near-constant output size regardless of corpus size."""
+    from py_gtfs_duckdb_spark.operators.text import fingerprint, quality_col
+
+    c = F.col(text_col)
+    per_doc = df.select(
+        F.col("source"),
+        fingerprint(c).alias("fp"),
+        token_count(c).alias("n_tokens"),
+        # floor(x + 0.5), not CAST: double→int CAST truncates in Spark but
+        # rounds in DuckDB — floor is exact IEEE arithmetic in both.
+        F.floor(quality_col(c) * 10_000 + F.lit(0.5)).cast("bigint").alias("q_bp"),
+    )
+    n_docs = F.count(F.lit(1)).cast("bigint")
+    n_uniq = F.count_distinct(F.col("fp")).cast("bigint")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            n_docs.alias("n_docs"),
+            n_uniq.alias("n_unique"),
+            F.floor(
+                (F.lit(1.0) - n_uniq.cast("double") / n_docs.cast("double"))
+                * 10000.0
+                + F.lit(0.5)
+            ).cast("double").alias("_dup_bp"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.floor(
+                F.sum("q_bp").cast("double") / n_docs.cast("double") + F.lit(0.5)
+            ).alias("_q_bp"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            (F.col("_dup_bp") / 10000.0).alias("exact_dup_frac"),
+            "total_tokens",
+            (F.col("_q_bp").cast("double") / 10000.0).alias("mean_quality"),
+        )
+    )

@@ -147,11 +147,11 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality score in [0,1]: length band + stopword presence −
-    punctuation excess. The standard cheap pre-filter before expensive
-    pipeline stages."""
-    c = F.col(text_col)
+def quality_col(c: Column) -> Column:
+    """The heuristic quality score in [0,1] as a single column expression
+    (length band + stopword presence − punctuation excess), so consumers
+    that need it per-row inside a wider plan (e.g. the per-source corpus
+    report) reuse the ONE formula instead of joining ``quality_score``."""
     n_chars = F.length(c).cast("double")
     n_words = word_count(c).cast("double")
     sw = stopword_hits(c, LANG_STOPWORDS["en"]).cast("double")
@@ -164,14 +164,20 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         * 5.0,
         F.lit(1.0),
     )
-    score = F.greatest(
+    return F.greatest(
         F.least(
             pround(0.5 * len_score + 0.5 * sw_score - 0.25 * punct_pen, 4),
             F.lit(1.0),
         ),
         F.lit(0.0),
     )
-    return df.select(F.col(id_col), score.alias("quality"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + stopword presence −
+    punctuation excess. The standard cheap pre-filter before expensive
+    pipeline stages."""
+    return df.select(F.col(id_col), quality_col(F.col(text_col)).alias("quality"))
 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -194,4 +200,200 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         de.alias("hits_de"),
         fr.alias("hits_fr"),
         es.alias("hits_es"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition, rule-based quality filtering, PII scrubbing (Gopher-style
+# corpus curation; the reference has no analogue — extension mandate)
+# ---------------------------------------------------------------------------
+
+REP_NGRAMS = (2, 3, 5)  # word n-gram orders scored by repetition_stats
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher repetition-filter
+    family, adapted to word n-grams): duplicate-word fraction, the
+    fraction of n-gram occurrences claimed by the single most frequent
+    n-gram (n=2,3), and the fraction of 5-gram occurrences that belong to
+    a 5-gram seen more than once.
+
+    Shape at scale: the whole-array metrics (word count, duplicate-word
+    fraction) are narrow per-row expressions; the n-gram metrics are ONE
+    posexplode + lead() window (tokens hash-partitioned by doc id — the
+    winnow_fingerprints pattern) feeding a (id, n, gram) count and two
+    further aggregations on the same id-prefixed key, so partial
+    aggregation absorbs the fan-out and nothing is quadratic. Documents
+    shorter than n words contribute no grams; their fractions coalesce
+    to 0.0.
+    """
+    from pyspark.sql.window import Window
+
+    c = F.col(text_col)
+    words = F.filter(F.split(c, " "), lambda w: w != "")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(words).cast("bigint").alias("n_words"),
+        pround(
+            F.when(
+                F.size(words) > 0,
+                (F.size(words) - F.size(F.array_distinct(words))).cast("double")
+                / F.size(words),
+            ).otherwise(0.0),
+            4,
+        ).alias("dup_word_frac"),
+    )
+
+    tok = df.select(F.col(id_col).alias("id"), F.posexplode(words).alias("pos", "w"))
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    grams = []
+    g = F.col("w")
+    for j in range(1, max(REP_NGRAMS)):
+        g = F.concat_ws(" ", g, F.lead("w", j).over(w_ord))
+        # lead() past the tail is null; concat_ws skips nulls, so guard by
+        # requiring the last word of the gram to exist.
+        if j + 1 in REP_NGRAMS:
+            grams.append(
+                F.when(F.lead("w", j).over(w_ord).isNotNull(), g).alias(f"g{j + 1}")
+            )
+    stacked = tok.select("id", *grams).select(
+        "id",
+        F.stack(
+            len(REP_NGRAMS),
+            *[x for n in REP_NGRAMS for x in (F.lit(n), F.col(f"g{n}"))],
+        ).alias("n", "gram"),
+    ).filter(F.col("gram").isNotNull())
+    counts = stacked.groupBy("id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per_n = counts.groupBy("id", "n").agg(
+        F.max("c").alias("top"),
+        F.sum("c").alias("total"),
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)).alias("dup"),
+    )
+
+    def _frac(n: int, num: str) -> Column:
+        v = F.max(
+            F.when(
+                F.col("n") == n,
+                F.col(num).cast("double") / F.col("total").cast("double"),
+            )
+        )
+        return pround(F.coalesce(v, F.lit(0.0)), 4)
+
+    gm = per_n.groupBy("id").agg(
+        _frac(2, "top").alias("top_2gram_frac"),
+        _frac(3, "top").alias("top_3gram_frac"),
+        _frac(5, "dup").alias("dup_5gram_frac"),
+    )
+    out = base.join(gm, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_words",
+        "dup_word_frac",
+        F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+        F.coalesce("top_3gram_frac", F.lit(0.0)).alias("top_3gram_frac"),
+        F.coalesce("dup_5gram_frac", F.lit(0.0)).alias("dup_5gram_frac"),
+    )
+    return out
+
+
+# Rule thresholds (Gopher-flavoured, tuned to be non-degenerate on the
+# word-soup test corpus). Shared with the SQL oracle.
+RULE_MIN_WORDS = 30
+RULE_MAX_WORDS = 100_000
+RULE_MIN_MEAN_WORD_LEN = 2.0
+RULE_MAX_MEAN_WORD_LEN = 12.0
+RULE_MAX_SYMBOL_RATIO = 0.1
+RULE_MAX_DUP_WORD_FRAC = 0.75
+RULE_MIN_DISTINCT_STOPWORDS = 2
+
+
+def quality_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style boolean quality rules, one flag per rule plus the
+    conjunction. Pure built-in column expressions — zero shuffle, zero
+    UDF, runs at scan speed over any corpus size. Rules:
+
+    - ``r_word_count``    word count within [min, max]
+    - ``r_mean_word_len`` mean alphanumeric word length within band
+    - ``r_symbol_ratio``  '#'/'…' symbols per word below cap
+    - ``r_dup_words``     duplicate-word fraction below cap
+    - ``r_stopwords``     at least K distinct English stopwords present
+    """
+    c = F.col(text_col)
+    words = F.filter(F.split(c, " "), lambda w: w != "")
+    n_words = word_count(c)
+    alpha_chars = F.length(F.regexp_replace(c, "[^A-Za-z0-9]", "")).cast("double")
+    mean_wl = F.when(n_words > 0, alpha_chars / n_words).otherwise(F.lit(0.0))
+    symbols = F.length(F.regexp_replace(c, "[^#…]", "")).cast("double")
+    symbol_ratio = F.when(n_words > 0, symbols / n_words).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        F.size(words) > 0,
+        (F.size(words) - F.size(F.array_distinct(words))).cast("double")
+        / F.size(words),
+    ).otherwise(F.lit(0.0))
+    sw_distinct = sum(
+        F.when(F.lower(c).rlike(rf"\b{w}\b"), 1).otherwise(0)
+        for w in LANG_STOPWORDS["en"]
+    ).cast("bigint")
+
+    r_word_count = (n_words >= RULE_MIN_WORDS) & (n_words <= RULE_MAX_WORDS)
+    r_mean_word_len = (mean_wl >= RULE_MIN_MEAN_WORD_LEN) & (
+        mean_wl <= RULE_MAX_MEAN_WORD_LEN
+    )
+    r_symbol_ratio = symbol_ratio <= RULE_MAX_SYMBOL_RATIO
+    r_dup_words = dup_frac <= RULE_MAX_DUP_WORD_FRAC
+    r_stopwords = sw_distinct >= RULE_MIN_DISTINCT_STOPWORDS
+    return df.select(
+        F.col(id_col),
+        r_word_count.alias("r_word_count"),
+        r_mean_word_len.alias("r_mean_word_len"),
+        r_symbol_ratio.alias("r_symbol_ratio"),
+        r_dup_words.alias("r_dup_words"),
+        r_stopwords.alias("r_stopwords"),
+        (
+            r_word_count & r_mean_word_len & r_symbol_ratio & r_dup_words & r_stopwords
+        ).alias("pass_all"),
+    )
+
+
+# PII patterns restricted to the regex subset with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB oracle): character classes, bounded
+# quantifiers, \b, alternation of fixed shapes — no backreferences, no
+# lookaround. Phone deliberately matches only the two rigid NANP layouts
+# (parity-safe); a production scrubber would widen this list.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\(\d{3}\) \d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Count and redact emails / IPv4 addresses / NANP phone numbers.
+    Counts are taken on the ORIGINAL text; redaction applies the three
+    patterns sequentially (email → ip → phone) with typed placeholders,
+    the same order the oracle uses. Pure regexp column expressions —
+    scan-speed, shuffle-free, trivially parallel at 100 TB."""
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_IPV4_RE), 0))
+        .cast("bigint")
+        .alias("n_ipv4"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        redacted.alias("redacted"),
     )

@@ -140,13 +140,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(d, "text", "doc_id", k=3, threshold=0.7)
 
 
-def _clusters_oracle_ctes() -> str:
+def _closure_ctes(pairs_sql: str, out_id: str = "doc_id") -> str:
     """CTE chain ``pairs → und → reach → clusters`` ending in
-    (doc_id, cluster_id) — the ONE definition of the transitive-closure
-    oracle (recursive-CTE reachability over the MinHash pairs), shared by
-    q_dedup_clusters and q_dedup_keep_canonical. Must follow a
-    ``WITH RECURSIVE``."""
-    return f"""pairs AS ({_minhash_oracle_sql()}),
+    (out_id, cluster_id) — the ONE definition of the transitive-closure
+    oracle (recursive-CTE reachability over any (id_a, id_b) pair set).
+    Must follow a ``WITH RECURSIVE``."""
+    return f"""pairs AS ({pairs_sql}),
     und AS (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION
@@ -158,9 +157,15 @@ def _clusters_oracle_ctes() -> str:
         SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u
     ),
     clusters AS (
-        SELECT CAST(u AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+        SELECT CAST(u AS BIGINT) AS {out_id}, CAST(MIN(r) AS BIGINT) AS cluster_id
         FROM reach GROUP BY u
     )"""
+
+
+def _clusters_oracle_ctes() -> str:
+    """The MinHash instantiation of ``_closure_ctes`` — shared by
+    q_dedup_clusters and q_dedup_keep_canonical."""
+    return _closure_ctes(_minhash_oracle_sql())
 
 
 @query(
@@ -231,9 +236,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.7)
 
 
-@query(
-    "q_dedup_embedding",
-    oracle="""
+def _embedding_pairs_oracle_sql(threshold: float) -> str:
+    """Cell-blocked cosine near-dup pair SQL over ``embeddings`` — the ONE
+    definition, shared by q_dedup_embedding and q_semantic_dedup."""
+    return f"""
     WITH e AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -245,8 +251,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * 10000.0 + 0.5) / 10000.0 AS cosine
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm))
-                * 10000.0 + 0.5) / 10000.0 >= 0.35
-    """,
+                * 10000.0 + 0.5) / 10000.0 >= {threshold}
+    """
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=_embedding_pairs_oracle_sql(0.35),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by the coarse cell (label ≙
