@@ -514,3 +514,240 @@ def lsh_bucketed_topk(
         pairs, "q_vec", "c_vec", ["query_id", "vec_id"]
     ).dropDuplicates(["query_id", "vec_id"])
     return _topk(scored, k)
+
+
+# -- product quantization (PQ) ----------------------------------------------
+#
+# The compression tier for corpus-scale vector search: each vector is cut
+# into M subvectors and every subvector is replaced by the id of its
+# nearest sub-centroid (a "code"). With M=8 subspaces and 256 centroids a
+# 64-dim float32 vector (256 B) becomes 8 bytes — 32x less to scan, which
+# is the difference between "fits in page cache" and "rescans disk" at
+# 100 TB. Search runs in the compressed domain via ADC (asymmetric
+# distance computation): per query, one (M x ksub) lookup table of partial
+# squared distances, then each candidate's distance is M table lookups —
+# no decompression, no per-pair float math.
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    normalize: bool = True,
+) -> dict:
+    """Train a PQ codebook: per-subspace k-means over a deterministic
+    md5-ordered corpus sample. Returns {"m", "dsub", "ksub", "normalize",
+    "codebooks": (m, ksub, dsub) nested lists} — plain data, shippable in
+    task closures.
+
+    Scale notes: training reads ``sample_size`` vectors to the driver
+    (standard PQ practice — FAISS trains on a sample too); the bound is
+    explicit and independent of corpus size. Everything downstream
+    (encode, search) is distributed. Deterministic: sample order is
+    md5(id), seeds are the first ``ksub`` sample rows per subspace, Lloyd
+    iterations have no RNG."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(sample_size)
+        .collect()
+    )
+    mat = np.asarray([r.v for r in rows], dtype=np.float64)
+    if normalize:
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        mat = mat / nrm
+    n, dim = mat.shape
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    if n < ksub:
+        raise ValueError(f"pq_train: sample {n} smaller than ksub {ksub}")
+    codebooks = []
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        cent = sub[:ksub].copy()
+        for _ in range(n_iter):
+            # (n, ksub) squared L2; argmin ties -> smaller centroid id
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        codebooks.append([[float(x) for x in row] for row in cent])
+    return {
+        "m": m,
+        "dsub": dsub,
+        "ksub": ksub,
+        "normalize": normalize,
+        "codebooks": codebooks,
+    }
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<smallint>): replace each subvector with its
+    nearest sub-centroid id. One narrow Arrow-batched pass — the corpus is
+    scanned once and never shuffled; output rows are ~m bytes of codes per
+    vector, the format a 100 TB deployment persists and re-scans."""
+    import numpy as np
+
+    cb = np.asarray(codebook["codebooks"], dtype=np.float64)  # (m, ksub, dsub)
+    m, _ksub, dsub = cb.shape
+    normalize = bool(codebook["normalize"])
+    schema = T.StructType(
+        [
+            corpus.select(F.col(id_col).alias("vec_id")).schema["vec_id"],
+            T.StructField("codes", T.ArrayType(T.ShortType())),
+        ]
+    )
+    src = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "codes": []})
+                continue
+            mat = _vstack64(pdf["v"])
+            if normalize:
+                nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+                nrm[nrm == 0.0] = 1.0
+                mat = mat / nrm
+            codes = np.empty((len(pdf), m), dtype=np.int16)
+            for s in range(m):
+                sub = mat[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes.tolist())}
+            )
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebook: dict,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via ADC over PQ codes: per query, an (m, ksub)
+    table of partial squared distances to every sub-centroid; each
+    candidate's distance is m table lookups summed. Returns (query_id,
+    vec_id, dist, rank) — rank 1 = nearest. With normalized vectors,
+    ascending L2 equals descending cosine, so recall is measured directly
+    against :func:`cosine_topk` (tests/test_similarity.py).
+
+    Plan shape: query LUTs ride in the task closure (|Q| x m x ksub
+    doubles — tiny), the codes table is scanned once, narrow; the only
+    shuffle is the final top-k over (query_id, vec_id, dist) rows. The
+    corpus vectors themselves are not touched at all — that is the point."""
+    import numpy as np
+
+    cb = np.asarray(codebook["codebooks"], dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = cb.shape
+    normalize = bool(codebook["normalize"])
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
+    ).collect()
+    qids = [r.query_id for r in q_rows]
+    qmat = np.asarray([r.v for r in q_rows], dtype=np.float64)
+    if normalize:
+        nrm = np.linalg.norm(qmat, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        qmat = qmat / nrm
+    # LUT[q, s, c] = || query_sub(q,s) - centroid(s,c) ||^2
+    luts = np.empty((len(qids), m, ksub), dtype=np.float64)
+    for s in range(m):
+        qsub = qmat[:, s * dsub : (s + 1) * dsub]
+        luts[:, s, :] = ((qsub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+    qid_arr = np.asarray(qids)
+
+    src = codes_df.select("vec_id", "codes")
+    schema = T.StructType(
+        [
+            src.schema["vec_id"],
+            T.StructField("query_id", src.schema["vec_id"].dataType),
+            T.StructField("dist", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "query_id": [], "dist": []})
+                continue
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            n = len(pdf)
+            # dists[n, q]: sum over subspaces of LUT lookups
+            dists = np.zeros((n, len(qid_arr)), dtype=np.float64)
+            for s in range(m):
+                dists += luts[:, s, :][:, codes[:, s]].T  # (n, q)
+            rep = np.repeat(pdf["vec_id"].to_numpy(), len(qid_arr))
+            yield pd.DataFrame(
+                {
+                    "vec_id": rep,
+                    "query_id": np.tile(qid_arr, n),
+                    "dist": np.floor(dists.ravel() * 1e6 + 0.5) / 1e6,
+                }
+            )
+
+    scored = src.mapInPandas(run, schema=schema).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = W.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "dist", F.col("rank").cast("bigint").alias("rank")
+        )
+    )
+
+
+def pq_topk_rerank(
+    codes_df: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: dict,
+    k: int = 5,
+    shortlist_mult: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ serving shape: ADC over codes produces a
+    ``k * shortlist_mult`` candidate shortlist per query (compressed-domain
+    scan, cheap), then ONLY the shortlist is re-scored with exact cosine
+    against the true vectors and re-ranked. Quantization error decides
+    what enters the shortlist, never the final order — recall approaches
+    exact search while the full-precision corpus is touched for just
+    |Q| x k x mult rows (a semi-join, not a scan). Returns (query_id,
+    vec_id, cosine, rank)."""
+    shortlist = pq_topk(
+        codes_df, queries, codebook, k=k * shortlist_mult, id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "vec_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    pairs = shortlist.join(F.broadcast(q), "query_id").join(c, "vec_id")
+    scored = batch_cosine_scores(pairs, "q_vec", "c_vec", ["query_id", "vec_id"])
+    return _topk(scored, k)

@@ -180,19 +180,28 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return df.select(F.col(id_col), quality_col(F.col(text_col)).alias("quality"))
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-vote language ID over {en,de,fr,es}, 'und' (undetermined)
-    when no list scores. Deterministic tie-break by fixed language order."""
-    c = F.col(text_col)
+def language_col(c: Column) -> Column:
+    """The stopword-vote language prediction as a single column expression
+    (see ``language_id``), reusable inside wider per-row plans (e.g. the
+    per-source corpus report) without a join."""
     hits = {lang: stopword_hits(c, ws) for lang, ws in LANG_STOPWORDS.items()}
     en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
-    pred = (
+    return (
         F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), F.lit("en"))
         .when((de >= fr) & (de >= es) & (de > 0), F.lit("de"))
         .when((fr >= es) & (fr > 0), F.lit("fr"))
         .when(es > 0, F.lit("es"))
         .otherwise(F.lit("und"))
     )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID over {en,de,fr,es}, 'und' (undetermined)
+    when no list scores. Deterministic tie-break by fixed language order."""
+    c = F.col(text_col)
+    hits = {lang: stopword_hits(c, ws) for lang, ws in LANG_STOPWORDS.items()}
+    en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
+    pred = language_col(c)
     return df.select(
         F.col(id_col),
         pred.alias("pred_lang"),
@@ -261,7 +270,7 @@ def repetition_stats(
     stacked = tok.select("id", *grams).select(
         "id",
         F.stack(
-            len(REP_NGRAMS),
+            F.lit(len(REP_NGRAMS)),
             *[x for n in REP_NGRAMS for x in (F.lit(n), F.col(f"g{n}"))],
         ).alias("n", "gram"),
     ).filter(F.col("gram").isNotNull())

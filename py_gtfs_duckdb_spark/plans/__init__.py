@@ -132,9 +132,16 @@ _PRIORITY = [
     "q_decontaminate",
     "q_pack_sequences",
     "q_dedup_keep_canonical",
+    "q_repetition_stats",
+    "q_quality_rules",
+    "q_pii_scrub",
+    "q_split_assign",
+    "q_token_histogram",
+    "q_source_report",
     # --- tail: rows-only queries (no SQL-expressible oracle) ---
     "q_dedup_simhash",
     "q_ann_lsh",
+    "q_ann_pq",
     "q_ann_ivf_lloyd",
     "q_multimodal_features",
     "q_multimodal_frames",

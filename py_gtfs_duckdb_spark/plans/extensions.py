@@ -937,3 +937,319 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
     )
     return D.keep_canonical(clusters, X.quality_score(d))
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: repetition filters, rule-based quality, PII scrubbing,
+# split accounting, per-source reporting (operators/text.py,
+# operators/pipeline.py — extension mandate; the reference has no analogue)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE_SQL = r"\w+|[^\w\s]"
+
+
+@query(
+    "q_repetition_stats",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), base AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+               floor((CASE WHEN len(ws) > 0
+                      THEN CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)
+                           / len(ws)
+                      ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS dup_word_frac
+        FROM w
+    ), g AS (
+        SELECT doc_id, 2 AS n,
+               unnest([array_to_string(ws[i : i + 1], ' ')
+                       for i in range(1, len(ws) - 1 + 1)]) AS gram
+        FROM w WHERE len(ws) >= 2
+        UNION ALL
+        SELECT doc_id, 3 AS n,
+               unnest([array_to_string(ws[i : i + 2], ' ')
+                       for i in range(1, len(ws) - 2 + 1)]) AS gram
+        FROM w WHERE len(ws) >= 3
+        UNION ALL
+        SELECT doc_id, 5 AS n,
+               unnest([array_to_string(ws[i : i + 4], ' ')
+                       for i in range(1, len(ws) - 4 + 1)]) AS gram
+        FROM w WHERE len(ws) >= 5
+    ), counts AS (
+        SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY doc_id, n, gram
+    ), per_n AS (
+        SELECT doc_id, n, MAX(c) AS top, SUM(c) AS total,
+               COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS dup
+        FROM counts GROUP BY doc_id, n
+    ), gm AS (
+        SELECT doc_id,
+               floor(COALESCE(MAX(CASE WHEN n = 2
+                          THEN CAST(top AS DOUBLE) / CAST(total AS DOUBLE) END),
+                          0.0) * 10000.0 + 0.5) / 10000.0 AS top_2gram_frac,
+               floor(COALESCE(MAX(CASE WHEN n = 3
+                          THEN CAST(top AS DOUBLE) / CAST(total AS DOUBLE) END),
+                          0.0) * 10000.0 + 0.5) / 10000.0 AS top_3gram_frac,
+               floor(COALESCE(MAX(CASE WHEN n = 5
+                          THEN CAST(dup AS DOUBLE) / CAST(total AS DOUBLE) END),
+                          0.0) * 10000.0 + 0.5) / 10000.0 AS dup_5gram_frac
+        FROM per_n GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_words, b.dup_word_frac,
+           COALESCE(gm.top_2gram_frac, 0.0) AS top_2gram_frac,
+           COALESCE(gm.top_3gram_frac, 0.0) AS top_3gram_frac,
+           COALESCE(gm.dup_5gram_frac, 0.0) AS dup_5gram_frac
+    FROM base b LEFT JOIN gm USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition signals per document: duplicate-word
+    fraction, top-{2,3}-gram occupancy, duplicated-5-gram mass — the
+    repetition side of rule-based corpus filtering
+    (operators/text.py:repetition_stats). One posexplode + lead() pass,
+    id-keyed partial aggregation; nothing quadratic."""
+    return X.repetition_stats(t(spark, sf_dir, "documents"))
+
+
+def _sw_distinct_sql() -> str:
+    """SUM of per-stopword presence flags — generated from the SAME
+    LANG_STOPWORDS['en'] list the Spark operator uses."""
+    cases = "\n            + ".join(
+        f"(CASE WHEN regexp_matches(lower(text), '\\b{w}\\b')"
+        " THEN 1 ELSE 0 END)"
+        for w in X.LANG_STOPWORDS["en"]
+    )
+    return f"CAST({cases} AS BIGINT)"
+
+
+@query(
+    "q_quality_rules",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+                   AS n_words,
+               CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                   AS DOUBLE) AS alpha_chars,
+               CAST(length(regexp_replace(text, '[^#…]', '', 'g')) AS DOUBLE)
+                   AS symbols,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+               {_sw_distinct_sql()} AS sw_distinct
+        FROM documents
+    ), r AS (
+        SELECT doc_id,
+               (n_words >= {X.RULE_MIN_WORDS}
+                AND n_words <= {X.RULE_MAX_WORDS}) AS r_word_count,
+               ((CASE WHEN n_words > 0 THEN alpha_chars / n_words ELSE 0.0 END)
+                    >= {X.RULE_MIN_MEAN_WORD_LEN}
+                AND (CASE WHEN n_words > 0 THEN alpha_chars / n_words
+                     ELSE 0.0 END) <= {X.RULE_MAX_MEAN_WORD_LEN})
+                   AS r_mean_word_len,
+               ((CASE WHEN n_words > 0 THEN symbols / n_words ELSE 0.0 END)
+                    <= {X.RULE_MAX_SYMBOL_RATIO}) AS r_symbol_ratio,
+               ((CASE WHEN len(ws) > 0
+                 THEN CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws)
+                 ELSE 0.0 END) <= {X.RULE_MAX_DUP_WORD_FRAC}) AS r_dup_words,
+               (sw_distinct >= {X.RULE_MIN_DISTINCT_STOPWORDS}) AS r_stopwords
+        FROM s
+    )
+    SELECT doc_id, r_word_count, r_mean_word_len, r_symbol_ratio, r_dup_words,
+           r_stopwords,
+           (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_dup_words
+            AND r_stopwords) AS pass_all
+    FROM r
+    """,
+)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style boolean quality rules (word-count band, mean word
+    length, symbol ratio, duplicate-word cap, stopword presence) plus the
+    conjunction — pure codegen'd column expressions, scan-speed at any
+    corpus size (operators/text.py:quality_rules)."""
+    return X.quality_rules(t(spark, sf_dir, "documents"))
+
+
+# Deterministic PII injection for the scrub demo: the synthetic documents
+# corpus contains no digits at all, so scrubbing it raw would be a
+# vacuously-green check (0 matches, redacted == text). Both sides append
+# the SAME id-derived email / IPv4 / NANP-phone strings to a varying
+# subset of rows, so match counts AND replacement content are genuinely
+# exercised and oracle-compared.
+_PII_AUG_SQL = """
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 2 = 0
+                  THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                  THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                       || CAST(doc_id % 100 AS VARCHAR)
+                  ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                  THEN ' call (' || CAST(200 + doc_id % 700 AS VARCHAR)
+                       || ') 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS text
+        FROM documents
+"""
+
+
+@query(
+    "q_pii_scrub",
+    oracle=(
+        "    WITH aug AS (" + _PII_AUG_SQL + "    )\n"
+        "    SELECT doc_id,\n"
+        f"           CAST(len(regexp_extract_all(text, '{X.PII_EMAIL_RE}'))"
+        " AS BIGINT) AS n_emails,\n"
+        f"           CAST(len(regexp_extract_all(text, '{X.PII_IPV4_RE}'))"
+        " AS BIGINT) AS n_ipv4,\n"
+        f"           CAST(len(regexp_extract_all(text, '{X.PII_PHONE_RE}'))"
+        " AS BIGINT) AS n_phones,\n"
+        "           regexp_replace(regexp_replace(regexp_replace(text,\n"
+        f"               '{X.PII_EMAIL_RE}', '<EMAIL>', 'g'),\n"
+        f"               '{X.PII_IPV4_RE}', '<IP>', 'g'),\n"
+        f"               '{X.PII_PHONE_RE}', '<PHONE>', 'g') AS redacted\n"
+        "    FROM aug"
+    ),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails / IPv4 / NANP phones) over
+    deterministically PII-augmented documents — counts on the original
+    text, typed-placeholder redaction, sequential pattern order shared
+    with the oracle (operators/text.py:pii_scrub). Pure regexp column
+    expressions: scan-speed, shuffle-free."""
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit(" mail user"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call ("),
+                (did % 700 + 200).cast("string"),
+                F.lit(") 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return X.pii_scrub(d.select("doc_id", aug.alias("text")))
+
+
+@query(
+    "q_split_assign",
+    oracle=r"""
+    WITH s AS (
+        SELECT CASE WHEN h < 9800 THEN 'train'
+                    WHEN h < 9900 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+                   AS n_tokens
+        FROM (
+            SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 10000 AS h,
+                   text
+            FROM documents
+        )
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY split
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split accounting: membership is a pure
+    md5-hash function of the doc id (98/1/1), so re-runs and late shards
+    land identically on any engine; roll-up is a 3-group aggregation with
+    map-side combine (operators/pipeline.py:split_assign)."""
+    return P.split_assign(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_token_histogram",
+    oracle=r"""
+    WITH tk AS (
+        SELECT CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT CAST(length(bin(greatest(n_tokens, 1))) - 1 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM tk GROUP BY 1
+    """,
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram (bucket = binary digit count −
+    1 — exact integer math, no float log2 edge cases). Drives packing
+    budgets and truncation accounting
+    (operators/pipeline.py:token_histogram)."""
+    return P.token_histogram(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_source_report",
+    oracle=f"""
+    WITH q AS ({_quality_oracle_sql()}),
+    per AS (
+        SELECT d.source,
+               md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))) AS fp,
+               CAST(len(regexp_extract_all(d.text, '{_TOKEN_RE_SQL}'))
+                   AS BIGINT) AS n_tokens,
+               CAST(floor(q.quality * 10000.0 + 0.5) AS BIGINT) AS q_bp
+        FROM documents d JOIN q ON q.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           floor((1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5)
+               / 10000.0 AS exact_dup_frac,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           floor(CAST(SUM(q_bp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5)
+               / 10000.0 AS mean_quality
+    FROM per GROUP BY source
+    """,
+)
+def q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus curation report: doc count, exact-dup rate via
+    the normalized fingerprint, token volume, fixed-point mean quality
+    (integer sums — aggregation-order-independent across engines and
+    executors). One hash aggregation keyed by source
+    (operators/pipeline.py:source_report)."""
+    return P.source_report(t(spark, sf_dir, "documents"))
+
+
+_PQ_CB: dict[str, dict] = {}
+
+
+@query("q_ann_pq")  # rows-only: k-means codebooks are not FP-replayable in SQL
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, the compression tier: 64-dim float
+    vectors -> 8 one-byte codes (32x), ADC shortlist over the compressed
+    corpus, exact cosine re-rank of shortlist only
+    (operators/similarity.py:pq_train/pq_encode/pq_topk_rerank).
+    Recall-asserted against brute force in tests/test_similarity.py.
+    Codebook trains once per corpus dir and is reused (the IVF pattern)."""
+    e = t(spark, sf_dir, "embeddings")
+    if sf_dir not in _PQ_CB:
+        _PQ_CB[sf_dir] = S.pq_train(e, m=8, ksub=16)
+    cb = _PQ_CB[sf_dir]
+    codes = S.pq_encode(e, cb)
+    return S.pq_topk_rerank(codes, e, e.filter(F.col("vec_id") < 10), cb, k=5)

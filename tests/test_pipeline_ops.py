@@ -102,3 +102,123 @@ def test_keep_canonical_tolerates_partial_scores(spark):
         for r in keep_canonical(clusters, scores).collect()
     }
     assert got == {1: (2, 2, 0.4), 20: (20, 2, None)}
+
+
+def test_repetition_stats_planted_values(spark):
+    from py_gtfs_duckdb_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),     # 6 words, 2 distinct
+            (2, "x y z w v"),       # 5 distinct words
+            (3, "q"),               # shorter than every n-gram order
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    # doc 1: dup_word_frac = 4/6; 2-grams: [ab, ba, ab, ba, ab] -> top 3/5;
+    # 3-grams: [aba, bab, aba, bab] -> top 2/4 = 0.5; 5-grams:
+    # [ababa, babab] -> none repeated -> dup frac 0
+    assert got[1]["dup_word_frac"] == 0.6667
+    assert got[1]["top_2gram_frac"] == 0.6
+    assert got[1]["top_3gram_frac"] == 0.5
+    assert got[1]["dup_5gram_frac"] == 0.0
+    # doc 2: all distinct -> every 2/3-gram unique, top frac = 1/count
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_2gram_frac"] == 0.25
+    assert got[2]["dup_5gram_frac"] == 0.0
+    # doc 3: no grams at any order -> all fractions 0, never null
+    assert got[3] == {
+        "doc_id": 3,
+        "n_words": 1,
+        "dup_word_frac": 0.0,
+        "top_2gram_frac": 0.0,
+        "top_3gram_frac": 0.0,
+        "dup_5gram_frac": 0.0,
+    }
+
+
+def test_quality_rules_each_rule_trips(spark):
+    from py_gtfs_duckdb_spark.operators.text import quality_rules
+
+    long_ok = "the and of to in is a " + " ".join(f"word{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, long_ok),                          # passes everything
+            (2, "the and short"),                  # too few words
+            (3, long_ok + " " + "# " * 40),        # symbol ratio blown
+            (4, "the " * 40),                      # dup words + 1 stopword
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in quality_rules(docs).collect()}
+    assert got[1]["pass_all"] is True
+    assert got[2]["r_word_count"] is False and got[2]["pass_all"] is False
+    assert got[3]["r_symbol_ratio"] is False
+    assert got[4]["r_dup_words"] is False and got[4]["r_stopwords"] is False
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from py_gtfs_duckdb_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "write to a.smith+x@mail.example.org or (555) 123-4567 now"),
+            (2, "server at 192.168.0.1 and backup 10.0.0.2"),
+            (3, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(docs).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+    assert "<EMAIL>" in got[1]["redacted"] and "<PHONE>" in got[1]["redacted"]
+    assert "a.smith" not in got[1]["redacted"]
+    assert got[2]["n_ipv4"] == 2 and got[2]["redacted"].count("<IP>") == 2
+    assert got[3] == {
+        "doc_id": 3,
+        "n_emails": 0,
+        "n_ipv4": 0,
+        "n_phones": 0,
+        "redacted": "no pii here",
+    }
+
+
+def test_split_assign_partitions_everything_once(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * 4) for i in range(3000)], "doc_id long, text string"
+    )
+    rows = {r["split"]: r for r in P.split_assign(docs).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in rows.values()) == 3000
+    # 98/1/1 split with uniform hash: train dominates, tails are small
+    assert rows["train"]["n_docs"] > 2800
+    assert 0 < rows["val"]["n_docs"] < 100
+    assert 0 < rows["test"]["n_docs"] < 100
+
+
+def test_token_histogram_bucket_boundaries(spark):
+    # 1 token -> bucket 0; 2,3 -> 1; 4..7 -> 2; 8..15 -> 3
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, "a b c"), (4, "a b c d"), (5, " ".join("x" * 1 for _ in range(8)))],
+        "doc_id long, text string",
+    )
+    got = {r["bucket"]: (r["n_docs"], r["min_tokens"], r["max_tokens"])
+           for r in P.token_histogram(docs).collect()}
+    assert got == {0: (1, 1, 1), 1: (2, 2, 3), 2: (1, 4, 4), 3: (1, 8, 8)}
+
+
+def test_source_report_dup_rate_and_fixed_point_mean(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "same text here", "web"),
+            (2, "same  TEXT   here", "web"),   # normalizes to the same fp
+            (3, "something else entirely", "web"),
+            (4, "only doc", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r.asDict() for r in P.source_report(docs).collect()}
+    assert got["web"]["n_docs"] == 3 and got["web"]["n_unique"] == 2
+    assert got["web"]["exact_dup_frac"] == 0.3333
+    assert got["books"]["n_docs"] == 1 and got["books"]["exact_dup_frac"] == 0.0
+    assert 0.0 <= got["web"]["mean_quality"] <= 1.0

@@ -159,3 +159,82 @@ def test_lloyd_driver_bound_guard():
     seeds = [Cent(i, [0.0] * 4, 0.0) for i in range(2)]  # 2*4 = 8 elems
     with pytest.raises(ValueError, match="driver-side aggregation bound"):
         ivf_train_lloyd(None, 2, seed_centroids=seeds, max_driver_elems=7)
+
+
+def test_pq_roundtrip_and_recall_on_clustered_data(spark):
+    """PQ codes + ADC search recover most of the exact top-5 on clustered
+    vectors, deterministically. 64-dim -> m=8 codes (32x compression)."""
+    from py_gtfs_duckdb_spark.operators.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        pq_topk_rerank,
+        pq_train,
+    )
+
+    vecs = _clustered_vectors(spark, n_clusters=8, per_cluster=20)
+    cb = pq_train(vecs, m=8, ksub=16, sample_size=160)
+    assert cb["dsub"] == 8 and len(cb["codebooks"]) == 8
+    codes = pq_encode(vecs, cb)
+    rows = codes.collect()
+    assert len(rows) == 160
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+
+    q = vecs.filter(F.col("vec_id") < 8)
+    exact = _topk_sets(cosine_topk(vecs, q, k=5))
+    # pure ADC ranking: quantization error dominates INSIDE a tight
+    # cluster, so top-5 order is fuzzy — but it must still beat chance
+    # (random 5-of-159 ~ 0.16) and its top-25 shortlist must capture the
+    # true neighborhood (that is PQ's actual job: candidate generation).
+    approx = _topk_sets(pq_topk(codes, q, cb, k=5))
+    assert _recall(approx, exact) >= 0.3
+    shortlist = _topk_sets(pq_topk(codes, q, cb, k=25))
+    assert _recall(shortlist, exact) >= 0.8
+    # ADC shortlist + exact re-rank: the production serving shape
+    reranked = _topk_sets(pq_topk_rerank(codes, vecs, q, cb, k=5))
+    assert _recall(reranked, exact) >= 0.8
+    # determinism: retrain + re-encode + re-search reproduces exactly
+    cb2 = pq_train(vecs, m=8, ksub=16, sample_size=160)
+    assert cb2 == cb
+    approx2 = _topk_sets(pq_topk(pq_encode(vecs, cb2), q, cb2, k=5))
+    assert approx2 == approx
+
+
+def test_pq_exact_when_corpus_is_codebook(spark):
+    """Vectors that coincide with sub-centroids reconstruct losslessly, so
+    ADC distance == true distance and PQ ranking == exact ranking."""
+    import numpy as np
+
+    from py_gtfs_duckdb_spark.operators.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    # 16 distinct normalized vectors; train on exactly these, so every
+    # subvector is its own centroid (k-means fixed point at n == ksub).
+    rng = np.random.RandomState(3)
+    mat = rng.randn(16, 64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(16)],
+        "vec_id bigint, embedding array<float>",
+    )
+    cb = pq_train(vecs, m=8, ksub=16, sample_size=16, n_iter=1)
+    codes = pq_encode(vecs, cb)
+    q = vecs.filter(F.col("vec_id") < 4)
+    exact = _topk_sets(cosine_topk(vecs, q, k=3))
+    approx = _topk_sets(pq_topk(codes, q, cb, k=3))
+    assert _recall(approx, exact) == 1.0
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    from py_gtfs_duckdb_spark.operators.similarity import pq_train
+
+    vecs = spark.createDataFrame(
+        [(0, [0.0] * 10), (1, [1.0] * 10)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(vecs, m=3, ksub=2, sample_size=2)
