@@ -1,0 +1,174 @@
+"""Temporal joins Spark lacks as built-ins: as-of join (nearest preceding
+/ following event per key) and binned range join.
+
+The as-of join is THE time-series primitive (pandas ``merge_asof``,
+DuckDB ``ASOF JOIN``, kdb ``aj``): for every probe row, the single build
+row with the largest build.ts <= probe.ts (backward) or smallest
+build.ts >= probe.ts (forward) within the same key. Spark has no native
+operator; the naive formulation (inequality join + row_number) explodes
+to O(probe x build) pairs per key before pruning.
+
+This implementation is the union-sort shape: tag both sides, union,
+sort within key by (ts, side, seq), and carry the last (first) non-null
+build payload STRUCT across a running window frame. Cost: ONE shuffle of
+probe+build rows on the key — no pair materialization, no skew
+amplification (a key's cost is |probe|+|build|, not |probe|x|build|),
+and the window frame is a running accumulator (O(1) per row). At 100 TB
+this is the plan you'd hand-write: co-partition by key, sort-merge
+within partition. The payload travels as ONE struct so a null inside a
+build column can never mix fields from different build rows.
+
+Deterministic tie-breaks (and the DuckDB oracle mirrors them):
+- build rows at exactly probe.ts DO match (inclusive, like merge_asof);
+- among build rows sharing the same ts, backward picks the largest
+  ``seq`` (latest-written wins), forward the smallest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    by: str,
+    build_cols: list[str],
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Left as-of join: every ``probe`` row, plus ``build_cols`` from its
+    nearest ``build`` row in time (null columns when no build row
+    qualifies). ``on`` is the ordering (timestamp) column present in both
+    sides; ``by`` the equality key; ``build_cols[0]`` must be a unique
+    build ordinal (the deterministic tie-break seq).
+
+    ``tolerance_seconds`` additionally requires |probe.ts - build.ts| <=
+    tolerance; it needs ``on`` itself in ``build_cols`` so the matched ts
+    is available. Since the nearest match is found first, exceeding the
+    tolerance means NO match exists, so the payload nulls out — exactly
+    pandas ``merge_asof(tolerance=...)``."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    if tolerance_seconds is not None and on not in build_cols:
+        raise ValueError(
+            "asof_join: tolerance requires the build ts column in build_cols"
+        )
+    seq = build_cols[0]
+    backward = direction == "backward"
+    probe_cols = probe.columns
+
+    b = build.select(
+        F.col(by),
+        F.col(on),
+        F.struct(*[F.col(c) for c in build_cols]).alias("__b"),
+    )
+    # side ordering makes equal-ts build rows fall INSIDE the probe row's
+    # frame (inclusive semantics) for either direction
+    p_side, b_side = (1, 0) if backward else (0, 1)
+    u = probe.select(
+        *probe_cols,
+        F.lit(p_side).alias("__side"),
+        F.lit(None).cast(b.schema["__b"].dataType).alias("__b"),
+        F.lit(None).cast(build.schema[seq].dataType).alias("__seq"),
+    ).unionByName(
+        b.select(
+            *[
+                F.col(c) if c in (by, on)
+                else F.lit(None).cast(probe.schema[c].dataType).alias(c)
+                for c in probe_cols
+            ],
+            F.lit(b_side).alias("__side"),
+            F.col("__b"),
+            F.col("__b").getField(seq).alias("__seq"),
+        )
+    )
+
+    order = [F.col(on).asc(), F.col("__side").asc(), F.col("__seq").asc()]
+    if backward:
+        w = (
+            Window.partitionBy(by)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = F.last("__b", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(by)
+            .orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = F.first("__b", ignorenulls=True).over(w)
+
+    matched = u.select(
+        *probe_cols, "__side", carried.alias("__m")
+    ).filter(F.col("__side") == p_side)
+
+    m = F.col("__m")
+    if tolerance_seconds is not None:
+        # integer-microsecond math for timestamps (exact at the boundary —
+        # a double epoch division could round across it); double math for
+        # plain numeric ordering columns
+        if isinstance(probe.schema[on].dataType, TimestampType):
+            gap = F.abs(F.unix_micros(F.col(on)) - F.unix_micros(m.getField(on)))
+            limit = F.lit(int(round(tolerance_seconds * 1_000_000)))
+        else:
+            gap = F.abs(F.col(on).cast("double") - m.getField(on).cast("double"))
+            limit = F.lit(float(tolerance_seconds))
+        m = F.when(gap <= limit, F.col("__m"))
+    return matched.select(
+        *probe_cols,
+        *[m.getField(c).alias(f"{c}{suffix}") for c in build_cols],
+    )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: str | None = None,
+    bin_width: float = 3600.0,
+) -> DataFrame:
+    """Point-in-interval join without the O(points x intervals) nested
+    loop Spark's planner produces for raw inequality predicates: both
+    sides are assigned to fixed-width bins (intervals explode to every
+    bin they overlap via ``sequence``), the join becomes an EQUI-join on
+    (bin [, by]) + residual range filter, and the shuffle is hash, not
+    broadcast-nested-loop. Interval end is exclusive; ``bin_width`` is in
+    the column's native unit (seconds for timestamp casts).
+
+    Scale: cost per bin is |points_in_bin| x |intervals_overlapping_bin|
+    — bounded by construction when interval lengths are bounded; pick
+    bin_width ~ median interval length. This is the standard distributed
+    interval-join shape (bin-and-filter)."""
+    pb = points.withColumn(
+        "__bin",
+        F.floor(F.col(point_col).cast("double") / F.lit(bin_width)).cast("bigint"),
+    )
+    ib = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(
+                    F.col(start_col).cast("double") / F.lit(bin_width)
+                ).cast("bigint"),
+                # end exclusive: an interval ending exactly on a bin edge
+                # does not reach into that bin
+                F.floor(
+                    (F.col(end_col).cast("double") - F.lit(1e-9)) / F.lit(bin_width)
+                ).cast("bigint"),
+            )
+        ),
+    )
+    keys = ["__bin"] + ([by] if by else [])
+    joined = pb.join(ib, keys).filter(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    )
+    return joined.drop("__bin")

@@ -138,6 +138,9 @@ _PRIORITY = [
     "q_split_assign",
     "q_token_histogram",
     "q_source_report",
+    "q_join_asof",
+    "q_join_asof_tol",
+    "q_range_join",
     # --- tail: rows-only queries (no SQL-expressible oracle) ---
     "q_dedup_simhash",
     "q_ann_lsh",

@@ -1253,3 +1253,134 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = _PQ_CB[sf_dir]
     codes = S.pq_encode(e, cb)
     return S.pq_topk_rerank(codes, e, e.filter(F.col("vec_id") < 10), cb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (operators/temporal.py — as-of join, binned range join;
+# Spark has no native operator for either)
+# ---------------------------------------------------------------------------
+
+from py_gtfs_duckdb_spark.operators import temporal as TJ  # noqa: E402
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH probe AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), b AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+    ), cand AS (
+        SELECT p.event_id,
+               b.event_id AS event_id_matched, b.ts AS ts_matched,
+               b.value AS value_matched,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                   ORDER BY b.ts DESC, b.event_id DESC) AS rn
+        FROM probe p JOIN b ON b.user_id = p.user_id AND b.ts <= p.ts
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           c.event_id_matched, c.ts_matched, c.value_matched
+    FROM probe p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+        USING (event_id)
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click event picks the latest view event
+    by the same user at or before it (ties: largest event id), null when
+    none precedes. Union-sort shape — one shuffle on user_id, no
+    pair-explosion (operators/temporal.py:asof_join; DuckDB expresses the
+    same thing with ASOF JOIN / a windowed inequality join)."""
+    e = t(spark, sf_dir, "events")
+    probe = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    build = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return TJ.asof_join(
+        probe, build, on="ts", by="user_id", build_cols=["event_id", "ts", "value"]
+    )
+
+
+@query(
+    "q_join_asof_tol",
+    oracle="""
+    WITH probe AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), b AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), cand AS (
+        SELECT p.event_id,
+               b.event_id AS event_id_matched, b.ts AS ts_matched,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                   ORDER BY b.ts ASC, b.event_id ASC) AS rn
+        FROM probe p
+        JOIN b ON b.user_id = p.user_id AND b.ts >= p.ts
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN c.ts_matched <= p.ts + INTERVAL 600 SECOND
+                THEN c.event_id_matched END AS event_id_matched,
+           CASE WHEN c.ts_matched <= p.ts + INTERVAL 600 SECOND
+                THEN c.ts_matched END AS ts_matched
+    FROM probe p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+        USING (event_id)
+    """,
+)
+def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each error event picks the NEXT
+    click by the same user within 10 minutes (ties: smallest event id).
+    The nearest-first-then-tolerance semantics match pandas merge_asof;
+    boundary math is integer microseconds on both engines."""
+    e = t(spark, sf_dir, "events")
+    probe = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    build = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return TJ.asof_join(
+        probe,
+        build,
+        on="ts",
+        by="user_id",
+        build_cols=["event_id", "ts"],
+        direction="forward",
+        tolerance_seconds=600.0,
+    )
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    WITH iv AS (
+        SELECT event_id AS interval_id, user_id, ts AS start_ts,
+               ts + INTERVAL 30 MINUTE AS end_ts
+        FROM events WHERE event_type = 'purchase'
+    ), pt AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id, i.interval_id
+    FROM pt p JOIN iv i
+      ON i.user_id = p.user_id AND p.ts >= i.start_ts AND p.ts < i.end_ts
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: view events landing inside the
+    30-minute window after each purchase by the same user. Binned
+    equi-join + residual filter — a hash shuffle, not the
+    broadcast-nested-loop Spark plans for raw inequality joins
+    (operators/temporal.py:range_join_binned)."""
+    e = t(spark, sf_dir, "events")
+    iv = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("interval_id"),
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+        )
+    )
+    pt = e.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    return TJ.range_join_binned(
+        pt, iv, "ts", "start_ts", "end_ts", by="user_id", bin_width=1800.0
+    ).select("event_id", "user_id", "interval_id")

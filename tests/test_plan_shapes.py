@@ -104,3 +104,26 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_exchange_no_pair_explosion(spark, sf_dir):
+    """The as-of join must be the union-sort shape: no join operator at
+    all (so no O(probe x build) pair materialization), and the only
+    exchanges hash-partition the union by the key."""
+    plan = _plan(spark, sf_dir, "q_join_asof")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The binned range join must plan as an equi hash/sort-merge join on
+    the bin key — never the nested-loop Spark produces for raw
+    inequality predicates."""
+    plan = _plan(spark, sf_dir, "q_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )

@@ -1,0 +1,152 @@
+"""As-of join and binned range join: planted-topology semantics
+(inclusive ties, deterministic tie-breaks, tolerance nulling, bin-edge
+exclusivity) beyond the DuckDB-oracle battery checks."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from py_gtfs_duckdb_spark.operators.temporal import asof_join, range_join_binned
+
+
+def _ts(s: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    probe = spark.createDataFrame(
+        [
+            (100, 1, _ts(50)),   # between builds at 10 and 60
+            (101, 1, _ts(60)),   # exactly ON a build ts -> inclusive
+            (102, 1, _ts(5)),    # before every build -> backward: null
+            (103, 2, _ts(50)),   # key with duplicate-ts builds
+            (104, 3, _ts(50)),   # key with no builds at all
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [
+            (1, 1, _ts(10), 1.0),
+            (2, 1, _ts(60), 2.0),
+            (3, 1, _ts(90), 3.0),
+            (4, 2, _ts(40), 4.0),   # same ts as id 5
+            (5, 2, _ts(40), 5.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    return probe, build
+
+
+def _rows(df):
+    return {r["event_id"]: r.asDict() for r in df.collect()}
+
+
+def test_asof_backward_semantics(frames):
+    probe, build = frames
+    got = _rows(
+        asof_join(probe, build, "ts", "user_id", ["event_id", "ts", "value"])
+    )
+    assert got[100]["event_id_matched"] == 1          # latest <= 50
+    assert got[101]["event_id_matched"] == 2          # equal ts matches
+    assert got[102]["event_id_matched"] is None       # nothing precedes
+    assert got[102]["value_matched"] is None
+    assert got[103]["event_id_matched"] == 5          # dup ts -> larger seq
+    assert got[104]["event_id_matched"] is None       # key absent from build
+    assert len(got) == 5                              # left join: all probes
+
+
+def test_asof_forward_semantics(frames):
+    probe, build = frames
+    got = _rows(
+        asof_join(
+            probe, build, "ts", "user_id", ["event_id", "ts"], direction="forward"
+        )
+    )
+    assert got[100]["event_id_matched"] == 2          # earliest >= 50
+    assert got[101]["event_id_matched"] == 2          # equal ts matches
+    assert got[102]["event_id_matched"] == 1
+    assert got[103]["event_id_matched"] is None       # no build at/after 50
+    assert got[104]["event_id_matched"] is None
+
+
+def test_asof_tolerance_nulls_far_matches(frames):
+    probe, build = frames
+    got = _rows(
+        asof_join(
+            probe,
+            build,
+            "ts",
+            "user_id",
+            ["event_id", "ts", "value"],
+            tolerance_seconds=15.0,
+        )
+    )
+    # probe 100 @50: nearest build @10 is 40s away -> outside tolerance
+    assert got[100]["event_id_matched"] is None
+    # probe 101 @60: build @60 is 0s away -> kept
+    assert got[101]["event_id_matched"] == 2
+    # probe 103 @50: build @40 is exactly 10s away -> kept (boundary incl.)
+    assert got[103]["event_id_matched"] == 5
+
+
+def test_asof_tolerance_requires_ts_payload(frames):
+    probe, build = frames
+    with pytest.raises(ValueError, match="tolerance requires"):
+        asof_join(
+            probe, build, "ts", "user_id", ["event_id"], tolerance_seconds=5.0
+        )
+
+
+def test_asof_null_payload_does_not_mix_rows(spark):
+    """A null inside a build payload column must ride with ITS row, not
+    get backfilled from an older build row (the struct-carry guarantee)."""
+    probe = spark.createDataFrame(
+        [(100, 1, _ts(100))], "event_id long, user_id long, ts timestamp"
+    )
+    build = spark.createDataFrame(
+        [(1, 1, _ts(10), 7.0), (2, 1, _ts(50), None)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = _rows(asof_join(probe, build, "ts", "user_id", ["event_id", "value"]))
+    assert got[100]["event_id_matched"] == 2
+    assert got[100]["value_matched"] is None  # NOT 7.0 from build row 1
+
+
+def test_range_join_bin_edges(spark):
+    """Intervals spanning multiple bins match points in every bin; the
+    exclusive end does not match; a point on an interval start does."""
+    points = spark.createDataFrame(
+        [(1, 1, 0.0), (2, 1, 95.0), (3, 1, 200.0), (4, 1, 199.9), (5, 2, 95.0)],
+        "point_id long, user_id long, t double",
+    )
+    intervals = spark.createDataFrame(
+        [(10, 1, 0.0, 200.0), (11, 2, 90.0, 96.0)],
+        "interval_id long, user_id long, lo double, hi double",
+    )
+    got = sorted(
+        (r["point_id"], r["interval_id"])
+        for r in range_join_binned(
+            points, intervals, "t", "lo", "hi", by="user_id", bin_width=50.0
+        ).collect()
+    )
+    # point 3 at t=200 is ON the exclusive end -> excluded;
+    # point 1 at t=0 is ON the inclusive start -> included
+    assert got == [(1, 10), (2, 10), (4, 10), (5, 11)]
+
+
+def test_range_join_end_on_bin_edge_not_exploded(spark):
+    """An interval ending exactly on a bin boundary must not be assigned
+    to the bin it never reaches (the 'end exclusive' epsilon)."""
+    points = spark.createDataFrame(
+        [(1, 50.0)], "point_id long, t double"
+    )
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 50.0)], "interval_id long, lo double, hi double"
+    )
+    out = range_join_binned(
+        points, intervals, "t", "lo", "hi", bin_width=50.0
+    ).collect()
+    assert out == []
