@@ -205,6 +205,32 @@ def cmd_realtime(args) -> None:
             http_server.stop()
 
 
+def cmd_curate(args) -> None:
+    """Corpus curation end-to-end (extension surface, no reference
+    analogue): documents parquet -> exact dedup -> near-dup
+    canonicalization -> quality rules -> PII redaction -> lang/split
+    annotation -> parquet partitioned by split + JSON report."""
+    import json
+    import os
+
+    from py_gtfs_duckdb_spark.operators.pipeline import curate_corpus
+    from py_gtfs_duckdb_spark.session import get_spark
+
+    spark = get_spark("gtfs-cli")
+    docs = spark.read.parquet(args.input)
+    curated, report = curate_corpus(
+        docs,
+        near_dup_threshold=args.near_dup_threshold,
+        apply_quality_rules=not args.no_quality_rules,
+    )
+    out_data = os.path.join(args.output, "curated")
+    curated.write.mode("overwrite").partitionBy("split").parquet(out_data)
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "report.json"), "w") as fh:
+        json.dump(report, fh, indent=2, sort_keys=True)
+    print(json.dumps(report, sort_keys=True))
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="py_gtfs_duckdb_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -258,6 +284,15 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="serve the pbf/json/rss/monitor endpoints on this port",
     )
+
+    sp = sub.add_parser(
+        "curate", help="run the corpus-curation pipeline over a documents parquet"
+    )
+    sp.add_argument("--input", "-i", required=True, help="documents parquet path")
+    sp.add_argument("--output", "-o", required=True, help="output directory")
+    sp.add_argument("--near-dup-threshold", type=float, default=0.7)
+    sp.add_argument("--no-quality-rules", action="store_true")
+    sp.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -225,3 +225,98 @@ def source_report(df: DataFrame, text_col: str = "text") -> DataFrame:
             (F.col("_q_bp").cast("double") / 10000.0).alias("mean_quality"),
         )
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near_dup_threshold: float = 0.7,
+    apply_quality_rules: bool = True,
+) -> tuple[DataFrame, dict]:
+    """The whole corpus-curation pipeline as ONE composition — the
+    end-to-end path a training-data team runs nightly, built from the
+    already-tested stages:
+
+    1. exact dedup on the normalized-content fingerprint (min id kept);
+    2. near-dup dedup: MinHash+LSH pairs → connected components →
+       highest-quality representative per cluster (keep_canonical);
+    3. Gopher-style boolean quality rules (optional — ``pass_all``);
+    4. PII redaction (emails / IPv4 / NANP phones → typed placeholders);
+    5. annotation: detected language, leakage-safe train/val/test split,
+       token count.
+
+    Returns ``(curated_df, report)``: the curated frame has the redacted
+    text plus (pred_lang, split, n_tokens), and the report dict carries
+    per-stage survivor counts and total PII redactions — the audit trail.
+
+    Scale shape: every stage is one of the audited plans (digest groupBy,
+    LSH bucket join + star-CC, scan-speed rules, regexp scrub, narrow
+    annotations); stage counts are COUNT(*) actions on cached frames, so
+    the chain is evaluated once per stage boundary, not re-derived."""
+    from py_gtfs_duckdb_spark.operators.dedup import (
+        keep_canonical,
+        minhash_lsh_dedup,
+    )
+    from py_gtfs_duckdb_spark.operators.graph import connected_components
+    from py_gtfs_duckdb_spark.operators.text import (
+        fingerprint,
+        language_col,
+        pii_scrub,
+        quality_rules,
+        quality_score,
+    )
+
+    report: dict = {"input_docs": docs.count()}
+
+    # 1 — exact dedup (digest groupBy: shuffles 16-byte hashes, not text)
+    keep_exact = (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    d1 = docs.join(keep_exact, id_col, "left_semi").persist()
+    report["after_exact_dedup"] = d1.count()
+
+    # 2 — near-dup canonicalization
+    pairs = minhash_lsh_dedup(d1, text_col, id_col, k=3, threshold=near_dup_threshold)
+    cc = connected_components(pairs, "id_a", "id_b")
+    clusters = cc.select(
+        F.col("id").alias(id_col), F.col("component").alias("cluster_id")
+    )
+    kept = keep_canonical(clusters, quality_score(d1, text_col, id_col))
+    dropped = clusters.join(
+        kept.select(F.col("kept_doc_id").alias(id_col)), id_col, "left_anti"
+    ).select(id_col)
+    d2 = d1.join(dropped, id_col, "left_anti").persist()
+    report["after_near_dedup"] = d2.count()
+    d1.unpersist()
+
+    # 3 — rule-based quality filter
+    if apply_quality_rules:
+        passing = quality_rules(d2, text_col, id_col).filter("pass_all").select(id_col)
+        d3 = d2.join(passing, id_col, "left_semi").persist()
+    else:
+        d3 = d2
+    report["after_quality_rules"] = d3.count()
+
+    # 4 — PII redaction (counts on original text, then text := redacted)
+    scrub = pii_scrub(d3, text_col, id_col)
+    pii = scrub.agg(
+        F.sum(F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")).alias("n")
+    ).first()
+    report["pii_redactions"] = int(pii["n"] or 0)
+    d4 = d3.drop(text_col).join(
+        scrub.select(F.col(id_col), F.col("redacted").alias(text_col)), id_col
+    )
+
+    # 5 — annotation
+    out = d4.select(
+        "*",
+        language_col(F.col(text_col)).alias("pred_lang"),
+        split_col(F.col(id_col)).alias("split"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    report["output_docs"] = report["after_quality_rules"]
+    return out, report

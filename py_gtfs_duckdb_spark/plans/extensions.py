@@ -1384,3 +1384,19 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TJ.range_join_binned(
         pt, iv, "ts", "start_ts", "end_ts", by="user_id", bin_width=1800.0
     ).select("event_id", "user_id", "interval_id")
+
+
+@query("q_curate_pipeline")  # rows-only: composition of individually-oracled stages
+def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline in one plan (exact dedup -> near-dup
+    canonicalization -> quality rules -> PII redaction -> lang/split/token
+    annotation; operators/pipeline.py:curate_corpus). Every stage is
+    oracle-checked on its own; the composition is exercised end-to-end by
+    tests/test_cli.py::test_cli_curate_end_to_end and here as a smoke
+    surface. Quality rules are skipped on the synthetic corpus (word-soup
+    docs fail the stopword rule wholesale, which would make the output
+    trivially empty)."""
+    out, _report = P.curate_corpus(
+        t(spark, sf_dir, "documents"), apply_quality_rules=False
+    )
+    return out.select("doc_id", "pred_lang", "split", "n_tokens")

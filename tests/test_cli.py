@@ -49,3 +49,51 @@ def test_cli_full_workflow(spark, tmp_path, feed_dir, capsys):
     assert main(["csvload", lake_root, "-t", "stops", "-i", str(extra), "--append"]) == 0
 
     assert main(["vacuum", lake_root]) == 0
+
+
+def test_cli_curate_end_to_end(spark, tmp_path):
+    """The curate verb: planted duplicates / near-dups / junk / PII in,
+    curated split-partitioned parquet + audit report out."""
+    import json
+
+    from py_gtfs_duckdb_spark.__main__ import main
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs to a river "
+        "where it is happy to rest in the shade of an old tree for a while "
+        "before it continues on its long journey home through the fields"
+    )
+    rows = [
+        (1, base, "web"),
+        (2, base, "web"),                     # exact duplicate of 1
+        (3, base + " tail words appended here", "web"),   # near-dup of 1
+        (4, "short junk", "web"),             # fails word-count rule
+        (
+            5,
+            base.replace("fox", "wolf") + " contact me at jane@example.com "
+            "or (555) 123-4567 for details about the next meeting agenda",
+            "web",
+        ),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "out")
+    assert main(["curate", "--input", inp, "--output", out]) == 0
+
+    report = json.load(open(f"{out}/report.json"))
+    assert report["input_docs"] == 5
+    assert report["after_exact_dedup"] == 4          # doc 2 collapsed
+    assert report["after_near_dedup"] == 3           # doc 3 (or 1) collapsed
+    assert report["after_quality_rules"] == 2        # doc 4 dropped
+    assert report["pii_redactions"] == 2             # email + phone
+    curated = spark.read.parquet(f"{out}/curated")
+    got = {r["doc_id"]: r for r in curated.collect()}
+    # the near-dup cluster {1, 3} keeps its HIGHEST-QUALITY member — doc 3
+    # (longer text scores higher), not the smallest id
+    assert set(got) == {3, 5}
+    assert "<EMAIL>" in got[5]["text"] and "<PHONE>" in got[5]["text"]
+    assert "jane@example.com" not in got[5]["text"]
+    assert got[3]["pred_lang"] == "en"
+    assert got[3]["split"] in ("train", "val", "test")
+    assert got[3]["n_tokens"] > 30
