@@ -751,3 +751,124 @@ def pq_topk_rerank(
     pairs = shortlist.join(F.broadcast(q), "query_id").join(c, "vec_id")
     scored = batch_cosine_scores(pairs, "q_vec", "c_vec", ["query_id", "vec_id"])
     return _topk(scored, k)
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    cells_df: DataFrame,
+    queries: DataFrame,
+    codebook: dict,
+    centroids: list,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ — the canonical corpus-scale ANN index (FAISS IVFPQ): the
+    IVF coarse quantizer restricts each query to its ``nprobe`` nearest
+    cells, and within those cells candidates are scored by ADC over PQ
+    codes. Both reductions compose: the scan touches ~nprobe/n_cells of
+    the corpus AND reads m-byte codes instead of float vectors.
+
+    Inputs are the two persisted artifacts a deployment maintains per
+    corpus version: ``codes_df`` (vec_id, codes) from :func:`pq_encode`
+    and ``cells_df`` (vec_id, cell) from the IVF assignment — pass
+    ``ivf_cells()`` output. Returns (query_id, vec_id, dist, rank),
+    ascending ADC distance. Plan: codes⋈cells is an equi-join on vec_id
+    (co-partitioned artifacts in production — zero shuffle with
+    bucketing), the probe set broadcasts, and the ADC pass is narrow with
+    every query's LUT in the task closure."""
+    import numpy as np
+
+    cb = np.asarray(codebook["codebooks"], dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    normalize = bool(codebook["normalize"])
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
+    ).collect()
+    qids = [r.query_id for r in q_rows]
+    qmat = np.asarray([r.v for r in q_rows], dtype=np.float64)
+    if normalize:
+        nrm = np.linalg.norm(qmat, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        qmat = qmat / nrm
+    luts = np.empty((len(qids), m, ksub), dtype=np.float64)
+    for s in range(m):
+        qsub = qmat[:, s * dsub : (s + 1) * dsub]
+        luts[:, s, :] = ((qsub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+    lut_by_qid = {qid: luts[i] for i, qid in enumerate(qids)}
+
+    probes = _assign_cells(
+        queries, centroids, id_col, vec_col, "query_id", "__qv", nprobe
+    ).select("query_id", "cell")
+    cand = (
+        codes_df.join(cells_df, "vec_id")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "codes")
+    )
+    schema = T.StructType(
+        [
+            cand.schema["query_id"],
+            cand.schema["vec_id"],
+            T.StructField("dist", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"query_id": [], "vec_id": [], "dist": []})
+                continue
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            dists = np.empty(len(pdf), dtype=np.float64)
+            for qid, idx in _group_indices(pdf["query_id"]).items():
+                lut = lut_by_qid[qid]
+                sub = codes[idx]
+                acc = np.zeros(len(idx), dtype=np.float64)
+                for s in range(m):
+                    acc += lut[s, sub[:, s]]
+                dists[idx] = acc
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "vec_id": pdf["vec_id"],
+                    "dist": np.floor(dists * 1e6 + 0.5) / 1e6,
+                }
+            )
+
+    scored = cand.mapInPandas(run, schema=schema)
+    w = W.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "dist", F.col("rank").cast("bigint").alias("rank")
+        )
+    )
+
+
+def _group_indices(series) -> dict:
+    """{value: np.ndarray of positional indices} for a pandas Series."""
+    import numpy as np
+
+    out: dict = {}
+    for pos, v in enumerate(series):
+        out.setdefault(v, []).append(pos)
+    return {k: np.asarray(v, dtype=np.int64) for k, v in out.items()}
+
+
+def ivf_cells(
+    corpus: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell): the persisted IVF assignment artifact — one narrow
+    pass (centroid matrix in the closure), written next to the PQ codes
+    at index-build time."""
+    return _assign_cells(
+        corpus, centroids, id_col, vec_col, "vec_id", "__v", 1
+    ).select("vec_id", "cell")

@@ -145,6 +145,7 @@ _PRIORITY = [
     "q_dedup_simhash",
     "q_ann_lsh",
     "q_ann_pq",
+    "q_ann_ivfpq",
     "q_curate_pipeline",
     "q_ann_ivf_lloyd",
     "q_multimodal_features",

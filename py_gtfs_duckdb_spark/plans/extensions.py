@@ -1400,3 +1400,24 @@ def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents"), apply_quality_rules=False
     )
     return out.select("doc_id", "pred_lang", "split", "n_tokens")
+
+
+@query("q_ann_ivfpq")  # rows-only: composed approximate index, recall-tested
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ (FAISS-style composed index): coarse cells restrict the
+    scan to nprobe/n_cells of the corpus, ADC over 8-byte codes scores
+    candidates without touching float vectors. The two persisted
+    artifacts (codes, cell assignment) build once per corpus version
+    (operators/similarity.py:ivfpq_topk; recall contract in
+    tests/test_similarity.py)."""
+    e = t(spark, sf_dir, "embeddings")
+    if sf_dir not in _PQ_CB:
+        _PQ_CB[sf_dir] = S.pq_train(e, m=8, ksub=16)
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = S.ivf_centroids(e, 16)
+    cb, cents = _PQ_CB[sf_dir], _IVF_CENTROIDS[sf_dir]
+    codes = S.pq_encode(e, cb)
+    cells = S.ivf_cells(e, cents)
+    return S.ivfpq_topk(
+        codes, cells, e.filter(F.col("vec_id") < 10), cb, cents, k=5, nprobe=4
+    )

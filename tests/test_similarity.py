@@ -238,3 +238,34 @@ def test_pq_rejects_indivisible_dim(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(vecs, m=3, ksub=2, sample_size=2)
+
+
+def test_ivfpq_composes_cell_restriction_with_adc(spark):
+    """IVF+PQ: candidates come only from probed cells, distances from ADC
+    codes; with generous nprobe the recall approaches plain PQ."""
+    from py_gtfs_duckdb_spark.operators.similarity import (
+        cosine_topk,
+        ivf_centroids,
+        ivf_cells,
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    vecs = _clustered_vectors(spark, n_clusters=8, per_cluster=20)
+    cb = pq_train(vecs, m=8, ksub=16, sample_size=160)
+    codes = pq_encode(vecs, cb)
+    cents = ivf_centroids(vecs, 8)
+    cells = ivf_cells(vecs, cents)
+    assert cells.count() == 160
+
+    q = vecs.filter(F.col("vec_id") < 8)
+    exact = _topk_sets(cosine_topk(vecs, q, k=5))
+    # shortlist recall: the top-25 ADC candidates from probed cells must
+    # capture the true top-5 neighborhood (clustered data -> the query's
+    # own cluster maps to few cells, well inside nprobe=4)
+    shortlist = _topk_sets(ivfpq_topk(codes, cells, q, cb, cents, k=25, nprobe=4))
+    assert _recall(shortlist, exact) >= 0.7
+    # determinism
+    again = _topk_sets(ivfpq_topk(codes, cells, q, cb, cents, k=25, nprobe=4))
+    assert again == shortlist
