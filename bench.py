@@ -53,6 +53,23 @@ HEADLINE = [
 
 N_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "8"))
 
+# Round-4 operators, timed separately so the headline total stays
+# comparable across rounds/baseline. Fewer samples: these inform, they
+# don't gate.
+EXTRA = [
+    "q_join_asof",
+    "q_join_asof_tol",
+    "q_range_join",
+    "q_repetition_stats",
+    "q_quality_rules",
+    "q_pii_scrub",
+    "q_source_report",
+    "q_split_assign",
+    "q_token_histogram",
+    "q_ann_pq",
+]
+N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -111,6 +128,20 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        runs = []
+        for i in range(N_EXTRA_SAMPLES + 1):
+            elapsed, n = run_once(name)
+            if i > 0:  # first run is warmup (codegen / codebook training)
+                runs.append(elapsed)
+        extra[name] = round(statistics.median(runs), 3)
+        print(
+            f"# extra {name}: {extra[name]:.3f}s median of "
+            f"{[round(r, 3) for r in runs]} ({n} rows)",
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {
@@ -130,6 +161,7 @@ def main() -> None:
                     round(sum(samples[k][i] for k in HEADLINE), 3)
                     for i in range(N_SAMPLES)
                 ],
+                "extra_queries": extra,
                 "sum_of_mins": round(sum(min(v) for v in samples.values()), 3),
                 "noise_ratio": round(
                     max(sum(samples[k][i] for k in HEADLINE) for i in range(N_SAMPLES))
