@@ -74,7 +74,9 @@ def q_dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle_sql(threshold: float = 0.7) -> str:
+def _minhash_oracle_sql(
+    threshold: float = 0.7, pair_pred: str = "a.id < b.id"
+) -> str:
     perms_values = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.MINHASH_PERMS)
     )
@@ -107,7 +109,7 @@ def _minhash_oracle_sql(threshold: float = 0.7) -> str:
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM bands a
         JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                    AND a.id < b.id
+                    AND {pair_pred}
     ), est AS (
         SELECT c.id_a, c.id_b
         FROM cand c
@@ -1420,4 +1422,27 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = S.ivf_cells(e, cents)
     return S.ivfpq_topk(
         codes, cells, e.filter(F.col("vec_id") < 10), cb, cents, k=5, nprobe=4
+    )
+
+
+@query(
+    "q_dedup_incremental",
+    # same CTE chain as q_dedup_minhash_lsh; only the candidate predicate
+    # changes: new-batch docs (id % 7 = 0) probe corpus docs, never
+    # corpus x corpus
+    oracle=_minhash_oracle_sql(pair_pred="a.id % 7 = 0 AND b.id % 7 <> 0"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time incremental near-dup check: each 'new batch' document
+    (doc_id % 7 = 0 stands in for the batch) against the existing corpus
+    via a new x corpus band join — O(B + N), the corpus is never
+    self-joined (operators/dedup.py:minhash_lsh_dedup_incremental)."""
+    d = t(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup_incremental(
+        d.filter(F.col("doc_id") % 7 == 0),
+        d.filter(F.col("doc_id") % 7 != 0),
+        "text",
+        "doc_id",
+        k=3,
+        threshold=0.7,
     )

@@ -110,3 +110,47 @@ def test_embedding_neardup_fat_cell_chunking(spark):
     w = {key(r): r.cosine for r in whole}
     c = {key(r): r.cosine for r in chunked}
     assert w == c  # bit-identical cosines: chunking never changes FP order
+
+
+def test_incremental_dedup_flags_only_new_vs_corpus(spark):
+    """A new doc near-duplicating a corpus doc is flagged; near-dups
+    WITHIN the corpus (or within the batch) are not the incremental
+    check's business and must not appear."""
+    from py_gtfs_duckdb_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        minhash_lsh_dedup_incremental,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tail"),          # corpus-internal near-dup of 1
+            (3, " ".join(f"other{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base + " extra"),        # near-dup of corpus 1 and 2
+            (101, " ".join(f"fresh{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dedup_incremental(
+            new, corpus, "text", "doc_id"
+        ).collect()
+    }
+    assert (100, 1) in got and (100, 2) in got
+    assert all(a == 100 for a, _ in got), "only new-batch ids on the left"
+    assert (1, 2) not in got and (2, 1) not in got, "corpus pairs excluded"
+    # and the flagged pairs agree with what full dedup would find
+    full = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in minhash_lsh_dedup(
+            corpus.unionByName(new), "text", "doc_id"
+        ).collect()
+    }
+    assert {(1, 100), (2, 100)} <= full
