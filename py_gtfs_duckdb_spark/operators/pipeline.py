@@ -320,3 +320,47 @@ def curate_corpus(
     )
     report["output_docs"] = report["after_quality_rules"]
     return out, report
+
+
+def export_shards(
+    docs: DataFrame, n_shards: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, shard, pos): the deterministic global training order —
+    shard = md5-hash of the id mod n_shards, pos = rank within the shard
+    by (md5(id), id). Equivalent to a uniform global shuffle of the
+    corpus, but reproducible across runs, engines, and backfills: late
+    rows land at the same (shard, pos) forever, so a resumed training job
+    reads the same sequence. One hash exchange on the shard key; shard
+    count bounds each sort partition at any corpus size."""
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).alias("shard")
+    out = docs.select(F.col(id_col), shard, h.alias("__h"))
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return out.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+def write_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the training order: join the (shard, pos) assignment
+    back to the payload and write parquet partitioned by shard, each
+    shard's file sorted by pos (sortWithinPartitions after a shard
+    repartition — one shuffle, writer-local sort)."""
+    assign = export_shards(docs, n_shards, id_col)
+    (
+        docs.join(assign, id_col)
+        .repartition("shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

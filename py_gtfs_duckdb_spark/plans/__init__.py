@@ -142,6 +142,7 @@ _PRIORITY = [
     "q_join_asof_tol",
     "q_range_join",
     "q_dedup_incremental",
+    "q_export_shards",
     # --- tail: rows-only queries (no SQL-expressible oracle) ---
     "q_dedup_simhash",
     "q_ann_lsh",

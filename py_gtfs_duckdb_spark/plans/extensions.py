@@ -1446,3 +1446,27 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         threshold=0.7,
     )
+
+
+@query(
+    "q_export_shards",
+    oracle="""
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY shard
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS pos
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 64
+                   AS shard
+        FROM documents
+    )
+    """,
+)
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: hash-shard + in-shard rank by
+    md5 — a reproducible uniform shuffle (same (shard, pos) on re-runs
+    and across engines), one exchange on the shard key
+    (operators/pipeline.py:export_shards)."""
+    return P.export_shards(t(spark, sf_dir, "documents"))

@@ -222,3 +222,26 @@ def test_source_report_dup_rate_and_fixed_point_mean(spark):
     assert got["web"]["exact_dup_frac"] == 0.3333
     assert got["books"]["n_docs"] == 1 and got["books"]["exact_dup_frac"] == 0.0
     assert 0.0 <= got["web"]["mean_quality"] <= 1.0
+
+
+def test_write_shards_round_trip(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    P.write_shards(docs, out, n_shards=8)
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert set(back.columns) == {"doc_id", "text", "shard", "pos"}
+    # every shard's positions are dense 1..n
+    from pyspark.sql import functions as F2
+
+    per = back.groupBy("shard").agg(
+        F2.count("*").alias("n"), F2.max("pos").alias("mx"), F2.min("pos").alias("mn")
+    )
+    for r in per.collect():
+        assert r["mn"] == 1 and r["mx"] == r["n"]
+    # determinism: a second assignment is identical
+    a = {(r["doc_id"], r["shard"], r["pos"]) for r in P.export_shards(docs, 8).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"]) for r in P.export_shards(docs, 8).collect()}
+    assert a == b
