@@ -1,0 +1,148 @@
+"""Byte-pair-encoding tokenizer, dependency-free: train merges on a
+deterministic corpus sample, tokenize distributed.
+
+Token COUNTING by regex (operators/text.py:token_count) approximates
+training cost; a real pipeline budgets in the model's own subword units.
+This is the classic word-internal BPE (Sennrich et al. 2016): words are
+character sequences with an end-of-word marker, and training greedily
+merges the most frequent adjacent symbol pair. Everything is
+deterministic — the sample is md5-ordered, and frequency ties break
+lexicographically — so two training runs (or two engines) produce the
+same merge table.
+
+Scale shape: training reads ``sample_size`` documents to the driver
+(explicit bound — industry practice trains tokenizers on a sample, not
+the corpus); encoding is a narrow Arrow-batched pass with the merge
+ranks in the task closure and a per-batch word memo (word-soup corpora
+repeat words heavily, so the memo turns per-word merge loops into dict
+hits). Not SQL-expressible — battery entry is rows-only; correctness is
+pinned by hand-computable merge tests and the reconstruction property.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EOW = "</w>"  # end-of-word marker, standard BPE
+
+
+def _word_freqs(texts) -> dict[str, int]:
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    return freqs
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 200,
+    sample_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Learn ``n_merges`` BPE merges from an md5-ordered document sample.
+    Returns {"merges": [[left, right], ...]} — plain data, shippable in a
+    task closure. Deterministic: ties in pair frequency break on the
+    lexicographically smallest pair."""
+    rows = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(sample_size)
+        .collect()
+    )
+    freqs = _word_freqs(r.t for r in rows)
+    words: list[tuple[list[str], int]] = [
+        (list(w) + [EOW], n) for w, n in sorted(freqs.items())
+    ]
+    merges: list[list[str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, n in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + n
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < 2:
+            break  # nothing repeats — further merges are memorization
+        merges.append([best[0], best[1]])
+        joined = best[0] + best[1]
+        new_words = []
+        for syms, n in words:
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words.append((out, n))
+        words = new_words
+    return {"merges": merges}
+
+
+def _encode_word(word: str, rank: dict[tuple[str, str], int]) -> list[str]:
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i < 0:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, tokens array<string>, n_bpe_tokens): apply the merge table.
+    Narrow Arrow-batched pass; per-batch word memo (repeated words cost a
+    dict hit, not a merge loop)."""
+    rank = {
+        (left, right): i for i, (left, right) in enumerate(model["merges"])
+    }
+    src = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    schema = T.StructType(
+        [
+            src.schema["id"],
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_bpe_tokens", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks_col, n_col = [], []
+            for text in pdf["__t"]:
+                toks: list[str] = []
+                for w in text.split():
+                    got = memo.get(w)
+                    if got is None:
+                        got = memo[w] = _encode_word(w, rank)
+                    toks.extend(got)
+                toks_col.append(toks)
+                n_col.append(len(toks))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "tokens": toks_col,
+                    "n_bpe_tokens": pd.Series(n_col, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=schema)

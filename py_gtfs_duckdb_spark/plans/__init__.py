@@ -149,6 +149,7 @@ _PRIORITY = [
     "q_ann_pq",
     "q_ann_ivfpq",
     "q_curate_pipeline",
+    "q_bpe_tokens",
     "q_ann_ivf_lloyd",
     "q_multimodal_features",
     "q_multimodal_frames",

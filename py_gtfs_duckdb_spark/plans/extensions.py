@@ -1470,3 +1470,21 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     and across engines), one exchange on the shard key
     (operators/pipeline.py:export_shards)."""
     return P.export_shards(t(spark, sf_dir, "documents"))
+
+
+from py_gtfs_duckdb_spark.operators import bpe as B  # noqa: E402
+
+_BPE_MODEL: dict[str, dict] = {}
+
+
+@query("q_bpe_tokens")  # rows-only: BPE merges are not SQL-expressible
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword token counts from the from-scratch BPE tokenizer (train
+    merges once per corpus on an md5-ordered sample, tokenize in a narrow
+    Arrow pass — operators/bpe.py). The model-native counterpart of the
+    regex token count; merge table determinism and the reconstruction
+    property are pinned in tests/test_bpe.py."""
+    d = t(spark, sf_dir, "documents")
+    if sf_dir not in _BPE_MODEL:
+        _BPE_MODEL[sf_dir] = B.bpe_train(d, n_merges=200, sample_size=500)
+    return B.bpe_tokenize(d, _BPE_MODEL[sf_dir]).select("id", "n_bpe_tokens")

@@ -1,0 +1,56 @@
+"""BPE tokenizer: hand-computable merges, encode/train agreement,
+reconstruction property, determinism."""
+
+from __future__ import annotations
+
+from py_gtfs_duckdb_spark.operators.bpe import (
+    EOW,
+    _encode_word,
+    bpe_tokenize,
+    bpe_train,
+)
+
+
+def test_train_learns_expected_merges(spark):
+    # 'aaab' x3 and 'ab' x2: pair counts round 1 -> ('a','a') 6 (2 per
+    # 'aaab'), ('a','b') 5, ('b',EOW) 5. Ties later break lexicographically.
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab ab")], "doc_id long, text string"
+    )
+    model = bpe_train(docs, n_merges=2, sample_size=10)
+    assert model["merges"][0] == ["a", "a"]
+    # round 2: 'aa,a,b,</w>' x3 + 'a,b,</w>' x2 -> ('a','b') 5 is top
+    assert model["merges"][1] == ["a", "b"]
+
+
+def test_encode_word_applies_merges_in_rank_order():
+    rank = {("a", "a"): 0, ("a", "b"): 1, ("b", EOW): 2}
+    # 'aaab': aa merge first (rank 0, leftmost), again not possible,
+    # then a+b -> 'ab', then b</w> unreachable (b consumed) -> ['aa','ab',</w>]
+    assert _encode_word("aaab", rank) == ["aa", "ab", EOW]
+    # unknown characters pass through as singletons
+    assert _encode_word("xyz", rank) == ["x", "y", "z", EOW]
+
+
+def test_tokenize_reconstructs_and_counts(spark):
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox the quick") for i in range(4)],
+        "doc_id long, text string",
+    )
+    model = bpe_train(docs, n_merges=50, sample_size=10)
+    out = {r["id"]: r for r in bpe_tokenize(docs, model).collect()}
+    for r in out.values():
+        text = "".join(r["tokens"]).replace(EOW, " ").strip()
+        assert text == "the quick brown fox the quick"
+        assert r["n_bpe_tokens"] == len(r["tokens"])
+    # frequent words compress below character count
+    assert out[0]["n_bpe_tokens"] < len("the quick brown fox the quick".replace(" ", "")) + 6
+
+
+def test_train_is_deterministic(spark, sf_dir):
+    from py_gtfs_duckdb_spark.plans._tables import t
+
+    docs = t(spark, sf_dir, "documents")
+    m1 = bpe_train(docs, n_merges=30, sample_size=50)
+    m2 = bpe_train(docs, n_merges=30, sample_size=50)
+    assert m1 == m2 and len(m1["merges"]) == 30
