@@ -85,6 +85,68 @@ AUDITED = [
         "First-candidate pick as min(struct): map-side partial aggregation"
         " ships one row per (event, partition), not the candidate list.",
     ),
+    (
+        "q_sample_stratified",
+        "Deterministic hash sampling is a codegen'd filter: zero"
+        " exchanges, scan pruned to the referenced columns.",
+    ),
+    (
+        "q_pack_sequences",
+        "Budget-boundary packing: exactly one hash exchange (the shard"
+        " window); the shuffle carries token counts, never document"
+        " text.",
+    ),
+    (
+        "q_decontaminate",
+        "Winnow-fingerprint overlap: the benchmark fingerprint set"
+        " (tiny by construction) BROADCASTs; corpus bodies never shuffle"
+        " against each other — the only all-corpus exchange carries"
+        " (doc_id, fp) pairs.",
+    ),
+    (
+        "q_dedup_keep_canonical",
+        "Dedup action: pairs → star-CC → one representative per cluster."
+        " Representative selection adds ONE exchange on the cluster id,"
+        " shared by both window functions (rank + member count stack over"
+        " a single sort+exchange).",
+    ),
+    (
+        "q_join_asof",
+        "As-of join as union-sort: NO join operator exists in the plan at"
+        " all — one hash exchange of probe+build on the key, a per-key"
+        " sort, and a running-frame window carry. Both scans push their"
+        " event_type filters. The naive inequality-join formulation"
+        " (BroadcastNestedLoopJoin + O(|probe|x|build|) pairs per key) is"
+        " the shape test_plan_shapes.py forbids.",
+    ),
+    (
+        "q_range_join",
+        "Binned range join: intervals explode to overlapped bins (~2 rows"
+        " each at bin_width ≈ interval length), then an ordinary shuffled"
+        " EQUI-join on (bin, user_id) with the residual range filter on"
+        " top. No nested loop, no cartesian; AQE handles bin skew.",
+    ),
+    (
+        "q_dedup_incremental",
+        "Ingest-time near-dup: NEW-batch band rows join CORPUS band rows"
+        " — the corpus is never self-joined, so an ingest batch costs"
+        " O(B + N) band rows and bucket-local probes.",
+    ),
+    (
+        "q_export_shards",
+        "Deterministic training order: one exchange on the shard key,"
+        " writer-local rank; n_shards bounds every sort partition at any"
+        " corpus size.",
+    ),
+    (
+        "q_ann_pq",
+        "PQ serving: codes scan (8 bytes/vector) with per-query ADC"
+        " lookup tables in the task closure → window shortlist →"
+        " broadcast-join the tiny shortlist back to full vectors for"
+        " exact re-rank. The full-precision corpus is touched only via"
+        " the shortlist semi-join — the big scan reads 32x less data"
+        " than the float corpus.",
+    ),
 ]
 
 
