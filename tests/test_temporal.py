@@ -150,3 +150,78 @@ def test_range_join_end_on_bin_edge_not_exploded(spark):
         points, intervals, "t", "lo", "hi", bin_width=50.0
     ).collect()
     assert out == []
+
+
+# ---------------------------------------------------------------------------
+# differential property test: asof_join vs pandas merge_asof
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user_id (few keys)
+        st.integers(min_value=0, max_value=20),     # ts (dense -> ties)
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(probe_rows=_rows, build_rows=_rows, direction=st.sampled_from(["backward", "forward"]))
+def test_asof_join_matches_pandas_merge_asof(spark, probe_rows, build_rows, direction):
+    """pandas merge_asof IS the as-of semantics spec (inclusive equal-ts,
+    last/first match among sorted duplicates); the distributed union-sort
+    implementation must agree row-for-row on random small inputs."""
+    import pandas as pd
+
+    probe_pd = pd.DataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(probe_rows)],
+        columns=["event_id", "user_id", "ts"],
+        dtype="int64",
+    )
+    build_pd = pd.DataFrame(
+        [(1000 + i, u, t) for i, (u, t) in enumerate(build_rows)],
+        columns=["event_id", "user_id", "ts"],
+        dtype="int64",
+    )
+    # pandas requires global sort by the on-key; secondary sort by event_id
+    # makes the duplicate-ts pick deterministic: backward takes the LAST
+    # matching row (largest id), forward the FIRST (smallest id) — the
+    # documented tie-break of asof_join.
+    probe_sorted = probe_pd.sort_values(["ts", "event_id"], kind="stable")
+    build_sorted = build_pd.sort_values(["ts", "event_id"], kind="stable")
+    expect = pd.merge_asof(
+        probe_sorted,
+        build_sorted.rename(columns={"event_id": "event_id_matched"})[
+            ["event_id_matched", "user_id", "ts"]
+        ],
+        on="ts",
+        by="user_id",
+        direction=direction,
+    )
+    want = {
+        int(r.event_id): (None if pd.isna(r.event_id_matched) else int(r.event_id_matched))
+        for r in expect.itertuples()
+    }
+
+    probe = spark.createDataFrame(probe_pd) if len(probe_pd) else spark.createDataFrame([], "event_id long, user_id long, ts long")
+    build = spark.createDataFrame(build_pd) if len(build_pd) else spark.createDataFrame([], "event_id long, user_id long, ts long")
+    got_rows = asof_join(
+        probe, build, "ts", "user_id", ["event_id"], direction=direction
+    ).collect()
+    got = {r["event_id"]: r["event_id_matched"] for r in got_rows}
+    assert got == want
