@@ -1,0 +1,137 @@
+"""Streaming corpus ingest gate: per-micro-batch NEAR-dup rejection
+against the accepted corpus (the fuzzy tier on top of
+``stateful.exact_dedup_stream``'s digest tier).
+
+A training-data firehose must not re-run full-corpus dedup per batch;
+the ingest-time contract is: each arriving document is checked against
+what the corpus ALREADY accepted, using the persisted MinHash artifacts
+(per-doc signature rows and LSH band keys). Cost per batch of B docs:
+one narrow signature pass over B rows, a bucket join of B×LSH_BANDS new
+band keys against the stored band table, and estimate/verify joins over
+the surviving candidates only. The corpus is never self-joined and
+never re-shingled.
+
+State lives in ordinary lake tables (``<name>_sigs``, ``<name>_bands``)
+— append-only, versioned, readable by any consumer; at 100 TB these are
+the same artifacts the batch dedup would persist, so batch and streaming
+share one source of truth. Batch-internal near-dups are also collapsed
+(smallest id wins) so a burst of identical documents in one batch cannot
+all slip through the gate together.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from py_gtfs_duckdb_spark.lake import GtfsLake
+from py_gtfs_duckdb_spark.operators.dedup import (
+    estimate_filter_pairs,
+    exact_jaccard,
+    lsh_bands,
+    shingle_signatures,
+)
+
+
+class NearDupIngestGate:
+    """``foreachBatch`` target: accept only documents with no near-dup in
+    the already-accepted corpus (exact-Jaccard >= threshold after LSH +
+    estimate pruning), then append survivors and their artifacts."""
+
+    def __init__(
+        self,
+        lake: GtfsLake,
+        table: str = "corpus_docs",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k: int = 3,
+        threshold: float = 0.7,
+    ) -> None:
+        self.lake = lake
+        self.table = table
+        self.sigs_table = f"{table}_sigs"
+        self.bands_table = f"{table}_bands"
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.threshold = threshold
+
+    def _flag_against(self, new_sets: DataFrame, stored_sigs: DataFrame,
+                      stored_bands: DataFrame) -> DataFrame:
+        """ids of new docs with a corpus near-dup (one column, id)."""
+        cand = (
+            lsh_bands(new_sets)
+            .select(F.col("id").alias("id_a"), "bk")
+            .join(stored_bands.select(F.col("id").alias("id_b"), "bk"), "bk")
+            .select("id_a", "id_b")
+        )
+        both = new_sets.unionByName(stored_sigs)
+        pruned = estimate_filter_pairs(cand, both).dropDuplicates(["id_a", "id_b"])
+        hits = exact_jaccard(pruned, both).filter(
+            F.col("jaccard") >= self.threshold
+        )
+        return hits.select(F.col("id_a").alias("id")).distinct()
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        if not batch_df.columns:
+            return
+        new_sets = shingle_signatures(
+            batch_df, self.text_col, self.id_col, self.k
+        ).persist()
+
+        # 1 — collapse batch-internal near-dups: smallest id per bucketed
+        # near-dup pair survives (a burst of copies must not all pass).
+        internal = (
+            lsh_bands(new_sets)
+            .select(F.col("id").alias("id_a"), "bk")
+            .join(lsh_bands(new_sets).select(F.col("id").alias("id_b"), "bk"), "bk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        internal = estimate_filter_pairs(internal, new_sets).dropDuplicates(
+            ["id_a", "id_b"]
+        )
+        internal_dups = (
+            exact_jaccard(internal, new_sets)
+            .filter(F.col("jaccard") >= self.threshold)
+            .select(F.col("id_b").alias("id"))
+            .distinct()
+        )
+        survivors = new_sets.join(internal_dups, "id", "left_anti")
+
+        # 2 — reject docs near-duplicating the accepted corpus
+        if self.lake.exists(self.bands_table):
+            stored_sigs = self.lake.table(self.sigs_table)
+            stored_bands = self.lake.table(self.bands_table)
+            flagged = self._flag_against(survivors, stored_sigs, stored_bands)
+            survivors = survivors.join(flagged, "id", "left_anti")
+
+        # 3 — append accepted docs + their artifacts
+        accepted_ids = survivors.select(
+            F.col("id").alias(self.id_col)
+        )
+        accepted_docs = batch_df.join(accepted_ids, self.id_col, "left_semi")
+        self.lake.append(self.table, accepted_docs)
+        self.lake.append(self.sigs_table, survivors)
+        self.lake.append(self.bands_table, lsh_bands(survivors))
+        new_sets.unpersist()
+
+
+def run_ingest_stream(
+    spark,
+    gate: NearDupIngestGate,
+    source_dir: str,
+    schema: str,
+    available_now: bool = True,
+    checkpoint_dir: str | None = None,
+):
+    """Wire the gate under a real readStream → foreachBatch query (JSON
+    lines source). ``available_now`` drains existing files and stops —
+    the test/batch-replay mode; a production stream omits it."""
+    reader = spark.readStream.schema(schema).json(source_dir)
+    writer = reader.writeStream.foreachBatch(gate.process_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,79 @@
+"""Streaming near-dup ingest gate: batch-internal burst collapse,
+cross-batch rejection against the accepted corpus, artifact persistence,
+and the real readStream → foreachBatch wiring."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from py_gtfs_duckdb_spark.lake import GtfsLake
+from py_gtfs_duckdb_spark.streaming.ingest import (
+    NearDupIngestGate,
+    run_ingest_stream,
+)
+
+BASE = " ".join(f"tok{i}" for i in range(40))
+OTHER = " ".join(f"other{i}" for i in range(40))
+FRESH = " ".join(f"fresh{i}" for i in range(40))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gate_rejects_cross_batch_near_dups(spark, tmp_path):
+    lake = GtfsLake(spark, str(tmp_path / "lake"))
+    gate = NearDupIngestGate(lake)
+
+    gate.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
+    accepted = {r["doc_id"] for r in lake.table("corpus_docs").collect()}
+    assert accepted == {1, 2}
+
+    # batch 2: a near-dup of doc 1, and a genuinely new doc
+    gate.process_batch(_docs(spark, [(10, BASE + " tail"), (11, FRESH)]), 1)
+    accepted = {r["doc_id"] for r in lake.table("corpus_docs").collect()}
+    assert accepted == {1, 2, 11}, "near-dup of accepted corpus rejected"
+    # artifacts track accepted docs only
+    assert {r["id"] for r in lake.table("corpus_docs_sigs").collect()} == {1, 2, 11}
+    bands = lake.table("corpus_docs_bands")
+    assert {r["id"] for r in bands.collect()} == {1, 2, 11}
+
+
+def test_gate_collapses_batch_internal_burst(spark, tmp_path):
+    lake = GtfsLake(spark, str(tmp_path / "lake"))
+    gate = NearDupIngestGate(lake)
+    # three near-identical docs arrive in ONE batch: smallest id survives
+    gate.process_batch(
+        _docs(spark, [(5, BASE), (6, BASE + " x"), (7, BASE + " y"), (8, OTHER)]),
+        0,
+    )
+    accepted = {r["doc_id"] for r in lake.table("corpus_docs").collect()}
+    assert accepted == {5, 8}
+
+
+def test_run_ingest_stream_end_to_end(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b1.json", "w") as fh:
+        for i, text in [(1, BASE), (2, OTHER)]:
+            fh.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+
+    lake = GtfsLake(spark, str(tmp_path / "lake"))
+    gate = NearDupIngestGate(lake)
+    ckpt = str(tmp_path / "ckpt")
+    q = run_ingest_stream(
+        spark, gate, str(src), "doc_id long, text string", checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in lake.table("corpus_docs").collect()} == {1, 2}
+
+    # second file lands; the SAME checkpoint processes only the new file
+    with open(src / "b2.json", "w") as fh:
+        for i, text in [(20, BASE + " more"), (21, FRESH)]:
+            fh.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+    q2 = run_ingest_stream(
+        spark, gate, str(src), "doc_id long, text string", checkpoint_dir=ckpt
+    )
+    q2.awaitTermination(120)
+    assert {r["doc_id"] for r in lake.table("corpus_docs").collect()} == {1, 2, 21}
