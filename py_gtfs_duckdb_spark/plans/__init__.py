@@ -143,6 +143,7 @@ _PRIORITY = [
     "q_range_join",
     "q_dedup_incremental",
     "q_export_shards",
+    "q_quantile_tokens",
     # --- tail: rows-only queries (no SQL-expressible oracle) ---
     "q_dedup_simhash",
     "q_ann_lsh",

@@ -1488,3 +1488,42 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _BPE_MODEL:
         _BPE_MODEL[sf_dir] = B.bpe_train(d, n_merges=200, sample_size=500)
     return B.bpe_tokenize(d, _BPE_MODEL[sf_dir]).select("id", "n_bpe_tokens")
+
+
+@query(
+    "q_quantile_tokens",
+    oracle=r"""
+    WITH tk AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT source,
+           quantile_cont(n_tokens, 0.25) AS p25,
+           quantile_cont(n_tokens, 0.50) AS p50,
+           quantile_cont(n_tokens, 0.75) AS p75,
+           quantile_cont(n_tokens, 0.95) AS p95
+    FROM tk GROUP BY source
+    """,
+)
+def q_quantile_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length quantiles (exact linear-interpolated
+    percentiles — Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the definition, so values match bit-for-bit). Exact percentile
+    holds each group's values; per-source groups are bounded, and the
+    unbounded-cardinality variant of this query is ``approx_percentile``
+    (t-digest, mergeable map-side) — same plan, sketch aggregate."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(X.TOKEN_RE), 0))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return tk.groupBy("source").agg(
+        *[
+            F.expr(f"percentile(n_tokens, {p})").alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )
