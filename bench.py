@@ -129,7 +129,7 @@ def main() -> None:
         )
 
     extra: dict[str, float] = {}
-    for name in EXTRA:
+    for name in EXTRA if N_EXTRA_SAMPLES > 0 else []:
         runs = []
         for i in range(N_EXTRA_SAMPLES + 1):
             elapsed, n = run_once(name)

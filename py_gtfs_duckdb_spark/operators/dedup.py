@@ -365,7 +365,14 @@ def minhash_lsh_dedup_incremental(
 
     Ids must be unique ACROSS both frames (one id space — the ingest
     reality); estimate-prune and exact-verify reuse the batch stages over
-    the unioned per-doc rows."""
+    the unioned per-doc rows.
+
+    Caching contract (same as minhash_lsh_dedup): both signature frames
+    stay persisted for the consumer's action — one-shot callers (battery,
+    bench with its per-query clearCache) are fine; a long-lived loop
+    should manage cache lifecycle itself, the way
+    streaming/ingest.NearDupIngestGate persists and unpersists per
+    batch."""
     new_sets = shingle_signatures(new_docs, text_col, id_col, k).persist()
     corpus_sets = shingle_signatures(corpus_docs, text_col, id_col, k).persist()
     cand = (

@@ -285,7 +285,9 @@ def curate_corpus(
     clusters = cc.select(
         F.col("id").alias(id_col), F.col("component").alias("cluster_id")
     )
-    kept = keep_canonical(clusters, quality_score(d1, text_col, id_col))
+    kept = keep_canonical(
+        clusters, quality_score(d1, text_col, id_col), id_col=id_col
+    )
     dropped = clusters.join(
         kept.select(F.col("kept_doc_id").alias(id_col)), id_col, "left_anti"
     ).select(id_col)
@@ -300,6 +302,8 @@ def curate_corpus(
     else:
         d3 = d2
     report["after_quality_rules"] = d3.count()
+    if d3 is not d2:
+        d2.unpersist()  # d3 is materialized; d2's cache has served its use
 
     # 4 — PII redaction (counts on original text, then text := redacted)
     scrub = pii_scrub(d3, text_col, id_col)

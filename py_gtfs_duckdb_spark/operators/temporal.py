@@ -152,20 +152,30 @@ def range_join_binned(
         "__bin",
         F.floor(F.col(point_col).cast("double") / F.lit(bin_width)).cast("bigint"),
     )
-    ib = intervals.withColumn(
-        "__bin",
-        F.explode(
-            F.sequence(
-                F.floor(
-                    F.col(start_col).cast("double") / F.lit(bin_width)
-                ).cast("bigint"),
-                # end exclusive: an interval ending exactly on a bin edge
-                # does not reach into that bin
-                F.floor(
-                    (F.col(end_col).cast("double") - F.lit(1e-9)) / F.lit(bin_width)
-                ).cast("bigint"),
-            )
-        ),
+    # end exclusive: an interval ending exactly on a bin edge does not
+    # reach into that bin. Exact edge test, not an epsilon subtraction —
+    # at epoch-seconds magnitude (~1.7e9) any epsilon below the double
+    # ULP (~2.4e-7) would be a silent no-op.
+    e = F.col(end_col).cast("double")
+    end_bin_raw = F.floor(e / F.lit(bin_width)).cast("bigint")
+    end_bin = end_bin_raw - F.when(
+        e == end_bin_raw.cast("double") * F.lit(bin_width), F.lit(1)
+    ).otherwise(F.lit(0))
+    ib = (
+        # empty/inverted intervals match nothing; dropping them also keeps
+        # `sequence` from stepping DOWNWARD (sequence(5, 3) yields 5,4,3)
+        intervals.filter(F.col(end_col).cast("double") > F.col(start_col).cast("double"))
+        .withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(
+                        F.col(start_col).cast("double") / F.lit(bin_width)
+                    ).cast("bigint"),
+                    end_bin,
+                )
+            ),
+        )
     )
     keys = ["__bin"] + ([by] if by else [])
     joined = pb.join(ib, keys).filter(

@@ -180,12 +180,10 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return df.select(F.col(id_col), quality_col(F.col(text_col)).alias("quality"))
 
 
-def language_col(c: Column) -> Column:
-    """The stopword-vote language prediction as a single column expression
-    (see ``language_id``), reusable inside wider per-row plans (e.g. the
-    per-source corpus report) without a join."""
-    hits = {lang: stopword_hits(c, ws) for lang, ws in LANG_STOPWORDS.items()}
-    en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
+def _lang_pred(en: Column, de: Column, fr: Column, es: Column) -> Column:
+    """The vote resolution, from already-built hit expressions — shared
+    so language_id reuses ITS hit columns instead of authoring the four
+    regex scans a second time."""
     return (
         F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), F.lit("en"))
         .when((de >= fr) & (de >= es) & (de > 0), F.lit("de"))
@@ -195,13 +193,21 @@ def language_col(c: Column) -> Column:
     )
 
 
+def language_col(c: Column) -> Column:
+    """The stopword-vote language prediction as a single column expression
+    (see ``language_id``), reusable inside wider per-row plans (e.g. the
+    per-source corpus report) without a join."""
+    hits = {lang: stopword_hits(c, ws) for lang, ws in LANG_STOPWORDS.items()}
+    return _lang_pred(hits["en"], hits["de"], hits["fr"], hits["es"])
+
+
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-vote language ID over {en,de,fr,es}, 'und' (undetermined)
     when no list scores. Deterministic tie-break by fixed language order."""
     c = F.col(text_col)
     hits = {lang: stopword_hits(c, ws) for lang, ws in LANG_STOPWORDS.items()}
     en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
-    pred = language_col(c)
+    pred = _lang_pred(en, de, fr, es)
     return df.select(
         F.col(id_col),
         pred.alias("pred_lang"),

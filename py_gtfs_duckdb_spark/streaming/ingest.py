@@ -58,11 +58,16 @@ class NearDupIngestGate:
 
     def _flag_against(self, new_sets: DataFrame, stored_sigs: DataFrame,
                       stored_bands: DataFrame) -> DataFrame:
-        """ids of new docs with a corpus near-dup (one column, id)."""
+        """ids of new docs with a corpus near-dup (one column, id).
+        Self-id pairs are excluded: on foreachBatch REDELIVERY a doc's
+        own already-stored artifacts would otherwise reject it at
+        jaccard 1.0 (the per-table id anti-join in process_batch then
+        keeps the redelivered copy from appending twice)."""
         cand = (
             lsh_bands(new_sets)
             .select(F.col("id").alias("id_a"), "bk")
             .join(stored_bands.select(F.col("id").alias("id_b"), "bk"), "bk")
+            .filter(F.col("id_a") != F.col("id_b"))
             .select("id_a", "id_b")
         )
         both = new_sets.unionByName(stored_sigs)
@@ -73,18 +78,30 @@ class NearDupIngestGate:
         return hits.select(F.col("id_a").alias("id")).distinct()
 
     def process_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
-        if not batch_df.columns:
+        if batch_df.isEmpty():
             return
         new_sets = shingle_signatures(
             batch_df, self.text_col, self.id_col, self.k
         ).persist()
 
-        # 1 — collapse batch-internal near-dups: smallest id per bucketed
-        # near-dup pair survives (a burst of copies must not all pass).
+        # 1 — reject docs near-duplicating the accepted CORPUS first. The
+        # order matters: near-dup is not transitive at a fixed threshold,
+        # so a batch doc whose only near-dup is a batch-mate that the
+        # corpus check rejects must still be accepted — collapsing the
+        # batch first would silently lose it forever.
+        survivors = new_sets
+        if self.lake.exists(self.bands_table):
+            stored_sigs = self.lake.table(self.sigs_table)
+            stored_bands = self.lake.table(self.bands_table)
+            flagged = self._flag_against(new_sets, stored_sigs, stored_bands)
+            survivors = survivors.join(flagged, "id", "left_anti")
+
+        # 2 — collapse near-dup bursts among the remaining batch docs:
+        # smallest id per near-dup pair survives.
         internal = (
-            lsh_bands(new_sets)
+            lsh_bands(survivors)
             .select(F.col("id").alias("id_a"), "bk")
-            .join(lsh_bands(new_sets).select(F.col("id").alias("id_b"), "bk"), "bk")
+            .join(lsh_bands(survivors).select(F.col("id").alias("id_b"), "bk"), "bk")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
         )
@@ -97,23 +114,36 @@ class NearDupIngestGate:
             .select(F.col("id_b").alias("id"))
             .distinct()
         )
-        survivors = new_sets.join(internal_dups, "id", "left_anti")
+        # persist the final survivor set: three appends below are three
+        # actions — without this the whole LSH/verify lineage re-executes
+        # per append
+        survivors = survivors.join(internal_dups, "id", "left_anti").persist()
 
-        # 2 — reject docs near-duplicating the accepted corpus
-        if self.lake.exists(self.bands_table):
-            stored_sigs = self.lake.table(self.sigs_table)
-            stored_bands = self.lake.table(self.bands_table)
-            flagged = self._flag_against(survivors, stored_sigs, stored_bands)
-            survivors = survivors.join(flagged, "id", "left_anti")
+        # 3 — append accepted docs + artifacts, each anti-joined against
+        # the ids that table ALREADY holds: appends are per-table
+        # idempotent by key, so an at-least-once redelivery after a
+        # mid-batch crash (some tables committed, some not) completes the
+        # remaining tables without duplicating the committed ones.
+        def fresh_only(df: DataFrame, table: str, key: str) -> DataFrame:
+            if self.lake.exists(table):
+                return df.join(
+                    self.lake.table(table).select(key), key, "left_anti"
+                )
+            return df
 
-        # 3 — append accepted docs + their artifacts
-        accepted_ids = survivors.select(
-            F.col("id").alias(self.id_col)
-        )
+        accepted_ids = survivors.select(F.col("id").alias(self.id_col))
         accepted_docs = batch_df.join(accepted_ids, self.id_col, "left_semi")
-        self.lake.append(self.table, accepted_docs)
-        self.lake.append(self.sigs_table, survivors)
-        self.lake.append(self.bands_table, lsh_bands(survivors))
+        self.lake.append(
+            self.table, fresh_only(accepted_docs, self.table, self.id_col)
+        )
+        self.lake.append(
+            self.sigs_table, fresh_only(survivors, self.sigs_table, "id")
+        )
+        self.lake.append(
+            self.bands_table,
+            lsh_bands(fresh_only(survivors, self.bands_table, "id")),
+        )
+        survivors.unpersist()
         new_sets.unpersist()
 
 

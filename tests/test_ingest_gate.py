@@ -77,3 +77,42 @@ def test_run_ingest_stream_end_to_end(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert {r["doc_id"] for r in lake.table("corpus_docs").collect()} == {1, 2, 21}
+
+
+def test_gate_redelivery_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the SAME batch (e.g.
+    after a crash between the three table appends) must not duplicate
+    rows in any table."""
+    lake = GtfsLake(spark, str(tmp_path / "lake"))
+    gate = NearDupIngestGate(lake)
+    batch = _docs(spark, [(1, BASE), (2, OTHER)])
+    gate.process_batch(batch, 0)
+    gate.process_batch(batch, 0)  # redelivery
+    assert lake.table("corpus_docs").count() == 2
+    assert lake.table("corpus_docs_sigs").count() == 2
+    assert sorted(r["doc_id"] for r in lake.table("corpus_docs").collect()) == [1, 2]
+    # bands: LSH_BANDS rows per doc, not doubled
+    from py_gtfs_duckdb_spark.operators.dedup import LSH_BANDS
+
+    assert lake.table("corpus_docs_bands").count() == 2 * LSH_BANDS
+
+
+def test_gate_corpus_check_runs_before_burst_collapse(spark, tmp_path):
+    """Near-dup is not transitive: batch doc B whose only near-dup is a
+    batch-mate A that the CORPUS check rejects must still be accepted.
+    Collapsing the batch first would lose B forever."""
+    P = [f"p{i}" for i in range(92)]
+    U = [f"u{i}" for i in range(10)]
+    V = [f"v{i}" for i in range(10)]
+    W = [f"w{i}" for i in range(13)]
+    x_text = " ".join(P + U)
+    a_text = " ".join(P + V)            # jaccard(A, X) = 0.818 -> rejected
+    b_text = " ".join(P[:75] + V + W)   # 0.704 to A, 0.594 to X -> accepted
+
+    lake = GtfsLake(spark, str(tmp_path / "lake"))
+    gate = NearDupIngestGate(lake)
+    gate.process_batch(_docs(spark, [(1, x_text)]), 0)
+    gate.process_batch(_docs(spark, [(10, a_text), (11, b_text)]), 1)
+    accepted = {r["doc_id"] for r in lake.table("corpus_docs").collect()}
+    assert 10 not in accepted, "A near-dups the corpus"
+    assert 11 in accepted, "B's only near-dup was itself rejected"

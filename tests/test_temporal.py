@@ -165,7 +165,7 @@ except ImportError:  # pragma: no cover
     HAVE_HYPOTHESIS = False
 
 
-_rows = st.lists(
+_row_lists = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=3),      # user_id (few keys)
         st.integers(min_value=0, max_value=20),     # ts (dense -> ties)
@@ -181,7 +181,7 @@ _rows = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(probe_rows=_rows, build_rows=_rows, direction=st.sampled_from(["backward", "forward"]))
+@given(probe_rows=_row_lists, build_rows=_row_lists, direction=st.sampled_from(["backward", "forward"]))
 def test_asof_join_matches_pandas_merge_asof(spark, probe_rows, build_rows, direction):
     """pandas merge_asof IS the as-of semantics spec (inclusive equal-ts,
     last/first match among sorted duplicates); the distributed union-sort
@@ -225,3 +225,30 @@ def test_asof_join_matches_pandas_merge_asof(spark, probe_rows, build_rows, dire
     ).collect()
     got = {r["event_id"]: r["event_id_matched"] for r in got_rows}
     assert got == want
+
+
+def test_range_join_epoch_scale_edges(spark):
+    """Bin math at epoch-seconds magnitude: the exclusive end holds even
+    when end sits exactly on a bin edge (where an epsilon below double
+    ULP would silently no-op), and inverted/empty intervals neither
+    match nor make `sequence` step downward."""
+    t0 = 1_700_000_000.0 - (1_700_000_000.0 % 1800.0)  # exact bin edge
+    points = spark.createDataFrame(
+        [(1, 1, t0 + 1799.0), (2, 1, t0 + 1800.0)],
+        "point_id long, user_id long, t double",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, 1, t0, t0 + 1800.0),        # ends exactly on a bin edge
+            (11, 1, t0 + 100.0, t0 + 100.0),  # empty
+            (12, 1, t0 + 500.0, t0 - 500.0),  # inverted
+        ],
+        "interval_id long, user_id long, lo double, hi double",
+    )
+    got = sorted(
+        (r["point_id"], r["interval_id"])
+        for r in range_join_binned(
+            points, intervals, "t", "lo", "hi", by="user_id", bin_width=1800.0
+        ).collect()
+    )
+    assert got == [(1, 10)]
