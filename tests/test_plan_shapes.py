@@ -127,3 +127,24 @@ def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_incremental_dedup_no_corpus_self_join(spark, sf_dir):
+    """The incremental band join must stay hash-equi (new x corpus on the
+    band key) — no nested loop, no cartesian anywhere in the pipeline."""
+    plan = _plan(spark, sf_dir, "q_dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_export_shards_single_exchange(spark, sf_dir):
+    """Training-order assignment pays one hash exchange (the shard
+    window) and prunes the scan to the id column."""
+    plan = _plan(spark, sf_dir, "q_export_shards")
+    exchanges = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and l.strip().endswith("Exchange")
+    ]
+    assert len(exchanges) == 1, exchanges
+    reads = [l for l in plan.splitlines() if "ReadSchema:" in l]
+    assert reads and all("text" not in l for l in reads), reads
