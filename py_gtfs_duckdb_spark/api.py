@@ -1,0 +1,98 @@
+"""The public API in one flat namespace.
+
+``from py_gtfs_duckdb_spark.api import ...`` gives a user every
+operator the engine supports without memorizing module layout. Grouped
+the way the README presents the surface; everything here is covered by
+the oracle battery and/or the test suite.
+"""
+
+from __future__ import annotations
+
+# GTFS engine surface
+from py_gtfs_duckdb_spark.lake import GtfsLake  # noqa: F401
+from py_gtfs_duckdb_spark.queries import GtfsQueries  # noqa: F401
+from py_gtfs_duckdb_spark.session import get_spark, load_tables  # noqa: F401
+
+# dedup
+from py_gtfs_duckdb_spark.operators.dedup import (  # noqa: F401
+    exact_jaccard,
+    keep_canonical,
+    lsh_bands,
+    minhash_lsh_dedup,
+    minhash_lsh_dedup_incremental,
+    embedding_neardup_pairs,
+    ngram_jaccard_pairs,
+    shingle_sets,
+    shingle_signatures,
+    semantic_dedup,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from py_gtfs_duckdb_spark.operators.graph import connected_components  # noqa: F401
+
+# similarity / ANN
+from py_gtfs_duckdb_spark.operators.similarity import (  # noqa: F401
+    cosine_topk,
+    ivf_cells,
+    ivf_centroids,
+    ivf_topk,
+    ivf_train_lloyd,
+    ivfpq_topk,
+    lsh_bucketed_topk,
+    pq_encode,
+    pq_topk,
+    pq_topk_rerank,
+    pq_train,
+)
+
+# text analysis
+from py_gtfs_duckdb_spark.operators.text import (  # noqa: F401
+    fingerprint,
+    language_id,
+    pii_scrub,
+    quality_rules,
+    quality_score,
+    repetition_stats,
+    text_stats,
+    token_count,
+    winnow_fingerprints,
+)
+from py_gtfs_duckdb_spark.operators.bpe import (  # noqa: F401
+    bpe_tokenize,
+    bpe_train,
+)
+
+# temporal joins
+from py_gtfs_duckdb_spark.operators.temporal import (  # noqa: F401
+    asof_join,
+    range_join_binned,
+)
+
+# pipeline composition
+from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
+    curate_corpus,
+    decontaminate,
+    export_shards,
+    pack_sequences,
+    source_report,
+    split_assign,
+    stratified_sample,
+    token_histogram,
+    write_shards,
+)
+
+# multimodal
+from py_gtfs_duckdb_spark.operators.multimodal import (  # noqa: F401
+    extract_features,
+    resize_media,
+    sample_frames,
+)
+
+# streaming
+from py_gtfs_duckdb_spark.streaming.ingest import (  # noqa: F401
+    NearDupIngestGate,
+    run_ingest_stream,
+)
+from py_gtfs_duckdb_spark.streaming.stateful import (  # noqa: F401
+    exact_dedup_stream,
+)

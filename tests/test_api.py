@@ -1,0 +1,39 @@
+"""The flat public API namespace: importable, complete, callable."""
+
+from __future__ import annotations
+
+import inspect
+
+
+def test_api_surface_imports_and_is_flat():
+    from py_gtfs_duckdb_spark import api
+
+    names = [
+        n
+        for n in dir(api)
+        if not n.startswith("_")
+        and (inspect.isfunction(getattr(api, n)) or inspect.isclass(getattr(api, n)))
+    ]
+    # the headline operators a switching user reaches for first
+    for must in (
+        "GtfsLake",
+        "GtfsQueries",
+        "minhash_lsh_dedup",
+        "minhash_lsh_dedup_incremental",
+        "keep_canonical",
+        "connected_components",
+        "cosine_topk",
+        "pq_train",
+        "ivfpq_topk",
+        "asof_join",
+        "range_join_binned",
+        "curate_corpus",
+        "export_shards",
+        "bpe_train",
+        "pii_scrub",
+        "quality_rules",
+        "NearDupIngestGate",
+        "exact_dedup_stream",
+    ):
+        assert must in names, must
+    assert len(names) >= 50
