@@ -144,6 +144,7 @@ _PRIORITY = [
     "q_dedup_incremental",
     "q_export_shards",
     "q_quantile_tokens",
+    "q_semantic_dedup",
     # --- tail: rows-only queries (no SQL-expressible oracle) ---
     "q_dedup_simhash",
     "q_ann_lsh",

@@ -1527,3 +1527,27 @@ def q_quantile_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in (0.25, 0.50, 0.75, 0.95)
         ]
     )
+
+
+@query(
+    "q_semantic_dedup",
+    # embedding pair SQL + the same recursive-closure CTEs as the text
+    # clusters oracle, instantiated over vec ids
+    oracle=f"""
+    WITH RECURSIVE {_closure_ctes(_embedding_pairs_oracle_sql(0.35), out_id="vec_id")}
+    SELECT cluster_id, CAST(MIN(vec_id) AS BIGINT) AS kept_vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM clusters GROUP BY cluster_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (arXiv:2303.09540): cell-blocked
+    cosine pairs → connected components → min-id representative per
+    semantic cluster (operators/dedup.py:semantic_dedup)."""
+    e = t(spark, sf_dir, "embeddings")
+    out = D.semantic_dedup(e, "embedding", "vec_id", "label", 0.35)
+    return out.select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("kept_vec_id").cast("bigint").alias("kept_vec_id"),
+        "n_members",
+    )
