@@ -145,6 +145,7 @@ _PRIORITY = [
     "q_export_shards",
     "q_quantile_tokens",
     "q_semantic_dedup",
+    "q_dedup_cluster_sizes",
     # --- tail: rows-only queries (no SQL-expressible oracle) ---
     "q_dedup_simhash",
     "q_ann_lsh",

@@ -1551,3 +1551,29 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kept_vec_id").cast("bigint").alias("kept_vec_id"),
         "n_members",
     )
+
+
+@query(
+    "q_dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_clusters_oracle_ctes()},
+    sizes AS (
+        SELECT cluster_id, COUNT(*) AS n FROM clusters GROUP BY cluster_id
+    )
+    SELECT CAST(n AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY n
+    """,
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the audit metric that tells a
+    curation run whether duplication is pairwise noise or viral
+    template families (heavy tail => templated content). Two cheap
+    aggregations over the already-audited pairs→CC plan."""
+    d = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(d, "text", "doc_id", k=3, threshold=0.7)
+    cc = G.connected_components(pairs, "id_a", "id_b")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.groupBy(F.col("n").cast("bigint").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
