@@ -245,3 +245,20 @@ def test_write_shards_round_trip(spark, tmp_path):
     a = {(r["doc_id"], r["shard"], r["pos"]) for r in P.export_shards(docs, 8).collect()}
     b = {(r["doc_id"], r["shard"], r["pos"]) for r in P.export_shards(docs, 8).collect()}
     assert a == b
+
+
+def test_curate_corpus_honors_custom_id_col(spark):
+    """Regression: keep_canonical must receive the caller's id_col — with
+    a non-default id column the whole chain (incl. near-dup canonical
+    keep) must resolve, not AnalysisException on 'doc_id'."""
+    base = "the quick brown fox jumps over the lazy dog and runs to a river " \
+           "where it is happy to rest in the shade of an old tree for a while"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "short junk")],
+        "rec_id long, text string",
+    )
+    out, report = P.curate_corpus(docs, id_col="rec_id", apply_quality_rules=False)
+    rows = {r["rec_id"] for r in out.collect()}
+    assert report["input_docs"] == 3
+    assert report["after_exact_dedup"] == 2
+    assert rows == {1, 3}
