@@ -88,6 +88,13 @@ from py_gtfs_duckdb_spark.operators.multimodal import (  # noqa: F401
     sample_frames,
 )
 
+# ANN index lifecycle over the lake
+from py_gtfs_duckdb_spark.operators.ann_index import (  # noqa: F401
+    ann_query,
+    build_ann_index,
+    load_ann_models,
+)
+
 # streaming
 from py_gtfs_duckdb_spark.streaming.ingest import (  # noqa: F401
     NearDupIngestGate,

@@ -1,0 +1,112 @@
+"""ANN index lifecycle over the lake: build once per corpus version,
+serve many query batches.
+
+``build_ann_index`` trains the PQ codebook + IVF coarse centroids and
+persists the FOUR artifacts a deployment maintains — codes, cell
+assignment, and the (tiny) trained models — as ordinary versioned lake
+tables, so index builds get the same atomic-pointer-swap isolation and
+vacuum lifecycle as every other table, and any consumer (including a
+different process) can serve queries with ``ann_query`` by name alone.
+This mirrors the ingest gate's pattern: heavy artifacts live in the
+lake, not in driver memory.
+
+Scale: the build is one narrow encode pass + one narrow assignment pass
+over the corpus (both mapInPandas with the models in the closure); the
+models themselves are kilobytes. Serving reads the 8-byte-code table
+restricted to probed cells — see ``similarity.ivfpq_topk``.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import namedtuple
+
+from pyspark.sql import DataFrame
+
+from py_gtfs_duckdb_spark.lake import GtfsLake
+from py_gtfs_duckdb_spark.operators.similarity import (
+    ivf_cells,
+    ivf_centroids,
+    ivf_train_lloyd,
+    ivfpq_topk,
+    pq_encode,
+    pq_train,
+)
+
+_Cent = namedtuple("Cent", ["cid", "cv", "cnrm"])
+
+
+def build_ann_index(
+    lake: GtfsLake,
+    embeddings: DataFrame,
+    name: str = "ann",
+    m: int = 8,
+    ksub: int = 16,
+    n_centroids: int = 16,
+    lloyd_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train and persist the index artifacts: ``<name>_codes`` (vec_id,
+    codes), ``<name>_cells`` (vec_id, cell), ``<name>_meta`` (one row of
+    JSON-serialized codebook + centroids). ``lloyd_iters > 0`` refines
+    the coarse centroids with k-means steps before assignment."""
+    codebook = pq_train(embeddings, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    if lloyd_iters > 0:
+        cents = ivf_train_lloyd(
+            embeddings, n_centroids, n_iter=lloyd_iters,
+            id_col=id_col, vec_col=vec_col, seed_centroids=cents,
+        )
+    lake.write(f"{name}_codes", pq_encode(embeddings, codebook, id_col, vec_col))
+    lake.write(f"{name}_cells", ivf_cells(embeddings, cents, id_col, vec_col))
+    meta = lake.spark.createDataFrame(
+        [
+            (
+                json.dumps(codebook),
+                json.dumps(
+                    [[int(c.cid), [float(x) for x in c.cv], float(c.cnrm)]
+                     for c in cents]
+                ),
+            )
+        ],
+        "codebook string, centroids string",
+    )
+    lake.write(f"{name}_meta", meta)
+
+
+def load_ann_models(lake: GtfsLake, name: str = "ann") -> tuple[dict, list]:
+    """(codebook, centroids) from the persisted meta row."""
+    row = lake.table(f"{name}_meta").first()
+    codebook = json.loads(row["codebook"])
+    cents = [
+        _Cent(int(cid), [float(x) for x in cv], float(cnrm))
+        for cid, cv, cnrm in json.loads(row["centroids"])
+    ]
+    return codebook, cents
+
+
+def ann_query(
+    lake: GtfsLake,
+    queries: DataFrame,
+    name: str = "ann",
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve top-k from the persisted index: load the (tiny) models,
+    run cell-restricted ADC over the codes table. Returns (query_id,
+    vec_id, dist, rank)."""
+    codebook, cents = load_ann_models(lake, name)
+    return ivfpq_topk(
+        lake.table(f"{name}_codes"),
+        lake.table(f"{name}_cells"),
+        queries,
+        codebook,
+        cents,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

@@ -269,3 +269,55 @@ def test_ivfpq_composes_cell_restriction_with_adc(spark):
     # determinism
     again = _topk_sets(ivfpq_topk(codes, cells, q, cb, cents, k=25, nprobe=4))
     assert again == shortlist
+
+
+def test_ann_index_lifecycle_over_lake(spark, tmp_path, sf_dir):
+    """build -> persisted artifacts -> query-by-name equals the direct
+    in-memory IVFPQ result; rebuild publishes a new version atomically."""
+    from py_gtfs_duckdb_spark.lake import GtfsLake
+    from py_gtfs_duckdb_spark.operators.ann_index import (
+        ann_query,
+        build_ann_index,
+        load_ann_models,
+    )
+    from py_gtfs_duckdb_spark.operators.similarity import (
+        ivf_cells,
+        ivf_centroids,
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+    )
+    from py_gtfs_duckdb_spark.plans._tables import t
+
+    e = t(spark, sf_dir, "embeddings")
+    lake = GtfsLake(spark, str(tmp_path / "lake"))
+    build_ann_index(lake, e, name="emb")
+    for table in ("emb_codes", "emb_cells", "emb_meta"):
+        assert lake.exists(table), table
+    cb, cents = load_ann_models(lake, "emb")
+    assert cb["m"] == 8 and len(cents) == 16
+
+    q = e.filter(e.vec_id < 5)
+    served = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ann_query(lake, q, name="emb", k=3).collect()
+    }
+    direct_cb = pq_train(e, m=8, ksub=16)
+    direct_cents = ivf_centroids(e, 16)
+    direct = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivfpq_topk(
+            pq_encode(e, direct_cb), ivf_cells(e, direct_cents), q,
+            direct_cb, direct_cents, k=3,
+        ).collect()
+    }
+    assert served == direct, "persisted round-trip changes nothing"
+
+    v0 = lake.current_version("emb_codes")
+    build_ann_index(lake, e, name="emb")  # rebuild: new version, same answers
+    assert lake.current_version("emb_codes") > v0
+    again = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ann_query(lake, q, name="emb", k=3).collect()
+    }
+    assert again == served
