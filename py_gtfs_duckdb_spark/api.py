@@ -43,6 +43,7 @@ from py_gtfs_duckdb_spark.operators.similarity import (  # noqa: F401
     pq_topk,
     pq_topk_rerank,
     pq_train,
+    random_projection,
 )
 
 # text analysis

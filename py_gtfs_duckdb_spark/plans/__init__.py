@@ -153,6 +153,7 @@ _PRIORITY = [
     "q_ann_ivfpq",
     "q_curate_pipeline",
     "q_bpe_tokens",
+    "q_embed_project",
     "q_ann_ivf_lloyd",
     "q_multimodal_features",
     "q_multimodal_frames",

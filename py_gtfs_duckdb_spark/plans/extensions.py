@@ -1577,3 +1577,17 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy(F.col("n").cast("bigint").alias("cluster_size")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_clusters")
     )
+
+
+@query("q_embed_project")  # rows-only: float32 matmul is not FP-replayable in SQL
+def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64->16 (seeded Gaussian,
+    deterministic across runs/executors) — the cheap embedding
+    compression when PQ's codebook lifecycle is overkill
+    (operators/similarity.py:random_projection; neighborhood recall
+    asserted in tests/test_similarity.py)."""
+    e = t(spark, sf_dir, "embeddings")
+    out = S.random_projection(e, out_dim=16)
+    return out.select(
+        "vec_id", F.size("embedding").cast("bigint").alias("dim")
+    )

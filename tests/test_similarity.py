@@ -321,3 +321,36 @@ def test_ann_index_lifecycle_over_lake(spark, tmp_path, sf_dir):
         for r in ann_query(lake, q, name="emb", k=3).collect()
     }
     assert again == served
+
+
+def test_random_projection_preserves_neighborhoods(spark):
+    """JL projection 64->16: deterministic across runs, and brute-force
+    top-5 in the projected space recovers most of the true top-5 on
+    clustered vectors."""
+    from py_gtfs_duckdb_spark.operators.similarity import (
+        cosine_topk,
+        random_projection,
+    )
+
+    vecs = _clustered_vectors(spark, n_clusters=8, per_cluster=20)
+    proj = random_projection(vecs, out_dim=16)
+    rows = proj.collect()
+    assert all(len(r["embedding"]) == 16 for r in rows)
+    again = random_projection(vecs, out_dim=16).collect()
+    assert {r["vec_id"]: r["embedding"] for r in rows} == {
+        r["vec_id"]: r["embedding"] for r in again
+    }
+
+    q_ids = 8
+    exact = _topk_sets(cosine_topk(vecs, vecs.filter(F.col("vec_id") < q_ids), k=5))
+    # like PQ, 16 dims blur fine intra-cluster ranking: the projected
+    # space is a candidate generator — top-5 beats chance, top-15
+    # captures the true neighborhood
+    approx = _topk_sets(
+        cosine_topk(proj, proj.filter(F.col("vec_id") < q_ids), k=5)
+    )
+    assert _recall(approx, exact) >= 0.3
+    shortlist = _topk_sets(
+        cosine_topk(proj, proj.filter(F.col("vec_id") < q_ids), k=15)
+    )
+    assert _recall(shortlist, exact) >= 0.8
