@@ -146,7 +146,8 @@ _PRIORITY = [
     "q_quantile_tokens",
     "q_semantic_dedup",
     "q_dedup_cluster_sizes",
-    # --- tail: rows-only queries (no SQL-expressible oracle) ---
+    # --- tail: rows-only queries (no SQL-expressible oracle) plus the
+    # late-oracled multimodal variants ---
     "q_dedup_simhash",
     "q_ann_lsh",
     "q_ann_pq",
