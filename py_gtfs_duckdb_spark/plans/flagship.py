@@ -43,6 +43,11 @@ ORDER BY trip_id, stop_sequence
 
 @query("q_flagship_nominal_trips", oracle=FLAGSHIP_ORACLE)
 def q_flagship_nominal_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline analytical path (ddb.py:177-202,
+    fetch_nominal_operation_day_trips) re-expressed as ONE Catalyst plan:
+    calendar resolution (range+weekday scan OR exception-add) minus
+    exception-removes via broadcast left-anti, then a semi-join into the
+    trip/stop fact chain — no collect-and-isin plan barrier."""
     orders = t(spark, sf_dir, "orders")
     lineitem = t(spark, sf_dir, "lineitem")
     customer = t(spark, sf_dir, "customer")
