@@ -116,3 +116,18 @@ def test_gate_corpus_check_runs_before_burst_collapse(spark, tmp_path):
     accepted = {r["doc_id"] for r in lake.table("corpus_docs").collect()}
     assert 10 not in accepted, "A near-dups the corpus"
     assert 11 in accepted, "B's only near-dup was itself rejected"
+
+
+def test_gate_empty_batch_is_a_noop(spark, tmp_path):
+    """A zero-row micro-batch (common between triggers) must not run jobs
+    or publish new table versions — the isEmpty guard, not the dead
+    'no columns' check the review caught."""
+    lake = GtfsLake(spark, str(tmp_path / "lake"))
+    gate = NearDupIngestGate(lake)
+    gate.process_batch(_docs(spark, [(1, BASE)]), 0)
+    v_docs = lake.current_version("corpus_docs")
+    v_bands = lake.current_version("corpus_docs_bands")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    gate.process_batch(empty, 1)
+    assert lake.current_version("corpus_docs") == v_docs
+    assert lake.current_version("corpus_docs_bands") == v_bands
