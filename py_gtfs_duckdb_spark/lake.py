@@ -57,6 +57,7 @@ class GtfsLake:
         return (
             self.current_version(table) is not None
             or self.keyed_manifest(table) is not None
+            or self.segment_manifest(table) is not None
         )
 
     def table_path(self, table: str) -> str | None:
@@ -69,13 +70,22 @@ class GtfsLake:
         """Read the current version; empty (schema-correct) frame if the
         table was never written — matching the reference's eagerly created
         empty tables. Keyed-state tables (bucket manifest) resolve to the
-        current path set across bucket versions."""
+        current path set across bucket versions; segment tables resolve to
+        the committed segment list."""
         manifest = self.keyed_manifest(table)
         if manifest is not None:
             paths = self._keyed_paths(table, manifest)
             if not paths:
                 return self._empty(table)
             return self.spark.read.parquet(*paths)
+        seg = self.segment_manifest(table)
+        if seg is not None:
+            if not seg["segments"]:
+                return self._empty(table)
+            tdir = self._tdir(table)
+            return self.spark.read.parquet(
+                *[os.path.join(tdir, s) for s in seg["segments"]]
+            )
         path = self.table_path(table)
         if path is None:
             return self._empty(table)
@@ -124,14 +134,16 @@ class GtfsLake:
         with open(tmp, "w") as fh:
             fh.write(str(v))
         os.replace(tmp, self._pointer(table))  # atomic on POSIX
-        # a full overwrite supersedes any keyed-state layout: drop the
-        # bucket manifest so the plain pointer is authoritative again.
-        # Order matters for readers — table() prefers the manifest, so
-        # removing it only AFTER the pointer swap means a concurrent
-        # reader sees either the old keyed state or the new version,
-        # never an empty table.
+        # a full overwrite supersedes any keyed-state or segment layout:
+        # drop those manifests so the plain pointer is authoritative
+        # again. Order matters for readers — table() prefers the
+        # manifests, so removing them only AFTER the pointer swap means a
+        # concurrent reader sees either the old layout or the new
+        # version, never an empty table.
         if os.path.exists(self._manifest_path(table)):
             os.remove(self._manifest_path(table))
+        if os.path.exists(self._segments_path(table)):
+            os.remove(self._segments_path(table))
 
     def _next_version(self, table: str) -> int:
         """Next unused version number across BOTH layouts (plain pointer
@@ -188,6 +200,79 @@ class GtfsLake:
     @staticmethod
     def _bucket_expr(key: str, n_buckets: int):
         return F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets))
+
+    # -- segment layout (append-only streaming scale path) -------------------
+    #
+    # A plain ``append`` is union-with-current + full rewrite — O(corpus)
+    # I/O per call, fine for reference-sized tables, a non-starter for an
+    # append-only corpus fed by a 15 s micro-batch stream. Segment layout:
+    # each append writes ONLY its own rows to ``seg=<N>/`` and atomically
+    # swaps ``_SEGMENTS.json`` (the committed segment list, mirroring a
+    # lakehouse add-files commit). Per-append cost is O(batch) regardless
+    # of table size; readers resolve the manifest to a multi-path scan.
+    #
+    # The manifest also carries writer bookkeeping (``meta``): a streaming
+    # writer records its last committed micro-batch id per table, making
+    # at-least-once redelivery idempotent WITHOUT scanning any corpus keys
+    # — the crash window is covered because the meta rides the same atomic
+    # manifest swap as the segment list (a crash before the swap leaves an
+    # orphan segment dir that is invisible to readers and GC'd by vacuum).
+
+    def _segments_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_SEGMENTS.json")
+
+    def segment_manifest(self, table: str) -> dict | None:
+        try:
+            with open(self._segments_path(table)) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def segment_meta(self, table: str) -> dict:
+        """Writer bookkeeping recorded by ``append_segment`` (e.g. the
+        last committed ingest micro-batch id). Empty dict if none."""
+        m = self.segment_manifest(table)
+        return dict(m.get("meta", {})) if m else {}
+
+    def append_segment(
+        self, table: str, df: DataFrame, meta: dict | None = None
+    ) -> None:
+        """Append ``df`` as a new committed segment — O(batch) I/O.
+
+        ``meta`` (if given) is merged into the manifest's ``meta`` dict in
+        the SAME atomic swap that commits the segment, so "rows visible"
+        and "bookkeeping updated" can never be observed apart. Only valid
+        on tables in segment (or no) layout — a plain-pointer or keyed
+        table must be migrated explicitly (write() supersedes segments,
+        not the reverse)."""
+        if self.current_version(table) is not None or self.keyed_manifest(table):
+            raise ValueError(
+                f"table {table!r} is not in segment layout; use append()/"
+                "merge_keyed(), or drop() it first"
+            )
+        manifest = self.segment_manifest(table) or {"segments": [], "next": 1, "meta": {}}
+        seg = f"seg={manifest['next']}"
+        os.makedirs(self._tdir(table), exist_ok=True)
+        self._conform(table, df).write.mode("overwrite").parquet(
+            os.path.join(self._tdir(table), seg)
+        )
+        manifest["segments"].append(seg)
+        manifest["next"] += 1
+        if meta:
+            manifest.setdefault("meta", {}).update(meta)
+        tmp = self._segments_path(table) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._segments_path(table))
+
+    def compact_segments(self, table: str, dedup_pk: bool = True) -> None:
+        """Fold the segment list into one plain version (small-file
+        compaction; write() removes the segment manifest after its pointer
+        swap so readers flip atomically), then GC the folded segments."""
+        if self.segment_manifest(table) is None:
+            return
+        self.write(table, self.table(table), dedup_pk=dedup_pk)
+        self.vacuum(table, keep=1)
 
     def merge_keyed(
         self,
@@ -384,6 +469,15 @@ class GtfsLake:
                         if v not in live and v <= ceiling:
                             shutil.rmtree(os.path.join(self._tdir(tb), entry))
                 continue
+            seg = self.segment_manifest(tb)
+            if seg is not None:
+                # segment layout: GC orphan segment dirs (a crash between
+                # the parquet write and the manifest swap leaves one)
+                live = set(seg["segments"])
+                for entry in os.listdir(self._tdir(tb)):
+                    if entry.startswith("seg=") and entry not in live:
+                        shutil.rmtree(os.path.join(self._tdir(tb), entry))
+                continue
             cur = self.current_version(tb)
             if cur is None:
                 continue
@@ -392,6 +486,10 @@ class GtfsLake:
                     v = int(entry.split("=", 1)[1])
                     if v <= cur - keep:
                         shutil.rmtree(os.path.join(self._tdir(tb), entry))
+                # a write() superseded the segment layout: folded segments
+                # are dead once the pointer is authoritative
+                if entry.startswith("seg="):
+                    shutil.rmtree(os.path.join(self._tdir(tb), entry))
 
     def drop(self, table: str) -> None:
         """≙ DROP TABLE (ddb.py:90-98 drop_static/drop_realtime)."""

@@ -95,13 +95,17 @@ def pack_sequences(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, shard, n_tokens, bin): budget-boundary packing. Documents
-    order by id within ``id % n_shards`` shards; bin = floor(exclusive
-    running token total / budget). Deterministic, windowable in any SQL
-    engine, and shard-parallel — the window never sees more than one
-    shard, so partitions stay bounded as the corpus grows."""
+    order by id within ``unit_hash(id) % n_shards`` shards; bin =
+    floor(exclusive running token total / budget). Deterministic,
+    windowable in any SQL engine, and shard-parallel — the window never
+    sees more than one shard, so partitions stay bounded as the corpus
+    grows. Sharding by the md5 unit hash (not a raw ``id % n``) keeps the
+    shards uniform for STRING ids too — a raw modulo on a string id is
+    NULL in Spark, which would silently collapse every document into one
+    shard and make the window a single global partition."""
     tk = docs.select(
         F.col(id_col).alias("doc_id"),
-        (F.col(id_col) % n_shards).cast("bigint").alias("shard"),
+        unit_hash(F.col(id_col), n_shards).alias("shard"),
         token_count(F.col(text_col)).alias("n_tokens"),
     )
     w = (
@@ -332,10 +336,16 @@ def export_shards(
     """(doc_id, shard, pos): the deterministic global training order —
     shard = md5-hash of the id mod n_shards, pos = rank within the shard
     by (md5(id), id). Equivalent to a uniform global shuffle of the
-    corpus, but reproducible across runs, engines, and backfills: late
-    rows land at the same (shard, pos) forever, so a resumed training job
-    reads the same sequence. One hash exchange on the shard key; shard
-    count bounds each sort partition at any corpus size."""
+    corpus, but reproducible across runs and engines FOR A GIVEN CORPUS
+    SNAPSHOT: the same input set always yields the same (shard, pos) map.
+    Stability contract across backfills: a row's SHARD never changes (it
+    is a pure function of the id), but ``pos`` is a rank — a late-arriving
+    row whose md5 sorts before existing rows shifts every subsequent
+    position in its shard by one. Version the exported order per corpus
+    snapshot (write_shards overwrites atomically); do NOT resume a
+    training job across snapshots expecting identical positions. One hash
+    exchange on the shard key; shard count bounds each sort partition at
+    any corpus size."""
     h = F.md5(F.col(id_col).cast("string"))
     shard = (
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_shards

@@ -887,7 +887,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH tk AS (
         SELECT doc_id,
-               CAST(doc_id % 32 AS BIGINT) AS shard,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32
+                   AS shard,
                CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
                    AS n_tokens
         FROM documents
@@ -1400,6 +1401,22 @@ def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     trivially empty)."""
     out, _report = P.curate_corpus(
         t(spark, sf_dir, "documents"), apply_quality_rules=False
+    )
+    return out.select("doc_id", "pred_lang", "split", "n_tokens")
+
+
+@query("q_curate_rules")  # rows-only: composition of individually-oracled stages
+def q_curate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline with the Gopher-style quality rules ON — the
+    branch q_curate_pipeline skips. The rule thresholds are tuned to be
+    non-degenerate on the synthetic corpus (~60% of docs pass the
+    stopword/word-count rules at every SF), so this surface exercises a
+    genuine pass/fail split end-to-end: dedup survivors that fail a rule
+    are dropped here and kept there. Non-trivial split asserted by
+    tests/test_pipeline_ops.py::test_curate_rules_on_nontrivial_split
+    (operators/pipeline.py:curate_corpus step 3)."""
+    out, _report = P.curate_corpus(
+        t(spark, sf_dir, "documents"), apply_quality_rules=True
     )
     return out.select("doc_id", "pred_lang", "split", "n_tokens")
 

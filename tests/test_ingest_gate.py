@@ -120,14 +120,91 @@ def test_gate_corpus_check_runs_before_burst_collapse(spark, tmp_path):
 
 def test_gate_empty_batch_is_a_noop(spark, tmp_path):
     """A zero-row micro-batch (common between triggers) must not run jobs
-    or publish new table versions — the isEmpty guard, not the dead
+    or commit new segments — the isEmpty guard, not the dead
     'no columns' check the review caught."""
     lake = GtfsLake(spark, str(tmp_path / "lake"))
     gate = NearDupIngestGate(lake)
     gate.process_batch(_docs(spark, [(1, BASE)]), 0)
-    v_docs = lake.current_version("corpus_docs")
-    v_bands = lake.current_version("corpus_docs_bands")
+    m_docs = lake.segment_manifest("corpus_docs")
+    m_bands = lake.segment_manifest("corpus_docs_bands")
+    assert m_docs is not None and m_bands is not None
     empty = spark.createDataFrame([], "doc_id long, text string")
     gate.process_batch(empty, 1)
-    assert lake.current_version("corpus_docs") == v_docs
-    assert lake.current_version("corpus_docs_bands") == v_bands
+    assert lake.segment_manifest("corpus_docs") == m_docs
+    assert lake.segment_manifest("corpus_docs_bands") == m_bands
+
+
+def test_gate_append_path_never_scans_corpus_keys(spark, tmp_path):
+    """VERDICT r4 Next #2: with a real batch id, the append path must not
+    read the corpus docs table at all (it used to anti-join every table's
+    FULL key column per batch for idempotency), and the stored sigs/bands
+    may be read only once each — by the LSH probe, which is the index's
+    job. Each append commits an O(batch) segment, not a table rewrite."""
+    lake = GtfsLake(spark, str(tmp_path / "lake"))
+    gate = NearDupIngestGate(lake)
+    gate.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
+
+    reads: list[str] = []
+    orig = GtfsLake.table
+
+    def spy(self, table):
+        reads.append(table)
+        return orig(self, table)
+
+    try:
+        GtfsLake.table = spy
+        gate.process_batch(_docs(spark, [(30, FRESH)]), 1)
+    finally:
+        GtfsLake.table = orig
+    assert "corpus_docs" not in reads, "docs table scanned on append path"
+    assert reads.count("corpus_docs_sigs") == 1, reads
+    assert reads.count("corpus_docs_bands") == 1, reads
+    # the new segment holds ONLY the new batch's row — O(batch) append
+    m = lake.segment_manifest("corpus_docs")
+    assert len(m["segments"]) == 2
+    import os as _os
+
+    last_seg = _os.path.join(str(tmp_path / "lake"), "corpus_docs", m["segments"][-1])
+    seg_rows = spark.read.parquet(last_seg).collect()
+    assert [r["doc_id"] for r in seg_rows] == [30]
+    assert m["meta"]["ingest_batch_id"] == 1
+
+
+def test_gate_mid_batch_crash_redelivery_completes_remaining_tables(spark, tmp_path):
+    """Crash between the three appends: docs committed for batch N, sigs/
+    bands not. Redelivery must skip the docs append (batch id recorded in
+    its manifest) and complete sigs/bands exactly once."""
+    lake = GtfsLake(spark, str(tmp_path / "lake"))
+    gate = NearDupIngestGate(lake)
+    gate.process_batch(_docs(spark, [(1, BASE)]), 0)
+
+    # simulate the crash: batch 1 commits docs, then dies
+    committed = {"n": 0}
+    orig = GtfsLake.append_segment
+
+    def dying(self, table, df, meta=None):
+        orig(self, table, df, meta=meta)
+        committed["n"] += 1
+        if committed["n"] == 1:
+            raise RuntimeError("simulated crash after first table commit")
+
+    batch = _docs(spark, [(40, FRESH)])
+    try:
+        GtfsLake.append_segment = dying
+        try:
+            gate.process_batch(batch, 1)
+        except RuntimeError:
+            pass
+    finally:
+        GtfsLake.append_segment = orig
+    assert lake.segment_meta("corpus_docs").get("ingest_batch_id") == 1
+    assert lake.segment_meta("corpus_docs_sigs").get("ingest_batch_id") == 0
+
+    gate.process_batch(batch, 1)  # redelivery
+    assert sorted(r["doc_id"] for r in lake.table("corpus_docs").collect()) == [1, 40]
+    assert sorted(r["id"] for r in lake.table("corpus_docs_sigs").collect()) == [1, 40]
+    from py_gtfs_duckdb_spark.operators.dedup import LSH_BANDS
+
+    assert lake.table("corpus_docs_bands").count() == 2 * LSH_BANDS
+    # docs table: still only the two segments (batch 1 not re-appended)
+    assert len(lake.segment_manifest("corpus_docs")["segments"]) == 2

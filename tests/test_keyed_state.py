@@ -262,3 +262,86 @@ def test_null_key_fresh_rows_fail_loudly(spark, tmp_path):
     with pytest.raises(ValueError, match="null"):
         lake.merge_keyed(t, bad, _keys(spark, []),
                          key="vehicle_position_id", n_buckets=N_BUCKETS)
+
+
+# -- segment (append-only) layout ----------------------------------------
+
+
+def _seg_docs(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"text {i}") for i in ids], "doc_id long, text string"
+    )
+
+
+def test_segment_append_is_batch_sized_and_readable(spark, tmp_path):
+    import os
+
+    lake = _mk_lake(spark, tmp_path)
+    lake.append_segment("seg_docs", _seg_docs(spark, [1, 2]))
+    lake.append_segment("seg_docs", _seg_docs(spark, [3]))
+    assert sorted(r["doc_id"] for r in lake.table("seg_docs").collect()) == [1, 2, 3]
+    m = lake.segment_manifest("seg_docs")
+    assert m["segments"] == ["seg=1", "seg=2"]
+    # each segment holds only its own batch — O(batch) I/O per append
+    tdir = os.path.join(str(tmp_path / "lake"), "seg_docs")
+    assert spark.read.parquet(os.path.join(tdir, "seg=2")).count() == 1
+
+
+def test_segment_meta_commits_atomically_with_rows(spark, tmp_path):
+    lake = _mk_lake(spark, tmp_path)
+    lake.append_segment("seg_docs", _seg_docs(spark, [1]), meta={"ingest_batch_id": 0})
+    lake.append_segment("seg_docs", _seg_docs(spark, [2]), meta={"ingest_batch_id": 1})
+    assert lake.segment_meta("seg_docs") == {"ingest_batch_id": 1}
+
+
+def test_segment_append_refuses_pointer_layout_tables(spark, tmp_path):
+    import pytest
+
+    lake = _mk_lake(spark, tmp_path)
+    lake.write("seg_docs", _seg_docs(spark, [1]))
+    with pytest.raises(ValueError, match="segment layout"):
+        lake.append_segment("seg_docs", _seg_docs(spark, [2]))
+
+
+def test_full_write_supersedes_segment_layout(spark, tmp_path):
+    lake = _mk_lake(spark, tmp_path)
+    lake.append_segment("seg_docs", _seg_docs(spark, [1, 2]))
+    lake.write("seg_docs", _seg_docs(spark, [9]))
+    assert lake.segment_manifest("seg_docs") is None
+    assert [r["doc_id"] for r in lake.table("seg_docs").collect()] == [9]
+
+
+def test_vacuum_gcs_orphan_segments(spark, tmp_path):
+    """A crash between the segment parquet write and the manifest swap
+    leaves an orphan seg dir: invisible to readers, removed by vacuum."""
+    import json as _json
+    import os
+
+    lake = _mk_lake(spark, tmp_path)
+    lake.append_segment("seg_docs", _seg_docs(spark, [1]))
+    lake.append_segment("seg_docs", _seg_docs(spark, [2]))
+    # forge the crash: roll the manifest back to only seg=1
+    mpath = os.path.join(str(tmp_path / "lake"), "seg_docs", "_SEGMENTS.json")
+    with open(mpath) as fh:
+        m = _json.load(fh)
+    m["segments"] = ["seg=1"]
+    with open(mpath, "w") as fh:
+        _json.dump(m, fh)
+    assert [r["doc_id"] for r in lake.table("seg_docs").collect()] == [1]
+    lake.vacuum("seg_docs")
+    tdir = os.path.join(str(tmp_path / "lake"), "seg_docs")
+    assert sorted(e for e in os.listdir(tdir) if e.startswith("seg=")) == ["seg=1"]
+
+
+def test_compact_segments_folds_then_reads_same(spark, tmp_path):
+    import os
+
+    lake = _mk_lake(spark, tmp_path)
+    for ids in ([1, 2], [3], [4, 5]):
+        lake.append_segment("seg_docs", _seg_docs(spark, ids))
+    lake.compact_segments("seg_docs")
+    assert lake.segment_manifest("seg_docs") is None
+    assert lake.current_version("seg_docs") is not None
+    assert sorted(r["doc_id"] for r in lake.table("seg_docs").collect()) == [1, 2, 3, 4, 5]
+    tdir = os.path.join(str(tmp_path / "lake"), "seg_docs")
+    assert not any(e.startswith("seg=") for e in os.listdir(tdir))

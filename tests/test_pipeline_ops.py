@@ -48,15 +48,15 @@ def test_decontaminate_flags_planted_overlap(spark):
 
 
 def test_pack_sequences_budget_boundary_policy(spark):
-    # one shard (ids all ≡ 0 mod 32), token counts 3 each, budget 5:
-    # exclusive cumsums 0,3,6,9 -> bins 0,0,1,1
+    # n_shards=1 puts everything in one shard; token counts 3 each,
+    # budget 5: exclusive cumsums 0,3,6,9 -> bins 0,0,1,1
     docs = spark.createDataFrame(
         [(0, "a b c"), (32, "d e f"), (64, "g h i"), (96, "j k l")],
         "doc_id long, text string",
     )
     rows = {
         r["doc_id"]: (r["shard"], r["n_tokens"], r["bin"])
-        for r in P.pack_sequences(docs, budget=5, n_shards=32).collect()
+        for r in P.pack_sequences(docs, budget=5, n_shards=1).collect()
     }
     assert rows == {
         0: (0, 3, 0),
@@ -64,6 +64,23 @@ def test_pack_sequences_budget_boundary_policy(spark):
         64: (0, 3, 1),
         96: (0, 3, 1),
     }
+
+
+def test_pack_sequences_string_ids_spread_across_shards(spark):
+    # Regression (VERDICT r4 What's-wrong #2): a raw `id % n` on a string
+    # id is NULL in Spark, collapsing every doc into one shard (a single
+    # global window partition). The md5 unit-hash shard must (a) never be
+    # NULL, (b) keep every document, (c) actually use more than one shard.
+    docs = spark.createDataFrame(
+        [(f"doc-{i:04d}", "w " * (i % 7 + 1)) for i in range(200)],
+        "doc_id string, text string",
+    )
+    out = P.pack_sequences(docs, budget=16, n_shards=8).collect()
+    assert len(out) == 200
+    shards = {r["shard"] for r in out}
+    assert None not in shards
+    assert len(shards) > 1, "string ids must spread across shards"
+    assert all(0 <= s < 8 for s in shards)
 
 
 def test_keep_canonical_picks_best_quality_then_min_id(spark):
@@ -247,6 +264,37 @@ def test_write_shards_round_trip(spark, tmp_path):
     assert a == b
 
 
+def test_export_shards_backfill_contract(spark):
+    """Pins the documented stability contract: across a backfill, SHARD
+    never changes (pure function of the id) but POS may shift — it is a
+    per-snapshot rank, not an insertion-stable coordinate."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    )
+    grown = docs.union(
+        spark.createDataFrame(
+            [(i, f"late {i}") for i in range(100, 140)], "doc_id long, text string"
+        )
+    )
+    before = {r["doc_id"]: (r["shard"], r["pos"])
+              for r in P.export_shards(docs, 8).collect()}
+    after = {r["doc_id"]: (r["shard"], r["pos"])
+             for r in P.export_shards(grown, 8).collect()}
+    assert all(after[d][0] == s for d, (s, _) in before.items()), "shards stable"
+    # positions stay dense 1..n per shard in the grown snapshot
+    from collections import Counter
+
+    per_shard = Counter(s for s, _ in after.values())
+    for shard, n in per_shard.items():
+        assert sorted(p for s, p in after.values() if s == shard) == list(
+            range(1, n + 1)
+        )
+    # and at least one pre-existing row's pos shifted (40 inserts across
+    # 8 shards — some md5 sorts before an existing row with overwhelming
+    # probability; this is exactly why pos is per-snapshot only)
+    assert any(after[d][1] != p for d, (_, p) in before.items())
+
+
 def test_curate_corpus_honors_custom_id_col(spark):
     """Regression: keep_canonical must receive the caller's id_col — with
     a non-default id column the whole chain (incl. near-dup canonical
@@ -262,3 +310,20 @@ def test_curate_corpus_honors_custom_id_col(spark):
     assert report["input_docs"] == 3
     assert report["after_exact_dedup"] == 2
     assert rows == {1, 3}
+
+
+def test_curate_rules_on_nontrivial_split(spark, sf_dir):
+    """VERDICT r4 Next #4: the composed dedup->rules->PII->annotate path
+    with apply_quality_rules=True must produce a NON-trivial pass/fail
+    split on the battery fixture — some dedup survivors dropped by the
+    rules, some kept — so the rules branch has end-to-end evidence, not
+    just unit coverage."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out, report = P.curate_corpus(docs, apply_quality_rules=True)
+    survivors = report["after_quality_rules"]
+    assert 0 < survivors < report["after_near_dedup"], report
+    assert out.count() == survivors
+    # rules-off keeps every dedup survivor — the two surfaces must differ
+    _, report_off = P.curate_corpus(docs, apply_quality_rules=False)
+    assert report_off["after_quality_rules"] == report_off["after_near_dedup"]
+    assert survivors < report_off["after_quality_rules"]
