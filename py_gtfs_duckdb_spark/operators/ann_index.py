@@ -75,14 +75,29 @@ def build_ann_index(
     lake.write(f"{name}_meta", meta)
 
 
+# (lake_root, name, meta_version) -> (codebook, centroids). Keyed by the
+# meta table's lake VERSION, so a rebuilt index invalidates naturally (the
+# version advances with the atomic pointer swap) while a serving loop
+# issuing many ann_query calls hits the lake once, not once per query.
+_MODEL_CACHE: dict[tuple[str, str, int | None], tuple[dict, list]] = {}
+
+
 def load_ann_models(lake: GtfsLake, name: str = "ann") -> tuple[dict, list]:
-    """(codebook, centroids) from the persisted meta row."""
+    """(codebook, centroids) from the persisted meta row, memoized per
+    (lake, name, meta-table version) — VERDICT r4 Next #8: the version
+    probe is a local pointer-file read, so repeated queries skip the
+    Spark job entirely."""
+    key = (lake.root, name, lake.current_version(f"{name}_meta"))
+    cached = _MODEL_CACHE.get(key)
+    if cached is not None:
+        return cached
     row = lake.table(f"{name}_meta").first()
     codebook = json.loads(row["codebook"])
     cents = [
         _Cent(int(cid), [float(x) for x in cv], float(cnrm))
         for cid, cv, cnrm in json.loads(row["centroids"])
     ]
+    _MODEL_CACHE[key] = (codebook, cents)
     return codebook, cents
 
 

@@ -323,6 +323,43 @@ def test_ann_index_lifecycle_over_lake(spark, tmp_path, sf_dir):
     assert again == served
 
 
+def test_ann_query_memoizes_model_load_per_version(spark, tmp_path, sf_dir):
+    """VERDICT r4 Next #8: a serving loop issuing repeated ann_query calls
+    must hit the lake meta table ONCE per index version — the version
+    probe is a pointer-file read, not a Spark job — and a rebuild (new
+    version) must invalidate the cache."""
+    from py_gtfs_duckdb_spark.lake import GtfsLake
+    from py_gtfs_duckdb_spark.operators import ann_index as A
+    from py_gtfs_duckdb_spark.plans._tables import t
+
+    e = t(spark, sf_dir, "embeddings")
+    lake = GtfsLake(spark, str(tmp_path / "lake"))
+    build_kwargs = dict(name="memo")
+    A.build_ann_index(lake, e, **build_kwargs)
+
+    meta_reads = {"n": 0}
+    orig = GtfsLake.table
+
+    def spy(self, table):
+        if table == "memo_meta":
+            meta_reads["n"] += 1
+        return orig(self, table)
+
+    q = e.filter(e.vec_id < 3)
+    try:
+        GtfsLake.table = spy
+        A._MODEL_CACHE.clear()
+        for _ in range(3):
+            A.ann_query(lake, q, name="memo", k=2).collect()
+        assert meta_reads["n"] == 1, "meta table must be read once, not per call"
+        A.build_ann_index(lake, e, **build_kwargs)  # version bump
+        A.ann_query(lake, q, name="memo", k=2).collect()
+        assert meta_reads["n"] == 2, "rebuild must invalidate the cache"
+    finally:
+        GtfsLake.table = orig
+        A._MODEL_CACHE.clear()
+
+
 def test_random_projection_preserves_neighborhoods(spark):
     """JL projection 64->16: deterministic across runs, and brute-force
     top-5 in the projected space recovers most of the true top-5 on
