@@ -67,6 +67,9 @@ EXTRA = [
     "q_split_assign",
     "q_token_histogram",
     "q_ann_pq",
+    "q_pack_sequences",
+    "q_export_shards",
+    "q_curate_rules",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

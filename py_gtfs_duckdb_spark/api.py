@@ -48,16 +48,21 @@ from py_gtfs_duckdb_spark.operators.similarity import (  # noqa: F401
 
 # text analysis
 from py_gtfs_duckdb_spark.operators.text import (  # noqa: F401
+    dedup_spans,
     fingerprint,
     language_id,
     pii_scrub,
     quality_rules,
     quality_score,
     repetition_stats,
+    split_units,
     text_stats,
     token_count,
     winnow_fingerprints,
 )
+
+# lexical search
+from py_gtfs_duckdb_spark.operators.lexical import bm25_topk  # noqa: F401
 from py_gtfs_duckdb_spark.operators.bpe import (  # noqa: F401
     bpe_tokenize,
     bpe_train,

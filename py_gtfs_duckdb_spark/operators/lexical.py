@@ -1,0 +1,118 @@
+"""Lexical (term-based) relevance search: Okapi BM25 top-k.
+
+The lexical complement to the embedding ANN stack (operators/similarity):
+a corpus-analysis team asks "which documents are most about X" without an
+embedding model in the loop. Robertson/Spärck Jones probabilistic
+relevance framework; the standard tuning k1=1.2, b=0.75.
+
+Scale shape (the inverted-index plan, relationally):
+
+- the token stream is filtered to the QUERY terms at the scan (an
+  ``isin`` over a literal list — predicate pushdown territory), so the
+  heavy explode→aggregate path touches only matching tokens, a vanishing
+  fraction of a 100 TB corpus;
+- per-document term frequencies pivot to ONE row per matching document
+  via conditional aggregation (map-side combined integer sums — no
+  holistic aggregate, no skew exposure: the hottest term spreads over
+  all partitions);
+- corpus statistics (N, avgdl, per-term document frequencies) are
+  one-row aggregates cross-joined back as broadcasts — never collected
+  to the driver;
+- the score is a FIXED-ORDER arithmetic expression over the pivoted
+  columns (one term per query word, summed in query order), so the
+  float result is bit-reproducible across engines and partitionings —
+  no order-dependent double summation;
+- top-k is a single ROW_NUMBER window over the (tiny) scored set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from py_gtfs_duckdb_spark.functions import pround
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(doc_id, score, rank): top-k documents by Okapi BM25 for a bag of
+    query ``terms``. Scores are ``pround``-ed to 4 digits BEFORE ranking
+    (ties broken by doc_id) so the ordering is engine-portable.
+
+    idf uses the standard non-negative variant
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``.
+    """
+    terms = list(dict.fromkeys(terms))  # dedup, keep query order
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+
+    # doc stats over the WHOLE corpus: dl narrow, avgdl/N one-row agg
+    docs = df.select(
+        F.col(id_col), F.size(words).cast("bigint").alias("dl")
+    )
+    corpus = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    # token stream restricted to query terms before any shuffle
+    toks = df.select(
+        F.col(id_col), F.explode(words).alias("w")
+    ).filter(F.col("w").isin(terms))
+    tf = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("w") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    dfreq = tf.agg(
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias(f"df_{i}")
+            for i in range(len(terms))
+        ]
+    )
+
+    scored = (
+        tf.join(docs, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(dfreq))
+    )
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        tf_i = F.col(f"tf_{i}").cast("double")
+        denom = tf_i + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        )
+        score = score + idf * tf_i * F.lit(k1 + 1.0) / denom
+    # TakeOrderedAndProject: every partition computes its local top-k,
+    # the driver merges k-sized heaps — no single-partition global window
+    # over the full scored set. The rank window then runs over k rows.
+    top = (
+        scored.select(F.col(id_col), pround(score, 4).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(int(k))
+    )
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.col(id_col)))
+        .cast("bigint"),
+    )

@@ -412,3 +412,108 @@ def pii_scrub(
         .alias("n_phones"),
         redacted.alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sub-document (line / span) deduplication — CCNet-style boilerplate removal
+# ---------------------------------------------------------------------------
+
+
+def split_units(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unit_words: int | None = None,
+) -> DataFrame:
+    """(id, idx, unit): segment each document into dedup units.
+
+    ``unit_words=None`` splits on newlines (the CCNet/RefinedWeb line
+    segmenter for real web text); an integer chunks the word stream into
+    consecutive ``unit_words``-word spans (the fallback for text with no
+    line structure). Narrow per-row array math + one posexplode — no
+    shuffle; the consumer aggregates.
+    """
+    c = F.col(text_col)
+    if unit_words is None:
+        units = F.filter(
+            F.transform(F.split(c, "\n"), lambda s: F.trim(s)),
+            lambda s: s != "",
+        )
+    else:
+        words = F.filter(F.split(c, " "), lambda w: w != "")
+        n = F.size(words)
+        w = int(unit_words)
+        units = F.transform(
+            F.sequence(F.lit(0), F.ceil(n / F.lit(w)).cast("int") - 1),
+            lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
+        )
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(units).alias("idx", "unit")
+    )
+
+
+def common_units(units: DataFrame, min_df: int) -> DataFrame:
+    """(unit,) — units appearing in >= min_df DISTINCT documents: the
+    boilerplate blocklist. Two-level aggregation (dedup (unit, id) map-
+    side, then count per unit) — shuffles only distinct pairs; the result
+    is small by nature (boilerplate is frequent but low-cardinality), so
+    the caller can broadcast it."""
+    return (
+        units.select("unit", "id")
+        .distinct()
+        .groupBy("unit")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= int(min_df))
+        .select("unit")
+    )
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unit_words: int | None = None,
+    min_df: int = 3,
+) -> DataFrame:
+    """(doc_id, clean_text, n_units, n_dropped): remove sub-document
+    spans shared across >= min_df documents — line-level dedup in the
+    CCNet / RefinedWeb sense (strip boilerplate headers, footers, nav
+    chrome that exact/near doc-level dedup cannot see, because every
+    document differs in its payload).
+
+    Two passes, both scale-shaped: (1) build the blocklist of common
+    units — an aggregation over (unit, doc) pairs with map-side combine;
+    (2) re-segment and anti-join against the BROADCAST blocklist (at any
+    corpus size the blocklist stays small: it is the set of spans common
+    to many documents), then reassemble per-document text with one
+    groupBy ordered by unit index. No self-join, no all-pairs anywhere.
+    Every document survives (empty clean_text when fully boilerplate) —
+    dropping is the caller's policy decision.
+    """
+    units = split_units(df, text_col, id_col, unit_words)
+    block = common_units(units, min_df)
+    kept = units.join(F.broadcast(block), "unit", "left_anti")
+    reassembled = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "unit"))),
+                lambda s: s["unit"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    totals = units.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units")
+    )
+    return (
+        totals.join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_units",
+            (F.col("n_units") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )

@@ -161,6 +161,10 @@ _PRIORITY = [
     "q_sort_concat",
     "q_limit",
     "q_fn_dateformat",
+    # --- tail: round-5 additions, locally oracle-checked, awaiting their
+    # driver rotation slot next round ---
+    "q_dedup_spans",
+    "q_bm25_topk",
 ]
 
 _missing = set(QUERIES) - set(_PRIORITY)

@@ -1608,3 +1608,106 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", F.size("embedding").cast("bigint").alias("dim")
     )
+
+
+@query(
+    "q_dedup_spans",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), u AS (
+        SELECT doc_id,
+               [array_to_string(ws[(i-1)*3+1 : (i-1)*3+3], ' ')
+                for i in range(1, CAST(ceil(len(ws)/3.0) AS BIGINT) + 1)] AS units
+        FROM w
+    ), e AS (
+        SELECT doc_id, generate_subscripts(units, 1) - 1 AS idx,
+               unnest(units) AS unit
+        FROM u
+    ), block AS (
+        SELECT unit FROM (SELECT DISTINCT unit, doc_id FROM e)
+        GROUP BY unit HAVING COUNT(*) >= 3
+    ), kept AS (
+        SELECT e.doc_id, e.idx, e.unit FROM e LEFT JOIN block b USING (unit)
+        WHERE b.unit IS NULL
+    ), r AS (
+        SELECT doc_id, string_agg(unit, ' ' ORDER BY idx) AS clean_text,
+               COUNT(*) AS n_kept FROM kept GROUP BY doc_id
+    ), tt AS (SELECT doc_id, COUNT(*) AS n_units FROM e GROUP BY doc_id)
+    SELECT tt.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           CAST(tt.n_units AS BIGINT) AS n_units,
+           CAST(tt.n_units - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+    FROM tt LEFT JOIN r USING (doc_id)
+    """,
+)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document span dedup (CCNet/RefinedWeb-style line-level
+    boilerplate removal): spans shared across >= 3 documents are
+    stripped, text reassembled in order. Doc-level dedup cannot see
+    boilerplate wrapped around distinct payloads; this is the standard
+    pre-pass. Blocklist is broadcast (common spans are few by nature);
+    no self-join (operators/text.py:dedup_spans). The fixture has no
+    line structure, so the 3-word-chunk segmenter stands in for the
+    newline segmenter (unit-tested separately)."""
+    return X.dedup_spans(
+        t(spark, sf_dir, "documents"), unit_words=3, min_df=3
+    )
+
+
+from py_gtfs_duckdb_spark.operators import lexical as L  # noqa: E402
+
+_BM25_TERMS = ["table", "scan", "merge"]
+
+
+@query(
+    "q_bm25_topk",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS BIGINT) AS dl
+        FROM documents
+    ), corpus AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM docs
+    ), toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+    ), tf AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN w = 'table' THEN 1 ELSE 0 END) AS BIGINT) AS tf_0,
+               CAST(SUM(CASE WHEN w = 'scan'  THEN 1 ELSE 0 END) AS BIGINT) AS tf_1,
+               CAST(SUM(CASE WHEN w = 'merge' THEN 1 ELSE 0 END) AS BIGINT) AS tf_2
+        FROM toks WHERE w IN ('table', 'scan', 'merge') GROUP BY doc_id
+    ), dfreq AS (
+        SELECT CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+               CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+               CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+        FROM tf
+    ), scored AS (
+        SELECT tf.doc_id,
+               floor((0.0
+                 + ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+                   * tf_0 * 2.2 / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+                   * tf_1 * 2.2 / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
+                   * tf_2 * 2.2 / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               ) * 10000.0 + 0.5) / 10000.0 AS score
+        FROM tf JOIN docs USING (doc_id), corpus, dfreq
+    )
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical top-10 for a 3-term query — the term-based
+    relevance search a corpus team runs without an embedding model.
+    Inverted-index plan: token stream filtered to the query terms before
+    any shuffle, conditional-aggregation tf pivot (map-side combined),
+    corpus stats broadcast, fixed-order float scoring (engine-
+    portable), TakeOrderedAndProject top-k
+    (operators/lexical.py:bm25_topk)."""
+    return L.bm25_topk(t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)

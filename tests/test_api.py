@@ -34,6 +34,8 @@ def test_api_surface_imports_and_is_flat():
         "quality_rules",
         "NearDupIngestGate",
         "exact_dedup_stream",
+        "dedup_spans",
+        "bm25_topk",
     ):
         assert must in names, must
     assert len(names) >= 50

@@ -1,0 +1,103 @@
+"""Round-5 corpus ops: sub-document span dedup (operators/text.py) and
+BM25 lexical top-k (operators/lexical.py) — planted-topology behavior
+beyond the DuckDB-oracle battery checks."""
+
+from __future__ import annotations
+
+import math
+
+from py_gtfs_duckdb_spark.operators.lexical import bm25_topk
+from py_gtfs_duckdb_spark.operators.text import dedup_spans, split_units
+
+
+def test_dedup_spans_strips_planted_newline_boilerplate(spark):
+    """The real-web mode: newline-delimited lines, a nav header and a
+    footer shared by 3 of 4 docs get stripped; unique payloads survive
+    in order; a doc that is ALL boilerplate survives with empty text."""
+    header = "home about contact"
+    footer = "copyright example"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{header}\npayload one alpha\n{footer}"),
+            (2, f"{header}\npayload two beta\n{footer}"),
+            (3, f"{header}\npayload three gamma\n{footer}"),
+            (4, "completely standalone document"),
+            (5, f"{header}\n{footer}\n{header}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_units"], r["n_dropped"])
+        for r in dedup_spans(docs, unit_words=None, min_df=3).collect()
+    }
+    assert got[1] == ("payload one alpha", 3, 2)
+    assert got[2] == ("payload two beta", 3, 2)
+    assert got[3] == ("payload three gamma", 3, 2)
+    assert got[4] == ("completely standalone document", 1, 0)
+    assert got[5] == ("", 3, 3), "all-boilerplate doc survives, empty"
+
+
+def test_dedup_spans_reassembles_in_original_order(spark):
+    """Word-chunk mode: kept units must reappear in document order even
+    when a dropped unit sits between them."""
+    common = "x y z"
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b c {common} d e f"),
+            (2, f"{common} k l m"),
+            (3, f"n o p {common}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup_spans(docs, unit_words=3, min_df=3).collect()
+    }
+    assert got[1] == "a b c d e f"
+    assert got[2] == "k l m"
+    assert got[3] == "n o p"
+
+
+def test_split_units_line_mode_trims_and_drops_blanks(spark):
+    docs = spark.createDataFrame(
+        [(1, "  first line \n\n second \n")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["idx"], r["unit"]) for r in split_units(docs, unit_words=None).collect()
+    )
+    assert rows == [(0, "first line"), (1, "second")]
+
+
+def test_bm25_ranks_term_dense_short_docs_first(spark):
+    """A doc saturated with the query term outranks one mentioning it
+    once; docs without any query term never appear; rank is dense 1..k;
+    the top score matches the hand-computed Okapi formula."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark spark"),            # dense + short
+            (2, "spark alpha beta gamma delta epsilon zeta eta"),
+            (3, "alpha beta gamma delta"),              # no query term
+            (4, "spark spark other words here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(bm25_topk(docs, ["spark"], k=10).collect(), key=lambda r: r["rank"])
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids
+    assert ids[0] == 1, "term-dense short doc wins"
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    # hand-check doc 1: N=4, df=3, dl=4, avgdl=(4+8+4+5)/4=5.25, tf=4
+    idf = math.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5))
+    denom = 4 + 1.2 * (0.25 + 0.75 * 4 / 5.25)
+    expect = math.floor(idf * 4 * 2.2 / denom * 10000.0 + 0.5) / 10000.0
+    assert abs(rows[0]["score"] - expect) < 1e-9
+
+
+def test_bm25_multi_term_sums_and_breaks_ties_by_id(spark):
+    docs = spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat dog"), (3, "cat cat"), (4, "fish")],
+        "doc_id long, text string",
+    )
+    rows = sorted(bm25_topk(docs, ["cat", "dog"], k=2).collect(), key=lambda r: r["rank"])
+    # docs 1 and 2 are identical (both terms once): tie -> lower id first
+    assert [(r["doc_id"], r["rank"]) for r in rows] == [(1, 1), (2, 2)]
