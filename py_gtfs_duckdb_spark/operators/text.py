@@ -443,10 +443,15 @@ def split_units(
         words = F.filter(F.split(c, " "), lambda w: w != "")
         n = F.size(words)
         w = int(unit_words)
-        units = F.transform(
-            F.sequence(F.lit(0), F.ceil(n / F.lit(w)).cast("int") - 1),
-            lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
-        )
+        # guard n=0: sequence(0, -1) is DESCENDING in Spark ([0, -1]),
+        # which would fabricate two empty units for an empty document
+        units = F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(n / F.lit(w)).cast("int") - 1),
+                lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     return df.select(
         F.col(id_col).alias("id"), F.posexplode(units).alias("idx", "unit")
     )

@@ -101,3 +101,73 @@ def test_bm25_multi_term_sums_and_breaks_ties_by_id(spark):
     rows = sorted(bm25_topk(docs, ["cat", "dog"], k=2).collect(), key=lambda r: r["rank"])
     # docs 1 and 2 are identical (both terms once): tie -> lower id first
     assert [(r["doc_id"], r["rank"]) for r in rows] == [(1, 1), (2, 2)]
+
+
+# ---------------------------------------------------------------------------
+# differential property test: dedup_spans vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+import pytest  # noqa: E402
+
+# tiny vocabulary -> frequent cross-doc span collisions
+_doc_texts = st.lists(
+    st.lists(st.sampled_from(list("abcde")), min_size=0, max_size=12).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _model(texts: list[str], w: int, min_df: int):
+    units_by_doc = []
+    for t in texts:
+        words = [x for x in t.split(" ") if x]
+        units_by_doc.append(
+            [" ".join(words[i : i + w]) for i in range(0, len(words), w)]
+        )
+    from collections import Counter
+
+    df = Counter()
+    for units in units_by_doc:
+        for u in set(units):
+            df[u] += 1
+    block = {u for u, n in df.items() if n >= min_df}
+    out = {}
+    for doc_id, units in enumerate(units_by_doc):
+        kept = [u for u in units if u not in block]
+        out[doc_id] = (" ".join(kept), len(units), len(units) - len(kept))
+    return out
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_doc_texts, min_df=st.integers(min_value=2, max_value=3))
+def test_dedup_spans_matches_python_model(spark, texts, min_df):
+    """The distributed blocklist/reassembly plan must agree with the
+    obvious sequential implementation on random small corpora — including
+    empty docs, docs shorter than one unit, and fully-blocked docs."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_units"], r["n_dropped"])
+        for r in dedup_spans(docs, unit_words=2, min_df=min_df).collect()
+    }
+    want = _model(texts, 2, min_df)
+    # docs with zero units (empty text) produce no unit rows at all and
+    # drop out of the totals side — assert they are absent, model the rest
+    want = {k: v for k, v in want.items() if v[1] > 0}
+    assert got == want

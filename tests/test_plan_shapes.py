@@ -148,3 +148,22 @@ def test_export_shards_single_exchange(spark, sf_dir):
     assert len(exchanges) == 1, exchanges
     reads = [l for l in plan.splitlines() if "ReadSchema:" in l]
     assert reads and all("text" not in l for l in reads), reads
+
+
+def test_dedup_spans_broadcasts_blocklist(spark, sf_dir):
+    """The boilerplate blocklist (spans common to >= min_df docs) must
+    join back as a broadcast — the corpus side is never shuffled by span
+    text — and nothing degenerates to a nested loop."""
+    plan = _plan(spark, sf_dir, "q_dedup_spans")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_take_ordered_no_global_rank_shuffle(spark, sf_dir):
+    """BM25 top-k must plan as TakeOrderedAndProject (per-partition heaps
+    merged at the driver), not a single-partition global sort of the full
+    scored set; the two corpus-stat sides are single-row broadcasts."""
+    plan = _plan(spark, sf_dir, "q_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

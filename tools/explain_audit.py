@@ -147,6 +147,22 @@ AUDITED = [
         " the shortlist semi-join — the big scan reads 32x less data"
         " than the float corpus.",
     ),
+    (
+        "q_dedup_spans",
+        "Line-level boilerplate removal: unit explode → (unit, doc)"
+        " distinct agg builds the blocklist (small by nature — spans"
+        " common to many docs), which joins back as a BROADCAST"
+        " anti-join; reassembly is one groupBy ordered by unit index."
+        " The corpus is never shuffled by span text, no self-join.",
+    ),
+    (
+        "q_bm25_topk",
+        "Inverted-index BM25: token stream filtered to the query terms"
+        " before any shuffle, conditional-agg tf pivot (map-side"
+        " combined, skew-immune), one-row corpus stats broadcast,"
+        " fixed-order float scoring, TakeOrderedAndProject top-k (no"
+        " global rank window).",
+    ),
 ]
 
 
