@@ -81,8 +81,10 @@ _PRIORITY = [
     "q_quantile_tokens",
     "q_semantic_dedup",
     "q_dedup_cluster_sizes",
-    # rows-only tail, zero driver evidence until now (driver records a
-    # rows-only check — proves they execute in the driver's environment)
+    # former rows-only tail, zero driver evidence until now (rows-only
+    # driver checks prove they execute in the driver's environment; the
+    # simhash/multimodal/curate entries are late-oracled and get full
+    # hash checks — the curate pair via the composed stage-oracle chain)
     "q_dedup_simhash",
     "q_ann_lsh",
     "q_ann_pq",

@@ -75,7 +75,9 @@ def q_dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle_sql(
-    threshold: float = 0.7, pair_pred: str = "a.id < b.id"
+    threshold: float = 0.7,
+    pair_pred: str = "a.id < b.id",
+    base: str = "documents",
 ) -> str:
     perms_values = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.MINHASH_PERMS)
@@ -85,7 +87,7 @@ def _minhash_oracle_sql(
     WITH w AS (
         SELECT doc_id AS id,
                list_filter(string_split(text, ' '), x -> x <> '') AS ws
-        FROM documents
+        FROM {base}
     ), sh AS (
         SELECT id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
         FROM (
@@ -781,7 +783,11 @@ _SAMPLE_DEFAULT = 0.1
 
 # the lang-id hits/CASE below mirror q_lang_id's oracle verbatim (kept
 # inline there — it is driver-green and stays byte-identical)
-_LANG_PRED_SQL = r"""
+def _lang_pred_sql(base: str = "documents") -> str:
+    """(doc_id, pred_lang) — the ONE definition of the language-ID
+    oracle, parameterized over the source relation so the curate
+    composition can run it on redacted survivors."""
+    return r"""
         SELECT doc_id,
                CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr
                          AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
@@ -800,9 +806,12 @@ _LANG_PRED_SQL = r"""
                        '\b(le|la|les|et|est|une|pas)\b')) AS BIGINT) AS hits_fr,
                    CAST(len(regexp_extract_all(lower(text),
                        '\b(el|la|los|y|es|una|que)\b')) AS BIGINT) AS hits_es
-            FROM documents
+            FROM """ + base + r"""
         )
 """
+
+
+_LANG_PRED_SQL = _lang_pred_sql()
 
 
 @query(
@@ -1025,9 +1034,11 @@ def _sw_distinct_sql() -> str:
     return f"CAST({cases} AS BIGINT)"
 
 
-@query(
-    "q_quality_rules",
-    oracle=f"""
+def _rules_flags_sql(base: str = "documents") -> str:
+    """Per-rule boolean flags + conjunction — the ONE definition of the
+    quality-rules oracle, parameterized over the source relation so the
+    curate composition can apply it to dedup survivors."""
+    return f"""
     WITH s AS (
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
@@ -1038,7 +1049,7 @@ def _sw_distinct_sql() -> str:
                    AS symbols,
                list_filter(string_split(text, ' '), x -> x <> '') AS ws,
                {_sw_distinct_sql()} AS sw_distinct
-        FROM documents
+        FROM {base}
     ), r AS (
         SELECT doc_id,
                (n_words >= {X.RULE_MIN_WORDS}
@@ -1061,7 +1072,12 @@ def _sw_distinct_sql() -> str:
            (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_dup_words
             AND r_stopwords) AS pass_all
     FROM r
-    """,
+    """
+
+
+@query(
+    "q_quality_rules",
+    oracle=_rules_flags_sql(),
 )
 def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style boolean quality rules (word-count band, mean word
@@ -1389,31 +1405,89 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "interval_id")
 
 
-@query("q_curate_pipeline")  # rows-only: composition of individually-oracled stages
+def _curate_oracle_sql(rules_on: bool) -> str:
+    """The WHOLE curate_corpus composition as one DuckDB statement, built
+    from the same single-definition stage oracles the battery already
+    checks individually (exact-dedup keep, MinHash pairs -> recursive-CTE
+    closure -> quality-ranked canonical keep, optional quality rules, PII
+    redaction, then lang/split/token annotation over the REDACTED text —
+    the exact stage order of operators/pipeline.py:curate_corpus)."""
+    rules_join = ""
+    if rules_on:
+        rules_join = f"""
+    JOIN (SELECT doc_id FROM ({_rules_flags_sql(base="d2")}) WHERE pass_all) rp
+      USING (doc_id)"""
+    train_bp = 10_000 - P.SPLIT_VAL_BP - P.SPLIT_TEST_BP
+    val_bp = 10_000 - P.SPLIT_TEST_BP
+    return f"""
+    WITH RECURSIVE d1 AS (
+        SELECT d.* FROM documents d
+        JOIN (SELECT MIN(doc_id) AS doc_id FROM documents
+              GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) k
+          USING (doc_id)
+    ),
+    {_closure_ctes(_minhash_oracle_sql(base="d1"))},
+    q AS ({_quality_oracle_sql()}),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                   ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+        FROM clusters c JOIN q ON q.doc_id = c.doc_id
+    ),
+    d2 AS (
+        SELECT d1.* FROM d1
+        LEFT JOIN (SELECT doc_id FROM ranked WHERE rn > 1) dr USING (doc_id)
+        WHERE dr.doc_id IS NULL
+    ),
+    d3 AS (
+        SELECT d2.* FROM d2{rules_join}
+    ),
+    red AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{X.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{X.PII_IPV4_RE}', '<IP>', 'g'),
+                   '{X.PII_PHONE_RE}', '<PHONE>', 'g') AS text
+        FROM d3
+    ),
+    lang AS ({_lang_pred_sql(base="red")})
+    SELECT r.doc_id, l.pred_lang,
+           CASE WHEN ('0x' || substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 10000 < {train_bp} THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 10000 < {val_bp} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(len(regexp_extract_all(r.text, '\\w+|[^\\w\\s]')) AS BIGINT)
+               AS n_tokens
+    FROM red r JOIN lang l USING (doc_id)
+    """
+
+
+@query("q_curate_pipeline", oracle=_curate_oracle_sql(rules_on=False))
 def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation pipeline in one plan (exact dedup -> near-dup
-    canonicalization -> quality rules -> PII redaction -> lang/split/token
-    annotation; operators/pipeline.py:curate_corpus). Every stage is
-    oracle-checked on its own; the composition is exercised end-to-end by
-    tests/test_cli.py::test_cli_curate_end_to_end and here as a smoke
-    surface. Quality rules are skipped on the synthetic corpus (word-soup
-    docs fail the stopword rule wholesale, which would make the output
-    trivially empty)."""
+    canonicalization -> PII redaction -> lang/split/token annotation;
+    operators/pipeline.py:curate_corpus with quality rules off). Every
+    stage is oracle-checked on its own AND the whole composition is
+    hash-checked against _curate_oracle_sql — the same stage oracles
+    chained into one DuckDB statement. The CLI e2e lives in
+    tests/test_cli.py::test_cli_curate_end_to_end."""
     out, _report = P.curate_corpus(
         t(spark, sf_dir, "documents"), apply_quality_rules=False
     )
     return out.select("doc_id", "pred_lang", "split", "n_tokens")
 
 
-@query("q_curate_rules")  # rows-only: composition of individually-oracled stages
+@query("q_curate_rules", oracle=_curate_oracle_sql(rules_on=True))
 def q_curate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipeline with the Gopher-style quality rules ON — the
     branch q_curate_pipeline skips. The rule thresholds are tuned to be
     non-degenerate on the synthetic corpus (~60% of docs pass the
     stopword/word-count rules at every SF), so this surface exercises a
     genuine pass/fail split end-to-end: dedup survivors that fail a rule
-    are dropped here and kept there. Non-trivial split asserted by
-    tests/test_pipeline_ops.py::test_curate_rules_on_nontrivial_split
+    are dropped here and kept there (non-trivial split asserted by
+    tests/test_pipeline_ops.py::test_curate_rules_on_nontrivial_split),
+    and the composition is hash-checked against the rules-on oracle
     (operators/pipeline.py:curate_corpus step 3)."""
     out, _report = P.curate_corpus(
         t(spark, sf_dir, "documents"), apply_quality_rules=True
