@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The container has no image/audio libraries, so the decode step is STUBBED
-(``decode_media`` raises NotImplementedError unless ``fake=True``, which
-substitutes a deterministic fake decoder). Everything around the stub —
-schema, Arrow batch shape, ``mapInPandas`` signature, partition sizing —
-is real and tested, so swapping in a real decoder (PIL/ffmpeg UDF body)
-changes one function body only.
+The container has no image libraries, so the IMAGE/VIDEO decode step is
+STUBBED (``decode_media`` raises NotImplementedError unless ``fake=True``,
+which substitutes a deterministic fake decoder). Everything around the
+stub — schema, Arrow batch shape, ``mapInPandas`` signature, partition
+sizing — is real and tested, so swapping in a real decoder (PIL/ffmpeg
+UDF body) changes one function body only. The AUDIO path is REAL: WAV
+decode needs only stdlib ``wave`` + numpy (``decode_wav`` /
+``audio_features`` below), so that branch runs genuine
+bytes → PCM → signal-feature extraction end-to-end.
 
 Scale notes: media rows are wide (payloads dominate); keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so a partition
@@ -166,3 +169,118 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4
             ).alias("frame_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio path (round 5): WAV decode needs only the stdlib `wave`
+# module + numpy, both present — so unlike image/video (still stubbed
+# behind fake=True), the audio branch runs genuine decode + feature
+# extraction end-to-end: bytes -> PCM samples -> signal features.
+# ---------------------------------------------------------------------------
+
+
+def synth_wav(seed: int, sample_rate: int = 8000, n_samples: int = 800) -> bytes:
+    """Deterministic mono 16-bit PCM WAV: a sine whose frequency/amplitude
+    derive from ``seed``. The test/battery payload generator — real RIFF
+    container, real quantized samples, reproducible everywhere."""
+    import io
+    import wave
+
+    import numpy as np
+
+    freq = 200.0 + (seed % 16) * 50.0
+    amp = 0.25 + (seed % 7) * 0.1
+    t = np.arange(n_samples, dtype=np.float64) / sample_rate
+    pcm = np.clip(np.sin(2.0 * np.pi * freq * t) * amp, -1.0, 1.0)
+    samples = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes):
+    """(sample_rate, samples float64 in [-1, 1]) from WAV bytes — the real
+    decoder (stdlib wave + numpy; mono or first channel of interleaved)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width != 2:
+        raise ValueError(f"only 16-bit PCM supported, got sampwidth={width}")
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if n_ch > 1:
+        samples = samples[::n_ch]
+    return sr, samples
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """(media_id, sample_rate, n_samples, duration_ms, rms, zcr, peak):
+    REAL signal features over WAV payloads via mapInPandas — Arrow batches
+    in, per-payload decode (opaque bytes), vectorized numpy math. The same
+    batch shape/partition-sizing contract as extract_features, with an
+    actual decoder in the body — the proof the plumbing carries a real
+    library when one exists."""
+    schema = (
+        "media_id long, sample_rate int, n_samples long, duration_ms long, "
+        "rms double, zcr double, peak double"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    rows.append((int(mid), None, None, None, None, None, None))
+                    continue
+                sr, s = decode_wav(bytes(p))
+                n = len(s)
+                rms = float(np.sqrt(np.mean(s * s))) if n else 0.0
+                zcr = (
+                    float(np.mean(np.abs(np.diff(np.signbit(s).astype(np.int8)))))
+                    if n > 1
+                    else 0.0
+                )
+                peak = float(np.max(np.abs(s))) if n else 0.0
+                rows.append(
+                    (int(mid), int(sr), n, int(round(n * 1000.0 / sr)), rms, zcr, peak)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_ms",
+                    "rms", "zcr", "peak",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=schema)
+
+
+def documents_as_audio(docs: DataFrame) -> DataFrame:
+    """Media table with REAL WAV payloads synthesized per doc_id — the
+    audio twin of documents_as_media. Payload generation happens executor-
+    side in Arrow batches (no driver loop, no collected bytes)."""
+    base = docs.select(F.col("doc_id").alias("media_id"))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [synth_wav(int(m)) for m in pdf["media_id"]]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return base.mapInPandas(run, schema="media_id long, payload binary")

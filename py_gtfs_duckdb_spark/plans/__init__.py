@@ -167,6 +167,7 @@ _PRIORITY = [
     # driver rotation slot next round ---
     "q_dedup_spans",
     "q_bm25_topk",
+    "q_audio_features",
 ]
 
 _missing = set(QUERIES) - set(_PRIORITY)

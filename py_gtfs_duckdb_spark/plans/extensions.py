@@ -1785,3 +1785,30 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable), TakeOrderedAndProject top-k
     (operators/lexical.py:bm25_topk)."""
     return L.bm25_topk(t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+@query(
+    "q_audio_features",
+    # The integer columns are decode-verified: they only come out right if
+    # the RIFF container round-trip (synth executor-side -> parse header ->
+    # count PCM frames) actually happened. Float features (rms/zcr/peak)
+    # are numpy-derived and checked analytically in tests/test_multimodal.py
+    # instead of hash-compared (libm sin() is not bit-portable to DuckDB).
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(800 AS BIGINT) AS n_samples,
+           CAST(100 AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: per-doc WAV payloads synthesized
+    executor-side (real RIFF containers, 16-bit PCM sine), then stdlib
+    wave + numpy decode and feature extraction via mapInPandas — the one
+    multimodal mode this container can run without stubs
+    (operators/multimodal.py:audio_features)."""
+    media = M.documents_as_audio(t(spark, sf_dir, "documents"))
+    return M.audio_features(media).select(
+        "media_id", "sample_rate", "n_samples", "duration_ms"
+    )
