@@ -90,8 +90,10 @@ from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
 # multimodal
 from py_gtfs_duckdb_spark.operators.multimodal import (  # noqa: F401
     audio_features,
+    decode_ppm,
     decode_wav,
     extract_features,
+    resize_images,
     resize_media,
     sample_frames,
 )

@@ -1,15 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The container has no image libraries, so the IMAGE/VIDEO decode step is
+The container has no image/video libraries, so the generic decode step is
 STUBBED (``decode_media`` raises NotImplementedError unless ``fake=True``,
 which substitutes a deterministic fake decoder). Everything around the
 stub — schema, Arrow batch shape, ``mapInPandas`` signature, partition
 sizing — is real and tested, so swapping in a real decoder (PIL/ffmpeg
-UDF body) changes one function body only. The AUDIO path is REAL: WAV
-decode needs only stdlib ``wave`` + numpy (``decode_wav`` /
-``audio_features`` below), so that branch runs genuine
-bytes → PCM → signal-feature extraction end-to-end.
+UDF body) changes one function body only. Two branches ARE real, because
+their formats need no library: AUDIO via stdlib ``wave`` + numpy
+(``decode_wav`` / ``audio_features`` — bytes → PCM → signal features) and
+P6 PPM IMAGES via plain numpy (``decode_ppm`` / ``resize_images`` —
+bytes → pixel array → 2-D block-average resize). Video remains stub-only.
 
 Scale notes: media rows are wide (payloads dominate); keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so a partition
@@ -284,3 +285,109 @@ def documents_as_audio(docs: DataFrame) -> DataFrame:
             )
 
     return base.mapInPandas(run, schema="media_id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# REAL image path (round 5): PPM (P6) needs no image library — the header
+# is ASCII, the payload is raw RGB bytes — so like audio, the image branch
+# can run genuine decode/resize for this format. PIL/ffmpeg formats stay
+# behind the fake=True stub.
+# ---------------------------------------------------------------------------
+
+
+def synth_ppm(seed: int, width: int = 16, height: int = 12) -> bytes:
+    """Deterministic P6 PPM: a seeded RGB gradient — real binary image
+    container, reproducible everywhere, no image library involved."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.uint16)
+    y = np.arange(height, dtype=np.uint16)[:, None]
+    r = (x * 255 // max(width - 1, 1)).astype(np.uint8)[None, :] * np.ones(
+        (height, 1), dtype=np.uint8
+    )
+    g = (y * 255 // max(height - 1, 1)).astype(np.uint8) * np.ones(
+        (1, width), dtype=np.uint8
+    )
+    b = np.full((height, width), seed % 256, dtype=np.uint8)
+    img = np.stack([r, g, b], axis=-1)
+    return f"P6\n{width} {height}\n255\n".encode() + img.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """(height, width, 3) uint8 array from P6 PPM bytes — a real decoder
+    in ~20 lines of numpy (ASCII header + raw RGB payload)."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated ASCII
+    # tokens (comments not supported — our synthesizer never emits them)
+    parts = payload.split(maxsplit=4)
+    if len(parts) < 5:
+        raise ValueError("truncated PPM header")
+    _, w, h, maxval, raw = parts
+    w, h, maxval = int(w), int(h), int(maxval)
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    n = w * h * 3
+    if len(raw) < n:
+        raise ValueError("truncated PPM payload")
+    return np.frombuffer(raw[:n], dtype=np.uint8).reshape(h, w, 3)
+
+
+def documents_as_images(docs: DataFrame) -> DataFrame:
+    """Media table with REAL P6 PPM payloads synthesized per doc_id,
+    executor-side in Arrow batches — the image twin of
+    documents_as_audio."""
+    base = docs.select(F.col("doc_id").alias("media_id"))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [synth_ppm(int(m)) for m in pdf["media_id"]]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return base.mapInPandas(run, schema="media_id long, payload binary")
+
+
+def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 3) -> DataFrame:
+    """(media_id, width, height, pixels array<double>): REAL 2-D
+    average-pool resize of P6 PPM payloads — decode to (h, w, 3), block-
+    average down to (out_h, out_w), emit flattened mean-channel cells.
+    Same mapInPandas batch contract as resize_media, with an actual
+    image decode in the body."""
+    schema = "media_id long, width int, height int, pixels array<double>"
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out.append(None)
+                    continue
+                img = decode_ppm(bytes(p)).astype(np.float64).mean(axis=-1)
+                h, w = img.shape
+                # block-average via split in both axes (ragged-safe)
+                rows = np.array_split(img, out_h, axis=0)
+                cells = [
+                    float(c.mean())
+                    for r in rows
+                    for c in np.array_split(r, out_w, axis=1)
+                ]
+                out.append(cells)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": np.full(len(pdf), out_w, dtype="int32"),
+                    "height": np.full(len(pdf), out_h, dtype="int32"),
+                    "pixels": out,
+                }
+            )
+
+    return media.mapInPandas(run, schema=schema)

@@ -168,6 +168,7 @@ _PRIORITY = [
     "q_dedup_spans",
     "q_bm25_topk",
     "q_audio_features",
+    "q_image_resize",
 ]
 
 _missing = set(QUERIES) - set(_PRIORITY)

@@ -1812,3 +1812,50 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.audio_features(media).select(
         "media_id", "sample_rate", "n_samples", "duration_ms"
     )
+
+
+def _image_resize_oracle_sql() -> str:
+    """Analytic oracle for the REAL PPM decode->block-average resize: the
+    synthesized gradient makes every output cell a rational constant plus
+    a doc_id-dependent blue term — cell(i,j) = (SR_j + SG_i + 4*b) / 12
+    with SR/SG the per-block channel sums (integers precomputed here) and
+    b = doc_id % 256. Any decode/pool/indexing mistake shifts the
+    integers and breaks the hash. pround-stable: cell*10^4 is always an
+    exact integer or an exact third, never near a rounding boundary."""
+    w, h, out_w, out_h = 16, 12, 4, 3
+    bw, bh = w // out_w, h // out_h
+    sr = [sum(x * 255 // (w - 1) for x in range(j * bw, (j + 1) * bw))
+          for j in range(out_w)]
+    sg = [sum(y * 255 // (h - 1) for y in range(i * bh, (i + 1) * bh))
+          for i in range(out_h)]
+    cells = ",\n               ".join(
+        f"floor((({sr[j]} + {sg[i]} + 4 * (doc_id % 256)) / 12.0)"
+        " * 10000.0 + 0.5) / 10000.0"
+        for i in range(out_h)
+        for j in range(out_w)
+    )
+    return f"""
+    SELECT doc_id AS media_id,
+           CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+           list_value(
+               {cells}
+           ) AS pixels
+    FROM documents
+    """
+
+
+@query("q_image_resize", oracle=_image_resize_oracle_sql())
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode + resize end-to-end: P6 PPM payloads synthesized
+    executor-side (seeded RGB gradient), numpy header/raw-RGB decode,
+    2-D block-average down to 4x3 — every output cell hash-checked
+    against the analytic value of the gradient
+    (operators/multimodal.py:decode_ppm/resize_images)."""
+    from py_gtfs_duckdb_spark.functions import pround
+
+    media = M.documents_as_images(t(spark, sf_dir, "documents"))
+    out = M.resize_images(media, out_w=4, out_h=3)
+    return out.select(
+        "media_id", "width", "height",
+        F.transform("pixels", lambda c: pround(c, 4)).alias("pixels"),
+    )

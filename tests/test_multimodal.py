@@ -104,3 +104,50 @@ def test_audio_features_null_payload_row(spark):
     )
     row = audio_features(media).collect()[0]
     assert row["media_id"] == 1 and row["sample_rate"] is None
+
+
+def test_ppm_decode_roundtrip_and_resize(spark):
+    """REAL image decode: the synthesized gradient decodes to the exact
+    per-pixel values, and the 2-D block-average matches the analytic cell
+    means."""
+    import numpy as np
+
+    from py_gtfs_duckdb_spark.operators.multimodal import (
+        decode_ppm,
+        documents_as_images,
+        resize_images,
+        synth_ppm,
+    )
+
+    img = decode_ppm(synth_ppm(seed=7, width=16, height=12))
+    assert img.shape == (12, 16, 3)
+    assert img[0, 5, 0] == 5 * 255 // 15, "red = x gradient"
+    assert img[9, 0, 1] == 9 * 255 // 11, "green = y gradient"
+    assert (img[:, :, 2] == 7).all(), "blue = seed"
+
+    docs = spark.createDataFrame([(7,), (300,)], "doc_id long")
+    got = {
+        r["media_id"]: r
+        for r in resize_images(documents_as_images(docs), 4, 3).collect()
+    }
+    for mid, row in got.items():
+        assert (row["width"], row["height"]) == (4, 3)
+        b = mid % 256
+        expect = [
+            (sum(x * 255 // 15 for x in range(j * 4, j * 4 + 4))
+             + sum(y * 255 // 11 for y in range(i * 4, i * 4 + 4))
+             + 4 * b) / 12.0
+            for i in range(3) for j in range(4)
+        ]
+        assert np.allclose(row["pixels"], expect, atol=1e-9), (mid,)
+
+
+def test_ppm_decoder_rejects_malformed(spark):
+    import pytest as _pytest
+
+    from py_gtfs_duckdb_spark.operators.multimodal import decode_ppm, synth_ppm
+
+    with _pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"JFIF not a ppm")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_ppm(synth_ppm(1)[:-50])
