@@ -268,11 +268,39 @@ class GtfsLake:
     def compact_segments(self, table: str, dedup_pk: bool = True) -> None:
         """Fold the segment list into one plain version (small-file
         compaction; write() removes the segment manifest after its pointer
-        swap so readers flip atomically), then GC the folded segments."""
+        swap so readers flip atomically), then GC the folded segments.
+        End-of-stream form: the table leaves segment layout, so further
+        append_segment calls refuse — use fold_segments mid-stream."""
         if self.segment_manifest(table) is None:
             return
         self.write(table, self.table(table), dedup_pk=dedup_pk)
         self.vacuum(table, keep=1)
+
+    def fold_segments(self, table: str) -> None:
+        """Mid-stream small-files compaction: rewrite all committed
+        segments as ONE new segment and swap the manifest to reference
+        only it — the table STAYS in segment layout (appendable, meta
+        preserved), unlike compact_segments. Readers flip atomically on
+        the manifest swap; superseded segment dirs become orphans for
+        vacuum. At 100 TB this is the periodic compaction every
+        lakehouse append stream schedules so per-batch files don't
+        accumulate into a small-files problem."""
+        manifest = self.segment_manifest(table)
+        if manifest is None or len(manifest["segments"]) <= 1:
+            return
+        seg = f"seg={manifest['next']}"
+        self.table(table).write.mode("overwrite").parquet(
+            os.path.join(self._tdir(table), seg)
+        )
+        folded = {
+            "segments": [seg],
+            "next": manifest["next"] + 1,
+            "meta": dict(manifest.get("meta", {})),
+        }
+        tmp = self._segments_path(table) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(folded, fh)
+        os.replace(tmp, self._segments_path(table))
 
     def merge_keyed(
         self,

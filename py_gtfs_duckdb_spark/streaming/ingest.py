@@ -50,6 +50,7 @@ class NearDupIngestGate:
         id_col: str = "doc_id",
         k: int = 3,
         threshold: float = 0.7,
+        fold_every: int | None = None,
     ) -> None:
         self.lake = lake
         self.table = table
@@ -59,6 +60,13 @@ class NearDupIngestGate:
         self.id_col = id_col
         self.k = k
         self.threshold = threshold
+        # fold (rewrite-as-one-segment) every N batches so per-batch
+        # files don't accumulate into a small-files problem. None = never
+        # (caller schedules lake.fold_segments itself). Folding costs one
+        # full-table rewrite, so N trades read amplification against
+        # write amplification — e.g. 240 at a 15 s trigger = one compact
+        # rewrite per hour.
+        self.fold_every = fold_every
 
     def _flag_against(self, new_sets: DataFrame, stored_sigs: DataFrame,
                       stored_bands: DataFrame) -> DataFrame:
@@ -162,6 +170,14 @@ class NearDupIngestGate:
         commit(self.bands_table, lsh_bands(survivors), "id")
         survivors.unpersist()
         new_sets.unpersist()
+
+        if (
+            self.fold_every
+            and batch_id is not None
+            and (batch_id + 1) % self.fold_every == 0
+        ):
+            for tb in (self.table, self.sigs_table, self.bands_table):
+                self.lake.fold_segments(tb)
 
 
 def run_ingest_stream(

@@ -208,3 +208,20 @@ def test_gate_mid_batch_crash_redelivery_completes_remaining_tables(spark, tmp_p
     assert lake.table("corpus_docs_bands").count() == 2 * LSH_BANDS
     # docs table: still only the two segments (batch 1 not re-appended)
     assert len(lake.segment_manifest("corpus_docs")["segments"]) == 2
+
+
+def test_gate_auto_fold_bounds_segment_count(spark, tmp_path):
+    """fold_every=2: after batches 0,1 the tables hold ONE folded segment
+    each (plus later appends), rows and batch-id bookkeeping intact."""
+    lake = GtfsLake(spark, str(tmp_path / "lake"))
+    gate = NearDupIngestGate(lake, fold_every=2)
+    gate.process_batch(_docs(spark, [(1, BASE)]), 0)
+    gate.process_batch(_docs(spark, [(2, OTHER)]), 1)   # fold fires here
+    assert len(lake.segment_manifest("corpus_docs")["segments"]) == 1
+    assert lake.segment_meta("corpus_docs")["ingest_batch_id"] == 1
+    gate.process_batch(_docs(spark, [(3, FRESH)]), 2)   # appends after fold
+    assert len(lake.segment_manifest("corpus_docs")["segments"]) == 2
+    assert sorted(r["doc_id"] for r in lake.table("corpus_docs").collect()) == [1, 2, 3]
+    # dedup still works across the folded history
+    gate.process_batch(_docs(spark, [(9, BASE + " tail")]), 3)  # near-dup of 1; folds
+    assert sorted(r["doc_id"] for r in lake.table("corpus_docs").collect()) == [1, 2, 3]

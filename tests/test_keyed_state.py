@@ -345,3 +345,22 @@ def test_compact_segments_folds_then_reads_same(spark, tmp_path):
     assert sorted(r["doc_id"] for r in lake.table("seg_docs").collect()) == [1, 2, 3, 4, 5]
     tdir = os.path.join(str(tmp_path / "lake"), "seg_docs")
     assert not any(e.startswith("seg=") for e in os.listdir(tdir))
+
+
+def test_fold_segments_preserves_rows_meta_and_appendability(spark, tmp_path):
+    lake = _mk_lake(spark, tmp_path)
+    lake.append_segment("seg_docs", _seg_docs(spark, [1, 2]), meta={"ingest_batch_id": 0})
+    lake.append_segment("seg_docs", _seg_docs(spark, [3]), meta={"ingest_batch_id": 1})
+    lake.fold_segments("seg_docs")
+    m = lake.segment_manifest("seg_docs")
+    assert len(m["segments"]) == 1 and m["meta"] == {"ingest_batch_id": 1}
+    assert sorted(r["doc_id"] for r in lake.table("seg_docs").collect()) == [1, 2, 3]
+    # still appendable after the fold (unlike compact_segments)
+    lake.append_segment("seg_docs", _seg_docs(spark, [4]), meta={"ingest_batch_id": 2})
+    assert sorted(r["doc_id"] for r in lake.table("seg_docs").collect()) == [1, 2, 3, 4]
+    lake.vacuum("seg_docs")  # superseded segment dirs are orphans now
+    import os
+
+    tdir = os.path.join(str(tmp_path / "lake"), "seg_docs")
+    live = set(lake.segment_manifest("seg_docs")["segments"])
+    assert {e for e in os.listdir(tdir) if e.startswith("seg=")} == live
