@@ -92,10 +92,12 @@ from py_gtfs_duckdb_spark.operators.multimodal import (  # noqa: F401
     audio_features,
     decode_ppm,
     decode_wav,
+    decode_y4m,
     extract_features,
     resize_images,
     resize_media,
     sample_frames,
+    video_frame_features,
 )
 
 # ANN index lifecycle over the lake

@@ -6,11 +6,14 @@ STUBBED (``decode_media`` raises NotImplementedError unless ``fake=True``,
 which substitutes a deterministic fake decoder). Everything around the
 stub — schema, Arrow batch shape, ``mapInPandas`` signature, partition
 sizing — is real and tested, so swapping in a real decoder (PIL/ffmpeg
-UDF body) changes one function body only. Two branches ARE real, because
-their formats need no library: AUDIO via stdlib ``wave`` + numpy
-(``decode_wav`` / ``audio_features`` — bytes → PCM → signal features) and
-P6 PPM IMAGES via plain numpy (``decode_ppm`` / ``resize_images`` —
-bytes → pixel array → 2-D block-average resize). Video remains stub-only.
+UDF body) changes one function body only. All three modalities have a
+REAL branch, because one format per modality needs no library: AUDIO via
+stdlib ``wave`` + numpy (``decode_wav`` / ``audio_features`` — bytes →
+PCM → signal features), P6 PPM IMAGES via plain numpy (``decode_ppm`` /
+``resize_images`` — bytes → pixel array → 2-D block-average resize), and
+Y4M VIDEO via plain numpy (``decode_y4m`` / ``video_frame_features`` —
+bytes → frame planes → per-frame features). Compressed codecs
+(JPEG/h264/MP3) stay behind the stub.
 
 Scale notes: media rows are wide (payloads dominate); keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so a partition
@@ -388,6 +391,128 @@ def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 3) -> DataFrame
                     "height": np.full(len(pdf), out_h, dtype="int32"),
                     "pixels": out,
                 }
+            )
+
+    return media.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL video path (round 5): Y4M (YUV4MPEG2) is an uncompressed container —
+# ASCII stream header, then "FRAME\n" + raw YUV planes — so, like PPM and
+# WAV, it decodes with plain numpy. The video branch therefore also runs a
+# genuine bytes -> frames -> per-frame-feature path; compressed codecs
+# (h264 etc.) would need ffmpeg and stay out of scope.
+# ---------------------------------------------------------------------------
+
+
+def synth_y4m(seed: int, width: int = 16, height: int = 12) -> bytes:
+    """Deterministic Y4M clip: 3 + seed%3 frames of an x-gradient luma
+    plane shifted per frame (Y = 8x + 4f + seed%64, U=V=128). Real
+    YUV4MPEG2 container, C420, reproducible everywhere."""
+    import numpy as np
+
+    n_frames = 3 + seed % 3
+    header = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()
+    chroma = np.full((height // 2) * (width // 2), 128, dtype=np.uint8).tobytes()
+    out = [header]
+    x = np.arange(width, dtype=np.uint16)
+    for f in range(n_frames):
+        y_plane = (
+            (x * 8 + 4 * f + seed % 64).astype(np.uint8)[None, :]
+            * np.ones((height, 1), dtype=np.uint8)
+        )
+        out.append(b"FRAME\n" + y_plane.tobytes() + chroma + chroma)
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes):
+    """(width, height, [Y planes as (h, w) uint8 arrays]) from Y4M bytes —
+    real container parsing: ASCII stream header (W/H/C tags), per-frame
+    FRAME markers, planar 4:2:0 layout (chroma skipped)."""
+    import numpy as np
+
+    nl = payload.index(b"\n")
+    head = payload[:nl].decode("ascii", "strict")
+    if not head.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    for tok in head.split()[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C") and not tok.startswith("C420"):
+            raise ValueError(f"only C420 supported, got {tok}")
+    if not w or not h:
+        raise ValueError("missing W/H in stream header")
+    y_size = w * h
+    frame_size = y_size + 2 * (w // 2) * (h // 2)
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 6] != b"FRAME\n":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos += 6
+        if pos + frame_size > len(payload):
+            raise ValueError("truncated frame payload")
+        frames.append(
+            np.frombuffer(payload[pos : pos + y_size], dtype=np.uint8).reshape(h, w)
+        )
+        pos += frame_size
+    return w, h, frames
+
+
+def documents_as_videos(docs: DataFrame) -> DataFrame:
+    """Media table with REAL Y4M payloads synthesized per doc_id,
+    executor-side in Arrow batches."""
+    base = docs.select(F.col("doc_id").alias("media_id"))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [synth_y4m(int(m)) for m in pdf["media_id"]]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return base.mapInPandas(run, schema="media_id long, payload binary")
+
+
+def video_frame_features(media: DataFrame) -> DataFrame:
+    """(media_id, frame_idx, width, height, mean_luma): REAL frame
+    sampling — decode the Y4M container, emit one row per frame with the
+    frame's mean luma. The row-explosion shape of video frame sampling
+    (one wide payload in, several narrow rows out) with an actual decoder
+    in the body; mean_luma is exact integer arithmetic on the synthesized
+    gradient, so the battery oracle can verify every frame."""
+    schema = (
+        "media_id long, frame_idx long, width int, height int, mean_luma long"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                w, h, frames = decode_y4m(bytes(p))
+                for f_idx, plane in enumerate(frames):
+                    rows.append(
+                        (
+                            int(mid),
+                            f_idx,
+                            w,
+                            h,
+                            int(plane.astype(np.float64).mean()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "mean_luma"],
             )
 
     return media.mapInPandas(run, schema=schema)

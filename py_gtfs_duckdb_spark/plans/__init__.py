@@ -163,12 +163,14 @@ _PRIORITY = [
     "q_sort_concat",
     "q_limit",
     "q_fn_dateformat",
-    # --- tail: round-5 additions, locally oracle-checked, awaiting their
-    # driver rotation slot next round ---
+    # --- tail: round-5 additions (span dedup, BM25, real audio/image/
+    # video decode), all oracle-bearing and locally parity-checked,
+    # awaiting their driver rotation slot next round ---
     "q_dedup_spans",
     "q_bm25_topk",
     "q_audio_features",
     "q_image_resize",
+    "q_video_frames",
 ]
 
 _missing = set(QUERIES) - set(_PRIORITY)

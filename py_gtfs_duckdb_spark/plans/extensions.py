@@ -1859,3 +1859,28 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "width", "height",
         F.transform("pixels", lambda c: pround(c, 4)).alias("pixels"),
     )
+
+
+@query(
+    "q_video_frames",
+    # Every row is decode-verified integer arithmetic: frame count =
+    # 3 + doc_id % 3 (container must yield exactly that many FRAME
+    # markers) and mean luma of the synthesized gradient = 60 + 4*f +
+    # doc_id % 64 (exact — sums of small ints, division by w*h exact).
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+           CAST(60 + 4 * f + doc_id % 64 AS BIGINT) AS mean_luma
+    FROM (SELECT doc_id, unnest(range(0, 3 + doc_id % 3)) AS f FROM documents)
+    """,
+)
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + frame sampling end-to-end: per-doc Y4M clips
+    synthesized executor-side (real YUV4MPEG2 containers, variable frame
+    count), numpy container parsing, one row per frame with its mean
+    luma — the row-explosion shape of video frame extraction with an
+    actual decoder in the body
+    (operators/multimodal.py:decode_y4m/video_frame_features)."""
+    media = M.documents_as_videos(t(spark, sf_dir, "documents"))
+    return M.video_frame_features(media)

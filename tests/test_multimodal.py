@@ -151,3 +151,34 @@ def test_ppm_decoder_rejects_malformed(spark):
         decode_ppm(b"JFIF not a ppm")
     with _pytest.raises(ValueError, match="truncated"):
         decode_ppm(synth_ppm(1)[:-50])
+
+
+def test_y4m_decode_roundtrip_and_frame_features(spark):
+    """REAL video decode: frame count follows the seed, per-frame luma
+    planes decode bit-exact, malformed containers fail loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from py_gtfs_duckdb_spark.operators.multimodal import (
+        decode_y4m,
+        documents_as_videos,
+        synth_y4m,
+        video_frame_features,
+    )
+
+    w, h, frames = decode_y4m(synth_y4m(seed=7))
+    assert (w, h) == (16, 12) and len(frames) == 3 + 7 % 3
+    assert frames[1][0, 5] == (5 * 8 + 4 * 1 + 7 % 64) % 256
+    with _pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"RIFF nope\n")
+    with _pytest.raises(ValueError, match="FRAME"):
+        decode_y4m(b"YUV4MPEG2 W16 H12 C420\nJUNK!" + b"\0" * 300)
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    rows = video_frame_features(documents_as_videos(docs)).collect()
+    got = {(r["media_id"], r["frame_idx"]): r["mean_luma"] for r in rows}
+    for mid in range(6):
+        n = 3 + mid % 3
+        assert sum(1 for k in got if k[0] == mid) == n
+        for f in range(n):
+            assert got[(mid, f)] == 60 + 4 * f + mid % 64, (mid, f)
