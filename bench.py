@@ -70,6 +70,11 @@ EXTRA = [
     "q_pack_sequences",
     "q_export_shards",
     "q_curate_rules",
+    "q_dedup_spans",
+    "q_bm25_topk",
+    "q_audio_features",
+    "q_image_resize",
+    "q_video_frames",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

@@ -171,6 +171,7 @@ _PRIORITY = [
     "q_audio_features",
     "q_image_resize",
     "q_video_frames",
+    "q_rollup_tokens",
 ]
 
 _missing = set(QUERIES) - set(_PRIORITY)

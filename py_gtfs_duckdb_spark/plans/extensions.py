@@ -1884,3 +1884,42 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py:decode_y4m/video_frame_features)."""
     media = M.documents_as_videos(t(spark, sf_dir, "documents"))
     return M.video_frame_features(media)
+
+
+@query(
+    "q_rollup_tokens",
+    oracle=r"""
+    SELECT COALESCE(source, 'ALL') AS source,
+           COALESCE(lang, 'ALL') AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT)
+               AS total_tokens
+    FROM documents
+    GROUP BY ROLLUP (source, lang)
+    """,
+)
+def q_rollup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical OLAP rollup — per (source, lang), per source, and
+    grand-total token accounting in ONE aggregation pass (Spark
+    ``rollup`` ≡ SQL GROUP BY ROLLUP): the mix-report shape a corpus
+    team refreshes after every curation run. Partial aggregation is
+    map-side combined at every grouping level; NULL level markers are
+    coalesced to 'ALL' on both sides so the hash compare is
+    unambiguous (the synthetic dims are never null)."""
+    from py_gtfs_duckdb_spark.operators.text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("source", "lang", token_count(F.col("text")).alias("tk"))
+        .rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tk").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "total_tokens",
+        )
+    )
