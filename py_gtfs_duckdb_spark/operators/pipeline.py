@@ -237,6 +237,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     near_dup_threshold: float = 0.7,
     apply_quality_rules: bool = True,
+    with_report: bool = True,
 ) -> tuple[DataFrame, dict]:
     """The whole corpus-curation pipeline as ONE composition — the
     end-to-end path a training-data team runs nightly, built from the
@@ -253,11 +254,16 @@ def curate_corpus(
     Returns ``(curated_df, report)``: the curated frame has the redacted
     text plus (pred_lang, split, n_tokens), and the report dict carries
     per-stage survivor counts and total PII redactions — the audit trail.
+    ``with_report=False`` skips every audit action (the counts and the
+    PII sum) and returns an empty report: same output frame, one plan,
+    no intermediate jobs — the mode for callers that only want the
+    curated corpus (the nightly audit run keeps the default).
 
     Scale shape: every stage is one of the audited plans (digest groupBy,
     LSH bucket join + star-CC, scan-speed rules, regexp scrub, narrow
-    annotations); stage counts are COUNT(*) actions on cached frames, so
-    the chain is evaluated once per stage boundary, not re-derived."""
+    annotations); with the report on, stage counts are COUNT(*) actions
+    on cached frames, so the chain is evaluated once per stage boundary,
+    not re-derived."""
     from py_gtfs_duckdb_spark.operators.dedup import (
         keep_canonical,
         minhash_lsh_dedup,
@@ -271,7 +277,9 @@ def curate_corpus(
         quality_score,
     )
 
-    report: dict = {"input_docs": docs.count()}
+    report: dict = {}
+    if with_report:
+        report["input_docs"] = docs.count()
 
     # 1 — exact dedup (digest groupBy: shuffles 16-byte hashes, not text)
     keep_exact = (
@@ -280,8 +288,10 @@ def curate_corpus(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    d1 = docs.join(keep_exact, id_col, "left_semi").persist()
-    report["after_exact_dedup"] = d1.count()
+    d1 = docs.join(keep_exact, id_col, "left_semi")
+    if with_report:
+        d1 = d1.persist()
+        report["after_exact_dedup"] = d1.count()
 
     # 2 — near-dup canonicalization
     pairs = minhash_lsh_dedup(d1, text_col, id_col, k=3, threshold=near_dup_threshold)
@@ -295,26 +305,32 @@ def curate_corpus(
     dropped = clusters.join(
         kept.select(F.col("kept_doc_id").alias(id_col)), id_col, "left_anti"
     ).select(id_col)
-    d2 = d1.join(dropped, id_col, "left_anti").persist()
-    report["after_near_dedup"] = d2.count()
-    d1.unpersist()
+    d2 = d1.join(dropped, id_col, "left_anti")
+    if with_report:
+        d2 = d2.persist()
+        report["after_near_dedup"] = d2.count()
+        d1.unpersist()
 
     # 3 — rule-based quality filter
     if apply_quality_rules:
         passing = quality_rules(d2, text_col, id_col).filter("pass_all").select(id_col)
-        d3 = d2.join(passing, id_col, "left_semi").persist()
+        d3 = d2.join(passing, id_col, "left_semi")
+        if with_report:
+            d3 = d3.persist()
     else:
         d3 = d2
-    report["after_quality_rules"] = d3.count()
-    if d3 is not d2:
-        d2.unpersist()  # d3 is materialized; d2's cache has served its use
+    if with_report:
+        report["after_quality_rules"] = d3.count()
+        if d3 is not d2:
+            d2.unpersist()  # d3 is materialized; d2's cache has served its use
 
     # 4 — PII redaction (counts on original text, then text := redacted)
     scrub = pii_scrub(d3, text_col, id_col)
-    pii = scrub.agg(
-        F.sum(F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")).alias("n")
-    ).first()
-    report["pii_redactions"] = int(pii["n"] or 0)
+    if with_report:
+        pii = scrub.agg(
+            F.sum(F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")).alias("n")
+        ).first()
+        report["pii_redactions"] = int(pii["n"] or 0)
     d4 = d3.drop(text_col).join(
         scrub.select(F.col(id_col), F.col("redacted").alias(text_col)), id_col
     )
@@ -326,7 +342,8 @@ def curate_corpus(
         split_col(F.col(id_col)).alias("split"),
         token_count(F.col(text_col)).alias("n_tokens"),
     )
-    report["output_docs"] = report["after_quality_rules"]
+    if with_report:
+        report["output_docs"] = report["after_quality_rules"]
     return out, report
 
 

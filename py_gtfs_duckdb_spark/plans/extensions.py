@@ -1473,7 +1473,8 @@ def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained into one DuckDB statement. The CLI e2e lives in
     tests/test_cli.py::test_cli_curate_end_to_end."""
     out, _report = P.curate_corpus(
-        t(spark, sf_dir, "documents"), apply_quality_rules=False
+        t(spark, sf_dir, "documents"), apply_quality_rules=False,
+        with_report=False,
     )
     return out.select("doc_id", "pred_lang", "split", "n_tokens")
 
@@ -1490,7 +1491,8 @@ def q_curate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the composition is hash-checked against the rules-on oracle
     (operators/pipeline.py:curate_corpus step 3)."""
     out, _report = P.curate_corpus(
-        t(spark, sf_dir, "documents"), apply_quality_rules=True
+        t(spark, sf_dir, "documents"), apply_quality_rules=True,
+        with_report=False,
     )
     return out.select("doc_id", "pred_lang", "split", "n_tokens")
 
