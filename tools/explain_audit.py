@@ -156,6 +156,11 @@ AUDITED = [
         " The corpus is never shuffled by span text, no self-join.",
     ),
     (
+        "q_rollup_tokens",
+        "Grouping-sets aggregation: one pass, partial aggregation at"
+        " every rollup level, no per-level re-scan.",
+    ),
+    (
         "q_bm25_topk",
         "Inverted-index BM25: token stream filtered to the query terms"
         " before any shuffle, conditional-agg tf pivot (map-side"
