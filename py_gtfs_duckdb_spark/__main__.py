@@ -231,6 +231,50 @@ def cmd_curate(args) -> None:
     print(json.dumps(report, sort_keys=True))
 
 
+def cmd_search(args) -> None:
+    """BM25 lexical top-k over a documents parquet (extension surface):
+    prints one JSON line per hit, best first."""
+    import json
+
+    from py_gtfs_duckdb_spark.operators.lexical import bm25_topk
+    from py_gtfs_duckdb_spark.session import get_spark
+
+    spark = get_spark("gtfs-cli")
+    docs = spark.read.parquet(args.input)
+    hits = bm25_topk(docs, args.terms, k=args.k)
+    for r in sorted(hits.collect(), key=lambda r: r["rank"]):
+        print(json.dumps(
+            {"rank": r["rank"], "doc_id": r["doc_id"], "score": r["score"]}
+        ))
+
+
+def cmd_despan(args) -> None:
+    """Sub-document span dedup (CCNet-style boilerplate removal) over a
+    documents parquet: writes cleaned docs, prints a JSON summary."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from py_gtfs_duckdb_spark.operators.text import dedup_spans
+    from py_gtfs_duckdb_spark.session import get_spark
+
+    spark = get_spark("gtfs-cli")
+    docs = spark.read.parquet(args.input)
+    unit_words = args.unit_words if args.unit_words > 0 else None
+    out = dedup_spans(docs, unit_words=unit_words, min_df=args.min_df)
+    out.write.mode("overwrite").parquet(args.output)
+    summary = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_units").alias("units"),
+        F.sum("n_dropped").alias("dropped"),
+    ).first()
+    print(json.dumps(
+        {"docs": summary["docs"], "units": int(summary["units"] or 0),
+         "dropped_units": int(summary["dropped"] or 0)},
+        sort_keys=True,
+    ))
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="py_gtfs_duckdb_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -293,6 +337,26 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--near-dup-threshold", type=float, default=0.7)
     sp.add_argument("--no-quality-rules", action="store_true")
     sp.set_defaults(fn=cmd_curate)
+
+    sp = sub.add_parser(
+        "search", help="BM25 lexical top-k over a documents parquet"
+    )
+    sp.add_argument("--input", "-i", required=True, help="documents parquet path")
+    sp.add_argument("--terms", "-t", nargs="+", required=True)
+    sp.add_argument("-k", type=int, default=10)
+    sp.set_defaults(fn=cmd_search)
+
+    sp = sub.add_parser(
+        "despan", help="strip spans shared across many docs (boilerplate)"
+    )
+    sp.add_argument("--input", "-i", required=True, help="documents parquet path")
+    sp.add_argument("--output", "-o", required=True)
+    sp.add_argument(
+        "--unit-words", type=int, default=0,
+        help="chunk width in words; 0 = split on newlines",
+    )
+    sp.add_argument("--min-df", type=int, default=3)
+    sp.set_defaults(fn=cmd_despan)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -97,3 +97,32 @@ def test_cli_curate_end_to_end(spark, tmp_path):
     assert got[3]["pred_lang"] == "en"
     assert got[3]["split"] in ("train", "val", "test")
     assert got[3]["n_tokens"] > 30
+
+
+def test_cli_search_and_despan(spark, tmp_path, capsys):
+    import json
+
+    from py_gtfs_duckdb_spark.__main__ import main
+
+    docs = spark.createDataFrame(
+        [
+            (1, "home nav bar \n spark engine tuning notes \n copyright foot"),
+            (2, "home nav bar \n spark spark cluster sizing \n copyright foot"),
+            (3, "home nav bar \n cooking rice perfectly \n copyright foot"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+
+    assert main(["search", "-i", src, "-t", "spark", "-k", "2"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [l["rank"] for l in lines] == [1, 2]
+    assert lines[0]["doc_id"] == 2, "doubled term wins"
+
+    out = str(tmp_path / "clean")
+    assert main(["despan", "-i", src, "-o", out, "--min-df", "3"]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"docs": 3, "units": 9, "dropped_units": 6}
+    back = {r["doc_id"]: r["clean_text"] for r in spark.read.parquet(out).collect()}
+    assert back[3] == "cooking rice perfectly"
