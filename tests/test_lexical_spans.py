@@ -171,3 +171,72 @@ def test_dedup_spans_matches_python_model(spark, texts, min_df):
     # drop out of the totals side — assert they are absent, model the rest
     want = {k: v for k, v in want.items() if v[1] > 0}
     assert got == want
+
+
+def _bm25_model(texts, terms, k1=1.2, b=0.75):
+    """Sequential reference scorer with the exact same float op order the
+    Spark expression uses."""
+    import math
+
+    toks = [[w for w in t.split(" ") if w] for t in texts]
+    n = len(toks)
+    dls = [len(ws) for ws in toks]
+    avgdl = sum(dls) / n
+    dfs = [sum(1 for ws in toks if term in ws) for term in terms]
+    out = {}
+    for doc_id, ws in enumerate(toks):
+        score = 0.0
+        for i, term in enumerate(terms):
+            tf = float(ws.count(term))
+            if tf == 0 and dfs[i] == 0:
+                pass  # idf defined but tf=0 contributes 0 anyway
+            idf = math.log(1.0 + (n - dfs[i] + 0.5) / (dfs[i] + 0.5))
+            denom = tf + k1 * ((1.0 - b) + b * dls[doc_id] / avgdl)
+            score = score + idf * tf * (k1 + 1.0) / denom
+        if any(term in ws for term in terms):
+            out[doc_id] = math.floor(score * 10000.0 + 0.5) / 10000.0
+    return out
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["cat", "dog", "fish", "bird", "x", "y"]),
+            min_size=1,
+            max_size=10,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    terms=st.lists(
+        st.sampled_from(["cat", "dog", "fish"]), min_size=1, max_size=3, unique=True
+    ),
+)
+def test_bm25_matches_python_model(spark, texts, terms):
+    """The distributed conditional-agg pivot must agree with a sequential
+    scorer on random small corpora — scores to 4 rounded digits, ranking
+    by (score desc, doc_id) — including all-docs-match, no-doc-match, and
+    zero-df terms."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(docs, list(terms), k=100).collect()
+    }
+    want = _bm25_model(texts, list(terms))
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 2e-4, (d, got[d], want[d])
+    # ranking follows (score desc, id asc)
+    rows = sorted(
+        bm25_topk(docs, list(terms), k=100).collect(), key=lambda r: r["rank"]
+    )
+    resorted = sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in resorted]
