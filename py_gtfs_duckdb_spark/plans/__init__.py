@@ -46,19 +46,21 @@ from py_gtfs_duckdb_spark.plans import flagship  # noqa: E402,F401
 # Declared-battery priority order. The driver checks the battery in dict
 # order with a bounded budget (the first 50 names each round), so the
 # 50-slot window carries the queries whose driver evidence matters most.
-# Round-5 rotation (VERDICT r4 Next #1/#7): every query with ZERO driver
+# Round-5 rotation (VERDICT r4 Next #1/#7): EVERY query with zero driver
 # evidence enters the window — the 18 oracle-bearing round-4 pipeline
 # additions (sampling, decontamination, packing, PII, splits, as-of/range
-# joins, incremental/semantic dedup, shard export, quantiles) AND the 11
-# rows-only tail queries (SimHash, PQ/IVFPQ ANN, curate pipeline, BPE,
-# JL projection, multimodal variants), so after this round all 91+
-# registered queries carry at least one round of driver evidence. The
-# remaining slots go to the lowest-evidence rest: the two single-green
-# r4 rotations (clusters, top-tokens), all fifteen double-green queries
-# (windows, pivot, text/similarity pillars, multimodal bytes), and two
-# heavy triple-green representatives (5-table join chain, trip matching).
-# Displaced multi-green queries sit in the tail, guarded by the local
-# driver replica (tests/test_oracle_parity.py runs the FULL battery).
+# joins, incremental/semantic dedup, shard export, quantiles), the former
+# rows-only tail (SimHash, PQ/IVFPQ ANN, the curate pair — now late-
+# oracled, BPE, JL projection, multimodal variants), AND the round-5
+# additions themselves (span dedup, BM25, real audio/image/video decode,
+# rollup) — so after this round ALL 98 registered queries carry at least
+# one round of driver evidence. The remaining slots go to the lowest-
+# evidence rest: the two single-green r4 rotations (clusters,
+# top-tokens), the double-green queries minus six stable formulas
+# displaced to fund the round-5 slots, and two heavy triple-green
+# representatives (5-table join chain, trip matching). Displaced
+# multi-green queries sit in the tail, guarded by the local driver
+# replica (tests/test_oracle_parity.py runs the FULL battery).
 _PRIORITY = [
     # flagship first — the reference's headline path (ddb.py:177-202)
     "q_flagship_nominal_trips",
@@ -100,21 +102,25 @@ _PRIORITY = [
     # single-green (r4 only)
     "q_dedup_clusters",
     "q_text_top_tokens",
-    # double-green
+    # round-5 additions (span dedup, BM25, real audio/image/video
+    # decode, rollup) — zero evidence, so they take the six slots of the
+    # most formulaically-stable double-green queries (displaced to the
+    # tail): after this round EVERY registered query has driver evidence
+    "q_dedup_spans",
+    "q_bm25_topk",
+    "q_audio_features",
+    "q_image_resize",
+    "q_video_frames",
+    "q_rollup_tokens",
+    # double-green kept in-window (incl. q_pivot, the one-time r2 red)
     "q_pivot",
     "q_window_tumbling",
     "q_window_sliding",
     "q_window_session",
-    "q_agg_approx_distinct",
-    "q_fn_json",
-    "q_text_stats",
     "q_text_quality",
-    "q_lang_id",
-    "q_doc_fingerprint",
     "q_doc_winnow",
     "q_knn_cosine",
     "q_ann_ivf",
-    "q_embed_norm",
     "q_multimodal_bytes",
     # heavy triple-green representatives (big join chain; stream matching)
     "q_join_chain_left",
@@ -163,15 +169,13 @@ _PRIORITY = [
     "q_sort_concat",
     "q_limit",
     "q_fn_dateformat",
-    # --- tail: round-5 additions (span dedup, BM25, real audio/image/
-    # video decode), all oracle-bearing and locally parity-checked,
-    # awaiting their driver rotation slot next round ---
-    "q_dedup_spans",
-    "q_bm25_topk",
-    "q_audio_features",
-    "q_image_resize",
-    "q_video_frames",
-    "q_rollup_tokens",
+    # displaced double-green (sat out to fund the round-5 slots)
+    "q_agg_approx_distinct",
+    "q_fn_json",
+    "q_text_stats",
+    "q_lang_id",
+    "q_doc_fingerprint",
+    "q_embed_norm",
 ]
 
 _missing = set(QUERIES) - set(_PRIORITY)
