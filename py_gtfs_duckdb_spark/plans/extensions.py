@@ -1672,13 +1672,22 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_embed_project")  # rows-only: float32 matmul is not FP-replayable in SQL
+@query(
+    "q_embed_project",
+    # The projected VALUES are float32 matmul (not FP-replayable in SQL;
+    # recall-tested instead), but the surface this query returns — one
+    # row per corpus vector with the projected dimensionality — is
+    # exactly oracle-able, so the driver verifies coverage and that the
+    # projection pass executed (the audio-features pattern).
+    oracle="SELECT vec_id, CAST(16 AS BIGINT) AS dim FROM embeddings",
+)
 def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection 64->16 (seeded Gaussian,
     deterministic across runs/executors) — the cheap embedding
     compression when PQ's codebook lifecycle is overkill
     (operators/similarity.py:random_projection; neighborhood recall
-    asserted in tests/test_similarity.py)."""
+    asserted in tests/test_similarity.py; projected values are
+    recall-tested, the coverage surface is hash-checked)."""
     e = t(spark, sf_dir, "embeddings")
     out = S.random_projection(e, out_dim=16)
     return out.select(
