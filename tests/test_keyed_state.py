@@ -364,3 +364,53 @@ def test_fold_segments_preserves_rows_meta_and_appendability(spark, tmp_path):
     tdir = os.path.join(str(tmp_path / "lake"), "seg_docs")
     live = set(lake.segment_manifest("seg_docs")["segments"])
     assert {e for e in os.listdir(tdir) if e.startswith("seg=")} == live
+
+
+def test_segment_randomized_ops_match_list_model(spark, tmp_path):
+    """Model-based check for the segment layout: random interleavings of
+    appends (with meta), folds, vacuums, and a final compaction must
+    always read back exactly the appended multiset of rows, keep the
+    latest meta, and never leave the manifest referencing a missing dir."""
+    import json
+    import os
+    import random
+
+    for seed in (3, 41):
+        rng = random.Random(seed)
+        lake = _mk_lake(spark, tmp_path / f"seg{seed}")
+        model_rows: list[int] = []
+        model_meta: dict = {}
+        next_id = 0
+        for step in range(12):
+            op = rng.choice(["append", "append", "append", "fold", "vacuum"])
+            if op == "append":
+                n = rng.randrange(1, 4)
+                ids = list(range(next_id, next_id + n))
+                next_id += n
+                meta = {"ingest_batch_id": step} if rng.random() < 0.7 else None
+                lake.append_segment("seg_docs", _seg_docs(spark, ids), meta=meta)
+                model_rows.extend(ids)
+                if meta:
+                    model_meta.update(meta)
+            elif op == "fold":
+                lake.fold_segments("seg_docs")
+            else:
+                lake.vacuum("seg_docs")
+            if not lake.exists("seg_docs"):
+                assert not model_rows
+                continue
+            got = sorted(r["doc_id"] for r in lake.table("seg_docs").collect())
+            assert got == sorted(model_rows), (seed, step, op)
+            assert lake.segment_meta("seg_docs") == model_meta, (seed, step, op)
+            m = lake.segment_manifest("seg_docs")
+            if m is not None:
+                tdir = os.path.join(str(tmp_path / f"seg{seed}" / "lake"), "seg_docs")
+                for seg in m["segments"]:
+                    assert os.path.isdir(os.path.join(tdir, seg)), (seed, step, seg)
+                # manifest JSON on disk parses and matches the API view
+                with open(os.path.join(tdir, "_SEGMENTS.json")) as fh:
+                    assert json.load(fh) == m
+        if model_rows:
+            lake.compact_segments("seg_docs")
+            got = sorted(r["doc_id"] for r in lake.table("seg_docs").collect())
+            assert got == sorted(model_rows), seed
