@@ -53,6 +53,8 @@ def bm25_topk(
     ``ln(1 + (N - df + 0.5) / (df + 0.5))``.
     """
     terms = list(dict.fromkeys(terms))  # dedup, keep query order
+    if not terms:
+        raise ValueError("bm25_topk requires at least one query term")
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
 
     # doc stats over the WHOLE corpus: dl narrow, avgdl/N one-row agg

@@ -44,7 +44,7 @@ print("BARE_RESULT " + json.dumps({{"counts": out, "errors": errs}}))
 
 @pytest.mark.slow
 def test_battery_runs_on_vanilla_session():
-    """The FULL declared battery (all 66 queries) must run green in a
+    """The FULL declared battery (every registered query) must run green in a
     subprocess whose SparkSession has none of the factory confs — the
     driver-harness shape. Insurance that no future query reintroduces a
     session-conf dependency (the round-1 16/50 failure class)."""

@@ -240,3 +240,11 @@ def test_bm25_matches_python_model(spark, texts, terms):
     )
     resorted = sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))
     assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in resorted]
+
+
+def test_bm25_empty_terms_fails_loudly(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="at least one query term"):
+        bm25_topk(docs, [])
