@@ -254,10 +254,12 @@ def curate_corpus(
     Returns ``(curated_df, report)``: the curated frame has the redacted
     text plus (pred_lang, split, n_tokens), and the report dict carries
     per-stage survivor counts and total PII redactions — the audit trail.
-    ``with_report=False`` skips every audit action (the counts and the
-    PII sum) and returns an empty report: same output frame, one plan,
-    no intermediate jobs — the mode for callers that only want the
-    curated corpus (the nightly audit run keeps the default).
+    ``with_report=False`` skips every audit action (the per-stage counts
+    and the PII sum) and returns an empty report — the mode for callers
+    that only want the curated corpus (the nightly audit run keeps the
+    default). Note the near-dup stage still runs its own jobs either
+    way: connected components is an iterative fixpoint that materializes
+    eagerly (operators/graph.py); only the AUDIT actions are optional.
 
     Scale shape: every stage is one of the audited plans (digest groupBy,
     LSH bucket join + star-CC, scan-speed rules, regexp scrub, narrow
