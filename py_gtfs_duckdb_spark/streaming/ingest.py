@@ -157,8 +157,22 @@ class NearDupIngestGate:
                 self.lake.append_segment(table, fresh_only(df, table, key))
                 return
             last = self.lake.segment_meta(table).get("ingest_batch_id")
-            if last is not None and batch_id <= last:
-                return  # this table already committed this batch
+            if last is not None:
+                if batch_id == last:
+                    return  # redelivery: this table already committed this batch
+                if batch_id < last:
+                    # A checkpointed stream's epoch ids are monotone and only
+                    # the LAST batch redelivers, so a SMALLER id means the
+                    # caller restarted with a fresh checkpoint against tables
+                    # written by a previous stream — silently skipping would
+                    # drop every batch until the counter catches up.
+                    raise ValueError(
+                        f"ingest batch id {batch_id} < last committed {last} "
+                        f"for table {table!r}: these gate tables belong to a "
+                        "different stream checkpoint. Reuse the original "
+                        "checkpoint directory, or point the gate at fresh "
+                        "tables (or drop() these)."
+                    )
             self.lake.append_segment(
                 table, df, meta={"ingest_batch_id": batch_id}
             )

@@ -225,3 +225,19 @@ def test_gate_auto_fold_bounds_segment_count(spark, tmp_path):
     # dedup still works across the folded history
     gate.process_batch(_docs(spark, [(9, BASE + " tail")]), 3)  # near-dup of 1; folds
     assert sorted(r["doc_id"] for r in lake.table("corpus_docs").collect()) == [1, 2, 3]
+
+
+def test_gate_fresh_checkpoint_against_old_tables_fails_loudly(spark, tmp_path):
+    """Epoch ids restart at 0 under a new checkpoint; against tables
+    recorded at a higher batch id that must be a hard error, not a silent
+    skip of every batch until the counter catches up."""
+    import pytest as _pytest
+
+    lake = GtfsLake(spark, str(tmp_path / "lake"))
+    gate = NearDupIngestGate(lake)
+    gate.process_batch(_docs(spark, [(1, BASE)]), 5)
+    with _pytest.raises(ValueError, match="different stream checkpoint"):
+        gate.process_batch(_docs(spark, [(2, OTHER)]), 0)
+    # redelivery of the SAME id stays a clean no-op
+    gate.process_batch(_docs(spark, [(1, BASE)]), 5)
+    assert lake.table("corpus_docs").count() == 1
