@@ -163,6 +163,90 @@ def split_assign(
     )
 
 
+def mix_sources(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(doc_id, source, n_tokens): token-budgeted domain mixing — the
+    "data mixture" step of a training pipeline. Each source keeps its
+    documents in deterministic md5-unit-hash order until the running
+    token total reaches ``weights[source] * token_budget`` (the document
+    that crosses the budget is kept; sources without a weight are
+    dropped).
+
+    Scale shape — a distributed prefix sum, not one fat window: a raw
+    per-source running total would put each source in ONE window
+    partition (a handful of partitions for a 100 TB corpus). Instead the
+    per-source order is (bucket, hash, id) with ``bucket = unit_hash %
+    n_buckets``, so the running total splits into (a) a per-(source,
+    bucket) token-sum aggregate — map-side combined, O(sources ×
+    n_buckets) rows out, (b) a window over that tiny table for each
+    bucket's starting offset, broadcast back, and (c) an intra-bucket
+    running total whose window partitions number sources × n_buckets and
+    shrink 1/n_buckets — raise ``n_buckets`` as the corpus grows. The
+    slim (id, source, n_tokens, hash) projection is scanned twice (once
+    for bucket sums, once for the main pass); if ``docs`` already
+    carries an ``n_tokens`` column (curate_corpus annotates one) it is
+    reused and the text column is never read."""
+    n_tokens = (
+        F.col("n_tokens").cast("bigint")
+        if "n_tokens" in docs.columns
+        else token_count(F.col(text_col))
+    )
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        n_tokens.alias("n_tokens"),
+        unit_hash(F.col(id_col)).alias("h"),
+    ).withColumn("bkt", F.col("h") % n_buckets)
+
+    budget = F.lit(0).cast("bigint")
+    for source, wgt in sorted(weights.items()):
+        budget = F.when(
+            F.col("source") == source, F.lit(int(wgt * token_budget)).cast("bigint")
+        ).otherwise(budget)
+
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = (
+        tk.groupBy("source", "bkt")
+        .agg(F.sum("n_tokens").alias("btok"))
+        .select(
+            "source",
+            "bkt",
+            F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("boff"),
+        )
+    )
+
+    wi = (
+        Window.partitionBy("source", "bkt")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        tk.join(F.broadcast(boff), ["source", "bkt"])
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (
+                F.col("boff") + F.coalesce(F.sum("n_tokens").over(wi), F.lit(0))
+            ).alias("cum_before"),
+            budget.alias("budget"),
+        )
+        .where(F.col("cum_before") < F.col("budget"))
+        .select("doc_id", "source", "n_tokens")
+    )
+
+
 def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Power-of-two token-length histogram: bucket = floor(log2(tokens)),
     computed portably as ``length(bin(n)) - 1`` (binary digit count —

@@ -127,6 +127,10 @@ _PRIORITY = [
     "q_match_trip_candidates",
     # --- tail: multi-round driver-green queries sitting out this round,
     # all still verified every run by the local driver replica ---
+    # late-round-5 addition (token-budgeted domain mixing) — added after
+    # the window was finalized; first driver slot comes with the round-6
+    # rotation, guarded by the local replica until then
+    "q_mix_sources",
     "q_project_derived",
     "q_filter_range",
     "q_filter_isin",

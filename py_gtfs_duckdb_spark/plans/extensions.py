@@ -1255,6 +1255,51 @@ def q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.source_report(t(spark, sf_dir, "documents"))
 
 
+# Domain-mix weights for q_mix_sources: four weighted sources (each budget
+# below its corpus token total at every SF, so the boundary cut is always
+# exercised), the other sixteen sources dropped by the zero default.
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_MIX_BUDGET = 2000
+_MIX_CASE_SQL = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {int(w * _MIX_BUDGET)}"
+    for s, w in sorted(_MIX_WEIGHTS.items())
+) + " ELSE 0 END"
+
+
+@query(
+    "q_mix_sources",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))
+                   AS BIGINT) AS n_tokens,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 10000 AS h
+        FROM documents
+    ), o AS (
+        SELECT doc_id, source, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY h % 64, h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+        FROM tk
+    )
+    SELECT doc_id, source, n_tokens FROM o
+    WHERE cum_before < {_MIX_CASE_SQL}
+    """,
+)
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted domain mixing: per-source document prefixes in
+    deterministic unit-hash order until each source's share of the token
+    budget is spent. The oracle is the naive one-window running total;
+    the Spark side is the distributed prefix sum (per-bucket offsets +
+    intra-bucket windows) that avoids one-fat-partition-per-source at
+    100 TB (operators/pipeline.py:mix_sources)."""
+    return P.mix_sources(
+        t(spark, sf_dir, "documents"), _MIX_WEIGHTS, _MIX_BUDGET
+    )
+
+
 _PQ_CB: dict[str, dict] = {}
 
 

@@ -327,3 +327,59 @@ def test_curate_rules_on_nontrivial_split(spark, sf_dir):
     _, report_off = P.curate_corpus(docs, apply_quality_rules=False)
     assert report_off["after_quality_rules"] == report_off["after_near_dedup"]
     assert survivors < report_off["after_quality_rules"]
+
+
+def _mix_naive(spark, rows, weights, budget):
+    """Sequential reference: per-source (bkt, h, id) order, keep while the
+    exclusive running token total is under the source's budget share."""
+    import hashlib
+
+    def uh(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16) % 10_000
+
+    kept = []
+    by_source: dict[str, list] = {}
+    for doc_id, source, text in rows:
+        by_source.setdefault(source, []).append((doc_id, text))
+    for source, docs in by_source.items():
+        limit = int(weights.get(source, 0.0) * budget)
+        cum = 0
+        for doc_id, text in sorted(
+            docs, key=lambda d: (uh(d[0]) % 64, uh(d[0]), str(d[0]))
+        ):
+            if cum < limit:
+                kept.append((doc_id, source))
+            cum += len(text.split())
+    return sorted(kept)
+
+
+def test_mix_sources_matches_sequential_reference(spark):
+    rows = [
+        (i, f"s{i % 3}", "tok " * ((i % 7) + 1)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    weights = {"s0": 0.5, "s1": 0.3}  # s2 unweighted -> dropped
+    out = P.mix_sources(df, weights, token_budget=200)
+    got = sorted((r["doc_id"], r["source"]) for r in out.collect())
+    assert got == _mix_naive(spark, rows, weights, 200)
+    assert not any(s == "s2" for _, s in got), "zero-weight source dropped"
+    # the crossing document is kept: each weighted source overshoots its
+    # share by less than one document's tokens, never undershoots
+    tot = {
+        r["source"]: r["t"]
+        for r in out.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert tot["s0"] >= 100 and tot["s1"] >= 60
+
+
+def test_mix_sources_string_ids_and_ntokens_reuse(spark):
+    rows = [(f"doc-{i}", "s0", "w " * 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = P.mix_sources(df, {"s0": 1.0}, token_budget=105)
+    n = out.count()
+    assert 10 <= n <= 11, f"string ids must shard/order cleanly, got {n}"
+    # a pre-annotated n_tokens column short-circuits the text scan:
+    # inflate it 2x and the same budget admits about half the docs
+    pre = df.select("doc_id", "source", F.lit(20).cast("bigint").alias("n_tokens"))
+    m = P.mix_sources(pre, {"s0": 1.0}, token_budget=105).count()
+    assert 5 <= m <= 6, f"pre-annotated n_tokens must be honored, got {m}"
