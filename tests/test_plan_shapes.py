@@ -167,3 +167,22 @@ def test_bm25_take_ordered_no_global_rank_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_bm25_topk")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mix_sources_prefix_sum_shape(spark, sf_dir):
+    """Domain mixing must be the distributed prefix sum: the bucket-offset
+    table broadcasts back onto the corpus side, the corpus window
+    partitions by (source, bucket) — never by source alone — and no
+    shuffle carries document text."""
+    plan = _plan(spark, sf_dir, "q_mix_sources")
+    assert "BroadcastHashJoin" in plan, plan
+    windows = [
+        l.split(":", 1)[1]
+        for l in plan.splitlines()
+        if l.startswith("Arguments") and "windowspecdefinition" in l
+    ] or [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    big = [w for w in windows if "bkt#" in w and "source#" in w]
+    assert big, windows  # the corpus window keys on (source, bkt)
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "text#" not in l, l

@@ -168,6 +168,15 @@ AUDITED = [
         " fixed-order float scoring, TakeOrderedAndProject top-k (no"
         " global rank window).",
     ),
+    (
+        "q_mix_sources",
+        "Token-budgeted domain mixing as a distributed prefix sum: the"
+        " per-source running total splits into a tiny per-(source,"
+        " bucket) offset table (map-side-combined agg + small window,"
+        " broadcast back) and intra-bucket windows partitioned by"
+        " (source, bucket) — no one-fat-partition-per-source window on"
+        " the corpus side.",
+    ),
 ]
 
 
