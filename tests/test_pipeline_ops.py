@@ -383,3 +383,63 @@ def test_mix_sources_string_ids_and_ntokens_reuse(spark):
     pre = df.select("doc_id", "source", F.lit(20).cast("bigint").alias("n_tokens"))
     m = P.mix_sources(pre, {"s0": 1.0}, token_budget=105).count()
     assert 5 <= m <= 6, f"pre-annotated n_tokens must be honored, got {m}"
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+import pytest
+
+if HAVE_HYPOTHESIS:
+    _mix_corpora = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # doc id (dense)
+            st.integers(min_value=0, max_value=2),   # source index
+            st.integers(min_value=1, max_value=9),   # token count
+        ),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    )
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_mix_corpora if HAVE_HYPOTHESIS else st.none(), budget=st.integers(min_value=0, max_value=60))
+def test_mix_sources_budget_monotone_prefix(spark, rows, budget):
+    """Two invariants pin the mixing semantics on random corpora:
+    (1) monotonicity — a larger budget keeps a superset of documents;
+    (2) prefix property — if a doc is kept, every doc of the same source
+    earlier in the deterministic (bucket, hash, id) order is kept too."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(i, f"s{s}", "t " * n) for i, s, n in rows],
+        "doc_id long, source string, text string",
+    )
+    weights = {"s0": 0.6, "s1": 0.4}
+    small = {r["doc_id"] for r in P.mix_sources(df, weights, budget).collect()}
+    big = {r["doc_id"] for r in P.mix_sources(df, weights, budget + 17).collect()}
+    assert small <= big, (sorted(small - big), budget)
+
+    def order_key(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 10_000
+        return (h % 64, h, doc_id)
+
+    per_source: dict[str, list[int]] = {}
+    for i, s, _ in rows:
+        per_source.setdefault(f"s{s}", []).append(i)
+    for source, ids in per_source.items():
+        ordered = sorted(ids, key=order_key)
+        kept_flags = [i in big for i in ordered]
+        # all kept docs precede all dropped docs in the source order
+        assert kept_flags == sorted(kept_flags, reverse=True), (source, ordered, kept_flags)
