@@ -275,6 +275,38 @@ def cmd_despan(args) -> None:
     ))
 
 
+def cmd_mix(args) -> None:
+    """Token-budgeted domain mixing over a documents parquet: keep each
+    source's hash-ordered prefix until its share of the budget is spent,
+    write the mix, print per-source token accounting as one JSON line."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from py_gtfs_duckdb_spark.operators.pipeline import mix_sources
+    from py_gtfs_duckdb_spark.session import get_spark
+
+    weights: dict[str, float] = {}
+    for item in args.weights:
+        source, _, w = item.partition("=")
+        if not _ or not w:
+            raise SystemExit(f"--weights item {item!r} is not source=fraction")
+        weights[source] = float(w)
+
+    spark = get_spark("gtfs-cli")
+    docs = spark.read.parquet(args.input)
+    out = mix_sources(docs, weights, args.token_budget)
+    out.write.mode("overwrite").parquet(args.output)
+    per = {
+        r["source"]: {"docs": r["docs"], "tokens": int(r["tokens"])}
+        for r in out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens"))
+        .collect()
+    }
+    print(json.dumps({"token_budget": args.token_budget, "sources": per},
+                     sort_keys=True))
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="py_gtfs_duckdb_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -357,6 +389,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--min-df", type=int, default=3)
     sp.set_defaults(fn=cmd_despan)
+
+    sp = sub.add_parser(
+        "mix", help="token-budgeted domain mixing over a documents parquet"
+    )
+    sp.add_argument("--input", "-i", required=True, help="documents parquet path")
+    sp.add_argument("--output", "-o", required=True)
+    sp.add_argument(
+        "--weights", "-w", nargs="+", required=True,
+        metavar="SOURCE=FRACTION",
+        help="per-source budget shares, e.g. web=0.6 wiki=0.4",
+    )
+    sp.add_argument("--token-budget", "-b", type=int, required=True)
+    sp.set_defaults(fn=cmd_mix)
 
     args = p.parse_args(argv)
     args.fn(args)

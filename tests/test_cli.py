@@ -126,3 +126,33 @@ def test_cli_search_and_despan(spark, tmp_path, capsys):
     assert summary == {"docs": 3, "units": 9, "dropped_units": 6}
     back = {r["doc_id"]: r["clean_text"] for r in spark.read.parquet(out).collect()}
     assert back[3] == "cooking rice perfectly"
+
+
+def test_cli_mix_end_to_end(spark, tmp_path, capsys):
+    import json
+
+    from py_gtfs_duckdb_spark.__main__ import main
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", "tok " * 10) for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "mix")
+    assert main([
+        "mix", "-i", src, "-o", out,
+        "-w", "a=0.75", "b=0.25", "-b", "80",
+    ]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # budget shares: a=60, b=20 tokens; 10-token docs, crossing doc kept
+    assert summary["sources"]["a"] == {"docs": 6, "tokens": 60}
+    assert summary["sources"]["b"] == {"docs": 2, "tokens": 20}
+    back = spark.read.parquet(out)
+    assert back.count() == 8 and set(back.columns) == {"doc_id", "source", "n_tokens"}
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="not source=fraction"):
+        main(["mix", "-i", src, "-o", out, "-w", "a:0.5", "-b", "10"])
