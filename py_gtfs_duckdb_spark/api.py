@@ -79,6 +79,7 @@ from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
     curate_corpus,
     decontaminate,
     export_shards,
+    mix_sources,
     pack_sequences,
     source_report,
     split_assign,
