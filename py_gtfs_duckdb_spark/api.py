@@ -62,7 +62,11 @@ from py_gtfs_duckdb_spark.operators.text import (  # noqa: F401
 )
 
 # lexical search
-from py_gtfs_duckdb_spark.operators.lexical import bm25_topk  # noqa: F401
+from py_gtfs_duckdb_spark.operators.lexical import (  # noqa: F401
+    bm25_topk,
+    unigram_model,
+    unigram_nll,
+)
 from py_gtfs_duckdb_spark.operators.bpe import (  # noqa: F401
     bpe_tokenize,
     bpe_train,

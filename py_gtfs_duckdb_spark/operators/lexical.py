@@ -118,3 +118,91 @@ def bm25_topk(
         .over(Window.orderBy(F.desc("score"), F.col(id_col)))
         .cast("bigint"),
     )
+
+
+# ln quantization scale for the unigram LM: micro-nats. Integer sums of
+# quantized per-word log-counts are order-independent (BIGINT addition is
+# associative), so per-doc scores are bit-identical across engines and
+# partitionings — the one float aggregation a naive NLL would need is
+# replaced by integer aggregation plus a fixed-order scalar epilogue.
+_NLL_SCALE = 1_000_000.0
+
+
+def _words(text_col: str):
+    return F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+
+
+def unigram_model(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(w, c): corpus unigram counts — the "language model" of the
+    CCNet-style statistical quality filter. One explode + one hash
+    aggregation with map-side combine: the hottest token partially
+    aggregates on every executor, so shuffle volume is O(distinct words
+    per partition), not O(tokens)."""
+    return (
+        df.select(F.explode(_words(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def unigram_nll(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, dl, nll): mean negative log-probability of each document
+    under a unigram LM — the statistical complement to the boolean
+    quality rules (CCNet scores web text under a clean-corpus LM; high
+    nll = gibberish/rare-token soup, unusually low nll = repetitive
+    boilerplate). ``model`` is a (w, c) frame from ``unigram_model``
+    (defaults to training on ``df`` itself); out-of-vocabulary tokens
+    score as count 1 (ln 1 = 0 — add-one-style floor).
+
+    Determinism: each word's ln(count) is quantized to integer
+    micro-nats, the per-doc total is a BIGINT sum (order-independent),
+    and the only float math is a fixed-order scalar epilogue
+    ``(dl·ln(total) − Σ tf·q) / dl`` rounded to 4 digits — so Spark and
+    the DuckDB oracle agree bit-for-bit. Scale: two token-keyed hash
+    aggregations and one join keyed on the word (AQE picks broadcast
+    while the vocabulary fits, sort-merge beyond); no windows, no
+    driver-side state."""
+    if model is None:
+        model = unigram_model(df, text_col, id_col)
+    total = model.agg(F.sum("c").cast("bigint").alias("total"))
+    qw = model.select(
+        "w",
+        F.floor(F.log("c") * F.lit(_NLL_SCALE) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    per = (
+        df.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    sums = (
+        per.join(qw, "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("tf") * F.coalesce(F.col("q"), F.lit(0)))
+            .cast("bigint")
+            .alias("s"),
+            F.sum("tf").cast("bigint").alias("dl"),
+        )
+    )
+    q_total = F.floor(F.log("total") * F.lit(_NLL_SCALE) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return sums.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        F.col("dl"),
+        pround(
+            (F.col("dl") * q_total - F.col("s"))
+            / F.lit(_NLL_SCALE)
+            / F.col("dl"),
+            4,
+        ).alias("nll"),
+    )

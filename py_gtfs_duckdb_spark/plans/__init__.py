@@ -131,6 +131,7 @@ _PRIORITY = [
     # the window was finalized; first driver slot comes with the round-6
     # rotation, guarded by the local replica until then
     "q_mix_sources",
+    "q_unigram_nll",
     "q_project_derived",
     "q_filter_range",
     "q_filter_isin",

@@ -1300,6 +1300,47 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_unigram_nll",
+    # Integer micro-nat quantization makes the per-doc sum exact BIGINT
+    # aggregation; only the epilogue is float (fixed order, 4-digit pround).
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+    ), freq AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS total FROM freq
+    ), qw AS (
+        SELECT w, CAST(floor(ln(c) * 1000000.0 + 0.5) AS BIGINT) AS q
+        FROM freq
+    ), per AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, w
+    ), sums AS (
+        SELECT doc_id,
+               CAST(SUM(tf * q) AS BIGINT) AS s,
+               CAST(SUM(tf) AS BIGINT) AS dl
+        FROM per JOIN qw USING (w) GROUP BY doc_id
+    )
+    SELECT doc_id, dl,
+           floor(((dl * CAST(floor(ln(total) * 1000000.0 + 0.5) AS BIGINT)
+                   - s) / 1000000.0 / dl) * 10000.0 + 0.5) / 10000.0 AS nll
+    FROM sums, tot
+    """,
+)
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean negative log-probability per document under the corpus
+    unigram LM — the CCNet-style statistical quality score (high = rare-
+    token soup, low = repetitive boilerplate). Per-word ln(count) is
+    quantized to integer micro-nats so the per-doc aggregation stays in
+    BIGINT (order-independent, engine-exact); only the final scalar is
+    float (operators/lexical.py:unigram_nll)."""
+    return L.unigram_nll(t(spark, sf_dir, "documents"))
+
+
 _PQ_CB: dict[str, dict] = {}
 
 

@@ -248,3 +248,47 @@ def test_bm25_empty_terms_fails_loudly(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="at least one query term"):
         bm25_topk(docs, [])
+
+
+def test_unigram_nll_hand_computed(spark):
+    """Corpus: 'a a a b'. ln-counts: a→ln3, b→ln1=0; total=4.
+    doc1 = 'a a a': nll = (3·ln4 − 3·ln3)/3 = ln(4/3) ≈ 0.2877
+    doc2 = 'b':     nll = (1·ln4 − 0)/1     = ln 4    ≈ 1.3863"""
+    from py_gtfs_duckdb_spark.operators.lexical import unigram_nll
+
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["dl"], r["nll"]) for r in unigram_nll(docs).collect()}
+    assert got[1] == (3, round(math.log(4 / 3), 4) + 0)  # 0.2877
+    assert got[2] == (1, 1.3863)
+    # the rare-token doc scores strictly higher (more surprising)
+    assert got[2][1] > got[1][1]
+
+
+def test_unigram_nll_external_model_and_oov(spark):
+    """Scoring against a separately trained model: OOV tokens take
+    q=0 (count-1 floor), so an all-OOV doc scores exactly ln(total)."""
+    from py_gtfs_duckdb_spark.operators.lexical import unigram_model, unigram_nll
+
+    ref = spark.createDataFrame(
+        [(1, "x x x x x x x y y z")], "doc_id long, text string"
+    )
+    model = unigram_model(ref)  # total=10: x→7, y→2, z→1
+    target = spark.createDataFrame(
+        [(10, "x x"), (11, "unseen tokens here")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["nll"] for r in unigram_nll(target, model=model).collect()}
+    assert got[10] == round(math.log(10 / 7), 4)  # common token, low surprise
+    assert got[11] == round(math.log(10), 4), "all-OOV = ln(total)"
+    assert got[11] > got[10]
+
+
+def test_unigram_nll_empty_docs_absent(spark):
+    from py_gtfs_duckdb_spark.operators.lexical import unigram_nll
+
+    docs = spark.createDataFrame(
+        [(1, "w w"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    out = unigram_nll(docs).collect()
+    assert [r["doc_id"] for r in out] == [1], "token-less docs emit no row"

@@ -169,6 +169,14 @@ AUDITED = [
         " global rank window).",
     ),
     (
+        "q_unigram_nll",
+        "Unigram-LM perplexity proxy: two map-side-combined token"
+        " aggregations, one word-keyed join (AQE broadcast while the"
+        " vocab fits), per-doc BIGINT sums of integer micro-nat"
+        " log-counts — the float work is one fixed-order scalar"
+        " epilogue, so no order-dependent double summation anywhere.",
+    ),
+    (
         "q_mix_sources",
         "Token-budgeted domain mixing as a distributed prefix sum: the"
         " per-source running total splits into a tiny per-(source,"
