@@ -75,6 +75,8 @@ EXTRA = [
     "q_audio_features",
     "q_image_resize",
     "q_video_frames",
+    "q_mix_sources",
+    "q_unigram_nll",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 
