@@ -222,6 +222,7 @@ def cmd_curate(args) -> None:
         docs,
         near_dup_threshold=args.near_dup_threshold,
         apply_quality_rules=not args.no_quality_rules,
+        nll_band=tuple(args.nll_band) if args.nll_band else None,
     )
     out_data = os.path.join(args.output, "curated")
     curated.write.mode("overwrite").partitionBy("split").parquet(out_data)
@@ -368,6 +369,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--output", "-o", required=True, help="output directory")
     sp.add_argument("--near-dup-threshold", type=float, default=0.7)
     sp.add_argument("--no-quality-rules", action="store_true")
+    sp.add_argument(
+        "--nll-band", type=float, nargs=2, metavar=("LO", "HI"),
+        help="keep docs whose unigram-LM mean NLL lies in [LO, HI]",
+    )
     sp.set_defaults(fn=cmd_curate)
 
     sp = sub.add_parser(

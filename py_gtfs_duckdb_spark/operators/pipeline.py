@@ -321,6 +321,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     near_dup_threshold: float = 0.7,
     apply_quality_rules: bool = True,
+    nll_band: tuple[float, float] | None = None,
     with_report: bool = True,
 ) -> tuple[DataFrame, dict]:
     """The whole corpus-curation pipeline as ONE composition — the
@@ -330,7 +331,9 @@ def curate_corpus(
     1. exact dedup on the normalized-content fingerprint (min id kept);
     2. near-dup dedup: MinHash+LSH pairs → connected components →
        highest-quality representative per cluster (keep_canonical);
-    3. Gopher-style boolean quality rules (optional — ``pass_all``);
+    3. Gopher-style boolean quality rules (optional — ``pass_all``),
+       then an optional unigram-LM NLL band filter (``nll_band=(lo,
+       hi)`` keeps docs whose mean NLL lies inside the band);
     4. PII redaction (emails / IPv4 / NANP phones → typed placeholders);
     5. annotation: detected language, leakage-safe train/val/test split,
        token count.
@@ -410,6 +413,25 @@ def curate_corpus(
         if d3 is not d2:
             d2.unpersist()  # d3 is materialized; d2's cache has served its use
 
+    # 3b — optional statistical filter: keep docs whose unigram-LM mean
+    # NLL falls inside the band (CCNet-style; low = boilerplate, high =
+    # rare-token soup). The LM trains on the survivors so far — the same
+    # frame being filtered — matching the usual self-scored setup; pass
+    # an external model by pre-filtering instead if needed.
+    if nll_band is not None:
+        from py_gtfs_duckdb_spark.operators.lexical import unigram_nll
+
+        lo, hi = nll_band
+        in_band = (
+            unigram_nll(d3, text_col=text_col, id_col=id_col)
+            .where(F.col("nll").between(float(lo), float(hi)))
+            .select(id_col)
+        )
+        d3 = d3.join(in_band, id_col, "left_semi")
+        if with_report:
+            d3 = d3.persist()
+            report["after_nll_filter"] = d3.count()
+
     # 4 — PII redaction (counts on original text, then text := redacted)
     scrub = pii_scrub(d3, text_col, id_col)
     if with_report:
@@ -429,7 +451,9 @@ def curate_corpus(
         token_count(F.col(text_col)).alias("n_tokens"),
     )
     if with_report:
-        report["output_docs"] = report["after_quality_rules"]
+        report["output_docs"] = report.get(
+            "after_nll_filter", report["after_quality_rules"]
+        )
     return out, report
 
 

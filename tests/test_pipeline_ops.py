@@ -443,3 +443,30 @@ def test_mix_sources_budget_monotone_prefix(spark, rows, budget):
         kept_flags = [i in big for i in ordered]
         # all kept docs precede all dropped docs in the source order
         assert kept_flags == sorted(kept_flags, reverse=True), (source, ordered, kept_flags)
+
+
+def test_curate_corpus_nll_band_filters_outliers(spark):
+    """An in-band corpus of ordinary docs plus one rare-token outlier:
+    the band keeps the ordinary docs, drops the outlier, and the report
+    records the stage. nll_band=None leaves behavior untouched."""
+    # half common vocabulary (count 10 → low surprise), half unique —
+    # distinct enough that near-dup dedup keeps all of them. Expected
+    # nll(normal) = ln(85) − ln(10)/2 ≈ 3.29; nll(outlier) = ln(85) ≈ 4.44.
+    normal = [
+        (i, f"alpha beta gamma delta u{i} v{i} w{i} x{i}") for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        normal + [(99, "zzq xylo qwvk jjxz pffft")],
+        "doc_id long, text string",
+    )
+    out, report = P.curate_corpus(
+        docs, apply_quality_rules=False, nll_band=(0.0, 3.8)
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 99 not in kept and len(kept) == 10
+    assert report["after_nll_filter"] == 10
+    assert report["output_docs"] == 10
+
+    out2, report2 = P.curate_corpus(docs, apply_quality_rules=False)
+    assert "after_nll_filter" not in report2
+    assert {r["doc_id"] for r in out2.collect()} == kept | {99}
