@@ -276,6 +276,33 @@ def cmd_despan(args) -> None:
     ))
 
 
+def cmd_score(args) -> None:
+    """Unigram-LM NLL scoring over a documents parquet: writes (doc_id,
+    dl, nll), optionally scoring under a reference corpus's model, and
+    prints distribution quartiles as one JSON line."""
+    import json
+
+    from py_gtfs_duckdb_spark.operators.lexical import unigram_model, unigram_nll
+    from py_gtfs_duckdb_spark.session import get_spark
+
+    spark = get_spark("gtfs-cli")
+    docs = spark.read.parquet(args.input)
+    model = None
+    if args.model:
+        model = unigram_model(spark.read.parquet(args.model))
+    out = unigram_nll(docs, model=model)
+    out.write.mode("overwrite").parquet(args.output)
+    q = out.selectExpr(
+        "count(*) AS docs",
+        "percentile(nll, array(0.25, 0.5, 0.75)) AS q",
+    ).first()
+    print(json.dumps(
+        {"docs": q["docs"],
+         "nll_quartiles": [round(x, 4) for x in q["q"]]},
+        sort_keys=True,
+    ))
+
+
 def cmd_mix(args) -> None:
     """Token-budgeted domain mixing over a documents parquet: keep each
     source's hash-ordered prefix until its share of the budget is spent,
@@ -394,6 +421,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--min-df", type=int, default=3)
     sp.set_defaults(fn=cmd_despan)
+
+    sp = sub.add_parser(
+        "score", help="unigram-LM NLL quality scoring over a documents parquet"
+    )
+    sp.add_argument("--input", "-i", required=True, help="documents parquet path")
+    sp.add_argument("--output", "-o", required=True)
+    sp.add_argument(
+        "--model", "-m",
+        help="reference documents parquet to train the LM on (default: input)",
+    )
+    sp.set_defaults(fn=cmd_score)
 
     sp = sub.add_parser(
         "mix", help="token-budgeted domain mixing over a documents parquet"

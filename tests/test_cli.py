@@ -156,3 +156,31 @@ def test_cli_mix_end_to_end(spark, tmp_path, capsys):
 
     with pytest.raises(SystemExit, match="not source=fraction"):
         main(["mix", "-i", src, "-o", out, "-w", "a:0.5", "-b", "10"])
+
+
+def test_cli_score_self_and_external_model(spark, tmp_path, capsys):
+    import json
+
+    from py_gtfs_duckdb_spark.__main__ import main
+
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id long, text string"
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "scored")
+    assert main(["score", "-i", src, "-o", out]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs"] == 2
+    back = {r["doc_id"]: r["nll"] for r in spark.read.parquet(out).collect()}
+    assert back == {1: 0.2877, 2: 1.3863}  # hand-computed (ln 4/3, ln 4)
+
+    # external model: all-OOV doc scores ln(total)=ln(4)
+    tgt = str(tmp_path / "tgt.parquet")
+    spark.createDataFrame([(9, "zz zz")], "doc_id long, text string") \
+        .write.parquet(tgt)
+    out2 = str(tmp_path / "scored2")
+    assert main(["score", "-i", tgt, "-o", out2, "-m", src]) == 0
+    back2 = {r["doc_id"]: r["nll"] for r in spark.read.parquet(out2).collect()}
+    assert back2 == {9: 1.3863}
