@@ -77,6 +77,7 @@ EXTRA = [
     "q_video_frames",
     "q_mix_sources",
     "q_unigram_nll",
+    "q_source_overlap",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

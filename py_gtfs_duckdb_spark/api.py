@@ -55,6 +55,7 @@ from py_gtfs_duckdb_spark.operators.text import (  # noqa: F401
     quality_rules,
     quality_score,
     repetition_stats,
+    source_ngram_overlap,
     split_units,
     text_stats,
     token_count,

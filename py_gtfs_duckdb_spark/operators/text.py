@@ -522,3 +522,95 @@ def dedup_spans(
             .alias("n_dropped"),
         )
     )
+
+
+def source_ngram_overlap(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source_a, source_b, n_shared, n_a, n_b, jaccard): cross-source
+    n-gram contamination matrix — for every pair of sources, how many
+    distinct word n-grams they share and the Jaccard of their n-gram
+    sets. The audit a mixture designer runs before trusting per-source
+    token budgets: a high-overlap pair means two "domains" are partly
+    the same text and their budgets double-count.
+
+    Only source pairs with at least one shared n-gram appear
+    (source_a < source_b).
+
+    Scale shape: n-grams are the winnow rolling hash (md5 word hash +
+    Horner chain — pure window machinery, one doc-keyed shuffle), so
+    what shuffles afterwards is (source, 8-byte hash) pairs, never gram
+    strings. The distinct per source bounds the self-join: a gram
+    appearing in s sources yields C(s,2) pair rows — bounded by
+    sources², independent of how many DOCUMENTS repeat it. Totals are a
+    sources-sized table, broadcast back twice.
+    """
+    from pyspark.sql.window import Window
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    wh = F.transform(
+        words,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint"),
+            F.lit(WINNOW_P),
+        ),
+    )
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.posexplode(wh).alias("pos", "h"),
+    )
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    kh = F.col("h")
+    for j in range(1, n):
+        kh = F.pmod(
+            kh * F.lit(WINNOW_B) + F.lead("h", j).over(w_ord), F.lit(WINNOW_P)
+        )
+    grams = (
+        tok.select("source", kh.alias("gh"))
+        .filter(F.col("gh").isNotNull())
+        .distinct()
+    )
+    totals = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = (
+        a.join(b, "gh")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    from py_gtfs_duckdb_spark.functions import pround
+
+    return (
+        pairs.join(
+            F.broadcast(totals.select(F.col("source").alias("source_a"),
+                                      F.col("n_grams").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("source").alias("source_b"),
+                                      F.col("n_grams").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            pround(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

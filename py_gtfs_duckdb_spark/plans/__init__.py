@@ -132,6 +132,7 @@ _PRIORITY = [
     # rotation, guarded by the local replica until then
     "q_mix_sources",
     "q_unigram_nll",
+    "q_source_overlap",
     "q_project_derived",
     "q_filter_range",
     "q_filter_isin",

@@ -1300,6 +1300,61 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _horner_sql(k: int) -> str:
+    """K-gram Horner rolling hash over 1-indexed hs[] — matches the Spark
+    chain in operators/text.py (pmod each step) with explicit parens."""
+    e = "hs[i]"
+    for j in range(1, k):
+        e = f"(({e} * 69069 + hs[i+{j}]) % 2147483647)"
+    return e
+
+
+@query(
+    "q_source_overlap",
+    oracle=f"""
+    WITH w AS (
+        SELECT source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), wh AS (
+        SELECT source,
+               [('0x' || substr(md5(x), 1, 12))::BIGINT % 2147483647
+                for x in ws] AS hs,
+               len(ws) AS nw
+        FROM w
+    ), kg AS (
+        SELECT source,
+               unnest([{_horner_sql(5)}
+                       for i in range(1, nw - 5 + 2)]) AS gh
+        FROM wh WHERE nw >= 5
+    ), grams AS (
+        SELECT DISTINCT source, gh FROM kg
+    ), totals AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM grams GROUP BY source
+    ), pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM grams a JOIN grams b USING (gh)
+        WHERE a.source < b.source GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+           floor((n_shared / CAST(ta.n + tb.n - n_shared AS DOUBLE))
+                 * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM pairs
+    JOIN totals ta ON ta.source = pairs.source_a
+    JOIN totals tb ON tb.source = pairs.source_b
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 5-gram contamination matrix: shared distinct n-grams
+    and n-gram-set Jaccard per source pair — the audit that tells a
+    mixture designer when two "domains" are partly the same text. Winnow
+    rolling-hash machinery, so only (source, 8-byte hash) pairs shuffle
+    (operators/text.py:source_ngram_overlap)."""
+    return X.source_ngram_overlap(t(spark, sf_dir, "documents"))
+
+
 @query(
     "q_unigram_nll",
     # Integer micro-nat quantization makes the per-doc sum exact BIGINT

@@ -292,3 +292,27 @@ def test_unigram_nll_empty_docs_absent(spark):
     )
     out = unigram_nll(docs).collect()
     assert [r["doc_id"] for r in out] == [1], "token-less docs emit no row"
+
+
+def test_source_ngram_overlap_planted_topology(spark):
+    """Sources A and B share exactly one 5-gram (a 6-word common span =
+    two 5-grams? no: 'c1..c5' planted once each plus distinct tails);
+    source C is disjoint and must not appear in any pair."""
+    from py_gtfs_duckdb_spark.operators.text import source_ngram_overlap
+
+    common = "one two three four five"  # exactly one shared 5-gram
+    docs = spark.createDataFrame(
+        [
+            (1, "A", f"{common} tailA wordsA hereA extraA"),
+            (2, "B", f"{common} tailB wordsB hereB extraB"),
+            (3, "C", "totally different words with no five gram overlap"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = source_ngram_overlap(docs, n=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    # each doc has 9 words -> 5 distinct 5-grams; exactly 1 shared
+    assert (r["source_a"], r["source_b"]) == ("A", "B")
+    assert (r["n_shared"], r["n_a"], r["n_b"]) == (1, 5, 5)
+    assert r["jaccard"] == round(1 / 9, 4)

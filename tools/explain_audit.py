@@ -169,6 +169,13 @@ AUDITED = [
         " global rank window).",
     ),
     (
+        "q_source_overlap",
+        "Cross-source n-gram contamination matrix: winnow rolling-hash"
+        " window (one doc-keyed shuffle), per-source distinct over"
+        " 8-byte gram hashes, hash-keyed self-join bounded by sources²"
+        " per gram, totals broadcast back — gram STRINGS never shuffle.",
+    ),
+    (
         "q_unigram_nll",
         "Unigram-LM perplexity proxy: two map-side-combined token"
         " aggregations, one word-keyed join (AQE broadcast while the"
