@@ -115,24 +115,27 @@ _PRIORITY = [
     # double-green kept in-window (incl. q_pivot, the one-time r2 red)
     "q_pivot",
     "q_window_tumbling",
-    "q_window_sliding",
     "q_window_session",
     "q_text_quality",
     "q_doc_winnow",
     "q_knn_cosine",
     "q_ann_ivf",
     "q_multimodal_bytes",
-    # heavy triple-green representatives (big join chain; stream matching)
-    "q_join_chain_left",
-    "q_match_trip_candidates",
-    # --- tail: multi-round driver-green queries sitting out this round,
-    # all still verified every run by the local driver replica ---
-    # late-round-5 addition (token-budgeted domain mixing) — added after
-    # the window was finalized; first driver slot comes with the round-6
-    # rotation, guarded by the local replica until then
+    # late-round-5 additions (domain mixing, unigram-LM NLL, cross-
+    # source contamination) — zero evidence, so they take the slots of
+    # the two heavy triple-green representatives (q_join_chain_left,
+    # q_match_trip_candidates — 3+ rounds of evidence, also timed every
+    # round in the bench headline) and one of the three double-green
+    # window queries (q_window_sliding; tumbling+session stay in):
+    # after this round EVERY registered query has driver evidence
     "q_mix_sources",
     "q_unigram_nll",
     "q_source_overlap",
+    # --- tail: multi-round driver-green queries sitting out this round,
+    # all still verified every run by the local driver replica ---
+    "q_window_sliding",
+    "q_join_chain_left",
+    "q_match_trip_candidates",
     "q_project_derived",
     "q_filter_range",
     "q_filter_isin",
