@@ -505,3 +505,44 @@ def write_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, status): snapshot diff between two corpus versions —
+    ``added`` (id only in new), ``removed`` (id only in old),
+    ``modified`` (id in both, normalized-content fingerprint differs).
+    Unchanged documents emit no row, so the result is change-sized, not
+    corpus-sized. The audit a data team runs between lake versions
+    before re-triggering downstream dedup/packing (pairs naturally with
+    GtfsLake's per-table version history: read two versions, diff).
+
+    Scale shape: each side reduces to (id, 16-byte fingerprint) at the
+    scan — text never shuffles — then ONE full-outer hash join keyed on
+    the id decides all three statuses in a single pass; the change
+    filter runs join-side, so only changed rows survive to the output.
+    No windows, no skew exposure beyond the id key itself."""
+    from py_gtfs_duckdb_spark.operators.text import fingerprint
+
+    of = old.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint(F.col(text_col)).alias("__fp_old"),
+    )
+    nf = new.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint(F.col(text_col)).alias("__fp_new"),
+    )
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("modified"))
+    )
+    return (
+        of.join(nf, "doc_id", "full_outer")
+        .select("doc_id", status.alias("status"))
+        .where(F.col("status").isNotNull())
+    )

@@ -1300,6 +1300,61 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_corpus_diff",
+    # new := documents minus ids %97, texts %89 mutated, ids %101 cloned
+    # as +1_000_000 — every status path exercised deterministically.
+    oracle=r"""
+    WITH newv AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 89 = 0 THEN text || ' changed'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 101 = 0
+    ), of AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fo
+        FROM documents
+    ), nf AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fn
+        FROM newv
+    )
+    SELECT doc_id,
+           CASE WHEN fo IS NULL THEN 'added'
+                WHEN fn IS NULL THEN 'removed'
+                WHEN fo <> fn THEN 'modified' END AS status
+    FROM of FULL OUTER JOIN nf USING (doc_id)
+    WHERE (CASE WHEN fo IS NULL THEN 'added'
+                WHEN fn IS NULL THEN 'removed'
+                WHEN fo <> fn THEN 'modified' END) IS NOT NULL
+    """,
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions (added / removed /
+    modified by normalized-content fingerprint; unchanged docs absent).
+    The new version is derived from the fixture with deterministic
+    removals (%97), text mutations (%89), and cloned additions (%101),
+    so all three paths carry hash evidence. One full-outer join over
+    (id, 16-byte fingerprint) — text never shuffles
+    (operators/pipeline.py:corpus_diff)."""
+    old = t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = old.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 89 == 0, F.concat(F.col("text"), F.lit(" changed"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = old.where(F.col("doc_id") % 101 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return P.corpus_diff(old, base.unionByName(added))
+
+
 def _horner_sql(k: int) -> str:
     """K-gram Horner rolling hash over 1-indexed hs[] — matches the Spark
     chain in operators/text.py (pmod each step) with explicit parens."""

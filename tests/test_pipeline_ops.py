@@ -470,3 +470,18 @@ def test_curate_corpus_nll_band_filters_outliers(spark):
     out2, report2 = P.curate_corpus(docs, apply_quality_rules=False)
     assert "after_nll_filter" not in report2
     assert {r["doc_id"] for r in out2.collect()} == kept | {99}
+
+
+def test_corpus_diff_statuses_and_silence(spark):
+    """All three statuses; unchanged docs and whitespace-only edits
+    (normalized away by the fingerprint) emit nothing."""
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "keep me"), (3, "going away"), (4, "stays  put")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha gamma"), (2, "keep me"), (4, "stays put"), (5, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in P.corpus_diff(old, new).collect()}
+    assert got == {1: "modified", 3: "removed", 5: "added"}
