@@ -78,6 +78,7 @@ EXTRA = [
     "q_mix_sources",
     "q_unigram_nll",
     "q_source_overlap",
+    "q_corpus_diff",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 
