@@ -186,3 +186,41 @@ def test_mix_sources_prefix_sum_shape(spark, sf_dir):
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
             assert "text#" not in l, l
+
+
+def test_unigram_nll_no_order_dependent_float_agg(spark, sf_dir):
+    """The NLL plan must sum BIGINT micro-nats, not doubles: no sum over
+    a double column in any aggregate (the one float expression is the
+    scalar epilogue), and the corpus-total side joins as a broadcast."""
+    import re
+
+    from py_gtfs_duckdb_spark.plans import QUERIES
+
+    df = QUERIES["q_unigram_nll"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    sums = re.findall(r"sum\((\w+#\d+[^)]*)\)", plan)
+    assert sums, "expected aggregation in the NLL plan"
+    double_sums = [s for s in sums if "L" not in s]  # bigint attrs end in L
+    assert not double_sums, f"order-dependent float aggregation: {double_sums}"
+
+
+def test_source_overlap_no_gram_strings_in_shuffle(spark, sf_dir):
+    """Gram strings never shuffle: every Exchange carries hashes/ids,
+    and the totals side broadcasts."""
+    plan = _plan(spark, sf_dir, "q_source_overlap")
+    assert "BroadcastHashJoin" in plan
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "text#" not in l, l
+
+
+def test_corpus_diff_single_join_no_text_shuffle(spark, sf_dir):
+    """One full-outer join on the id; the shuffled payload is the 16-byte
+    fingerprint, never the text column."""
+    plan = _plan(spark, sf_dir, "q_corpus_diff")
+    assert plan.count("SortMergeJoin FullOuter") + plan.count(
+        "ShuffledHashJoin FullOuter"
+    ) == 1, plan[:500]
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "text#" not in l, l
