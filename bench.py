@@ -79,6 +79,7 @@ EXTRA = [
     "q_unigram_nll",
     "q_source_overlap",
     "q_corpus_diff",
+    "q_vocab_spectrum",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

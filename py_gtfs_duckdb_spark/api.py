@@ -67,6 +67,7 @@ from py_gtfs_duckdb_spark.operators.lexical import (  # noqa: F401
     bm25_topk,
     unigram_model,
     unigram_nll,
+    vocab_spectrum,
 )
 from py_gtfs_duckdb_spark.operators.bpe import (  # noqa: F401
     bpe_tokenize,

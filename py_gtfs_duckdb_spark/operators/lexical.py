@@ -206,3 +206,31 @@ def unigram_nll(
             4,
         ).alias("nll"),
     )
+
+
+def vocab_spectrum(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(band, n_types, token_mass): the corpus frequency spectrum —
+    word types bucketed by power-of-two frequency band (band =
+    bit_length(count) − 1, exact integer math), with how many distinct
+    types land in the band and how much token mass they carry. The Zipf
+    audit behind tokenizer vocabulary sizing: the high bands show how
+    much mass a small vocab already covers, the band-0 row counts
+    hapax legomena.
+
+    Scale: two hash aggregations, both map-side combined (token → type
+    counts, then type → band roll-up); shuffle volume is O(distinct
+    words per partition) then O(bands). No windows, no global rank —
+    the coverage question "mass of types with count ≥ 2^k" reads off
+    the band partial sums without ever ordering the vocabulary."""
+    counts = unigram_model(df, text_col, id_col)
+    band = (F.length(F.bin(F.col("c"))) - F.lit(1)).cast("bigint")
+    return (
+        counts.select(band.alias("band"), F.col("c"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum("c").cast("bigint").alias("token_mass"),
+        )
+    )

@@ -136,8 +136,9 @@ _PRIORITY = [
     "q_window_sliding",
     "q_join_chain_left",
     "q_match_trip_candidates",
-    # post-window round-5 addition — first driver slot in round 6
+    # post-window round-5 additions — first driver slots in round 6
     "q_corpus_diff",
+    "q_vocab_spectrum",
     "q_project_derived",
     "q_filter_range",
     "q_filter_isin",

@@ -1411,6 +1411,32 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_vocab_spectrum",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS w
+        FROM documents
+    ), freq AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+    )
+    SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS token_mass
+    FROM freq GROUP BY 1
+    """,
+)
+def q_vocab_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency spectrum: word types per power-of-two frequency
+    band with per-band token mass — the Zipf audit behind tokenizer
+    vocabulary sizing (hapax count at band 0, coverage-by-threshold from
+    band partial sums). Two map-side-combined hash aggregations, no
+    global rank over the vocabulary
+    (operators/lexical.py:vocab_spectrum)."""
+    return L.vocab_spectrum(t(spark, sf_dir, "documents"))
+
+
+@query(
     "q_unigram_nll",
     # Integer micro-nat quantization makes the per-doc sum exact BIGINT
     # aggregation; only the epilogue is float (fixed order, 4-digit pround).

@@ -316,3 +316,18 @@ def test_source_ngram_overlap_planted_topology(spark):
     assert (r["source_a"], r["source_b"]) == ("A", "B")
     assert (r["n_shared"], r["n_a"], r["n_b"]) == (1, 5, 5)
     assert r["jaccard"] == round(1 / 9, 4)
+
+
+def test_vocab_spectrum_hand_computed(spark):
+    """'a'×5, 'b'×2, 'c'×1, 'd'×1 → band 2: {a} mass 5; band 1: {b}
+    mass 2; band 0: {c, d} (the hapax row) mass 2."""
+    from py_gtfs_duckdb_spark.operators.lexical import vocab_spectrum
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b c"), (2, "a a b d")], "doc_id long, text string"
+    )
+    got = {
+        r["band"]: (r["n_types"], r["token_mass"])
+        for r in vocab_spectrum(docs).collect()
+    }
+    assert got == {2: (1, 5), 1: (1, 2), 0: (2, 2)}
