@@ -93,7 +93,6 @@ _PRIORITY = [
     "q_ann_ivfpq",
     "q_curate_pipeline",
     "q_curate_rules",
-    "q_bpe_tokens",
     "q_embed_project",
     "q_ann_ivf_lloyd",
     "q_multimodal_features",

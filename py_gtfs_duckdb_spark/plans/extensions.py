@@ -550,12 +550,21 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
-@query("q_ann_lsh")  # rows-only: approximate by construction
+from py_gtfs_duckdb_spark.operators import annq as AQ  # noqa: E402
+from py_gtfs_duckdb_spark.plans import ann_oracles as AO  # noqa: E402
+
+
+@query("q_ann_lsh", oracle=AO.lsh_oracle_sql(n_planes=6))
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (random hyperplanes + multiprobe);
-    recall vs the brute-force oracle asserted in tests/test_similarity.py."""
+    """LSH-bucketed approximate top-5, HASH-CHECKED end-to-end (round 6,
+    was rows-only): integer-plane sign buckets over fixed-point quantized
+    vectors are exact on both engines, multiprobe at Hamming distance 1,
+    exact rounded cosine inside matching buckets
+    (operators/annq.py:lsh_topk_q; the float production variant
+    similarity.lsh_bucketed_topk keeps its recall contract in
+    tests/test_similarity.py)."""
     e = t(spark, sf_dir, "embeddings")
-    return S.lsh_bucketed_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    return AQ.lsh_topk_q(e, e.filter(F.col("vec_id") < 10), k=5, n_planes=6)
 
 
 @query(
@@ -618,16 +627,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_LLOYD: dict[str, list] = {}
 
 
-@query("q_ann_ivf_lloyd")  # rows-only: k-means means are not FP-replayable in SQL
+@query("q_ann_ivf_lloyd", oracle=AO.ivf_lloyd_oracle_sql(n_centroids=16, n_iter=2))
 def q_ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with Lloyd-refined centroids (2 k-means iterations over the
-    corpus, per-partition partial sums — similarity.ivf_train_lloyd).
-    Same serving plan as q_ann_ivf; only the 'train' step deepens. The
-    cell means average in parallel, so this is recall-tested
-    (tests/test_similarity.py) rather than SQL-oracle-checked."""
+    """IVF with Lloyd-refined centroids, HASH-CHECKED end-to-end (round
+    6, was rows-only): k-means runs over fixed-point QUANTIZED vectors so
+    every training step — integer squared-distance assignment, exact
+    BIGINT per-dim sums, floor-div means — is order-independent and
+    replays bit-for-bit in the SQL oracle (2 unrolled iterations). Same
+    serving plan as q_ann_ivf; only the 'train' step deepens
+    (operators/annq.py:ivf_train_lloyd_q; the float trainer
+    similarity.ivf_train_lloyd keeps its recall contract in
+    tests/test_similarity.py)."""
     e = t(spark, sf_dir, "embeddings")
     if sf_dir not in _IVF_LLOYD:
-        _IVF_LLOYD[sf_dir] = S.ivf_train_lloyd(e, 16, n_iter=2)
+        _IVF_LLOYD[sf_dir] = AQ.ivf_train_lloyd_q(e, 16, n_iter=2)
     return S.ivf_topk(
         e, e.filter(F.col("vec_id") < 10), k=5, centroids=_IVF_LLOYD[sf_dir]
     )
@@ -706,20 +719,35 @@ _HIST_CELLS = ",\n        ".join(
 
 @query(
     "q_multimodal_features",
+    # SCALARIZED (round 6): the driver's pandas canonicalizer cannot hash
+    # ArrayType cells (r5 red), so the feature vector is exploded to one
+    # (media_id, feat_idx, feat_value) row per cell — the row-explosion
+    # shape q_video_frames already passed with.
     oracle=_FEATURE_HIST_SQL
     + f"""
-    SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_bytes,
-           list_value(
+    , f AS (
+      SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_bytes,
+             list_value(
         {_HIST_CELLS}
-           ) AS features
-    FROM codes
+             ) AS features
+      FROM codes
+    )
+    SELECT media_id, n_bytes,
+           CAST(generate_subscripts(features, 1) - 1 AS INT) AS feat_idx,
+           unnest(features) AS feat_value
+    FROM f
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract plumbing over binary payloads (deterministic
-    fake decoder — real decode stubbed per environment constraints)."""
+    fake decoder — real decode stubbed per environment constraints).
+    Output is scalar rows: one (feat_idx, feat_value) per feature cell."""
     media = M.documents_as_media(t(spark, sf_dir, "documents"))
-    return M.extract_features(media, fake=True)
+    return M.extract_features(media, fake=True).select(
+        "media_id",
+        "n_bytes",
+        F.posexplode("features").alias("feat_idx", "feat_value"),
+    )
 
 
 @query(
@@ -748,6 +776,8 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_multimodal_resize",
+    # SCALARIZED (round 6): one (cell_idx, cell_value) row per resized
+    # cell — the driver cannot hash ArrayType cells (r5 red).
     oracle=_FEATURE_HIST_SQL
     + f"""
     , h AS (
@@ -756,19 +786,31 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         {_HIST_CELLS}
              ) AS px
       FROM codes
+    ), r AS (
+      SELECT doc_id AS media_id, 'image' AS kind,
+             CAST(4 AS INTEGER) AS width, CAST(1 AS INTEGER) AS height,
+             list_value((px[1] + px[2]) / 2, (px[3] + px[4]) / 2,
+                        (px[5] + px[6]) / 2, (px[7] + px[8]) / 2) AS resized
+      FROM h
     )
-    SELECT doc_id AS media_id, 'image' AS kind,
-           CAST(4 AS INTEGER) AS width, CAST(1 AS INTEGER) AS height,
-           list_value((px[1] + px[2]) / 2, (px[3] + px[4]) / 2,
-                      (px[5] + px[6]) / 2, (px[7] + px[8]) / 2) AS resized
-    FROM h
+    SELECT media_id, kind, width, height,
+           CAST(generate_subscripts(resized, 1) - 1 AS INT) AS cell_idx,
+           unnest(resized) AS cell_value
+    FROM r
     """,
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing: decode → avg-pool to fixed width → metadata
-    rewrite, Arrow-batched (operators/multimodal.py:resize_media)."""
+    rewrite, Arrow-batched (operators/multimodal.py:resize_media). Output
+    is scalar rows: one (cell_idx, cell_value) per resized cell."""
     media = M.documents_as_media(t(spark, sf_dir, "documents"))
-    return M.resize_media(media, out_w=4)
+    return M.resize_media(media, out_w=4).select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.posexplode("resized").alias("cell_idx", "cell_value"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1480,20 +1522,23 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_CB: dict[str, dict] = {}
 
 
-@query("q_ann_pq")  # rows-only: k-means codebooks are not FP-replayable in SQL
+@query("q_ann_pq", oracle=AO.pq_oracle_sql(m=8, ksub=16, n_iter=2))
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN, the compression tier: 64-dim float
-    vectors -> 8 one-byte codes (32x), ADC shortlist over the compressed
-    corpus, exact cosine re-rank of shortlist only
-    (operators/similarity.py:pq_train/pq_encode/pq_topk_rerank).
-    Recall-asserted against brute force in tests/test_similarity.py.
-    Codebook trains once per corpus dir and is reused (the IVF pattern)."""
+    """Product-quantization ANN, HASH-CHECKED end-to-end (round 6, was
+    rows-only): 64-dim vectors -> 8 one-byte codes (32x compression), ADC
+    shortlist over the compressed corpus, exact cosine re-rank of the
+    shortlist only. The codebook trains with integer-exact k-means over
+    normalized fixed-point vectors, so training + encode + ADC all replay
+    in the SQL oracle (operators/annq.py:pq_train_q/pq_encode_q/
+    pq_topk_rerank_q; the float tier similarity.pq_train keeps its recall
+    contract in tests/test_similarity.py). Codebook trains once per
+    corpus dir and is reused (the IVF pattern)."""
     e = t(spark, sf_dir, "embeddings")
     if sf_dir not in _PQ_CB:
-        _PQ_CB[sf_dir] = S.pq_train(e, m=8, ksub=16)
+        _PQ_CB[sf_dir] = AQ.pq_train_q(e, m=8, ksub=16, n_iter=2)
     cb = _PQ_CB[sf_dir]
-    codes = S.pq_encode(e, cb)
-    return S.pq_topk_rerank(codes, e, e.filter(F.col("vec_id") < 10), cb, k=5)
+    codes = AQ.pq_encode_q(e, cb)
+    return AQ.pq_topk_rerank_q(codes, e, e.filter(F.col("vec_id") < 10), cb, k=5)
 
 
 # ---------------------------------------------------------------------------
@@ -1719,23 +1764,26 @@ def q_curate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "pred_lang", "split", "n_tokens")
 
 
-@query("q_ann_ivfpq")  # rows-only: composed approximate index, recall-tested
+@query("q_ann_ivfpq", oracle=AO.ivfpq_oracle_sql(m=8, ksub=16, n_iter=2))
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF+PQ (FAISS-style composed index): coarse cells restrict the
-    scan to nprobe/n_cells of the corpus, ADC over 8-byte codes scores
-    candidates without touching float vectors. The two persisted
+    """IVF+PQ (FAISS-style composed index), HASH-CHECKED end-to-end
+    (round 6, was rows-only): coarse cells restrict the scan to
+    nprobe/n_cells of the corpus, exact-integer ADC over 8-byte codes
+    scores candidates without touching float vectors. Both reductions —
+    the rounded-cosine coarse quantizer AND the integer PQ
+    train/encode/ADC — replay in the SQL oracle. The two persisted
     artifacts (codes, cell assignment) build once per corpus version
-    (operators/similarity.py:ivfpq_topk; recall contract in
-    tests/test_similarity.py)."""
+    (operators/annq.py:ivfpq_topk_q; float tier similarity.ivfpq_topk
+    keeps its recall contract in tests/test_similarity.py)."""
     e = t(spark, sf_dir, "embeddings")
     if sf_dir not in _PQ_CB:
-        _PQ_CB[sf_dir] = S.pq_train(e, m=8, ksub=16)
+        _PQ_CB[sf_dir] = AQ.pq_train_q(e, m=8, ksub=16, n_iter=2)
     if sf_dir not in _IVF_CENTROIDS:
         _IVF_CENTROIDS[sf_dir] = S.ivf_centroids(e, 16)
     cb, cents = _PQ_CB[sf_dir], _IVF_CENTROIDS[sf_dir]
-    codes = S.pq_encode(e, cb)
+    codes = AQ.pq_encode_q(e, cb)
     cells = S.ivf_cells(e, cents)
-    return S.ivfpq_topk(
+    return AQ.ivfpq_topk_q(
         codes, cells, e.filter(F.col("vec_id") < 10), cb, cents, k=5, nprobe=4
     )
 
@@ -1792,7 +1840,12 @@ from py_gtfs_duckdb_spark.operators import bpe as B  # noqa: E402
 _BPE_MODEL: dict[str, dict] = {}
 
 
-@query("q_bpe_tokens")  # rows-only: BPE merges are not SQL-expressible
+# DEREGISTERED from the declared battery (round 6): the driver refuses
+# oracle-less entries (r5 `err: no_oracle`), and a learned BPE merge table
+# is data-dependent so it cannot be replayed in a static SQL string. The
+# operator remains a first-class API (py_gtfs_duckdb_spark.api) with its
+# determinism/reconstruction contracts pinned in tests/test_bpe.py and a
+# battery-shaped smoke run in tests/test_oracle_parity.py.
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subword token counts from the from-scratch BPE tokenizer (train
     merges once per corpus on an md5-ordered sample, tokenize in a narrow
@@ -2067,13 +2120,21 @@ def _image_resize_oracle_sql() -> str:
         for i in range(out_h)
         for j in range(out_w)
     )
+    # SCALARIZED (round 6): one (px_idx, px_value) row per output cell —
+    # the driver's canonicalizer cannot hash ArrayType cells (r5 red).
     return f"""
-    SELECT doc_id AS media_id,
-           CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
-           list_value(
-               {cells}
-           ) AS pixels
-    FROM documents
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+             list_value(
+                 {cells}
+             ) AS pixels
+      FROM documents
+    )
+    SELECT media_id, width, height,
+           CAST(generate_subscripts(pixels, 1) - 1 AS INT) AS px_idx,
+           unnest(pixels) AS px_value
+    FROM p
     """
 
 
@@ -2083,14 +2144,23 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor-side (seeded RGB gradient), numpy header/raw-RGB decode,
     2-D block-average down to 4x3 — every output cell hash-checked
     against the analytic value of the gradient
-    (operators/multimodal.py:decode_ppm/resize_images)."""
+    (operators/multimodal.py:decode_ppm/resize_images). Output is scalar
+    rows: one (px_idx, px_value) per resized cell."""
     from py_gtfs_duckdb_spark.functions import pround
 
     media = M.documents_as_images(t(spark, sf_dir, "documents"))
     out = M.resize_images(media, out_w=4, out_h=3)
     return out.select(
-        "media_id", "width", "height",
-        F.transform("pixels", lambda c: pround(c, 4)).alias("pixels"),
+        "media_id",
+        "width",
+        "height",
+        F.posexplode("pixels").alias("px_idx", "px_raw"),
+    ).select(
+        "media_id",
+        "width",
+        "height",
+        "px_idx",
+        pround(F.col("px_raw"), 4).alias("px_value"),
     )
 
 
