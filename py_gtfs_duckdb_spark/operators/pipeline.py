@@ -427,10 +427,14 @@ def curate_corpus(
             .where(F.col("nll").between(float(lo), float(hi)))
             .select(id_col)
         )
+        pre_nll = d3  # still persisted under with_report (step 3's cache)
         d3 = d3.join(in_band, id_col, "left_semi")
         if with_report:
             d3 = d3.persist()
             report["after_nll_filter"] = d3.count()
+            # mirror the d1/d2 handling: the pre-filter cache has served
+            # its use once the post-filter frame is materialized
+            pre_nll.unpersist()
 
     # 4 — PII redaction (counts on original text, then text := redacted)
     scrub = pii_scrub(d3, text_col, id_col)

@@ -508,8 +508,20 @@ def dedup_spans(
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
     )
-    totals = units.groupBy("id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_units")
+    # totals anchor on df, not the exploded units frame: a document whose
+    # text is empty/whitespace yields ZERO units and would otherwise
+    # vanish from the output, breaking the every-document-survives
+    # contract (advisor finding, round 5)
+    totals = (
+        df.select(F.col(id_col).alias("id"))
+        .join(
+            units.groupBy("id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_units")
+            ),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("n_units", F.lit(0).cast("bigint")).alias("n_units"))
     )
     return (
         totals.join(reassembled, "id", "left")

@@ -1994,7 +1994,14 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), r AS (
         SELECT doc_id, string_agg(unit, ' ' ORDER BY idx) AS clean_text,
                COUNT(*) AS n_kept FROM kept GROUP BY doc_id
-    ), tt AS (SELECT doc_id, COUNT(*) AS n_units FROM e GROUP BY doc_id)
+    ), tt AS (
+        -- anchored on documents so zero-unit (empty-text) docs survive,
+        -- mirroring the operator's every-document-survives contract
+        SELECT d.doc_id, COALESCE(c.n_units, 0) AS n_units
+        FROM documents d LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n_units FROM e GROUP BY doc_id
+        ) c USING (doc_id)
+    )
     SELECT tt.doc_id, COALESCE(r.clean_text, '') AS clean_text,
            CAST(tt.n_units AS BIGINT) AS n_units,
            CAST(tt.n_units - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped

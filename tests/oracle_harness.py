@@ -82,8 +82,34 @@ def _dtype_kind_skew(s_pdf, d_pdf):
     return skews
 
 
+def complex_output_cols(spark_df) -> list[str]:
+    """Columns the DRIVER cannot hash: its canonicalizer materializes the
+    result to pandas and ``sort_values`` every column, which raises
+    ``unhashable type`` on list/dict cells (the r5 q_multimodal_* reds).
+    Any ArrayType/MapType/StructType output column is therefore a
+    driver-contract violation even though values could be compared
+    locally by tuple-izing."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def compare(spark_df, conn, sql: str, name: str = "?", max_report: int = 5):
-    """Returns (ok, message)."""
+    """Returns (ok, message). Replicates the driver's check INCLUDING its
+    representation constraints: complex-typed output columns fail here
+    because they crash the driver's pandas canonicalizer (r5 lesson —
+    tuple-izing lists locally overpromised driver green)."""
+    bad = complex_output_cols(spark_df)
+    if bad:
+        return False, (
+            f"[{name}] complex-typed output columns {bad}: the driver's "
+            "canonicalizer cannot hash list/dict cells — scalarize "
+            "(posexplode) the output instead"
+        )
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = conn.sql(sql)

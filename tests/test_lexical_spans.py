@@ -167,9 +167,8 @@ def test_dedup_spans_matches_python_model(spark, texts, min_df):
         for r in dedup_spans(docs, unit_words=2, min_df=min_df).collect()
     }
     want = _model(texts, 2, min_df)
-    # docs with zero units (empty text) produce no unit rows at all and
-    # drop out of the totals side — assert they are absent, model the rest
-    want = {k: v for k, v in want.items() if v[1] > 0}
+    # round 6 (advisor fix): docs with zero units (empty text) SURVIVE as
+    # (doc_id, '', 0, 0) — totals anchor on the input frame
     assert got == want
 
 
@@ -331,3 +330,22 @@ def test_vocab_spectrum_hand_computed(spark):
         for r in vocab_spectrum(docs).collect()
     }
     assert got == {2: (1, 5), 1: (1, 2), 0: (2, 2)}
+
+
+def test_dedup_spans_keeps_zero_unit_documents(spark):
+    """Advisor finding (round 5): a document whose text is empty or
+    whitespace-only yields ZERO units and must still appear in the output
+    as (doc_id, '', 0, 0) — totals anchor on the input frame, not the
+    exploded units frame."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_units"], r["n_dropped"])
+        for r in dedup_spans(df, unit_words=3, min_df=2).collect()
+    }
+    assert set(got) == {1, 2, 3}, "every input document survives"
+    assert got[2] == ("", 0, 0)
+    assert got[3] == ("", 0, 0)
+    assert got[1] == ("alpha beta gamma", 1, 0)

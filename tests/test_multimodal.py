@@ -182,3 +182,16 @@ def test_y4m_decode_roundtrip_and_frame_features(spark):
         assert sum(1 for k in got if k[0] == mid) == n
         for f in range(n):
             assert got[(mid, f)] == 60 + 4 * f + mid % 64, (mid, f)
+
+
+def test_decode_ppm_whitespace_valued_first_pixel():
+    """Advisor finding (round 5): a general P6 file whose first raster
+    byte is itself a whitespace value (0x09-0x0D/0x20) must decode
+    correctly — the header parser consumes exactly ONE whitespace byte
+    after maxval, never a run."""
+    from py_gtfs_duckdb_spark.operators.multimodal import decode_ppm
+
+    raster = bytes([0x20, 10, 20, 0x0A, 40, 50])  # space / newline bytes
+    img = decode_ppm(b"P6\n2 1\n255\n" + raster)
+    assert img.shape == (1, 2, 3)
+    assert img[0, 0, 0] == 0x20 and img[0, 1, 0] == 0x0A

@@ -391,3 +391,34 @@ def test_random_projection_preserves_neighborhoods(spark):
         cosine_topk(proj, proj.filter(F.col("vec_id") < q_ids), k=15)
     )
     assert _recall(shortlist, exact) >= 0.8
+
+
+def test_ann_model_cache_invalidated_by_drop_and_rebuild(spark, tmp_path, sf_dir):
+    """Advisor finding (round 5): lake.drop() deletes the version pointer,
+    so a rebuild restarts at version 1 — a cache keyed on the bare version
+    would serve the OLD codebook against the NEW codes/cells tables. The
+    cache key now includes the pointer mtime, so a drop+rebuild with
+    different training parameters must surface the fresh model."""
+    from py_gtfs_duckdb_spark.lake import GtfsLake
+    from py_gtfs_duckdb_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_models,
+    )
+    from py_gtfs_duckdb_spark.plans._tables import t
+
+    e = t(spark, sf_dir, "embeddings")
+    lake = GtfsLake(spark, str(tmp_path / "lake"))
+    build_ann_index(lake, e, name="emb", n_centroids=16)
+    cb0, cents0 = load_ann_models(lake, "emb")
+    assert len(cents0) == 16
+    v0 = lake.current_version("emb_meta")
+
+    for table in ("emb_codes", "emb_cells", "emb_meta"):
+        lake.drop(table)
+    build_ann_index(lake, e, name="emb", n_centroids=8)
+    assert lake.current_version("emb_meta") == v0, (
+        "precondition: rebuild after drop reuses the version number — "
+        "exactly the collision the content token exists for"
+    )
+    cb1, cents1 = load_ann_models(lake, "emb")
+    assert len(cents1) == 8, "stale cached centroids served after rebuild"
