@@ -69,7 +69,6 @@ EXTRA = [
     "q_ann_pq",
     "q_pack_sequences",
     "q_export_shards",
-    "q_curate_rules",
     "q_dedup_spans",
     "q_bm25_topk",
     "q_audio_features",
@@ -82,6 +81,14 @@ EXTRA = [
     "q_vocab_spectrum",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
+
+# The curate compositions are the heaviest single entries (~half the
+# headline total each as ONE query), so they get the full N_SAMPLES
+# round-robin treatment with per-sample arrays + IQR — separately from
+# the headline total to keep it comparable across rounds/baseline
+# (VERDICT r5 Next #5). Benching BOTH rules-off and rules-on makes the
+# quality-rule cost separable from the shared dedup/CC/redaction spine.
+CURATE = ["q_curate_pipeline", "q_curate_rules"]
 
 
 def main() -> None:
@@ -141,6 +148,39 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # curate pair: warmup once each, then N_SAMPLES round-robin passes
+    for name in CURATE:
+        run_once(name)
+    curate_samples: dict[str, list[float]] = {name: [] for name in CURATE}
+    curate_rows: dict[str, int] = {}
+    for _ in range(N_SAMPLES):
+        for name in CURATE:
+            elapsed, curate_rows[name] = run_once(name)
+            curate_samples[name].append(elapsed)
+    curate: dict[str, dict] = {}
+    for name in CURATE:
+        vals = curate_samples[name]
+        med = statistics.median(vals)
+        if len(vals) >= 2:
+            quartiles = statistics.quantiles(vals, n=4)
+            q1, q3 = quartiles[0], quartiles[2]
+        else:
+            q1 = q3 = med
+        curate[name] = {
+            "median": round(med, 3),
+            "iqr": round(q3 - q1, 3),
+            "samples": [round(v, 4) for v in vals],
+        }
+        print(
+            f"# curate {name}: {med:.3f}s median, IQR {q3 - q1:.3f}s over "
+            f"{[round(v, 3) for v in vals]} ({curate_rows[name]} rows)",
+            file=sys.stderr,
+        )
+    rules_delta = round(
+        curate["q_curate_rules"]["median"] - curate["q_curate_pipeline"]["median"], 3
+    )
+    print(f"# curate rules-on delta: {rules_delta:.3f}s", file=sys.stderr)
+
     extra: dict[str, float] = {}
     for name in EXTRA if N_EXTRA_SAMPLES > 0 else []:
         runs = []
@@ -175,6 +215,8 @@ def main() -> None:
                     for i in range(N_SAMPLES)
                 ],
                 "extra_queries": extra,
+                "curate": curate,
+                "curate_rules_delta": rules_delta,
                 "sum_of_mins": round(sum(min(v) for v in samples.values()), 3),
                 "noise_ratio": round(
                     max(sum(samples[k][i] for k in HEADLINE) for i in range(N_SAMPLES))

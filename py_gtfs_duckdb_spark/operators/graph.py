@@ -42,17 +42,67 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 50,
     algorithm: str = "star",
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """(id, component) for every node in ``edges``; component = min node id
     reachable (ids keep their native orderable type — numeric or string).
     Nodes without edges don't appear (callers decide whether singletons
-    form their own clusters)."""
+    form their own clusters).
+
+    SMALL-GRAPH SHORT-CIRCUIT: near-dup pair graphs are usually tiny
+    relative to the corpus (LSH estimate-pruning keeps only confirmed
+    pairs — sf0.1 yields ~256 edges from 5k docs), yet the star fixpoint
+    pays several eagerly-materialized Spark jobs regardless. When the
+    deduped edge count is at most ``small_graph_threshold``, components
+    are resolved with a driver-side union-find instead — one collect of
+    (u, v) id pairs (bounded: ~threshold small rows, NOT document data)
+    and one createDataFrame, identical output contract. Pass
+    ``small_graph_threshold=0`` to force the distributed path; the
+    threshold only bounds driver memory, never correctness (differential
+    test vs both distributed algorithms in tests/test_graph.py)."""
     if algorithm == "star":
-        labels, _ = _star_components(edges, src, dst, max_iter)
+        e = _canon_edges(edges, src, dst).localCheckpoint()
+        n_edges = e.count()
+        if 0 < n_edges <= small_graph_threshold:
+            return _driver_union_find(e)
+        labels, _ = _star_components(e, n_edges, max_iter)
         return labels
     if algorithm == "label":
         return _label_propagation(edges, src, dst, max_iter)
     raise ValueError(f"unknown connected-components algorithm {algorithm!r}")
+
+
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Union-find over a collected small edge set; union-by-min keeps the
+    invariant root = min id of the merged components, so the final labels
+    match the distributed algorithms exactly."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in e.collect():
+        u, v = r.u, r.v
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+
+    id_type = e.schema["u"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("component", id_type),
+        ]
+    )
+    rows = sorted((x, find(x)) for x in parent)
+    return e.sparkSession.createDataFrame(rows, schema)
 
 
 def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -97,13 +147,12 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _star_components(
-    edges: DataFrame, src: str, dst: str, max_iter: int
+    e: DataFrame, n_prev: int, max_iter: int
 ) -> tuple[DataFrame, int]:
-    """Returns (labels, rounds). Converged when a large-star + small-star
+    """Returns (labels, rounds) over pre-canonicalized checkpointed edges
+    ``e`` with ``n_prev`` rows. Converged when a large-star + small-star
     round leaves the edge set unchanged — at that point every edge is
     (node, component-min)."""
-    e = _canon_edges(edges, src, dst).localCheckpoint()
-    n_prev = e.count()
     rounds = 0
     converged = n_prev == 0
     for _ in range(max_iter):

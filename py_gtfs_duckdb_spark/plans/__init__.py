@@ -46,98 +46,52 @@ from py_gtfs_duckdb_spark.plans import flagship  # noqa: E402,F401
 # Declared-battery priority order. The driver checks the battery in dict
 # order with a bounded budget (the first 50 names each round), so the
 # 50-slot window carries the queries whose driver evidence matters most.
-# Round-5 rotation (VERDICT r4 Next #1/#7): EVERY query with zero driver
-# evidence enters the window — the 18 oracle-bearing round-4 pipeline
-# additions (sampling, decontamination, packing, PII, splits, as-of/range
-# joins, incremental/semantic dedup, shard export, quantiles), the former
-# rows-only tail (SimHash, PQ/IVFPQ ANN, the curate pair — now late-
-# oracled, BPE, JL projection, multimodal variants), AND the round-5
-# additions themselves (span dedup, BM25, real audio/image/video decode,
-# rollup) — so after this round ALL 98 registered queries carry at least
-# one round of driver evidence. The remaining slots go to the lowest-
-# evidence rest: the two single-green r4 rotations (clusters,
-# top-tokens), the double-green queries minus six stable formulas
-# displaced to fund the round-5 slots, and two heavy triple-green
-# representatives (5-table join chain, trip matching). Displaced
-# multi-green queries sit in the tail, guarded by the local driver
-# replica (tests/test_oracle_parity.py runs the FULL battery).
+#
+# Rotation ledger (green rounds per group, entering round 6):
+#   zero evidence .... the 8 round-5 reds now repaired (4 ANN queries
+#                      late-oracled via the quantized tier, 3 multimodal
+#                      outputs scalarized; q_bpe_tokens deregistered) and
+#                      the 2 post-window round-5 adds (corpus diff,
+#                      vocab spectrum)
+#   2 rounds ......... q_window_sliding + the six stable formulas
+#                      displaced in late round 5 (approx-distinct, json,
+#                      text-stats, lang-id, fingerprint, embed-norm)
+#   3 rounds (stale).. the SURVEY §2 singletons that sat out round 5 —
+#                      last driver contact round 4
+#   1 round (fresh)... the round-4/5 extension wave, all driver-green in
+#                      round 5 — freshest evidence, so they fund the
+#                      round-6 slots and back-rotate in round 7
+#
+# Round-6 window = flagship + all 10 zero-evidence + the 2-round group +
+# as much of the stale §2 backfill as fits (VERDICT r5 Next #4/#7). The
+# heavy triple-green representatives (join chain, trip matching) also
+# return — they are timed every round but were last HASH-checked in r4.
 _PRIORITY = [
     # flagship first — the reference's headline path (ddb.py:177-202)
     "q_flagship_nominal_trips",
-    # round-4 pipeline ops, oracle-bearing, zero driver evidence until now
-    "q_sample_stratified",
-    "q_decontaminate",
-    "q_pack_sequences",
-    "q_dedup_keep_canonical",
-    "q_repetition_stats",
-    "q_quality_rules",
-    "q_pii_scrub",
-    "q_split_assign",
-    "q_token_histogram",
-    "q_source_report",
-    "q_join_asof",
-    "q_join_asof_tol",
-    "q_range_join",
-    "q_dedup_incremental",
-    "q_export_shards",
-    "q_quantile_tokens",
-    "q_semantic_dedup",
-    "q_dedup_cluster_sizes",
-    # former rows-only tail, zero driver evidence until now (rows-only
-    # driver checks prove they execute in the driver's environment; the
-    # simhash/multimodal/curate entries are late-oracled and get full
-    # hash checks — the curate pair via the composed stage-oracle chain)
-    "q_dedup_simhash",
+    # zero driver evidence: the repaired round-5 reds ...
     "q_ann_lsh",
     "q_ann_pq",
     "q_ann_ivfpq",
-    "q_curate_pipeline",
-    "q_curate_rules",
-    "q_embed_project",
     "q_ann_ivf_lloyd",
     "q_multimodal_features",
-    "q_multimodal_frames",
     "q_multimodal_resize",
-    # single-green (r4 only)
-    "q_dedup_clusters",
-    "q_text_top_tokens",
-    # round-5 additions (span dedup, BM25, real audio/image/video
-    # decode, rollup) — zero evidence, so they take the six slots of the
-    # most formulaically-stable double-green queries (displaced to the
-    # tail): after this round EVERY registered query has driver evidence
-    "q_dedup_spans",
-    "q_bm25_topk",
-    "q_audio_features",
     "q_image_resize",
-    "q_video_frames",
-    "q_rollup_tokens",
-    # double-green kept in-window (incl. q_pivot, the one-time r2 red)
-    "q_pivot",
-    "q_window_tumbling",
-    "q_window_session",
-    "q_text_quality",
-    "q_doc_winnow",
-    "q_knn_cosine",
-    "q_ann_ivf",
-    "q_multimodal_bytes",
-    # late-round-5 additions (domain mixing, unigram-LM NLL, cross-
-    # source contamination) — zero evidence, so they take the slots of
-    # the two heavy triple-green representatives (q_join_chain_left,
-    # q_match_trip_candidates — 3+ rounds of evidence, also timed every
-    # round in the bench headline) and one of the three double-green
-    # window queries (q_window_sliding; tumbling+session stay in):
-    # after this round EVERY registered query has driver evidence
-    "q_mix_sources",
-    "q_unigram_nll",
-    "q_source_overlap",
-    # --- tail: multi-round driver-green queries sitting out this round,
-    # all still verified every run by the local driver replica ---
-    "q_window_sliding",
-    "q_join_chain_left",
-    "q_match_trip_candidates",
-    # post-window round-5 additions — first driver slots in round 6
+    # ... and the post-window round-5 additions
     "q_corpus_diff",
     "q_vocab_spectrum",
+    # 2-round group (displaced late in round 5)
+    "q_window_sliding",
+    "q_agg_approx_distinct",
+    "q_fn_json",
+    "q_text_stats",
+    "q_lang_id",
+    "q_doc_fingerprint",
+    "q_embed_norm",
+    # stale §2 backfill (last checked round 4) — heavy representatives
+    # first, then the relational battery
+    "q_join_chain_left",
+    "q_match_trip_candidates",
     "q_project_derived",
     "q_filter_range",
     "q_filter_isin",
@@ -169,6 +123,9 @@ _PRIORITY = [
     "q_dedup_ngram_jaccard",
     "q_dedup_embedding",
     "q_scan_star",
+    # --- window boundary: 50 entries above this line ---
+    # stale §2 remainder: next in line for round 7 alongside the
+    # back-rotating round-5 wave below
     "q_scan_csv_projection",
     "q_sql_passthrough",
     "q_project_cols",
@@ -180,13 +137,49 @@ _PRIORITY = [
     "q_sort_concat",
     "q_limit",
     "q_fn_dateformat",
-    # displaced double-green (sat out to fund the round-5 slots)
-    "q_agg_approx_distinct",
-    "q_fn_json",
-    "q_text_stats",
-    "q_lang_id",
-    "q_doc_fingerprint",
-    "q_embed_norm",
+    # fresh round-5 greens (1 round of evidence, newest), guarded by the
+    # local full-battery replica while they sit out
+    "q_sample_stratified",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_dedup_keep_canonical",
+    "q_repetition_stats",
+    "q_quality_rules",
+    "q_pii_scrub",
+    "q_split_assign",
+    "q_token_histogram",
+    "q_source_report",
+    "q_join_asof",
+    "q_join_asof_tol",
+    "q_range_join",
+    "q_dedup_incremental",
+    "q_export_shards",
+    "q_quantile_tokens",
+    "q_semantic_dedup",
+    "q_dedup_cluster_sizes",
+    "q_dedup_simhash",
+    "q_curate_pipeline",
+    "q_curate_rules",
+    "q_embed_project",
+    "q_multimodal_frames",
+    "q_dedup_clusters",
+    "q_text_top_tokens",
+    "q_dedup_spans",
+    "q_bm25_topk",
+    "q_audio_features",
+    "q_video_frames",
+    "q_rollup_tokens",
+    "q_pivot",
+    "q_window_tumbling",
+    "q_window_session",
+    "q_text_quality",
+    "q_doc_winnow",
+    "q_knn_cosine",
+    "q_ann_ivf",
+    "q_multimodal_bytes",
+    "q_mix_sources",
+    "q_unigram_nll",
+    "q_source_overlap",
 ]
 
 _missing = set(QUERIES) - set(_PRIORITY)

@@ -49,13 +49,17 @@ def test_path_graph_converges_in_log_rounds(spark):
     converge in O(log n) with identical components (Kiveris et al.)."""
     import math
 
-    from py_gtfs_duckdb_spark.operators.graph import _star_components
+    from py_gtfs_duckdb_spark.operators.graph import (
+        _canon_edges,
+        _star_components,
+    )
 
     n = 10_000
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    labels, rounds = _star_components(edges, "id_a", "id_b", 50)
+    e = _canon_edges(edges, "id_a", "id_b").localCheckpoint()
+    labels, rounds = _star_components(e, e.count(), 50)
     comps = {r["id"]: r["component"] for r in labels.collect()}
     assert len(comps) == n
     assert set(comps.values()) == {0}
@@ -71,7 +75,9 @@ def test_star_raises_on_exhausted_iterations(spark):
         [(i, i + 1) for i in range(200)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1)
+        # threshold 0 forces the distributed star path (the union-find
+        # short-circuit would otherwise resolve this tiny graph directly)
+        connected_components(edges, max_iter=1, small_graph_threshold=0)
 
 
 def test_star_matches_label_propagation_on_random_graphs(spark):
@@ -89,12 +95,21 @@ def test_star_matches_label_propagation_on_random_graphs(spark):
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         star = {
             r["id"]: r["component"]
-            for r in connected_components(df, algorithm="star").collect()
+            for r in connected_components(
+                df, algorithm="star", small_graph_threshold=0
+            ).collect()
         }
         label = {
             r["id"]: r["component"]
             for r in connected_components(df, algorithm="label").collect()
         }
+        # default path (driver union-find for graphs this small) must be
+        # indistinguishable from the distributed star result
+        uf = {
+            r["id"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert uf == star
         # label propagation keeps self-loop-only nodes; star's canonical
         # edge form drops self-loops, so compare on star's node set plus
         # assert the difference is exactly self-loop-only singletons
