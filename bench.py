@@ -79,6 +79,13 @@ EXTRA = [
     "q_source_overlap",
     "q_corpus_diff",
     "q_vocab_spectrum",
+    "q_ngram_novelty",
+    "q_dsir_weights",
+    "q_split_leakage",
+    "q_ivf_cell_profile",
+    "q_ann_lsh",
+    "q_ann_ivf_lloyd",
+    "q_ann_ivfpq",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

@@ -30,7 +30,7 @@ from py_gtfs_duckdb_spark.operators.dedup import (  # noqa: F401
 )
 from py_gtfs_duckdb_spark.operators.graph import connected_components  # noqa: F401
 
-# similarity / ANN
+# similarity / ANN — float production tier ...
 from py_gtfs_duckdb_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
     ivf_cells,
@@ -46,11 +46,26 @@ from py_gtfs_duckdb_spark.operators.similarity import (  # noqa: F401
     random_projection,
 )
 
+# ... and the quantized verification tier (integer-exact, SQL-replayable
+# index builds — see operators/annq.py)
+from py_gtfs_duckdb_spark.operators.annq import (  # noqa: F401
+    ivf_cell_profile,
+    ivf_lloyd_topk_q,
+    ivf_train_lloyd_q,
+    ivfpq_topk_q,
+    lsh_topk_q,
+    pq_encode_q,
+    pq_topk_rerank_q,
+    pq_train_q,
+)
+
 # text analysis
 from py_gtfs_duckdb_spark.operators.text import (  # noqa: F401
     dedup_spans,
+    doc_ngram_hashes,
     fingerprint,
     language_id,
+    ngram_novelty,
     pii_scrub,
     quality_rules,
     quality_score,
@@ -65,6 +80,7 @@ from py_gtfs_duckdb_spark.operators.text import (  # noqa: F401
 # lexical search
 from py_gtfs_duckdb_spark.operators.lexical import (  # noqa: F401
     bm25_topk,
+    dsir_weights,
     unigram_model,
     unigram_nll,
     vocab_spectrum,
@@ -90,6 +106,7 @@ from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
     pack_sequences,
     source_report,
     split_assign,
+    split_leakage,
     stratified_sample,
     token_histogram,
     write_shards,

@@ -214,7 +214,9 @@ def ivf_train_lloyd_q(
 
     import numpy as np
 
-    Cent = namedtuple("Cent", ["cid", "cv", "cnrm"])
+    # cq = the exact integer centroid (the training-domain artifact);
+    # cv/cnrm = its float serving form for similarity._assign_cells.
+    Cent = namedtuple("Cent", ["cid", "cv", "cnrm", "cq"])
 
     src = _quantized_src(corpus, id_col, vec_col).cache()
     try:
@@ -292,7 +294,7 @@ def ivf_train_lloyd_q(
         acc = 0.0
         for x in cv:  # sequential — mirrors SQL list_dot_product
             acc += x * x
-        out.append(Cent(cid, cv, acc**0.5))
+        out.append(Cent(cid, cv, acc**0.5, [int(x) for x in cent[cid]]))
     return out
 
 
@@ -587,5 +589,74 @@ def ivfpq_topk_q(
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "vec_id", "dist", F.col("rank").cast("bigint").alias("rank")
+        )
+    )
+
+
+def ivf_cell_profile(
+    corpus: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, n_vectors, inertia): per-cell occupancy and EXACT integer
+    inertia (sum of squared quantized distances to the cell centroid) —
+    the index-quality audit behind retrain/re-shard decisions: a cell
+    with outsized occupancy is a probe-time hotspot, rising inertia
+    means the centroids have drifted off the corpus distribution.
+    ``centroids`` must come from :func:`ivf_train_lloyd_q` (the ``cq``
+    integer form is the distance domain). Empty cells surface with
+    (0, 0) — an empty cell is exactly what the audit must show.
+
+    Scale shape: one narrow assignment pass (integer centroid matrix in
+    the closure) emitting per-BATCH partial (cell, count, inertia) rows
+    — at most n_centroids per batch — combined by a groupBy over tiny
+    rows. Exact BIGINT throughout, so the whole audit replays in the SQL
+    oracle."""
+    import numpy as np
+
+    order = sorted(int(c.cid) for c in centroids)
+    by_cid = {int(c.cid): c for c in centroids}
+    cmat = np.stack(
+        [np.asarray(by_cid[c].cq, dtype=np.int64) for c in order]
+    )
+    cid_arr = np.asarray(order, dtype=np.int64)
+
+    src = _quantized_src(corpus, id_col, vec_col)
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"cid": [], "n": [], "inertia": []})
+                continue
+            q = np.stack(pdf["qv"].map(lambda v: np.asarray(v, dtype=np.int64)))
+            d2 = ((q[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            best = np.argmin(d2, axis=1)  # ties -> smaller cid (cid-sorted)
+            rows = []
+            for k in np.unique(best):
+                mask = best == k
+                rows.append(
+                    (int(cid_arr[k]), int(mask.sum()), int(d2[mask, k].sum()))
+                )
+            yield pd.DataFrame(rows, columns=["cid", "n", "inertia"])
+
+    combined = (
+        src.mapInPandas(partials, schema="cid long, n long, inertia long")
+        .groupBy("cid")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_vectors"),
+            F.sum("inertia").cast("bigint").alias("inertia"),
+        )
+    )
+    spark = corpus.sparkSession
+    all_cells = spark.createDataFrame([(c,) for c in order], "cid long")
+    return (
+        all_cells.join(combined, "cid", "left")
+        .select(
+            "cid",
+            F.coalesce("n_vectors", F.lit(0).cast("bigint")).alias("n_vectors"),
+            F.coalesce("inertia", F.lit(0).cast("bigint")).alias("inertia"),
         )
     )

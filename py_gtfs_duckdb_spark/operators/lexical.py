@@ -241,3 +241,125 @@ def vocab_spectrum(
             F.sum("c").cast("bigint").alias("token_mass"),
         )
     )
+
+
+# DSIR hashed-feature defaults: word-bigram features hashed into K
+# buckets. K is deliberately small for the fixture so every bucket is
+# populated (the published method uses 10^4-10^6 buckets at corpus
+# scale — the plan shape is identical, only the broadcast table grows).
+DSIR_BUCKETS = 64
+
+
+def _bigram_buckets(text_col: str, n_buckets: int):
+    """array<bigint> of hashed word-bigram feature buckets, md5-derived
+    so the DuckDB oracle reproduces every bucket id bit-for-bit. Guard
+    n<2: sequence(1, 0) is DESCENDING in Spark (the split_units
+    pitfall), which would index element 0/out-of-bounds."""
+    words = _words(text_col)
+    buckets = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", F.element_at(words, i), F.element_at(words, i + 1)
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(n_buckets),
+    )
+    return F.when(F.size(words) >= 2, buckets).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(doc_id, n_feats, dsir): per-document importance weight for
+    Data Selection via Importance Resampling (Xie et al., NeurIPS 2023) —
+    the standard recipe for skewing a raw crawl toward a target domain
+    without training a classifier. Each document scores the mean
+    log-likelihood ratio of its hashed word-bigram features under two
+    bag-of-features models: one fit on the TARGET slice (rows matching
+    ``target_pred``, a boolean Column) and one on the rest. Positive =
+    target-like, sample it preferentially.
+
+    Determinism (the unigram_nll recipe): both models' smoothed log
+    probabilities ``ln((c_b + 1) / (C + K))`` are quantized to integer
+    micro-nats, the per-doc feature sum is a BIGINT aggregation
+    (order-independent, engine-exact), and the only float math is the
+    fixed-order epilogue ``(s / 10^6) / n_feats`` rounded to 4 digits.
+    Documents with fewer than two words survive with (0, 0.0).
+
+    Scale shape: the two models are ONE hash aggregation over (bucket,
+    is_target) — 2K tiny rows, map-side combined, broadcast back; the
+    doc side is an explode + per-(doc, bucket) count + one join on the
+    broadcast model table + per-doc sum. No windows, no driver state;
+    the feature table stays K rows however large the corpus."""
+    is_target = F.when(target_pred, F.lit(1)).otherwise(F.lit(0))
+    feats = df.select(
+        F.col(id_col),
+        is_target.alias("is_t"),
+        F.explode(_bigram_buckets(text_col, n_buckets)).alias("bucket"),
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.sum("is_t").cast("bigint").alias("ct"),
+        F.sum(F.lit(1) - F.col("is_t")).cast("bigint").alias("cr"),
+    )
+    # distinct names (t_total vs ct): Spark resolves case-insensitively,
+    # so a "Ct" total column would collide with the per-bucket "ct"
+    totals = counts.agg(
+        F.sum("ct").cast("bigint").alias("t_total"),
+        F.sum("cr").cast("bigint").alias("r_total"),
+    )
+    k = F.lit(n_buckets)
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.floor(
+                F.log((F.col("ct") + 1) / (F.col("t_total") + k))
+                * F.lit(_NLL_SCALE)
+                + F.lit(0.5)
+            ).cast("bigint")
+            - F.floor(
+                F.log((F.col("cr") + 1) / (F.col("r_total") + k))
+                * F.lit(_NLL_SCALE)
+                + F.lit(0.5)
+            ).cast("bigint")
+        ).alias("q"),
+    )
+    per = feats.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    sums = (
+        per.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("tf") * F.col("q")).cast("bigint").alias("s"),
+            F.sum("tf").cast("bigint").alias("n_feats"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(sums, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_feats", F.lit(0).cast("bigint")).alias("n_feats"),
+            F.when(
+                F.coalesce("n_feats", F.lit(0)) > 0,
+                pround(F.col("s") / F.lit(_NLL_SCALE) / F.col("n_feats"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dsir"),
+        )
+    )

@@ -550,3 +550,38 @@ def corpus_diff(
         .select("doc_id", status.alias("status"))
         .where(F.col("status").isNotNull())
     )
+
+
+def split_leakage(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(split_a, split_b, n_shared, n_a, n_b, jaccard): cross-SPLIT
+    n-gram contamination — the train/test leakage audit run after
+    ``split_col`` assignment, before any eval score is trusted. A split
+    boundary drawn per-document still leaks when near-identical text
+    lands on both sides (the reason eval decontamination exists); this
+    surfaces exactly how much. Reuses the cross-source overlap machinery
+    (operators/text.py:source_ngram_overlap) keyed on the computed split
+    instead of the source column — same scale shape: only (split,
+    8-byte hash) pairs shuffle, pair rows bounded by splits²."""
+    from py_gtfs_duckdb_spark.operators.text import source_ngram_overlap
+
+    with_split = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        split_col(F.col(id_col)).alias("__split"),
+    )
+    out = source_ngram_overlap(
+        with_split, n=n, text_col=text_col, id_col=id_col, source_col="__split"
+    )
+    return out.select(
+        F.col("source_a").alias("split_a"),
+        F.col("source_b").alias("split_b"),
+        "n_shared",
+        "n_a",
+        "n_b",
+        "jaccard",
+    )

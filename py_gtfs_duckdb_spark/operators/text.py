@@ -626,3 +626,95 @@ def source_ngram_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def doc_ngram_hashes(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, gh): DISTINCT winnow rolling-hash word n-grams per document —
+    the shared front-end of the n-gram audits (novelty, split leakage).
+    Same hash chain as :func:`source_ngram_overlap` (md5 word hash +
+    Horner mod 2^31-1), so 8-byte hashes shuffle, never gram strings."""
+    from pyspark.sql.window import Window
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    wh = F.transform(
+        words,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint"),
+            F.lit(WINNOW_P),
+        ),
+    )
+    tok = df.select(
+        F.col(id_col).alias("id"), F.posexplode(wh).alias("pos", "h")
+    )
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    kh = F.col("h")
+    for j in range(1, n):
+        kh = F.pmod(
+            kh * F.lit(WINNOW_B) + F.lead("h", j).over(w_ord), F.lit(WINNOW_P)
+        )
+    return (
+        tok.select("id", kh.alias("gh"))
+        .filter(F.col("gh").isNotNull())
+        .distinct()
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_grams, n_shared, shared_frac): per-document duplicated
+    n-gram fraction — the memorization-risk audit of Lee et al.
+    ("Deduplicating Training Data Makes Language Models Better"): a
+    document most of whose n-grams recur elsewhere in the corpus is
+    near-duplicate text the doc-level dedup tier missed, and a direct
+    driver of verbatim memorization. ``n_grams`` counts the document's
+    DISTINCT n-grams, ``n_shared`` those with corpus document-frequency
+    >= 2; docs too short for one n-gram survive as (id, 0, 0, 0.0).
+
+    Scale shape: one doc-keyed window pass builds the rolling hashes,
+    then two hash aggregations over (id, 8-byte hash) pairs — df per
+    gram with map-side combine, and the per-doc roll-up. The join that
+    marks shared grams is hash-keyed; no self-join, no gram strings in
+    any shuffle."""
+    grams = doc_ngram_hashes(df, n, text_col, id_col)
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gh")
+    )
+    flagged = grams.join(dup, "gh", "left_semi")
+    per_doc = grams.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    per_shared = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared")
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .join(per_shared, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0).cast("bigint")).alias("n_shared"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                pround(
+                    F.coalesce("n_shared", F.lit(0).cast("bigint"))
+                    / F.col("n_grams"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("shared_frac"),
+        )
+    )

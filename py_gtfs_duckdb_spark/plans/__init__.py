@@ -80,6 +80,12 @@ _PRIORITY = [
     # ... and the post-window round-5 additions
     "q_corpus_diff",
     "q_vocab_spectrum",
+    # ... and the round-6 additions (memorization audit, DSIR weights,
+    # split leakage, IVF cell profile)
+    "q_ngram_novelty",
+    "q_dsir_weights",
+    "q_split_leakage",
+    "q_ivf_cell_profile",
     # 2-round group (displaced late in round 5)
     "q_window_sliding",
     "q_agg_approx_distinct",
@@ -119,13 +125,14 @@ _PRIORITY = [
     "q_unpivot",
     "q_dedup_exact",
     "q_dedup_bow",
+    # --- window boundary: 50 entries above this line ---
+    # stale §2 remainder (the round-6 additions displaced four of these
+    # to fund their slots): next in line for round 7 alongside the
+    # back-rotating round-5 wave below
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
     "q_dedup_embedding",
     "q_scan_star",
-    # --- window boundary: 50 entries above this line ---
-    # stale §2 remainder: next in line for round 7 alongside the
-    # back-rotating round-5 wave below
     "q_scan_csv_projection",
     "q_sql_passthrough",
     "q_project_cols",

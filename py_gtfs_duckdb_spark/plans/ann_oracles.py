@@ -372,3 +372,44 @@ def ivfpq_oracle_sql(
         FROM adc
     ) WHERE rank <= {k}
     """
+
+
+def ivf_cell_profile_oracle_sql(
+    n_centroids: int = 16, n_iter: int = 2, dim: int = 64
+) -> str:
+    """Replay annq.ivf_train_lloyd_q + ivf_cell_profile: the trained
+    integer centroids, one integer-distance assignment pass carrying its
+    own d², then per-cell occupancy + exact inertia (empty cells emit
+    (0, 0))."""
+    iters = []
+    prev = "c0"
+    for it in range(1, n_iter + 1):
+        out = f"c{it}"
+        iters.append(_lloyd_iter_ctes(prev, out, str(it), dim))
+        prev = out
+    iter_sql = ",".join(iters)
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> (v.qv[i] - s.c[i]) * (v.qv[i] - s.c[i])))"
+    )
+    return f"""
+    WITH {_VECS_CTE},
+    c0 AS (
+        SELECT vec_id AS cid, qv AS c FROM vecs
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+    ),{iter_sql},
+    ap AS (
+        SELECT vec_id, cid, d2 FROM (
+            SELECT v.vec_id, s.cid, {d2} AS d2,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {d2} ASC, s.cid ASC) AS rn
+            FROM vecs v CROSS JOIN {prev} s
+        ) WHERE rn = 1
+    )
+    SELECT s.cid,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_vectors,
+           CAST(COALESCE(p.si, 0) AS BIGINT) AS inertia
+    FROM {prev} s LEFT JOIN (
+        SELECT cid, COUNT(*) AS n, SUM(d2) AS si FROM ap GROUP BY cid
+    ) p USING (cid)
+    """

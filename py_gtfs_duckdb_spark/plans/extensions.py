@@ -2233,3 +2233,198 @@ def q_rollup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_tokens",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: memorization audit, DSIR selection weights, split
+# leakage, IVF index-quality profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), wh AS (
+        SELECT doc_id,
+               [('0x' || substr(md5(x), 1, 12))::BIGINT % 2147483647
+                for x in ws] AS hs,
+               len(ws) AS nw
+        FROM w
+    ), kg AS (
+        SELECT doc_id,
+               unnest([{_horner_sql(5)}
+                       for i in range(1, nw - 5 + 2)]) AS gh
+        FROM wh WHERE nw >= 5
+    ), grams AS (
+        SELECT DISTINCT doc_id, gh FROM kg
+    ), dup AS (
+        SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2
+    ), per AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM grams GROUP BY doc_id
+    ), shr AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM grams JOIN dup USING (gh) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+           CASE WHEN COALESCE(p.n_grams, 0) > 0
+                THEN floor((COALESCE(s.n_shared, 0)
+                            / CAST(p.n_grams AS DOUBLE)) * 10000.0 + 0.5)
+                     / 10000.0
+                ELSE 0.0 END AS shared_frac
+    FROM documents d
+    LEFT JOIN per p USING (doc_id)
+    LEFT JOIN shr s USING (doc_id)
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-n-gram fraction — the memorization-risk
+    audit (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): documents whose distinct 5-grams mostly recur
+    elsewhere are residual near-dup text and verbatim-memorization
+    drivers. Winnow rolling-hash machinery, two hash aggregations over
+    (id, 8-byte hash) pairs (operators/text.py:ngram_novelty)."""
+    return X.ngram_novelty(t(spark, sf_dir, "documents"))
+
+
+# DSIR target slice for the battery: three sources stand in for the
+# "target domain" corpus (e.g. wiki+books in the published recipe).
+_DSIR_TARGET = ("src0", "src1", "src2")
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               CASE WHEN source IN {_DSIR_TARGET!r} THEN 1 ELSE 0 END AS is_t,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), f AS (
+        SELECT doc_id, is_t,
+               unnest([('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 8))::BIGINT
+                       % 64 for i in range(1, len(ws))]) AS bucket
+        FROM w
+    ), counts AS (
+        SELECT bucket,
+               CAST(SUM(is_t) AS BIGINT) AS ct,
+               CAST(SUM(1 - is_t) AS BIGINT) AS cr
+        FROM f GROUP BY bucket
+    ), tot AS (
+        SELECT CAST(SUM(ct) AS BIGINT) AS t_total,
+               CAST(SUM(cr) AS BIGINT) AS r_total
+        FROM counts
+    ), model AS (
+        SELECT bucket,
+               CAST(floor(ln((ct + 1) / CAST(t_total + 64 AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT)
+             - CAST(floor(ln((cr + 1) / CAST(r_total + 64 AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT) AS q
+        FROM counts, tot
+    ), per AS (
+        SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM f GROUP BY doc_id, bucket
+    ), sums AS (
+        SELECT doc_id,
+               CAST(SUM(tf * q) AS BIGINT) AS s,
+               CAST(SUM(tf) AS BIGINT) AS n_feats
+        FROM per JOIN model USING (bucket) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+           CASE WHEN COALESCE(n_feats, 0) > 0
+                THEN floor(((s / 1000000.0) / n_feats) * 10000.0 + 0.5)
+                     / 10000.0
+                ELSE 0.0 END AS dsir
+    FROM documents d LEFT JOIN sums USING (doc_id)
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023): per-doc mean
+    log-likelihood ratio of hashed word-bigram features under a
+    target-slice vs rest bag-of-features model — the standard recipe for
+    skewing a raw crawl toward a target domain without a trained
+    classifier. Integer micro-nat quantization makes the per-doc sum an
+    exact BIGINT aggregation (the unigram_nll trick); the 2x64-bucket
+    model table broadcasts (operators/lexical.py:dsir_weights)."""
+    return L.dsir_weights(
+        t(spark, sf_dir, "documents"), F.col("source").isin(*_DSIR_TARGET)
+    )
+
+
+def _split_case_sql() -> str:
+    train_bp = 10_000 - P.SPLIT_VAL_BP - P.SPLIT_TEST_BP
+    val_bp = 10_000 - P.SPLIT_TEST_BP
+    return f"""CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 10000 < {train_bp} THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 10000 < {val_bp} THEN 'val'
+                ELSE 'test' END"""
+
+
+@query(
+    "q_split_leakage",
+    oracle=f"""
+    WITH w AS (
+        SELECT {_split_case_sql()} AS split,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), wh AS (
+        SELECT split,
+               [('0x' || substr(md5(x), 1, 12))::BIGINT % 2147483647
+                for x in ws] AS hs,
+               len(ws) AS nw
+        FROM w
+    ), kg AS (
+        SELECT split,
+               unnest([{_horner_sql(3)}
+                       for i in range(1, nw - 3 + 2)]) AS gh
+        FROM wh WHERE nw >= 3
+    ), grams AS (
+        SELECT DISTINCT split, gh FROM kg
+    ), totals AS (
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n
+        FROM grams GROUP BY split
+    ), pairs AS (
+        SELECT a.split AS split_a, b.split AS split_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM grams a JOIN grams b USING (gh)
+        WHERE a.split < b.split GROUP BY 1, 2
+    )
+    SELECT split_a, split_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+           floor((n_shared / CAST(ta.n + tb.n - n_shared AS DOUBLE))
+                 * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM pairs
+    JOIN totals ta ON ta.split = pairs.split_a
+    JOIN totals tb ON tb.split = pairs.split_b
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test n-gram leakage matrix: shared distinct 3-grams and
+    Jaccard across the computed split boundaries — the audit run before
+    any eval score is trusted (per-document splits still leak when
+    near-identical text lands on both sides). n=3 keeps the overlap
+    non-degenerate on the synthetic fixture (5-grams barely cross the
+    1% val/test slices), so every split pair carries hash evidence.
+    Reuses the cross-source overlap machinery keyed on split_col
+    (operators/pipeline.py:split_leakage)."""
+    return P.split_leakage(t(spark, sf_dir, "documents"), n=3)
+
+
+@query("q_ivf_cell_profile", oracle=AO.ivf_cell_profile_oracle_sql())
+def q_ivf_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-quality profile: per-cell occupancy + EXACT integer
+    inertia over the quantized-Lloyd centroids — the audit behind
+    retrain/re-shard decisions (fat cells are probe-time hotspots,
+    rising inertia means centroid drift). The whole training + profile
+    chain replays in the SQL oracle; empty cells surface as (0, 0)
+    (operators/annq.py:ivf_cell_profile)."""
+    e = t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_LLOYD:
+        _IVF_LLOYD[sf_dir] = AQ.ivf_train_lloyd_q(e, 16, n_iter=2)
+    return AQ.ivf_cell_profile(e, _IVF_LLOYD[sf_dir])

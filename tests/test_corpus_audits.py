@@ -1,0 +1,102 @@
+"""Round-6 corpus-audit operators: n-gram novelty (memorization risk),
+DSIR importance weights, split leakage, IVF cell profile — planted-
+topology behavior beyond the DuckDB-oracle battery checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from py_gtfs_duckdb_spark.operators.annq import (
+    ivf_cell_profile,
+    ivf_train_lloyd_q,
+)
+from py_gtfs_duckdb_spark.operators.lexical import dsir_weights
+from py_gtfs_duckdb_spark.operators.pipeline import split_leakage
+from py_gtfs_duckdb_spark.operators.text import ngram_novelty
+
+
+def test_ngram_novelty_flags_planted_duplicates(spark):
+    """Two verbatim copies + one unique doc: the copies' n-grams all
+    recur (shared_frac 1.0), the unique doc's never do, and a doc too
+    short for one n-gram survives as (0, 0, 0.0)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, shared),
+            (2, shared),
+            (3, "one unique sentence with entirely different words here"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_shared"], r["shared_frac"])
+        for r in ngram_novelty(docs, n=5).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1][0] == 4 and got[1][1] == 4 and got[1][2] == 1.0
+    assert got[2] == got[1]
+    assert got[3][1] == 0 and got[3][2] == 0.0
+    assert got[4] == (0, 0, 0.0)
+
+
+def test_dsir_weights_prefer_target_vocabulary(spark):
+    """Docs written in the target slice's vocabulary must score a higher
+    mean log-ratio than docs in the raw slice's vocabulary, and a
+    held-out doc using target vocabulary scores target-like."""
+    t_text = "quantum flux resonance entangle qubit decohere"
+    r_text = "market price revenue margin profit ledger"
+    rows = [(i, "target", t_text) for i in range(10)]
+    rows += [(i + 10, "raw", r_text) for i in range(10)]
+    rows += [(99, "raw", t_text)]  # held-out: target vocab, raw slice
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r["dsir"]
+        for r in dsir_weights(docs, F.col("source") == "target").collect()
+    }
+    assert got[0] > 0 > got[10], (got[0], got[10])
+    # the held-out doc shares the target vocabulary, so it scores like
+    # the target docs despite sitting in the raw slice
+    assert got[99] > 0
+
+
+def test_dsir_short_docs_survive(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "word"), (2, "b", "two words here")],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_feats"], r["dsir"])
+        for r in dsir_weights(docs, F.col("source") == "a").collect()
+    }
+    assert got[1] == (0, 0.0)  # single word -> no bigram features
+    assert got[2][0] == 2
+
+
+def test_split_leakage_detects_cross_split_duplicates(spark):
+    """A corpus of identical documents leaks fully: every split pair
+    shares every n-gram (jaccard 1.0)."""
+    text = "the same boilerplate sentence repeated in every document"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(3000)], "doc_id long, text string"
+    )
+    rows = split_leakage(docs, n=3).collect()
+    pairs = {(r["split_a"], r["split_b"]): r["jaccard"] for r in rows}
+    assert set(pairs) == {
+        ("test", "train"), ("test", "val"), ("train", "val"),
+    }
+    assert all(j == 1.0 for j in pairs.values())
+
+
+def test_ivf_cell_profile_accounts_for_every_vector(spark, sf_dir):
+    """Occupancies sum to the corpus size, every centroid appears, and
+    inertia is non-negative with at least one non-trivial cell."""
+    from py_gtfs_duckdb_spark.plans._tables import t
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = ivf_train_lloyd_q(e, 16, n_iter=2)
+    prof = ivf_cell_profile(e, cents).collect()
+    assert len(prof) == 16
+    assert sum(r["n_vectors"] for r in prof) == e.count()
+    assert all(r["inertia"] >= 0 for r in prof)
+    assert any(r["inertia"] > 0 for r in prof)
