@@ -301,20 +301,29 @@ def dsir_weights(
     fixed-order epilogue ``(s / 10^6) / n_feats`` rounded to 4 digits.
     Documents with fewer than two words survive with (0, 0.0).
 
-    Scale shape: the two models are ONE hash aggregation over (bucket,
-    is_target) — 2K tiny rows, map-side combined, broadcast back; the
-    doc side is an explode + per-(doc, bucket) count + one join on the
-    broadcast model table + per-doc sum. No windows, no driver state;
-    the feature table stays K rows however large the corpus."""
+    Scale shape: the explode of the bigram stream (the dominant cost)
+    runs ONCE — it collapses immediately into the persisted per-(doc,
+    bucket) count table, from which both the 2K-row model counts and the
+    per-doc sums derive. The model table broadcasts back; no windows, no
+    driver state; the feature table stays K rows however large the
+    corpus."""
     is_target = F.when(target_pred, F.lit(1)).otherwise(F.lit(0))
     feats = df.select(
         F.col(id_col),
         is_target.alias("is_t"),
         F.explode(_bigram_buckets(text_col, n_buckets)).alias("bucket"),
     )
-    counts = feats.groupBy("bucket").agg(
-        F.sum("is_t").cast("bigint").alias("ct"),
-        F.sum(F.lit(1) - F.col("is_t")).cast("bigint").alias("cr"),
+    # is_t is functionally dependent on the doc id, so grouping by it too
+    # costs nothing and lets the model counts derive from `per` instead
+    # of re-exploding the corpus.
+    per = (
+        feats.groupBy(id_col, "is_t", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist()
+    )
+    counts = per.groupBy("bucket").agg(
+        F.sum(F.col("tf") * F.col("is_t")).cast("bigint").alias("ct"),
+        F.sum(F.col("tf") * (F.lit(1) - F.col("is_t"))).cast("bigint").alias("cr"),
     )
     # distinct names (t_total vs ct): Spark resolves case-insensitively,
     # so a "Ct" total column would collide with the per-bucket "ct"
@@ -337,9 +346,6 @@ def dsir_weights(
                 + F.lit(0.5)
             ).cast("bigint")
         ).alias("q"),
-    )
-    per = feats.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
     )
     sums = (
         per.join(F.broadcast(model), "bucket")

@@ -582,10 +582,14 @@ def source_ngram_overlap(
         kh = F.pmod(
             kh * F.lit(WINNOW_B) + F.lead("h", j).over(w_ord), F.lit(WINNOW_P)
         )
+    # persist: totals and BOTH sides of the pair self-join read this
+    # frame — without it the window-heavy rolling-hash pass (the
+    # dominant cost) runs three times over the full corpus.
     grams = (
         tok.select("source", kh.alias("gh"))
         .filter(F.col("gh").isNotNull())
         .distinct()
+        .persist()
     )
     totals = grams.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_grams")
@@ -679,29 +683,31 @@ def ngram_novelty(
     DISTINCT n-grams, ``n_shared`` those with corpus document-frequency
     >= 2; docs too short for one n-gram survive as (id, 0, 0, 0.0).
 
-    Scale shape: one doc-keyed window pass builds the rolling hashes,
-    then two hash aggregations over (id, 8-byte hash) pairs — df per
-    gram with map-side combine, and the per-doc roll-up. The join that
-    marks shared grams is hash-keyed; no self-join, no gram strings in
-    any shuffle."""
+    Scale shape: ONE doc-keyed window pass builds the rolling hashes
+    (the dominant cost — computed once, not once per downstream use),
+    then a gh-keyed window marks each distinct (doc, gram) row with its
+    corpus document-frequency in place, and a single per-doc hash
+    aggregation rolls up both counters. Only (id, 8-byte hash) pairs
+    shuffle; no self-join, no dup-set join, no gram strings in any
+    shuffle."""
+    from pyspark.sql.window import Window
+
     grams = doc_ngram_hashes(df, n, text_col, id_col)
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("gh")
+    marked = grams.select(
+        "id",
+        F.when(
+            F.count(F.lit(1)).over(Window.partitionBy("gh")) >= 2, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_shared"),
     )
-    flagged = grams.join(dup, "gh", "left_semi")
-    per_doc = grams.groupBy("id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_grams")
-    )
-    per_shared = flagged.groupBy("id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_shared")
+    per = marked.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum("is_shared").cast("bigint").alias("n_shared"),
     )
     return (
         df.select(F.col(id_col).alias("id"))
-        .join(per_doc, "id", "left")
-        .join(per_shared, "id", "left")
+        .join(per, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),

@@ -224,3 +224,48 @@ def test_corpus_diff_single_join_no_text_shuffle(spark, sf_dir):
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
             assert "text#" not in l, l
+
+
+def test_ngram_novelty_single_gram_pass(spark, sf_dir):
+    """The token explode + rolling-hash window (the dominant cost) runs
+    exactly once: corpus document-frequency is marked in place by a
+    gh-keyed window, not by recomputing the gram frame for a dup-set
+    join. No gram/text strings in any shuffle."""
+    plan = _plan(spark, sf_dir, "q_ngram_novelty")
+    assert plan.count("(4) Generate") + plan.count("Generate posexplode") <= 2
+    # one Generate node total — the gram frame is built once
+    assert sum(1 for l in plan.splitlines() if ") Generate" in l) == 1, plan[:800]
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "text#" not in l, l
+
+
+def test_dsir_single_explode(spark, sf_dir):
+    """The bigram-bucket explode runs once: model counts and per-doc
+    sums both derive from the persisted per-(doc, bucket) table, and the
+    2K-row model broadcasts back (no shuffle of the doc side against
+    it)."""
+    plan = _plan(spark, sf_dir, "q_dsir_weights")
+    assert sum(1 for l in plan.splitlines() if ") Generate" in l) == 1, plan[:800]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_split_leakage_single_gram_pass(spark, sf_dir):
+    """The rolling-hash gram frame builds once (persisted) even though
+    three consumers read it (both self-join sides + totals); only
+    (split, 8-byte hash) pairs shuffle."""
+    plan = _plan(spark, sf_dir, "q_split_leakage")
+    assert sum(1 for l in plan.splitlines() if ") Generate" in l) == 1, plan[:800]
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "text#" not in l, l
+
+
+def test_ivf_cell_profile_single_pass(spark, sf_dir):
+    """One narrow mapInPandas assignment pass (per-batch partial rows,
+    at most n_centroids each) + one tiny groupBy; the all-cells frame
+    joins without shuffling the corpus."""
+    plan = _plan(spark, sf_dir, "q_ivf_cell_profile")
+    # the tree prints "MapInPandas (N)" once; the node detail repeats it
+    assert plan.count("MapInPandas (") == 1, plan[:800]
+    assert "CartesianProduct" not in plan
