@@ -86,6 +86,9 @@ EXTRA = [
     "q_ann_lsh",
     "q_ann_ivf_lloyd",
     "q_ann_ivfpq",
+    "q_minhash_calibration",
+    "q_length_buckets",
+    "q_embedding_audit",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

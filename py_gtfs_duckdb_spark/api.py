@@ -18,6 +18,7 @@ from py_gtfs_duckdb_spark.operators.dedup import (  # noqa: F401
     exact_jaccard,
     keep_canonical,
     lsh_bands,
+    minhash_calibration,
     minhash_lsh_dedup,
     minhash_lsh_dedup_incremental,
     embedding_neardup_pairs,
@@ -49,6 +50,7 @@ from py_gtfs_duckdb_spark.operators.similarity import (  # noqa: F401
 # ... and the quantized verification tier (integer-exact, SQL-replayable
 # index builds — see operators/annq.py)
 from py_gtfs_duckdb_spark.operators.annq import (  # noqa: F401
+    embedding_audit,
     ivf_cell_profile,
     ivf_lloyd_topk_q,
     ivf_train_lloyd_q,
@@ -103,6 +105,7 @@ from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
     decontaminate,
     export_shards,
     mix_sources,
+    length_buckets,
     pack_sequences,
     source_report,
     split_assign,

@@ -660,3 +660,43 @@ def ivf_cell_profile(
             F.coalesce("inertia", F.lit(0).cast("bigint")).alias("inertia"),
         )
     )
+
+
+def embedding_audit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(dim, n_vecs, mean, var, min_val, max_val): per-dimension moment
+    audit of an embedding column — the pre-index sanity check an ANN
+    build should gate on: a dead dimension (var ~ 0) wastes index
+    capacity, a runaway one (|mean| or var off-scale) dominates every
+    distance and usually means a bad normalization upstream.
+
+    Determinism: moments accumulate over the fixed-point quantized values
+    (exact BIGINT sums — order-independent, engine-portable; sum-of-
+    squares stays in int64 for |x| <= 0.5-ish embeddings up to ~10^11
+    rows); the only float math is one fixed-order epilogue per output
+    row. min/max are order-free by definition.
+
+    Scale shape: one narrow quantize + posexplode pass, then a single
+    hash aggregation keyed by dim — map-side combine reduces every
+    partition to `dim` rows before the only shuffle."""
+    from py_gtfs_duckdb_spark.functions import pround
+
+    cells = _quantized_src(corpus, id_col, vec_col).select(
+        F.posexplode("qv").alias("dim", "q")
+    )
+    s = F.sum("q").cast("bigint")
+    ss = F.sum(F.col("q") * F.col("q")).cast("bigint")
+    n = F.count(F.lit(1)).cast("bigint")
+    scale = F.lit(float(Q_SCALE))
+    return cells.groupBy("dim").agg(
+        n.alias("n_vecs"),
+        pround(s / (n * scale), 6).alias("mean"),
+        pround(
+            (ss / n - (s / n) * (s / n)) / (scale * scale), 6
+        ).alias("var"),
+        pround(F.min("q") / scale, 4).alias("min_val"),
+        pround(F.max("q") / scale, 4).alias("max_val"),
+    )

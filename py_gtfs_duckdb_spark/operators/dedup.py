@@ -735,3 +735,68 @@ def semantic_dedup(
         F.min("id").alias("kept_vec_id"),
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
     )
+
+
+def minhash_calibration(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(n_match, n_pairs, avg_jaccard): calibration curve of the MinHash
+    estimator over the LSH candidate pairs — for each signature-agreement
+    level (0..MINHASH_K matching positions), how many candidate pairs land
+    there and what their EXACT shingle Jaccard averages. The audit that
+    justifies EST_MIN_MATCHES: if the curve shows true Jaccard ~0.7 pairs
+    spread below the prune line, the threshold is eating recall; if mass
+    far below it survives to exact verification, the prune is too lax.
+
+    Determinism: the exact Jaccard is quantized per-pair to basis points
+    (floor(j * 10^4 + 0.5), integer) before the BIGINT sum, so the average
+    is order-independent; the only float ops are one fixed-order division
+    per output row.
+
+    Shape at scale: identical to minhash_lsh_dedup (one narrow signature
+    pass persisted, bucket-local band self-join, two hash-keyed joins on
+    the deduped candidate list) plus a <= MINHASH_K+1-row aggregation."""
+    sets = shingle_signatures(df, text_col, id_col, k).persist()
+    cand = lsh_candidate_pairs(sets).dropDuplicates(["id_a", "id_b"])
+    sig_a = sets.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(MINHASH_K)],
+    )
+    sig_b = sets.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(MINHASH_K)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    ).cast("bigint")
+    matched = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", n_match.alias("n_match"))
+    )
+    sa = sets.select(
+        F.col("id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a")
+    )
+    sb = sets.select(
+        F.col("id").alias("id_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b")
+    )
+    n_inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    j_bp = F.floor(
+        n_inter.cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - n_inter)
+        * F.lit(10000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        matched.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("n_match", j_bp.alias("j_bp"))
+        .groupBy("n_match")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            pround(
+                F.sum("j_bp") / (F.count(F.lit(1)) * F.lit(10000.0)), 4
+            ).alias("avg_jaccard"),
+        )
+    )

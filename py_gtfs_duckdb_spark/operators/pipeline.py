@@ -585,3 +585,62 @@ def split_leakage(
         "n_b",
         "jaccard",
     )
+
+
+#: default sequence-length tiers: powers of two from a short-text floor
+#: to a typical context budget. Docs longer than the top cap are
+#: TRUNCATED to it (standard training behavior), and the audit reports
+#: how many tokens truncation throws away.
+LENGTH_CAPS = (32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def length_buckets(
+    df: DataFrame,
+    caps: tuple[int, ...] = LENGTH_CAPS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(cap, n_docs, token_mass, pad_waste, waste_frac, n_truncated,
+    trunc_tokens): padding-waste audit for length-bucketed batching —
+    every doc lands in the smallest cap >= its token count (top cap
+    truncates), and the bucket's pad_waste = cap * n_docs - token_mass is
+    exactly the compute a naive fixed-length batcher burns on padding.
+    The audit that justifies (or kills) a bucketed-batching stage: if
+    waste_frac is small at a single cap, bucketing buys nothing.
+
+    Scale shape: one narrow projection (token count + a chained CASE) and
+    one tiny hash aggregation — map-side combine reduces every partition
+    to <= len(caps) rows before the only shuffle. Empty buckets are
+    absent (the histogram contract)."""
+    from py_gtfs_duckdb_spark.functions import pround
+
+    caps = tuple(sorted(caps))
+    top = caps[-1]
+    nt = token_count(F.col(text_col))
+    cap = F.lit(top)
+    for c in reversed(caps[:-1]):
+        cap = F.when(nt <= c, F.lit(c)).otherwise(cap)
+    kept = F.least(nt, F.lit(top))
+    return (
+        df.select(
+            cap.cast("bigint").alias("cap"),
+            kept.alias("kept"),
+            F.when(nt > top, F.lit(1)).otherwise(F.lit(0)).alias("tr"),
+            F.greatest(nt - top, F.lit(0)).alias("lost"),
+        )
+        .groupBy("cap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("token_mass"),
+            (F.first("cap") * F.count(F.lit(1)) - F.sum("kept"))
+            .cast("bigint")
+            .alias("pad_waste"),
+            pround(
+                (F.first("cap") * F.count(F.lit(1)) - F.sum("kept"))
+                / (F.first("cap") * F.count(F.lit(1))),
+                4,
+            ).alias("waste_frac"),
+            F.sum("tr").cast("bigint").alias("n_truncated"),
+            F.sum("lost").cast("bigint").alias("trunc_tokens"),
+        )
+    )

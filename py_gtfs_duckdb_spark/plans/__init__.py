@@ -86,6 +86,11 @@ _PRIORITY = [
     "q_dsir_weights",
     "q_split_leakage",
     "q_ivf_cell_profile",
+    # ... and the round-6 second wave (estimator calibration, padding
+    # waste, embedding moments)
+    "q_minhash_calibration",
+    "q_length_buckets",
+    "q_embedding_audit",
     # 2-round group (displaced late in round 5)
     "q_window_sliding",
     "q_agg_approx_distinct",
@@ -122,13 +127,13 @@ _PRIORITY = [
     "q_ttl_retention",
     "q_topk_per_group",
     "q_agg_count_distinct",
+    # --- window boundary: 50 entries above this line ---
+    # stale §2 remainder (the round-6 additions displaced seven of these
+    # to fund their slots): next in line for round 7 alongside the
+    # back-rotating round-5 wave below
     "q_unpivot",
     "q_dedup_exact",
     "q_dedup_bow",
-    # --- window boundary: 50 entries above this line ---
-    # stale §2 remainder (the round-6 additions displaced four of these
-    # to fund their slots): next in line for round 7 alongside the
-    # back-rotating round-5 wave below
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
     "q_dedup_embedding",

@@ -74,17 +74,19 @@ def q_dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle_sql(
-    threshold: float = 0.7,
+def _minhash_ctes(
     pair_pred: str = "a.id < b.id",
     base: str = "documents",
 ) -> str:
+    """The shared MinHash CTE chain ``w → sh → perms → sig → bands →
+    cand → sets`` (shingles, signatures, LSH candidates, exact shingle
+    sets) — composed by the dedup oracle and the calibration oracle.
+    Must follow a ``WITH``."""
     perms_values = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.MINHASH_PERMS)
     )
     rows_per_band = D.MINHASH_K // D.LSH_BANDS
-    return f"""
-    WITH w AS (
+    return f"""w AS (
         SELECT doc_id AS id,
                list_filter(string_split(text, ' '), x -> x <> '') AS ws
         FROM {base}
@@ -112,7 +114,18 @@ def _minhash_oracle_sql(
         FROM bands a
         JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
                     AND {pair_pred}
-    ), est AS (
+    ), sets AS (
+        SELECT id, list_sort(list(h)) AS hs, COUNT(*) AS sz FROM sh GROUP BY id
+    )"""
+
+
+def _minhash_oracle_sql(
+    threshold: float = 0.7,
+    pair_pred: str = "a.id < b.id",
+    base: str = "documents",
+) -> str:
+    return f"""
+    WITH {_minhash_ctes(pair_pred, base)}, est AS (
         SELECT c.id_a, c.id_b
         FROM cand c
         JOIN sig sa ON sa.id = c.id_a
@@ -120,8 +133,6 @@ def _minhash_oracle_sql(
         GROUP BY c.id_a, c.id_b
         HAVING SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
                    >= {D.EST_MIN_MATCHES}
-    ), sets AS (
-        SELECT id, list_sort(list(h)) AS hs, COUNT(*) AS sz FROM sh GROUP BY id
     )
     SELECT e.id_a, e.id_b,
            floor((CAST(len(list_intersect(za.hs, zb.hs)) AS DOUBLE)
@@ -2428,3 +2439,120 @@ def q_ivf_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _IVF_LLOYD:
         _IVF_LLOYD[sf_dir] = AQ.ivf_train_lloyd_q(e, 16, n_iter=2)
     return AQ.ivf_cell_profile(e, _IVF_LLOYD[sf_dir])
+
+
+# ---------------------------------------------------------------------------
+# round-6 second wave: MinHash calibration, padding-waste audit,
+# embedding-moment audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_minhash_calibration",
+    oracle=f"""
+    WITH {_minhash_ctes()},
+    nm AS (
+        SELECT c.id_a, c.id_b,
+               CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_match
+        FROM cand c
+        JOIN sig sa ON sa.id = c.id_a
+        JOIN sig sb ON sb.id = c.id_b AND sb.perm_idx = sa.perm_idx
+        GROUP BY c.id_a, c.id_b
+    ),
+    jq AS (
+        SELECT n.n_match,
+               CAST(floor((CAST(len(list_intersect(za.hs, zb.hs)) AS DOUBLE)
+                           / (za.sz + zb.sz
+                              - len(list_intersect(za.hs, zb.hs))))
+                          * 10000.0 + 0.5) AS BIGINT) AS j_bp
+        FROM nm n
+        JOIN sets za ON za.id = n.id_a
+        JOIN sets zb ON zb.id = n.id_b
+    )
+    SELECT n_match,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           floor((SUM(j_bp) / (COUNT(*) * 10000.0)) * 10000.0 + 0.5)
+               / 10000.0 AS avg_jaccard
+    FROM jq GROUP BY n_match
+    """,
+)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration curve: for each signature-agreement
+    level over the LSH candidate pairs, the pair count and average EXACT
+    shingle Jaccard — the audit that justifies (or retunes) the
+    EST_MIN_MATCHES prune line. Exact Jaccard quantized to basis points
+    before the BIGINT sum, so the average is aggregation-order-free
+    (operators/dedup.py:minhash_calibration)."""
+    return D.minhash_calibration(t(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+
+
+def _length_buckets_case_sql(caps) -> str:
+    caps = tuple(sorted(caps))
+    whens = " ".join(f"WHEN n_tokens <= {c} THEN {c}" for c in caps[:-1])
+    return f"CASE {whens} ELSE {caps[-1]} END"
+
+
+@query(
+    "q_length_buckets",
+    oracle=rf"""
+    WITH tk AS (
+        SELECT CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), b AS (
+        SELECT CAST({_length_buckets_case_sql(P.LENGTH_CAPS)} AS BIGINT) AS cap,
+               least(n_tokens, {P.LENGTH_CAPS[-1]}) AS kept,
+               CASE WHEN n_tokens > {P.LENGTH_CAPS[-1]} THEN 1 ELSE 0 END AS tr,
+               greatest(n_tokens - {P.LENGTH_CAPS[-1]}, 0) AS lost
+        FROM tk
+    )
+    SELECT cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS token_mass,
+           CAST(cap * COUNT(*) - SUM(kept) AS BIGINT) AS pad_waste,
+           floor((CAST(cap * COUNT(*) - SUM(kept) AS DOUBLE)
+                  / (cap * COUNT(*))) * 10000.0 + 0.5) / 10000.0 AS waste_frac,
+           CAST(SUM(tr) AS BIGINT) AS n_truncated,
+           CAST(SUM(lost) AS BIGINT) AS trunc_tokens
+    FROM b GROUP BY cap
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for length-bucketed batching: every doc lands
+    in the smallest power-of-two cap >= its token count (top cap
+    truncates); per bucket, the padding a fixed-length batcher would burn
+    and the tokens truncation throws away. One narrow projection + one
+    tiny map-side-combined aggregation
+    (operators/pipeline.py:length_buckets)."""
+    return P.length_buckets(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_embedding_audit",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           floor((SUM(q) / (COUNT(*) * 10000.0)) * 1000000.0 + 0.5)
+               / 1000000.0 AS mean,
+           floor(((SUM(q * q) / COUNT(*)
+                   - (SUM(q) / COUNT(*)) * (SUM(q) / COUNT(*)))
+                  / 100000000.0) * 1000000.0 + 0.5) / 1000000.0 AS var,
+           floor((MIN(q) / 10000.0) * 10000.0 + 0.5) / 10000.0 AS min_val,
+           floor((MAX(q) / 10000.0) * 10000.0 + 0.5) / 10000.0 AS max_val
+    FROM cells GROUP BY dim
+    """,
+)
+def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding moment audit (mean/var/min/max over the
+    fixed-point quantized values — exact BIGINT sums, one fixed-order
+    float epilogue per row): the pre-index sanity gate for the ANN tier —
+    dead dimensions waste index capacity, runaway ones dominate every
+    distance (operators/annq.py:embedding_audit)."""
+    return AQ.embedding_audit(t(spark, sf_dir, "embeddings"))

@@ -100,3 +100,70 @@ def test_ivf_cell_profile_accounts_for_every_vector(spark, sf_dir):
     assert sum(r["n_vectors"] for r in prof) == e.count()
     assert all(r["inertia"] >= 0 for r in prof)
     assert any(r["inertia"] > 0 for r in prof)
+
+
+def test_minhash_calibration_planted_topology(spark):
+    """Verbatim copies land at full signature agreement with exact
+    Jaccard 1.0; unrelated docs either produce no candidate pair or land
+    in low-agreement buckets with low exact Jaccard."""
+    from py_gtfs_duckdb_spark.operators.dedup import (
+        MINHASH_K,
+        minhash_calibration,
+    )
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, dup), (2, dup), (3, dup)]
+    rows += [
+        (10 + i, f"unique document number {i} with its own distinct words w{i}")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    curve = {
+        r["n_match"]: (r["n_pairs"], r["avg_jaccard"])
+        for r in minhash_calibration(docs).collect()
+    }
+    # the three copies form C(3,2)=3 pairs at perfect agreement
+    assert curve[MINHASH_K][0] >= 3
+    assert curve[MINHASH_K][1] == 1.0
+    # any other bucket must average strictly below the perfect pairs
+    for m, (_, j) in curve.items():
+        if m != MINHASH_K:
+            assert j < 1.0
+
+
+def test_length_buckets_caps_and_truncation(spark):
+    from py_gtfs_duckdb_spark.operators.pipeline import length_buckets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three"),          # 3 tokens  -> cap 4
+            (2, "a b c d e"),              # 5 tokens  -> cap 8
+            (3, " ".join(["w"] * 20)),     # 20 tokens -> truncated to 16
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["cap"]: r
+        for r in length_buckets(docs, caps=(4, 8, 16)).collect()
+    }
+    assert got[4]["n_docs"] == 1 and got[4]["token_mass"] == 3
+    assert got[4]["pad_waste"] == 1 and got[4]["waste_frac"] == 0.25
+    assert got[8]["pad_waste"] == 3
+    assert got[16]["n_truncated"] == 1 and got[16]["trunc_tokens"] == 4
+    assert got[16]["token_mass"] == 16 and got[16]["pad_waste"] == 0
+
+
+def test_embedding_audit_moments(spark):
+    from py_gtfs_duckdb_spark.operators.annq import embedding_audit
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.1, 0.5]),
+            (2, [0.3, 0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["dim"]: r for r in embedding_audit(vecs).collect()}
+    assert got[0]["mean"] == 0.2 and abs(got[0]["var"] - 0.01) < 1e-9
+    assert got[1]["var"] == 0.0 and got[1]["min_val"] == 0.5
+    assert got[0]["n_vecs"] == 2
