@@ -89,6 +89,8 @@ EXTRA = [
     "q_minhash_calibration",
     "q_length_buckets",
     "q_embedding_audit",
+    "q_split_rescue",
+    "q_doc_scorecard",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

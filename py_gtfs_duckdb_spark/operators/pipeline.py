@@ -644,3 +644,58 @@ def length_buckets(
             F.sum("lost").cast("bigint").alias("trunc_tokens"),
         )
     )
+
+
+def rescue_leaked_eval(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, split, final_split, n_leaked): contamination-aware split
+    repair — the step after :func:`split_leakage` says the boundary
+    leaks. Every val/test document sharing at least one distinct word
+    n-gram with the TRAIN slice is demoted to train (``final_split =
+    'train'``), because an eval example the model may have seen verbatim
+    measures memorization, not generalization; train documents pass
+    through. Demotion (not deletion) keeps the tokens for training while
+    restoring the eval set's integrity — the standard clean-test-set
+    construction.
+
+    Scale shape: the rolling-hash gram frame builds ONCE (persisted; the
+    split label is a pure function of the id, so it attaches as a narrow
+    expression — no join); the train-side distinct hash set probes via a
+    hash-keyed semi-join (never broadcast — the train gram set scales
+    with the corpus); one per-doc roll-up. Only (id/split, 8-byte hash)
+    pairs shuffle."""
+    from py_gtfs_duckdb_spark.operators.text import doc_ngram_hashes
+
+    grams = (
+        doc_ngram_hashes(docs, n, text_col, id_col)
+        .select("id", "gh", split_col(F.col("id")).alias("split"))
+        .persist()
+    )
+    train_gh = grams.filter(F.col("split") == "train").select("gh").distinct()
+    leaked = (
+        grams.filter(F.col("split") != "train")
+        .join(train_gh, "gh", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked"))
+    )
+    split = split_col(F.col(id_col))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(leaked, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            split_col(F.col("id")).alias("split"),
+            F.when(
+                (split_col(F.col("id")) != "train")
+                & (F.coalesce("n_leaked", F.lit(0)) > 0),
+                F.lit("train"),
+            )
+            .otherwise(split_col(F.col("id")))
+            .alias("final_split"),
+            F.coalesce("n_leaked", F.lit(0).cast("bigint")).alias("n_leaked"),
+        )
+    )

@@ -556,9 +556,11 @@ def source_ngram_overlap(
     Scale shape: n-grams are the winnow rolling hash (md5 word hash +
     Horner chain — pure window machinery, one doc-keyed shuffle), so
     what shuffles afterwards is (source, 8-byte hash) pairs, never gram
-    strings. The distinct per source bounds the self-join: a gram
-    appearing in s sources yields C(s,2) pair rows — bounded by
-    sources², independent of how many DOCUMENTS repeat it. Totals are a
+    strings. There is NO self-join: one gh-keyed aggregation collapses
+    each gram to its sorted source set (bounded by the source count),
+    pairs expand LOCALLY from that array (C(s,2) rows per gram), and
+    totals derive from the same persisted per-gram frame — the gram set
+    crosses the wire once, however large the corpus. Totals are a
     sources-sized table, broadcast back twice.
     """
     from pyspark.sql.window import Window
@@ -582,26 +584,36 @@ def source_ngram_overlap(
         kh = F.pmod(
             kh * F.lit(WINNOW_B) + F.lead("h", j).over(w_ord), F.lit(WINNOW_P)
         )
-    # persist: totals and BOTH sides of the pair self-join read this
-    # frame — without it the window-heavy rolling-hash pass (the
-    # dominant cost) runs three times over the full corpus.
-    grams = (
-        tok.select("source", kh.alias("gh"))
-        .filter(F.col("gh").isNotNull())
-        .distinct()
+    grams = tok.select("source", kh.alias("gh")).filter(F.col("gh").isNotNull())
+    # one gh-keyed aggregation replaces both the distinct AND the pair
+    # self-join: each gram collapses to its sorted source set (bounded by
+    # the source count), and the persisted per-gram frame feeds totals
+    # and the local pair expansion — the gram set shuffles exactly once.
+    by_gram = (
+        grams.groupBy("gh")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
         .persist()
     )
-    totals = grams.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    totals = (
+        by_gram.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
     )
-    a, b = grams.alias("a"), grams.alias("b")
-    pairs = (
-        a.join(b, "gh")
-        .where(F.col("a.source") < F.col("b.source"))
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+    # C(s,2) ordered pairs per gram, expanded array-locally (no join):
+    # for each element x at position i, pair it with every later element.
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
         )
+    )
+    pairs = (
+        by_gram.select(F.explode(pair_structs).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
     from py_gtfs_duckdb_spark.functions import pround

@@ -91,6 +91,8 @@ _PRIORITY = [
     "q_minhash_calibration",
     "q_length_buckets",
     "q_embedding_audit",
+    "q_split_rescue",
+    "q_doc_scorecard",
     # 2-round group (displaced late in round 5)
     "q_window_sliding",
     "q_agg_approx_distinct",
@@ -125,9 +127,9 @@ _PRIORITY = [
     "q_fn_sha256",
     "q_stream_dedup_latest",
     "q_ttl_retention",
+    # --- window boundary: 50 entries above this line ---
     "q_topk_per_group",
     "q_agg_count_distinct",
-    # --- window boundary: 50 entries above this line ---
     # stale §2 remainder (the round-6 additions displaced seven of these
     # to fund their slots): next in line for round 7 alongside the
     # back-rotating round-5 wave below

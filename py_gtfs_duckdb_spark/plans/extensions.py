@@ -2556,3 +2556,102 @@ def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dead dimensions waste index capacity, runaway ones dominate every
     distance (operators/annq.py:embedding_audit)."""
     return AQ.embedding_audit(t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q_split_rescue",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_split_case_sql()} AS split,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), wh AS (
+        SELECT doc_id, split,
+               [('0x' || substr(md5(x), 1, 12))::BIGINT % 2147483647
+                for x in ws] AS hs,
+               len(ws) AS nw
+        FROM w
+    ), kg AS (
+        SELECT doc_id, split,
+               unnest([{_horner_sql(3)}
+                       for i in range(1, nw - 3 + 2)]) AS gh
+        FROM wh WHERE nw >= 3
+    ), grams AS (
+        SELECT DISTINCT doc_id, split, gh FROM kg
+    ), tg AS (
+        SELECT DISTINCT gh FROM grams WHERE split = 'train'
+    ), lk AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_leaked
+        FROM (SELECT doc_id, gh FROM grams WHERE split <> 'train') e
+        JOIN tg USING (gh) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           {_split_case_sql()} AS split,
+           CASE WHEN {_split_case_sql()} <> 'train'
+                     AND COALESCE(n_leaked, 0) > 0
+                THEN 'train' ELSE {_split_case_sql()} END AS final_split,
+           CAST(COALESCE(n_leaked, 0) AS BIGINT) AS n_leaked
+    FROM documents d LEFT JOIN lk USING (doc_id)
+    """,
+)
+def q_split_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-aware split repair: val/test documents sharing any
+    distinct 3-gram with the train slice demote to train (an eval example
+    the model may have seen measures memorization, not generalization);
+    n_leaked carries the evidence. One persisted gram pass, hash-keyed
+    semi-join against the train gram set — never broadcast, it scales
+    with the corpus (operators/pipeline.py:rescue_leaked_eval)."""
+    return P.rescue_leaked_eval(t(spark, sf_dir, "documents"), n=3)
+
+
+# ---------------------------------------------------------------------------
+# the per-document scorecard: one curation record joining four audits
+# ---------------------------------------------------------------------------
+
+from py_gtfs_duckdb_spark.plans import ORACLE as _REG  # noqa: E402
+
+
+def _scorecard_oracle_sql() -> str:
+    """Compose the four per-document audit oracles as subqueries joined
+    on doc_id — each is a standalone SELECT over the same views, so the
+    composition is mechanical and stays in lockstep with the originals
+    (they are read from the registry, not duplicated)."""
+    return rf"""
+    SELECT b.doc_id,
+           CAST(len(regexp_extract_all(b.text, '\w+|[^\w\s]')) AS BIGINT)
+               AS n_tokens,
+           q.quality, nov.shared_frac, nl.nll, ds.dsir
+    FROM documents b
+    JOIN ({_REG["q_text_quality"]}) q USING (doc_id)
+    JOIN ({_REG["q_ngram_novelty"]}) nov USING (doc_id)
+    JOIN ({_REG["q_unigram_nll"]}) nl USING (doc_id)
+    JOIN ({_REG["q_dsir_weights"]}) ds USING (doc_id)
+    """
+
+
+@query("q_doc_scorecard", oracle=_scorecard_oracle_sql())
+def q_doc_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document curation record: token count, heuristic quality,
+    duplicated-n-gram fraction, unigram-LM NLL, and DSIR target-domain
+    weight in ONE row per document — the table a mixture designer
+    actually filters/sorts on. Each audit keeps its proven single-pass
+    shape; the scorecard is the final doc_id join tree (sort-merge joins
+    all share the doc_id partitioning, so each join exchanges only its
+    new side). The oracle composes the four registered audit oracles as
+    subqueries — no duplicated SQL to drift."""
+    from py_gtfs_duckdb_spark.operators.text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    base = d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    q = X.quality_score(d)
+    nov = X.ngram_novelty(d).select("doc_id", "shared_frac")
+    nll = L.unigram_nll(d).select("doc_id", "nll")
+    ds = L.dsir_weights(d, F.col("source").isin(*_DSIR_TARGET)).select(
+        "doc_id", "dsir"
+    )
+    return (
+        base.join(q, "doc_id")
+        .join(nov, "doc_id")
+        .join(nll, "doc_id")
+        .join(ds, "doc_id")
+    )

@@ -167,3 +167,31 @@ def test_embedding_audit_moments(spark):
     assert got[0]["mean"] == 0.2 and abs(got[0]["var"] - 0.01) < 1e-9
     assert got[1]["var"] == 0.0 and got[1]["min_val"] == 0.5
     assert got[0]["n_vecs"] == 2
+
+
+def test_rescue_leaked_eval_demotes_contaminated(spark):
+    """With a corpus of identical docs, every val/test doc shares all its
+    3-grams with train and demotes; train docs never move. A corpus of
+    all-unique docs rescues nothing."""
+    from py_gtfs_duckdb_spark.operators.pipeline import rescue_leaked_eval
+
+    same = "the same boilerplate sentence repeated in every document body"
+    docs = spark.createDataFrame(
+        [(i, same) for i in range(3000)], "doc_id long, text string"
+    )
+    rows = rescue_leaked_eval(docs, n=3).collect()
+    assert len(rows) == 3000
+    for r in rows:
+        if r["split"] == "train":
+            assert r["final_split"] == "train"
+        else:
+            assert r["final_split"] == "train" and r["n_leaked"] > 0
+
+    # every word is doc-unique, so no 3-gram can cross a split boundary
+    uniq = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} d{i} e{i} f{i}") for i in range(3000)],
+        "doc_id long, text string",
+    )
+    rows = rescue_leaked_eval(uniq, n=3).collect()
+    assert all(r["split"] == r["final_split"] for r in rows)
+    assert all(r["n_leaked"] == 0 for r in rows if r["split"] != "train")

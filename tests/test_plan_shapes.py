@@ -251,11 +251,18 @@ def test_dsir_single_explode(spark, sf_dir):
 
 
 def test_split_leakage_single_gram_pass(spark, sf_dir):
-    """The rolling-hash gram frame builds once (persisted) even though
-    three consumers read it (both self-join sides + totals); only
-    (split, 8-byte hash) pairs shuffle."""
+    """The CORPUS-side token explode (posexplode over the word-hash
+    array) runs exactly once — the per-gram source-set frame persists
+    and its downstream pair/totals explodes are array-local over the
+    tiny cached rows, never a second corpus pass. Only (split, 8-byte
+    hash) pairs shuffle."""
     plan = _plan(spark, sf_dir, "q_split_leakage")
-    assert sum(1 for l in plan.splitlines() if ") Generate" in l) == 1, plan[:800]
+    corpus_explodes = sum(
+        1
+        for l in plan.splitlines()
+        if "Arguments" in l and "posexplode" in l
+    )
+    assert corpus_explodes == 1, plan[:800]
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
             assert "text#" not in l, l
@@ -269,3 +276,15 @@ def test_ivf_cell_profile_single_pass(spark, sf_dir):
     # the tree prints "MapInPandas (N)" once; the node detail repeats it
     assert plan.count("MapInPandas (") == 1, plan[:800]
     assert "CartesianProduct" not in plan
+
+
+def test_split_rescue_single_gram_pass(spark, sf_dir):
+    """The rolling-hash gram frame builds once (persisted) for both the
+    train-side hash set and the eval-side probe; no text strings in any
+    shuffle, no cartesian fallback."""
+    plan = _plan(spark, sf_dir, "q_split_rescue")
+    assert sum(1 for l in plan.splitlines() if ") Generate" in l) == 1, plan[:800]
+    assert "CartesianProduct" not in plan
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "text#" not in l, l
