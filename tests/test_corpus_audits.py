@@ -195,3 +195,127 @@ def test_rescue_leaked_eval_demotes_contaminated(spark):
     rows = rescue_leaked_eval(uniq, n=3).collect()
     assert all(r["split"] == r["final_split"] for r in rows)
     assert all(r["n_leaked"] == 0 for r in rows if r["split"] != "train")
+
+
+# ---------------------------------------------------------------------------
+# differential property tests: round-6 audits vs pure-Python models
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+import pytest  # noqa: E402
+
+# tiny vocabulary -> frequent cross-doc n-gram collisions
+_texts = st.lists(
+    st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=10).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _novelty_model(texts: list[str], n: int):
+    from collections import Counter
+
+    grams_by_doc = []
+    for t in texts:
+        ws = [x for x in t.split(" ") if x]
+        grams_by_doc.append(
+            {tuple(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+        )
+    df = Counter(g for grams in grams_by_doc for g in grams)
+    out = {}
+    for doc_id, grams in enumerate(grams_by_doc):
+        shared = sum(1 for g in grams if df[g] >= 2)
+        frac = (
+            __import__("math").floor(shared / len(grams) * 10000 + 0.5) / 10000
+            if grams
+            else 0.0
+        )
+        out[doc_id] = (len(grams), shared, frac)
+    return out
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_texts, n=st.integers(min_value=2, max_value=3))
+def test_ngram_novelty_matches_python_model(spark, texts, n):
+    """The window/aggregation plan must agree with the obvious
+    sequential model on random small corpora — including empty docs,
+    docs shorter than one n-gram, and within-doc repeated grams (which
+    must count once: the gram frame is DISTINCT per doc)."""
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_shared"], r["shared_frac"])
+        for r in ngram_novelty(docs, n=n).collect()
+    }
+    assert got == _novelty_model(texts, n)
+
+
+def _length_model(texts: list[str], caps: tuple):
+    import math
+    import re
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n, kept, tr, lost
+    top = caps[-1]
+    for t in texts:
+        nt = len(re.findall(r"\w+|[^\w\s]", t))
+        cap = next((c for c in caps if nt <= c), top)
+        a = agg[cap]
+        a[0] += 1
+        a[1] += min(nt, top)
+        a[2] += 1 if nt > top else 0
+        a[3] += max(nt - top, 0)
+    out = {}
+    for cap, (n, kept, tr, lost) in agg.items():
+        waste = cap * n - kept
+        out[cap] = (
+            n, kept, waste,
+            math.floor(waste / (cap * n) * 10000 + 0.5) / 10000,
+            tr, lost,
+        )
+    return out
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["word", "x", "yz"]), max_size=20).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_length_buckets_matches_python_model(spark, texts):
+    from py_gtfs_duckdb_spark.operators.pipeline import length_buckets
+
+    caps = (2, 4, 8)
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["cap"]: (
+            r["n_docs"], r["token_mass"], r["pad_waste"], r["waste_frac"],
+            r["n_truncated"], r["trunc_tokens"],
+        )
+        for r in length_buckets(docs, caps=caps).collect()
+    }
+    assert got == _length_model(texts, caps)
