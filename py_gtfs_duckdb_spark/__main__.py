@@ -335,6 +335,60 @@ def cmd_mix(args) -> None:
                      sort_keys=True))
 
 
+def cmd_audit(args) -> None:
+    """Corpus audit over a documents parquet: per-document scorecard
+    (tokens, quality, duplicated-n-gram fraction) written to parquet,
+    plus split-leakage and padding-waste summaries as one JSON line."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from py_gtfs_duckdb_spark.operators.pipeline import (
+        length_buckets,
+        split_leakage,
+    )
+    from py_gtfs_duckdb_spark.operators.text import (
+        ngram_novelty,
+        quality_score,
+        token_count,
+    )
+    from py_gtfs_duckdb_spark.session import get_spark
+
+    spark = get_spark("gtfs-cli")
+    docs = spark.read.parquet(args.input)
+    base = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    card = (
+        base.join(quality_score(docs), "doc_id")
+        .join(
+            ngram_novelty(docs, n=args.ngram).select("doc_id", "shared_frac"),
+            "doc_id",
+        )
+    )
+    card.write.mode("overwrite").parquet(args.output)
+    leak = {
+        f"{r['split_a']}|{r['split_b']}": r["jaccard"]
+        for r in split_leakage(docs, n=args.ngram).collect()
+    }
+    waste = {
+        int(r["cap"]): r["waste_frac"] for r in length_buckets(docs).collect()
+    }
+    stats = card.selectExpr(
+        "count(*) AS docs",
+        "floor(avg(shared_frac) * 10000 + 0.5) / 10000 AS mean_shared_frac",
+    ).first()
+    print(json.dumps(
+        {
+            "docs": stats["docs"],
+            "mean_shared_frac": stats["mean_shared_frac"],
+            "split_leakage_jaccard": leak,
+            "pad_waste_frac_by_cap": waste,
+        },
+        sort_keys=True,
+    ))
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="py_gtfs_duckdb_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -445,6 +499,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--token-budget", "-b", type=int, required=True)
     sp.set_defaults(fn=cmd_mix)
+
+    sp = sub.add_parser(
+        "audit",
+        help="corpus audit: per-doc scorecard parquet + leakage/padding JSON",
+    )
+    sp.add_argument("--input", "-i", required=True, help="documents parquet path")
+    sp.add_argument("--output", "-o", required=True, help="scorecard parquet path")
+    sp.add_argument(
+        "--ngram", "-n", type=int, default=3,
+        help="n-gram size for novelty/leakage (default 3)",
+    )
+    sp.set_defaults(fn=cmd_audit)
 
     args = p.parse_args(argv)
     args.fn(args)

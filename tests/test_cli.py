@@ -184,3 +184,31 @@ def test_cli_score_self_and_external_model(spark, tmp_path, capsys):
     assert main(["score", "-i", tgt, "-o", out2, "-m", src]) == 0
     back2 = {r["doc_id"]: r["nll"] for r in spark.read.parquet(out2).collect()}
     assert back2 == {9: 1.3863}
+
+
+def test_cli_audit_end_to_end(spark, tmp_path, capsys):
+    import json
+
+    from py_gtfs_duckdb_spark.__main__ import main
+
+    same = "the same boilerplate sentence repeated in every document body"
+    docs = spark.createDataFrame(
+        [(i, same) for i in range(200)]
+        + [(1000 + i, f"u{i} v{i} w{i} x{i} y{i} z{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "card")
+    assert main(["audit", "-i", src, "-o", out]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs"] == 210
+    # 200/210 docs are verbatim copies -> mean duplicated-gram fraction high
+    assert summary["mean_shared_frac"] > 0.9
+    assert all(0.0 <= j <= 1.0 for j in summary["split_leakage_jaccard"].values())
+    assert summary["pad_waste_frac_by_cap"]
+
+    back = spark.read.parquet(out)
+    assert back.count() == 210
+    assert set(back.columns) == {"doc_id", "n_tokens", "quality", "shared_frac"}
