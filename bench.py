@@ -91,6 +91,7 @@ EXTRA = [
     "q_embedding_audit",
     "q_split_rescue",
     "q_doc_scorecard",
+    "q_dedup_keep_topk",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

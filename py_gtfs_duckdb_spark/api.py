@@ -17,6 +17,7 @@ from py_gtfs_duckdb_spark.session import get_spark, load_tables  # noqa: F401
 from py_gtfs_duckdb_spark.operators.dedup import (  # noqa: F401
     exact_jaccard,
     keep_canonical,
+    keep_top_k,
     lsh_bands,
     minhash_calibration,
     minhash_lsh_dedup,

@@ -800,3 +800,44 @@ def minhash_calibration(
             ).alias("avg_jaccard"),
         )
     )
+
+
+def keep_top_k(
+    clusters: DataFrame,
+    scores: DataFrame,
+    k: int = 2,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Generalized dedup action: keep the top-``k`` members per near-dup
+    cluster instead of one — the retention knob real pipelines tune
+    (duplicates are not worthless, they up-weight; capping the count per
+    cluster bounds the up-weighting without deleting diversity).
+    ``k=1`` degenerates to :func:`keep_canonical`'s choice. Returns
+    (cluster_col, doc_id, rank, n_members, score) for the KEPT members;
+    callers anti-join the rest out of the corpus.
+
+    Same contracts as keep_canonical: scores join LEFT (unscored members
+    rank below any scored one, ties to the smallest id — a missing score
+    must never delete a cluster), and one hash shuffle on the cluster id
+    serves both windows."""
+    from pyspark.sql import Window
+
+    j = clusters.join(scores, id_col, "left")
+    w_rank = Window.partitionBy(cluster_col).orderBy(
+        F.desc_nulls_last(score_col), F.asc(id_col)
+    )
+    w_all = Window.partitionBy(cluster_col)
+    return (
+        j.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("n_members", F.count(F.lit(1)).over(w_all).cast("bigint"))
+        .where(F.col("__rn") <= k)
+        .select(
+            cluster_col,
+            id_col,
+            F.col("__rn").cast("bigint").alias("rank"),
+            "n_members",
+            F.col(score_col).alias("score"),
+        )
+    )

@@ -93,6 +93,7 @@ _PRIORITY = [
     "q_embedding_audit",
     "q_split_rescue",
     "q_doc_scorecard",
+    "q_dedup_keep_topk",
     # 2-round group (displaced late in round 5)
     "q_window_sliding",
     "q_agg_approx_distinct",
@@ -126,8 +127,8 @@ _PRIORITY = [
     "q_fn_case_enum",
     "q_fn_sha256",
     "q_stream_dedup_latest",
-    "q_ttl_retention",
     # --- window boundary: 50 entries above this line ---
+    "q_ttl_retention",
     "q_topk_per_group",
     "q_agg_count_distinct",
     # stale §2 remainder (the round-6 additions displaced seven of these

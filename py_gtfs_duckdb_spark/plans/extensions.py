@@ -2655,3 +2655,35 @@ def q_doc_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nll, "doc_id")
         .join(ds, "doc_id")
     )
+
+
+@query(
+    "q_dedup_keep_topk",
+    # same composed CTEs as q_dedup_keep_canonical with rn <= k
+    oracle=f"""
+    WITH RECURSIVE {_clusters_oracle_ctes()},
+    q AS ({_quality_oracle_sql()}),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id, q.quality,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                   ORDER BY q.quality DESC, c.doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY c.cluster_id) AS nm
+        FROM clusters c JOIN q ON q.doc_id = c.doc_id
+    )
+    SELECT cluster_id, doc_id, CAST(rn AS BIGINT) AS rank,
+           CAST(nm AS BIGINT) AS n_members, quality AS score
+    FROM ranked WHERE rn <= 2
+    """,
+)
+def q_dedup_keep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tunable dedup action: keep the top-2 highest-quality members
+    per near-dup cluster — duplicates up-weight rather than disappear,
+    capped per cluster (operators/dedup.py:keep_top_k; k=1 degenerates
+    to keep_canonical)."""
+    d = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(d, "text", "doc_id", k=3, threshold=0.7)
+    cc = G.connected_components(pairs, "id_a", "id_b")
+    clusters = cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    return D.keep_top_k(clusters, X.quality_score(d), k=2)

@@ -319,3 +319,28 @@ def test_length_buckets_matches_python_model(spark, texts):
         for r in length_buckets(docs, caps=caps).collect()
     }
     assert got == _length_model(texts, caps)
+
+
+def test_keep_top_k_caps_cluster_retention(spark):
+    """k=2 keeps the two best-scored members per cluster (ties to the
+    smaller id), singleton clusters keep their only member, and a member
+    missing from the score table still counts and can still be kept."""
+    from py_gtfs_duckdb_spark.operators.dedup import keep_top_k
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 30), (6, 30)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.7), (4, 0.1), (5, 0.3)],  # 6 unscored
+        "doc_id long, quality double",
+    )
+    rows = keep_top_k(clusters, scores, k=2).collect()
+    got = {(r["cluster_id"], r["doc_id"]): (r["rank"], r["n_members"]) for r in rows}
+    assert got == {
+        (10, 2): (1, 3),  # best quality
+        (10, 3): (2, 3),  # second best; doc 1 dropped
+        (20, 4): (1, 1),
+        (30, 5): (1, 2),  # scored beats unscored
+        (30, 6): (2, 2),  # unscored member still kept within k
+    }
