@@ -170,10 +170,13 @@ AUDITED = [
     ),
     (
         "q_source_overlap",
-        "Cross-source n-gram contamination matrix: winnow rolling-hash"
-        " window (one doc-keyed shuffle), per-source distinct over"
-        " 8-byte gram hashes, hash-keyed self-join bounded by sources²"
-        " per gram, totals broadcast back — gram STRINGS never shuffle.",
+        "Cross-source n-gram contamination matrix, join-free shape: ONE"
+        " winnow rolling-hash pass, one gh-keyed aggregation collapsing"
+        " each gram to its sorted source set (persisted — feeds totals"
+        " AND pairs), pairs expanded ARRAY-LOCALLY as C(s,2) structs per"
+        " gram (bounded by sources², no self-join, the gram set crosses"
+        " the wire once), totals broadcast back — gram STRINGS never"
+        " shuffle.",
     ),
     (
         "q_unigram_nll",
@@ -191,6 +194,96 @@ AUDITED = [
         " broadcast back) and intra-bucket windows partitioned by"
         " (source, bucket) — no one-fat-partition-per-source window on"
         " the corpus side.",
+    ),
+    (
+        "q_ngram_novelty",
+        "Per-document duplicated-n-gram fraction (memorization audit):"
+        " ONE token explode + rolling-hash window pass builds the"
+        " distinct (doc, gram-hash) frame, a gh-keyed window marks"
+        " corpus document-frequency in place, and a single per-doc hash"
+        " aggregation rolls up both counters — no dup-set join, no"
+        " second gram pass, only (id, 8-byte hash) pairs in any"
+        " Exchange.",
+    ),
+    (
+        "q_dsir_weights",
+        "DSIR importance weights: the bigram-bucket explode collapses"
+        " immediately into a persisted per-(doc, is_target, bucket)"
+        " count table; the 2x64-row model counts derive from that table"
+        " (tiny agg) and broadcast back for the per-doc log-ratio sum."
+        " The explode — the dominant cost — runs once; integer"
+        " micro-nat quantization keeps every aggregation an exact"
+        " BIGINT sum.",
+    ),
+    (
+        "q_split_leakage",
+        "Cross-split n-gram leakage: same join-free machinery as"
+        " q_source_overlap keyed on the computed split — one corpus"
+        " token explode, one gh-keyed source-set aggregation"
+        " (persisted), array-local pair expansion, broadcast totals.",
+    ),
+    (
+        "q_split_rescue",
+        "Contamination-aware split repair: the rolling-hash gram frame"
+        " builds ONCE (persisted; the split label attaches as a narrow"
+        " md5 expression, no join) and feeds both the train-side"
+        " distinct hash set and the eval-side probe. The semi-join is"
+        " hash-keyed — AQE broadcasts at bench scale, degrades to a"
+        " shuffle join at corpus scale (no forced broadcast: the train"
+        " gram set grows with the corpus).",
+    ),
+    (
+        "q_ivf_cell_profile",
+        "IVF index-quality profile: one narrow mapInPandas assignment"
+        " pass over the quantized vectors emits at most n_centroids"
+        " partial (cell, count, inertia) rows per Arrow batch, combined"
+        " by a groupBy over tiny rows; the all-cells frame left-joins"
+        " without touching the corpus again. Exact BIGINT inertia"
+        " end-to-end, so the whole audit replays in the SQL oracle.",
+    ),
+    (
+        "q_minhash_calibration",
+        "MinHash estimator calibration curve: identical spine to"
+        " q_dedup_minhash_lsh — one narrow Arrow pass builds the"
+        " per-doc shingle-set + signature row (persisted), bucket-local"
+        " band self-join for candidates, hash-keyed joins for signature"
+        " agreement and exact Jaccard — closed by a <= K+1-row"
+        " aggregation. Exact Jaccard quantizes to basis-point BIGINTs"
+        " before the sum, so the averages are aggregation-order-free.",
+    ),
+    (
+        "q_length_buckets",
+        "Padding-waste audit: one narrow projection (token count +"
+        " chained CASE, whole-stage codegen) and one tiny hash"
+        " aggregation — map-side combine reduces every partition to"
+        " <= len(caps) rows before the only Exchange.",
+    ),
+    (
+        "q_embedding_audit",
+        "Per-dimension embedding moments: quantize + posexplode in one"
+        " codegen'd pass, then a single hash aggregation keyed by dim —"
+        " partial aggregation collapses each partition to `dim` rows"
+        " before the only Exchange. All moment accumulators are exact"
+        " BIGINT sums; floats appear only in the fixed-order epilogue"
+        " per output row.",
+    ),
+    (
+        "q_doc_scorecard",
+        "Per-document scorecard: a doc_id join tree over the four audit"
+        " outputs, each keeping its proven single-pass shape. AQE"
+        " broadcasts the per-doc audit sides at bench scale; at corpus"
+        " scale they degrade to sort-merge joins that share the doc_id"
+        " partitioning, so each join exchanges only its new side. The"
+        " oracle is composed from the four registered audit oracles as"
+        " subqueries — zero duplicated SQL to drift.",
+    ),
+    (
+        "q_dedup_keep_topk",
+        "Top-k cluster retention: the minhash/CC spine is the audited"
+        " q_dedup_keep_canonical shape; the action itself is ONE hash"
+        " shuffle on the cluster id serving both windows (rank and"
+        " member count share the partitioning), with cluster sizes"
+        " bounding the window partitions.",
     ),
 ]
 
