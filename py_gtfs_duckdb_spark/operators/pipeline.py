@@ -322,6 +322,7 @@ def curate_corpus(
     near_dup_threshold: float = 0.7,
     apply_quality_rules: bool = True,
     nll_band: tuple[float, float] | None = None,
+    max_shared_frac: float | None = None,
     with_report: bool = True,
 ) -> tuple[DataFrame, dict]:
     """The whole corpus-curation pipeline as ONE composition — the
@@ -333,7 +334,10 @@ def curate_corpus(
        highest-quality representative per cluster (keep_canonical);
     3. Gopher-style boolean quality rules (optional — ``pass_all``),
        then an optional unigram-LM NLL band filter (``nll_band=(lo,
-       hi)`` keeps docs whose mean NLL lies inside the band);
+       hi)`` keeps docs whose mean NLL lies inside the band), then an
+       optional residual-duplication cap (``max_shared_frac`` drops
+       docs whose duplicated-n-gram fraction exceeds it — partial
+       copies below the LSH threshold);
     4. PII redaction (emails / IPv4 / NANP phones → typed placeholders);
     5. annotation: detected language, leakage-safe train/val/test split,
        token count.
@@ -436,6 +440,26 @@ def curate_corpus(
             # its use once the post-filter frame is materialized
             pre_nll.unpersist()
 
+    # 3c — optional residual-duplication filter: drop documents whose
+    # duplicated-n-gram fraction (vs the survivors so far) exceeds the
+    # cap — the memorization-risk cleanup for near-dup text the
+    # doc-level tiers missed (partial copies below the LSH threshold).
+    if max_shared_frac is not None:
+        from py_gtfs_duckdb_spark.operators.text import ngram_novelty
+
+        fresh = (
+            ngram_novelty(d3, text_col=text_col, id_col=id_col)
+            .where(F.col("shared_frac") <= float(max_shared_frac))
+            .select(id_col)
+        )
+        pre_nov = d3
+        d3 = d3.join(fresh, id_col, "left_semi")
+        if with_report:
+            d3 = d3.persist()
+            report["after_novelty_filter"] = d3.count()
+            if pre_nov is not d2:
+                pre_nov.unpersist()
+
     # 4 — PII redaction (counts on original text, then text := redacted)
     scrub = pii_scrub(d3, text_col, id_col)
     if with_report:
@@ -456,7 +480,8 @@ def curate_corpus(
     )
     if with_report:
         report["output_docs"] = report.get(
-            "after_nll_filter", report["after_quality_rules"]
+            "after_novelty_filter",
+            report.get("after_nll_filter", report["after_quality_rules"]),
         )
     return out, report
 

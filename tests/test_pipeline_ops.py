@@ -472,6 +472,37 @@ def test_curate_corpus_nll_band_filters_outliers(spark):
     assert {r["doc_id"] for r in out2.collect()} == kept | {99}
 
 
+def test_curate_corpus_novelty_cap_drops_partial_copies(spark):
+    """Docs sharing most of their 5-grams with others (partial copies
+    below the LSH doc-level threshold) drop under the cap; unique docs
+    survive, and the report records the stage. max_shared_frac=None
+    leaves behavior untouched."""
+    # ten docs share a long 9-word run but differ in a unique 6-word
+    # tail: pairwise Jaccard ~0.3 (below the 0.7 near-dup threshold),
+    # yet most of each doc's 5-grams recur corpus-wide.
+    shared = "one two three four five six seven eight nine"
+    partial = [
+        (i, f"{shared} t{i}a t{i}b t{i}c t{i}d t{i}e t{i}f")
+        for i in range(10)
+    ]
+    uniq = [
+        (100 + i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h")
+        for i in range(3)
+    ]
+    docs = spark.createDataFrame(partial + uniq, "doc_id long, text string")
+    out, report = P.curate_corpus(
+        docs, apply_quality_rules=False, max_shared_frac=0.2
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {100, 101, 102}
+    assert report["after_novelty_filter"] == 3
+    assert report["output_docs"] == 3
+
+    out2, report2 = P.curate_corpus(docs, apply_quality_rules=False)
+    assert "after_novelty_filter" not in report2
+    assert len(out2.collect()) == 13
+
+
 def test_corpus_diff_statuses_and_silence(spark):
     """All three statuses; unchanged docs and whitespace-only edits
     (normalized away by the fingerprint) emit nothing."""
