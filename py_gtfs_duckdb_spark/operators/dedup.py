@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from py_gtfs_duckdb_spark.functions import fan_out, pround
+from py_gtfs_duckdb_spark.operators._scope import shared
 
 # Deterministic permutation constants for MinHash: h_i(x) = (a_i*x + b_i) mod P.
 # P = 2^31-1 (Mersenne prime); a,b fixed so Spark and the SQL oracle agree.
@@ -337,7 +338,7 @@ def minhash_lsh_dedup(
     low-selectivity corpora, where bucket joins alone would admit O(n²)
     candidates. The fused per-doc row feeds three consumers — persist it
     once; every stage below selects the columns it needs from it."""
-    sets = shingle_signatures(df, text_col, id_col, k).persist()
+    sets = shared(shingle_signatures(df, text_col, id_col, k))
     cand = lsh_candidate_pairs(sets)
     # estimate prune first (narrow), THEN collapse band-duplicates: the
     # dedup shuffle moves only the pruned survivors, not the raw flood.
@@ -373,8 +374,8 @@ def minhash_lsh_dedup_incremental(
     should manage cache lifecycle itself, the way
     streaming/ingest.NearDupIngestGate persists and unpersists per
     batch."""
-    new_sets = shingle_signatures(new_docs, text_col, id_col, k).persist()
-    corpus_sets = shingle_signatures(corpus_docs, text_col, id_col, k).persist()
+    new_sets = shared(shingle_signatures(new_docs, text_col, id_col, k))
+    corpus_sets = shared(shingle_signatures(corpus_docs, text_col, id_col, k))
     cand = (
         lsh_bands(new_sets)
         .select(F.col("id").alias("id_a"), "bk")
@@ -449,7 +450,7 @@ def ngram_jaccard_pairs(
     sets = shingle_sets(df, text_col, id_col, k)
     if freq_order:
         sets = frequency_ordered_sets(sets)
-    sets = sets.persist()
+    sets = shared(sets)
     prefix_len = (F.col("sz") - F.ceil(F.col("sz") * threshold) + 1).cast("int")
     prefixes = sets.select(
         "id",
@@ -756,7 +757,7 @@ def minhash_calibration(
     Shape at scale: identical to minhash_lsh_dedup (one narrow signature
     pass persisted, bucket-local band self-join, two hash-keyed joins on
     the deduped candidate list) plus a <= MINHASH_K+1-row aggregation."""
-    sets = shingle_signatures(df, text_col, id_col, k).persist()
+    sets = shared(shingle_signatures(df, text_col, id_col, k))
     cand = lsh_candidate_pairs(sets).dropDuplicates(["id_a", "id_b"])
     sig_a = sets.select(
         F.col("id").alias("id_a"),

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from py_gtfs_duckdb_spark.functions import pround
+from py_gtfs_duckdb_spark.operators._scope import shared
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -316,10 +317,9 @@ def dsir_weights(
     # is_t is functionally dependent on the doc id, so grouping by it too
     # costs nothing and lets the model counts derive from `per` instead
     # of re-exploding the corpus.
-    per = (
+    per = shared(
         feats.groupBy(id_col, "is_t", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .persist()
     )
     counts = per.groupBy("bucket").agg(
         F.sum(F.col("tf") * F.col("is_t")).cast("bigint").alias("ct"),

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from py_gtfs_duckdb_spark.operators._scope import shared
 from py_gtfs_duckdb_spark.operators.text import token_count, winnow_fingerprints
 
 
@@ -383,7 +384,7 @@ def curate_corpus(
     )
     d1 = docs.join(keep_exact, id_col, "left_semi")
     if with_report:
-        d1 = d1.persist()
+        d1 = shared(d1)
         report["after_exact_dedup"] = d1.count()
 
     # 2 — near-dup canonicalization
@@ -400,7 +401,7 @@ def curate_corpus(
     ).select(id_col)
     d2 = d1.join(dropped, id_col, "left_anti")
     if with_report:
-        d2 = d2.persist()
+        d2 = shared(d2)
         report["after_near_dedup"] = d2.count()
         d1.unpersist()
 
@@ -409,7 +410,7 @@ def curate_corpus(
         passing = quality_rules(d2, text_col, id_col).filter("pass_all").select(id_col)
         d3 = d2.join(passing, id_col, "left_semi")
         if with_report:
-            d3 = d3.persist()
+            d3 = shared(d3)
     else:
         d3 = d2
     if with_report:
@@ -434,7 +435,7 @@ def curate_corpus(
         pre_nll = d3  # still persisted under with_report (step 3's cache)
         d3 = d3.join(in_band, id_col, "left_semi")
         if with_report:
-            d3 = d3.persist()
+            d3 = shared(d3)
             report["after_nll_filter"] = d3.count()
             # mirror the d1/d2 handling: the pre-filter cache has served
             # its use once the post-filter frame is materialized
@@ -455,7 +456,7 @@ def curate_corpus(
         pre_nov = d3
         d3 = d3.join(fresh, id_col, "left_semi")
         if with_report:
-            d3 = d3.persist()
+            d3 = shared(d3)
             report["after_novelty_filter"] = d3.count()
             if pre_nov is not d2:
                 pre_nov.unpersist()
@@ -695,10 +696,9 @@ def rescue_leaked_eval(
     pairs shuffle."""
     from py_gtfs_duckdb_spark.operators.text import doc_ngram_hashes
 
-    grams = (
+    grams = shared(
         doc_ngram_hashes(docs, n, text_col, id_col)
         .select("id", "gh", split_col(F.col("id")).alias("split"))
-        .persist()
     )
     train_gh = grams.filter(F.col("split") == "train").select("gh").distinct()
     leaked = (

@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from py_gtfs_duckdb_spark.functions import pround
+from py_gtfs_duckdb_spark.operators._scope import shared
 
 TOKEN_RE = r"\w+|[^\w\s]"  # BPE-ish: words plus standalone punctuation
 WORD_RE = r"[A-Za-z0-9]+"
@@ -589,10 +590,9 @@ def source_ngram_overlap(
     # self-join: each gram collapses to its sorted source set (bounded by
     # the source count), and the persisted per-gram frame feeds totals
     # and the local pair expansion — the gram set shuffles exactly once.
-    by_gram = (
+    by_gram = shared(
         grams.groupBy("gh")
         .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
-        .persist()
     )
     totals = (
         by_gram.select(F.explode("srcs").alias("source"))
@@ -696,26 +696,38 @@ def ngram_novelty(
     >= 2; docs too short for one n-gram survive as (id, 0, 0, 0.0).
 
     Scale shape: ONE doc-keyed window pass builds the rolling hashes
-    (the dominant cost — computed once, not once per downstream use),
-    then a gh-keyed window marks each distinct (doc, gram) row with its
-    corpus document-frequency in place, and a single per-doc hash
-    aggregation rolls up both counters. Only (id, 8-byte hash) pairs
-    shuffle; no self-join, no dup-set join, no gram strings in any
-    shuffle."""
-    from pyspark.sql.window import Window
+    (the dominant cost — persisted, so its three consumers below share
+    it), then corpus document-frequency comes from a map-side-combinable
+    ``groupBy("gh").count()`` — NOT a gh-keyed window: a window forces
+    every row of one gram hash into a single sorted partition, and a
+    boilerplate gram present in a large fraction of documents (the exact
+    thing this audit exists to find) becomes one straggler partition at
+    scale, whereas the groupBy reduces a hot key to ~num_partitions
+    partial rows. Duplicated grams (df >= 2) then mark documents via a
+    gh-keyed LEFT SEMI join — skew there is AQE-splittable, which a
+    window never is. Only (id, 8-byte hash) pairs shuffle; no self-join,
+    no gram strings in any shuffle."""
+    from py_gtfs_duckdb_spark.operators._scope import shared
 
-    grams = doc_ngram_hashes(df, n, text_col, id_col)
-    marked = grams.select(
-        "id",
-        F.when(
-            F.count(F.lit(1)).over(Window.partitionBy("gh")) >= 2, F.lit(1)
-        )
-        .otherwise(F.lit(0))
-        .alias("is_shared"),
+    grams = shared(doc_ngram_hashes(df, n, text_col, id_col))
+    dup_gh = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .filter(F.col("df_count") >= 2)
+        .select("gh")
     )
-    per = marked.groupBy("id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-        F.sum("is_shared").cast("bigint").alias("n_shared"),
+    n_tot = grams.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    n_sh = (
+        grams.join(dup_gh, "gh", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    per = n_tot.join(n_sh, "id", "left").select(
+        "id",
+        "n_grams",
+        F.coalesce("n_shared", F.lit(0).cast("bigint")).alias("n_shared"),
     )
     return (
         df.select(F.col(id_col).alias("id"))

@@ -25,10 +25,28 @@ ORACLE: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None):
-    """Register a declared query; ``oracle=None`` → rows-only check."""
+    """Register a declared query; ``oracle=None`` → rows-only check.
+
+    The registered callable releases the PREVIOUS query's scoped persists
+    on entry (operators/_scope.py): the driver, the replica, and bench all
+    run the battery sequentially in one shared session, so by the time
+    query N+1 starts building its plan, query N's consumers have
+    materialized and its shared frames are safe to free — and MUST be
+    freed, or a later same-shaped ``persist()`` hits the CacheManager's
+    "already cached" collision and silently recomputes its corpus explode
+    per consumer (the round-6 doubled-Generate bug)."""
 
     def deco(fn):
-        QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from py_gtfs_duckdb_spark.operators._scope import release_shared
+
+            release_shared()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = scoped
         if oracle is not None:
             ORACLE[name] = oracle
         return fn

@@ -21,3 +21,16 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _release_scoped_persists():
+    """Free any operator-scoped persists after each test: tests that call
+    operators DIRECTLY (not through the battery's release-on-entry
+    wrapper) must not leak cache entries into the next test — the
+    round-6 ordering bug (q_doc_scorecard parity run leaking its cached
+    frames into test_dsir_single_explode's plan)."""
+    yield
+    from py_gtfs_duckdb_spark.operators._scope import release_shared
+
+    release_shared()

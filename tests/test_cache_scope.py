@@ -1,0 +1,68 @@
+"""Cross-query cache-scope regressions (the round-6 persist-leak class).
+
+Operators persist shared frames via operators/_scope.shared(); every
+battery entry releases the previous query's frames on entry. These tests
+pin the two failure modes that slipped through round 6:
+
+1. the exact ordering that broke the round-6 suite — a materialized
+   q_doc_scorecard leaking its cached frames into q_dsir_weights' plan,
+   doubling the corpus explode;
+2. the driver's own execution model — the full 50-query window in ONE
+   shared session, in priority order, with no cache entry surviving the
+   battery.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+def _cache_manager_empty(spark) -> bool:
+    return bool(spark._jsparkSession.sharedState().cacheManager().isEmpty())
+
+
+def _generate_nodes(spark, sf_dir, name: str) -> int:
+    from py_gtfs_duckdb_spark.plans import QUERIES
+
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return sum(1 for l in buf.getvalue().splitlines() if ") Generate" in l)
+
+
+def test_scorecard_then_dsir_single_explode(spark, sf_dir):
+    """The round-6 red, verbatim: materialize q_doc_scorecard (which
+    composes dsir_weights and persists its helper frames), THEN assert
+    q_dsir_weights still plans exactly one corpus explode. Pre-fix, the
+    leaked cache entries collided with dsir's own persist ("already
+    cached") and the explode doubled."""
+    from py_gtfs_duckdb_spark.plans import QUERIES
+
+    assert QUERIES["q_doc_scorecard"](spark, sf_dir).count() > 0
+    assert _generate_nodes(spark, sf_dir, "q_dsir_weights") == 1
+    assert _generate_nodes(spark, sf_dir, "q_ngram_novelty") == 1
+
+
+def test_driver_window_shared_session_no_cache_interference(spark, sf_dir):
+    """Replicate the driver's execution model: the first 50 _PRIORITY
+    queries run back-to-back in ONE SparkSession, each materialized,
+    NO cache clearing between them (the driver does none). Afterwards a
+    single release must leave the CacheManager empty — any operator that
+    persisted outside the scoped registry (the round-6 leak) survives the
+    release and fails here — and the skew-sensitive plans must still
+    build with a single corpus explode."""
+    from py_gtfs_duckdb_spark.operators._scope import release_shared
+    from py_gtfs_duckdb_spark.plans import _PRIORITY, QUERIES
+
+    spark.catalog.clearCache()
+    for name in _PRIORITY[:50]:
+        assert QUERIES[name](spark, sf_dir).count() >= 0, name
+    release_shared()
+    assert _cache_manager_empty(spark), (
+        "cache entries survived the battery: some operator persisted "
+        "outside operators/_scope.shared()"
+    )
+    # the doubled-explode symptom, probed on the queries that persist
+    for name in ("q_dsir_weights", "q_ngram_novelty", "q_split_rescue"):
+        assert _generate_nodes(spark, sf_dir, name) == 1, name

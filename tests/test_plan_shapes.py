@@ -228,13 +228,23 @@ def test_corpus_diff_single_join_no_text_shuffle(spark, sf_dir):
 
 def test_ngram_novelty_single_gram_pass(spark, sf_dir):
     """The token explode + rolling-hash window (the dominant cost) runs
-    exactly once: corpus document-frequency is marked in place by a
-    gh-keyed window, not by recomputing the gram frame for a dup-set
-    join. No gram/text strings in any shuffle."""
+    exactly once (the gram frame persists for its three consumers), and
+    corpus document-frequency comes from a map-side-combinable groupBy —
+    NEVER a gh-keyed window, which would sort every row of a boilerplate
+    gram into one straggler partition at scale (the round-6 weak flag).
+    No gram/text strings in any shuffle."""
     plan = _plan(spark, sf_dir, "q_ngram_novelty")
-    assert plan.count("(4) Generate") + plan.count("Generate posexplode") <= 2
     # one Generate node total — the gram frame is built once
     assert sum(1 for l in plan.splitlines() if ") Generate" in l) == 1, plan[:800]
+    # the only window is the doc-keyed rolling hash: every window spec
+    # partitions on the doc id, none on the gram hash
+    specs = [
+        l for l in plan.splitlines() if "windowspecdefinition(" in l
+    ]
+    assert specs, plan[:800]
+    for l in specs:
+        assert "windowspecdefinition(id#" in l, l[:200]
+        assert "windowspecdefinition(gh#" not in l, l[:200]
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
             assert "text#" not in l, l
