@@ -95,6 +95,11 @@ EXTRA = [
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 
+# Extras whose median exceeds this get promoted to the full N_SAMPLES
+# regime (median+IQR): below it, run-to-run sandbox noise dominates any
+# regression a tighter estimate could expose.
+HEAVY_THRESHOLD_S = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_S", "1.0"))
+
 # The curate compositions are the heaviest single entries (~half the
 # headline total each as ONE query), so they get the full N_SAMPLES
 # round-robin treatment with per-sample arrays + IQR — separately from
@@ -194,17 +199,35 @@ def main() -> None:
     )
     print(f"# curate rules-on delta: {rules_delta:.3f}s", file=sys.stderr)
 
+    # Extras get N_EXTRA_SAMPLES measured runs each; any extra whose
+    # median lands above HEAVY_THRESHOLD_S is promoted to the full
+    # N_SAMPLES regime on the spot (VERDICT r6 Next #5: a 2x blip on a
+    # single-sample entry like the r6 q_join_asof_tol one is
+    # undiagnosable), and per-sample arrays + IQR are persisted for every
+    # extra so next round can separate noise from regression.
     extra: dict[str, float] = {}
+    extra_samples: dict[str, list[float]] = {}
+    extra_iqr: dict[str, float] = {}
     for name in EXTRA if N_EXTRA_SAMPLES > 0 else []:
         runs = []
         for i in range(N_EXTRA_SAMPLES + 1):
             elapsed, n = run_once(name)
             if i > 0:  # first run is warmup (codegen / codebook training)
                 runs.append(elapsed)
+        while statistics.median(runs) > HEAVY_THRESHOLD_S and len(runs) < N_SAMPLES:
+            elapsed, n = run_once(name)
+            runs.append(elapsed)
         extra[name] = round(statistics.median(runs), 3)
+        extra_samples[name] = [round(r, 4) for r in runs]
+        if len(runs) >= 2:
+            quartiles = statistics.quantiles(runs, n=4)
+            extra_iqr[name] = round(quartiles[2] - quartiles[0], 3)
+        else:
+            extra_iqr[name] = 0.0
         print(
-            f"# extra {name}: {extra[name]:.3f}s median of "
-            f"{[round(r, 3) for r in runs]} ({n} rows)",
+            f"# extra {name}: {extra[name]:.3f}s median, IQR "
+            f"{extra_iqr[name]:.3f}s over {[round(r, 3) for r in runs]} "
+            f"({n} rows)",
             file=sys.stderr,
         )
 
@@ -228,6 +251,8 @@ def main() -> None:
                     for i in range(N_SAMPLES)
                 ],
                 "extra_queries": extra,
+                "extra_samples": extra_samples,
+                "extra_iqr": extra_iqr,
                 "curate": curate,
                 "curate_rules_delta": rules_delta,
                 "sum_of_mins": round(sum(min(v) for v in samples.values()), 3),

@@ -173,23 +173,27 @@ def unigram_nll(
     require correctly-rounded ``ln``, so a cross-libm deployment could in
     principle flip a quantization boundary. If that ever bites, derive q
     from integer-only math (fixed-point log via bit_length + a small
-    table — the winnow-hash approach). Scale: two token-keyed hash
-    aggregations and one join keyed on the word (AQE picks broadcast
-    while the vocabulary fits, sort-merge beyond); no windows, no
-    driver-side state."""
+    table — the winnow-hash approach). Scale: ONE corpus explode — the
+    per-(doc, word) count table persists (scoped registry) and the
+    self-trained model's corpus counts derive from it by a tiny
+    re-aggregation instead of re-exploding the corpus (the dsir_weights
+    trick; before it, the model's two consumers — total and qw — each
+    re-ran the corpus explode, three passes in all); one join keyed on
+    the word (AQE picks broadcast while the vocabulary fits, sort-merge
+    beyond); no windows, no driver-side state."""
+    per = shared(
+        df.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
     if model is None:
-        model = unigram_model(df, text_col, id_col)
+        model = per.groupBy("w").agg(F.sum("tf").cast("bigint").alias("c"))
     total = model.agg(F.sum("c").cast("bigint").alias("total"))
     qw = model.select(
         "w",
         F.floor(F.log("c") * F.lit(_NLL_SCALE) + F.lit(0.5))
         .cast("bigint")
         .alias("q"),
-    )
-    per = (
-        df.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
-        .groupBy(id_col, "w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
     sums = (
         per.join(qw, "w", "left")

@@ -61,6 +61,52 @@ WINNOW_K = 3  # words per k-gram
 WINNOW_W = 4  # winnow window (guarantee: any match >= K+W-1 words shares a print)
 
 
+def word_hash_col(words: Column) -> Column:
+    """array<bigint> of per-word hashes mod WINNOW_P (md5-derived so the
+    DuckDB oracle reproduces every value bit-for-bit) — the shared
+    front-end of every rolling-hash n-gram operator."""
+    return F.transform(
+        words,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint"),
+            F.lit(WINNOW_P),
+        ),
+    )
+
+
+def ngram_hash_col(h_arr: Column, n: int) -> Column:
+    """array<bigint> of Horner rolling n-gram hashes
+    (``((h_i*B + h_{i+1}) mod P)*B + ...``) over a word-hash array —
+    empty when the doc is shorter than one n-gram. Pure per-row array
+    math: NO shuffle, NO sort, where the window formulation
+    (posexplode → lead() → rolling hash) pays a full token shuffle hash-
+    partitioned by doc id before a single gram exists.
+
+    ``h_arr`` MUST be a STAGED named column (built by a prior
+    ``select(word_hash_col(words).alias(...))``), never an inline
+    expression: the lambda references the array ~n times per element,
+    and CollapseProject would inline a non-attribute producer into every
+    reference, re-evaluating the md5 transform per gram (the measured
+    100-1000x blow-up that first pushed these operators onto windows).
+    Catalyst keeps the two projections separate exactly because the
+    staged alias is non-cheap and multiply-referenced, so the word-hash
+    array materializes once per row."""
+
+    def gram(i: Column) -> Column:
+        kh = F.element_at(h_arr, i)
+        for j in range(1, n):
+            kh = F.pmod(
+                kh * F.lit(WINNOW_B) + F.element_at(h_arr, i + j),
+                F.lit(WINNOW_P),
+            )
+        return kh
+
+    return F.when(
+        F.size(h_arr) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(h_arr) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def winnow_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -555,37 +601,23 @@ def source_ngram_overlap(
     (source_a < source_b).
 
     Scale shape: n-grams are the winnow rolling hash (md5 word hash +
-    Horner chain — pure window machinery, one doc-keyed shuffle), so
-    what shuffles afterwards is (source, 8-byte hash) pairs, never gram
-    strings. There is NO self-join: one gh-keyed aggregation collapses
-    each gram to its sorted source set (bounded by the source count),
-    pairs expand LOCALLY from that array (C(s,2) rows per gram), and
-    totals derive from the same persisted per-gram frame — the gram set
-    crosses the wire once, however large the corpus. Totals are a
+    Horner chain) built as pure per-row array math (:func:`ngram_hash_col`
+    over a staged word-hash column — no token shuffle, no window), so
+    the ONLY corpus-sized shuffle is (source, 8-byte hash) pairs, never
+    gram strings. There is NO self-join: one gh-keyed aggregation
+    collapses each gram to its sorted source set (bounded by the source
+    count), pairs expand LOCALLY from that array (C(s,2) rows per gram),
+    and totals derive from the same persisted per-gram frame — the gram
+    set crosses the wire once, however large the corpus. Totals are a
     sources-sized table, broadcast back twice.
     """
-    from pyspark.sql.window import Window
-
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    wh = F.transform(
-        words,
-        lambda s: F.pmod(
-            F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint"),
-            F.lit(WINNOW_P),
-        ),
+    staged = df.select(
+        F.col(source_col).alias("source"), word_hash_col(words).alias("h_arr")
     )
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.col(source_col).alias("source"),
-        F.posexplode(wh).alias("pos", "h"),
+    grams = staged.select(
+        "source", F.explode(ngram_hash_col(F.col("h_arr"), n)).alias("gh")
     )
-    w_ord = Window.partitionBy("id").orderBy("pos")
-    kh = F.col("h")
-    for j in range(1, n):
-        kh = F.pmod(
-            kh * F.lit(WINNOW_B) + F.lead("h", j).over(w_ord), F.lit(WINNOW_P)
-        )
-    grams = tok.select("source", kh.alias("gh")).filter(F.col("gh").isNotNull())
     # one gh-keyed aggregation replaces both the distinct AND the pair
     # self-join: each gram collapses to its sorted source set (bounded by
     # the source count), and the persisted per-gram frame feeds totals
@@ -653,31 +685,20 @@ def doc_ngram_hashes(
     """(id, gh): DISTINCT winnow rolling-hash word n-grams per document —
     the shared front-end of the n-gram audits (novelty, split leakage).
     Same hash chain as :func:`source_ngram_overlap` (md5 word hash +
-    Horner mod 2^31-1), so 8-byte hashes shuffle, never gram strings."""
-    from pyspark.sql.window import Window
+    Horner mod 2^31-1), so 8-byte hashes shuffle, never gram strings.
 
+    Array-form (:func:`ngram_hash_col` over a staged word-hash column):
+    the rolling hashes are pure per-row math, so the FIRST shuffle in
+    the plan is the (id, gh) distinct — the posexplode + lead() window
+    formulation this replaces paid an extra full token shuffle + sort
+    just to build the grams, value-identical output."""
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    wh = F.transform(
-        words,
-        lambda s: F.pmod(
-            F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint"),
-            F.lit(WINNOW_P),
-        ),
+    staged = df.select(
+        F.col(id_col).alias("id"), word_hash_col(words).alias("h_arr")
     )
-    tok = df.select(
-        F.col(id_col).alias("id"), F.posexplode(wh).alias("pos", "h")
-    )
-    w_ord = Window.partitionBy("id").orderBy("pos")
-    kh = F.col("h")
-    for j in range(1, n):
-        kh = F.pmod(
-            kh * F.lit(WINNOW_B) + F.lead("h", j).over(w_ord), F.lit(WINNOW_P)
-        )
-    return (
-        tok.select("id", kh.alias("gh"))
-        .filter(F.col("gh").isNotNull())
-        .distinct()
-    )
+    return staged.select(
+        "id", F.explode(ngram_hash_col(F.col("h_arr"), n)).alias("gh")
+    ).distinct()
 
 
 def ngram_novelty(
@@ -695,9 +716,10 @@ def ngram_novelty(
     DISTINCT n-grams, ``n_shared`` those with corpus document-frequency
     >= 2; docs too short for one n-gram survive as (id, 0, 0, 0.0).
 
-    Scale shape: ONE doc-keyed window pass builds the rolling hashes
-    (the dominant cost — persisted, so its three consumers below share
-    it), then corpus document-frequency comes from a map-side-combinable
+    Scale shape: the rolling hashes are per-row array math — no window,
+    no token shuffle (the gram frame persists, so its three consumers
+    below share it) — then corpus document-frequency comes from a
+    map-side-combinable
     ``groupBy("gh").count()`` — NOT a gh-keyed window: a window forces
     every row of one gram hash into a single sorted partition, and a
     boilerplate gram present in a large fraction of documents (the exact

@@ -2634,11 +2634,25 @@ def q_doc_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-document curation record: token count, heuristic quality,
     duplicated-n-gram fraction, unigram-LM NLL, and DSIR target-domain
     weight in ONE row per document — the table a mixture designer
-    actually filters/sorts on. Each audit keeps its proven single-pass
-    shape; the scorecard is the final doc_id join tree (sort-merge joins
-    all share the doc_id partitioning, so each join exchanges only its
-    new side). The oracle composes the four registered audit oracles as
-    subqueries — no duplicated SQL to drift."""
+    actually filters/sorts on. Each audit keeps its standalone shape and
+    the scorecard is the final doc_id join tree; since the array-form
+    gram refactor (text.ngram_hash_col) none of the audits contains a
+    window or a token shuffle, so each branch is scan → per-row array
+    math → map-side-combinable aggregation.
+
+    Deliberately NOT a shared-cache "single corpus pass": two fused
+    variants were built and measured at sf0.1 — (a) a persisted
+    token-level spine (one explode of arrays_zip(words, gram_hashes,
+    buckets)) and (b) a persisted doc-level (id, quality, n_tokens,
+    words) stage with streaming per-audit explodes. Both were 1.5-2x
+    SLOWER warm than this composed form (2.2-3.0 s vs 1.4 s): caching
+    array<string> rows costs more to serialize + re-read than re-running
+    the columnar parquet scan + split, and at 100 TB variant (a) spills
+    a multiple-of-corpus-size cache while the scans it saves are cheap,
+    embarrassingly parallel IO. Per-token intermediates should stream;
+    the plan guard pins the no-window, no-text-shuffle shape instead.
+    The oracle composes the four registered audit oracles as subqueries,
+    so the composed arithmetic is hash-checked every round."""
     from py_gtfs_duckdb_spark.operators.text import token_count
 
     d = t(spark, sf_dir, "documents")

@@ -227,24 +227,17 @@ def test_corpus_diff_single_join_no_text_shuffle(spark, sf_dir):
 
 
 def test_ngram_novelty_single_gram_pass(spark, sf_dir):
-    """The token explode + rolling-hash window (the dominant cost) runs
-    exactly once (the gram frame persists for its three consumers), and
-    corpus document-frequency comes from a map-side-combinable groupBy —
-    NEVER a gh-keyed window, which would sort every row of a boilerplate
-    gram into one straggler partition at scale (the round-6 weak flag).
-    No gram/text strings in any shuffle."""
+    """The gram explode runs exactly once (the gram frame persists for
+    its three consumers) and the rolling hashes are per-row array math —
+    NO window anywhere: not the gh-keyed document-frequency window (the
+    round-6 straggler flag) and not the doc-keyed token window either
+    (which paid a full token shuffle + sort before a single gram
+    existed). Corpus document-frequency is a map-side-combinable
+    groupBy. No gram/text strings in any shuffle."""
     plan = _plan(spark, sf_dir, "q_ngram_novelty")
     # one Generate node total — the gram frame is built once
     assert sum(1 for l in plan.splitlines() if ") Generate" in l) == 1, plan[:800]
-    # the only window is the doc-keyed rolling hash: every window spec
-    # partitions on the doc id, none on the gram hash
-    specs = [
-        l for l in plan.splitlines() if "windowspecdefinition(" in l
-    ]
-    assert specs, plan[:800]
-    for l in specs:
-        assert "windowspecdefinition(id#" in l, l[:200]
-        assert "windowspecdefinition(gh#" not in l, l[:200]
+    assert "windowspecdefinition(" not in plan, plan[:800]
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
             assert "text#" not in l, l
@@ -261,18 +254,19 @@ def test_dsir_single_explode(spark, sf_dir):
 
 
 def test_split_leakage_single_gram_pass(spark, sf_dir):
-    """The CORPUS-side token explode (posexplode over the word-hash
-    array) runs exactly once — the per-gram source-set frame persists
-    and its downstream pair/totals explodes are array-local over the
-    tiny cached rows, never a second corpus pass. Only (split, 8-byte
-    hash) pairs shuffle."""
+    """The CORPUS-side gram explode (over the staged word-hash array)
+    runs exactly once — the per-gram source-set frame persists and its
+    downstream pair/totals explodes are array-local over the tiny
+    cached rows, never a second corpus pass. Only (split, 8-byte hash)
+    pairs shuffle, and no window exists anywhere in the plan."""
     plan = _plan(spark, sf_dir, "q_split_leakage")
     corpus_explodes = sum(
         1
         for l in plan.splitlines()
-        if "Arguments" in l and "posexplode" in l
+        if "Arguments" in l and "h_arr" in l and "explode" in l
     )
     assert corpus_explodes == 1, plan[:800]
+    assert "windowspecdefinition(" not in plan, plan[:800]
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
             assert "text#" not in l, l
@@ -295,6 +289,21 @@ def test_split_rescue_single_gram_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_split_rescue")
     assert sum(1 for l in plan.splitlines() if ") Generate" in l) == 1, plan[:800]
     assert "CartesianProduct" not in plan
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "text#" not in l, l
+
+
+def test_doc_scorecard_single_corpus_pass(spark, sf_dir):
+    """The scorecard's audits are each window-free since the array-form
+    gram refactor: no token shuffle, no text strings in any exchange,
+    and exactly the three audit explodes (novelty grams, NLL words,
+    DSIR buckets). Shared-cache single-pass variants were measured
+    SLOWER than these streaming scans (see q_doc_scorecard's docstring),
+    so the guard pins this shape, not a Generate count of one."""
+    plan = _plan(spark, sf_dir, "q_doc_scorecard")
+    assert "windowspecdefinition(" not in plan, plan[:800]
+    assert sum(1 for l in plan.splitlines() if ") Generate" in l) == 3, plan[:800]
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
             assert "text#" not in l, l
