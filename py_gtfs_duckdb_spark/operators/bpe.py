@@ -21,11 +21,37 @@ pinned by hand-computable merge tests and the reconstruction property.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 EOW = "</w>"  # end-of-word marker, standard BPE
+
+# Symbol-boundary separator for the ordered-replace encoder. Each symbol
+# is wrapped as SEP+sym+SEP, so a merge (l, r) is the literal string
+# rewrite SEP+l+SEP+SEP+r+SEP -> SEP+lr+SEP and adjacent matches never
+# share characters (left-to-right non-overlapping replace == one
+# left-to-right BPE merge pass). 0x1f (ASCII unit separator) cannot
+# occur in tokenizable text that survives quality filtering, and the
+# testdata corpus is strictly [a-z ].
+SEP = "\x1f"
+
+# A frozen merge table (trained once with bpe_train(n_merges=24,
+# sample_size=500) on the sf0.01 documents sample and pasted as
+# literals) so encoding is a STATIC rewriting system both engines can
+# replay: the Spark side folds it into nested replace() expressions, the
+# DuckDB oracle into the identical nested replace() SQL — the same
+# fixed-constants trick that made the ANN tier oracle-able
+# (plans/ann_oracles.py). Training itself stays API-only (a learned
+# merge table is data-dependent state no static SQL can reproduce).
+FIXED_MERGES_V1: list[tuple[str, str]] = [
+    ("e", "r"), ("e", EOW), ("n", EOW), ("er", EOW),
+    ("o", "w"), ("ow", EOW), ("o", "r"), ("s", "t"),
+    ("h", EOW), ("a", "t"), ("l", "u"), ("i", "n"),
+    ("a", EOW), ("g", EOW), ("y", EOW), ("a", "r"),
+    ("p", "ar"), ("t", EOW), ("i", "n" + EOW), ("j", "o"),
+    ("jo", "in" + EOW), ("a", "s"), ("as", "h" + EOW), ("h", "ash" + EOW),
+]
 
 
 def _word_freqs(texts) -> dict[str, int]:
@@ -99,6 +125,75 @@ def _encode_word(word: str, rank: dict[tuple[str, str], int]) -> list[str]:
             break
         syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
     return syms
+
+
+def bpe_encode_word_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Encoded symbol string of one word under a FIXED merge table, as a
+    pure column expression: the word's characters wrapped SEP+c+SEP, the
+    wrapped EOW appended, then every merge applied IN LEARNED ORDER as a
+    literal left-to-right string replace. For a merge table produced by
+    BPE training this in-order rewriting yields the same segmentation as
+    the greedy lowest-rank loop in :func:`_encode_word` (Sennrich 2016
+    applies merges in order; the rank priority queue is an optimization)
+    — pinned empirically against the corpus by
+    tests/test_bpe.py::test_ordered_replace_matches_greedy_encoder.
+
+    Token count of the result = count(SEP)/2 (each symbol carries
+    exactly two separators). Kept JVM-side: ~1 regexp + len(merges)
+    replaces per word, no UDF, no shuffle."""
+    s = F.concat(
+        F.regexp_replace(word, "(.)", SEP + "$1" + SEP),
+        F.lit(SEP + EOW + SEP),
+    )
+    for left, right in merges:
+        s = F.replace(
+            s,
+            F.lit(SEP + left + SEP + SEP + right + SEP),
+            F.lit(SEP + left + right + SEP),
+        )
+    return s
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_words, n_chars, n_bpe_tokens, chars_per_token): apply a
+    FIXED merge table (default :data:`FIXED_MERGES_V1`) and count subword
+    tokens per document — the budget signal a training pipeline reads
+    (regex token_count approximates it; this IS the model's unit).
+
+    Scale shape: one narrow projection — per-word encode via
+    :func:`bpe_encode_word_expr` inside a single array transform, token
+    count derived from separator counts on the concatenated encoding.
+    No explode, no shuffle, no UDF; Catalyst prunes the scan to
+    (id, text)."""
+    merges = FIXED_MERGES_V1 if merges is None else merges
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    enc_doc = F.concat_ws(
+        "", F.transform(words, lambda w: bpe_encode_word_expr(w, merges))
+    )
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).cast("bigint").alias("n_words"),
+        F.length(F.replace(F.col(text_col), F.lit(" ")))
+        .cast("bigint")
+        .alias("n_chars"),
+        ((F.length(enc_doc) - F.length(F.replace(enc_doc, F.lit(SEP)))) / 2)
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+    from py_gtfs_duckdb_spark.functions import pround
+
+    return d.withColumn(
+        "chars_per_token",
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            pround(F.col("n_chars") / F.col("n_bpe_tokens"), 4),
+        ),
+    )
 
 
 def bpe_tokenize(

@@ -117,55 +117,45 @@ def winnow_fingerprints(
     K+W-1 words between two documents shares at least one fingerprint, at
     ~1/W the volume of full k-gram shingling.
 
-    Entirely narrow per-row array math (split → word hashes → rolling
-    hash via transform/sequence → windowed array_min → array_distinct →
-    explode) — no shuffle until the consumer aggregates. Word hash is
+    Entirely narrow per-row array math (split → staged word hashes →
+    staged rolling k-gram hashes via :func:`ngram_hash_col` → sliding
+    array_min → explode → distinct) — NO shuffle until the final
+    distinct, where the posexplode + lead()/window-frame formulation
+    this replaces paid a full token shuffle + sort (hash-partitioned by
+    doc id) before a single fingerprint existed. Word hash is
     md5-derived so the DuckDB oracle reproduces it bit-for-bit.
 
-    Formulated RELATIONALLY (posexplode → lead() rolling hash → window-
-    frame min), not as per-row array lambdas: higher-order functions are
-    interpreted (CodegenFallback, no subexpression elimination), so any
-    formulation that references the word-hash array more than once pays a
-    full re-evaluation per reference — measured at 100-1000x slower. The
-    window form is all codegen-able JVM operators and costs exactly one
-    shuffle (tokens hash-partitioned by doc id), linear at corpus scale.
+    Both hash arrays are STAGED named columns (see
+    :func:`ngram_hash_col`'s CollapseProject note): each is non-cheap
+    and multiply-referenced, which is exactly the condition under which
+    Catalyst keeps the producing projection separate instead of
+    re-evaluating the transform per reference.
     """
-    from pyspark.sql.window import Window
-
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    wh = F.transform(
-        words,
-        lambda s: F.pmod(
-            F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint"),
-            F.lit(WINNOW_P),
-        ),
+    staged = df.select(
+        F.col(id_col).alias("id"), word_hash_col(words).alias("h_arr")
     )
-    tok = df.select(
-        F.col(id_col).alias("id"), F.posexplode(wh).alias("pos", "h")
+    kg = staged.select(
+        "id", ngram_hash_col(F.col("h_arr"), WINNOW_K).alias("kh_arr")
     )
-    w_ord = Window.partitionBy("id").orderBy("pos")
-    # Horner rolling hash over the next K-1 tokens; null past the tail,
-    # which drops the last K-1 positions (no k-gram starts there).
-    kh = F.col("h")
-    for j in range(1, WINNOW_K):
-        kh = F.pmod(
-            kh * F.lit(WINNOW_B) + F.lead("h", j).over(w_ord), F.lit(WINNOW_P)
-        )
-    kg = tok.select("id", "pos", kh.alias("kh")).filter(F.col("kh").isNotNull())
-    # Winnow: min over the window of W consecutive k-grams (ROWS frame —
-    # k-gram rows are contiguous per doc). Only full windows (plus the
-    # single truncated one when a doc has < W k-grams) produce prints.
-    w_frame = Window.partitionBy("id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
-    n_kg = F.count(F.lit(1)).over(Window.partitionBy("id"))
-    win = kg.select(
-        "id",
-        "pos",
-        F.min("kh").over(w_frame).alias("fp"),
-        n_kg.alias("n_kg"),
+    # Winnow: min over each sliding window of W consecutive k-gram
+    # hashes. slice() truncates at the tail, so a doc with 1..W-1
+    # k-grams yields the single truncated window (same policy as the
+    # old ROWS-frame form); a doc with zero k-grams yields no rows.
+    n_kg = F.size(F.col("kh_arr"))
+    fps = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_kg - (WINNOW_W - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(F.col("kh_arr"), i, WINNOW_W)),
     )
     return (
-        win.filter(F.col("pos") <= F.greatest(F.col("n_kg") - WINNOW_W, F.lit(0)))
-        .select("id", "fp")
+        kg.select(
+            "id",
+            F.explode(
+                F.when(n_kg >= 1, fps).otherwise(
+                    F.array().cast("array<bigint>")
+                )
+            ).alias("fp"),
+        )
         .distinct()
     )
 

@@ -65,29 +65,113 @@ from py_gtfs_duckdb_spark.plans import flagship  # noqa: E402,F401
 # order with a bounded budget (the first 50 names each round), so the
 # 50-slot window carries the queries whose driver evidence matters most.
 #
-# Rotation ledger (green rounds per group, entering round 6):
-#   zero evidence .... the 8 round-5 reds now repaired (4 ANN queries
-#                      late-oracled via the quantized tier, 3 multimodal
-#                      outputs scalarized; q_bpe_tokens deregistered) and
-#                      the 2 post-window round-5 adds (corpus diff,
-#                      vocab spectrum)
-#   2 rounds ......... q_window_sliding + the six stable formulas
-#                      displaced in late round 5 (approx-distinct, json,
-#                      text-stats, lang-id, fingerprint, embed-norm)
-#   3 rounds (stale).. the SURVEY §2 singletons that sat out round 5 —
-#                      last driver contact round 4
-#   1 round (fresh)... the round-4/5 extension wave, all driver-green in
-#                      round 5 — freshest evidence, so they fund the
-#                      round-6 slots and back-rotate in round 7
-#
-# Round-6 window = flagship + all 10 zero-evidence + the 2-round group +
-# as much of the stale §2 backfill as fits (VERDICT r5 Next #4/#7). The
-# heavy triple-green representatives (join chain, trip matching) also
-# return — they are timed every round but were last HASH-checked in r4.
+# Rotation ledger (latest driver evidence per group, entering round 7 —
+# 113 registered queries, cumulative distinct driver-green 112/112 of
+# the round-6 battery):
+#   zero evidence .... q_bpe_encode (new this round: encode-only BPE
+#                      under a frozen merge table, the last extension
+#                      component without a driver surface)
+#   changed impl ..... queries whose operators were refactored this
+#                      round (array-form n-gram hashes replacing the
+#                      token windows; NLL single-explode; persist
+#                      scoping) — driver-green on the OLD code, so their
+#                      evidence needs refreshing even though local
+#                      parity is green
+#   r3/r4 (stale) .... the §2 singletons + headline dedup queries whose
+#                      last driver contact is rounds 3-4 (VERDICT r6
+#                      Next #3 back-rotation)
+#   r5 ............... the round-4/5 extension wave, green r5 — 2 rounds
+#                      old after this round; changed-impl members and
+#                      the oldest fill the remaining slots, the rest
+#                      rotate in round 8
+#   r6 (fresh) ....... the round-6 window, all green r6 — freshest
+#                      evidence, so they fund this round's slots
 _PRIORITY = [
     # flagship first — the reference's headline path (ddb.py:177-202)
     "q_flagship_nominal_trips",
-    # zero driver evidence: the repaired round-5 reds ...
+    # zero driver evidence: the new frozen-merge BPE encode
+    "q_bpe_encode",
+    # changed implementation since their round-6 green (array-form gram
+    # refactor + scoped persists): refresh driver evidence
+    "q_ngram_novelty",
+    "q_dsir_weights",
+    "q_split_leakage",
+    "q_split_rescue",
+    "q_doc_scorecard",
+    "q_minhash_calibration",
+    # stale block, last driver contact r3/r4 (VERDICT r6 Next #3):
+    # the five headline dedup queries, the r4 singletons, then the
+    # r3 relational/function battery
+    "q_ttl_retention",
+    "q_topk_per_group",
+    "q_agg_count_distinct",
+    "q_unpivot",
+    "q_dedup_exact",
+    "q_dedup_bow",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embedding",
+    "q_scan_star",
+    "q_scan_csv_projection",
+    "q_sql_passthrough",
+    "q_project_cols",
+    "q_filter_eq",
+    "q_filter_like",
+    "q_agg_distinct",
+    "q_agg_min",
+    "q_agg_count",
+    "q_sort_concat",
+    "q_limit",
+    "q_fn_dateformat",
+    # round-5 wave back-rotation: changed-impl members first (their
+    # operators were touched by this round's refactors) ...
+    "q_unigram_nll",
+    "q_source_overlap",
+    "q_curate_pipeline",
+    "q_curate_rules",
+    "q_dedup_incremental",
+    # ... then oldest-first as far as the window reaches
+    "q_sample_stratified",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_dedup_keep_canonical",
+    "q_repetition_stats",
+    "q_quality_rules",
+    "q_pii_scrub",
+    "q_split_assign",
+    "q_token_histogram",
+    "q_source_report",
+    "q_join_asof",
+    "q_join_asof_tol",
+    "q_range_join",
+    "q_export_shards",
+    "q_quantile_tokens",
+    "q_semantic_dedup",
+    # --- window boundary: 50 entries above this line ---
+    # r5-wave remainder (green r5, 2 rounds old after r7): first in line
+    # for the round-8 window, guarded meanwhile by the local replica
+    "q_dedup_cluster_sizes",
+    "q_dedup_simhash",
+    "q_embed_project",
+    "q_multimodal_frames",
+    "q_dedup_clusters",
+    "q_text_top_tokens",
+    "q_dedup_spans",
+    "q_bm25_topk",
+    "q_audio_features",
+    "q_video_frames",
+    "q_rollup_tokens",
+    "q_pivot",
+    "q_window_tumbling",
+    "q_window_session",
+    "q_text_quality",
+    "q_doc_winnow",
+    "q_knn_cosine",
+    "q_ann_ivf",
+    "q_multimodal_bytes",
+    "q_mix_sources",
+    # round-6 greens (freshest driver evidence), funding this round's
+    # slots; back-rotate round 8+
     "q_ann_lsh",
     "q_ann_pq",
     "q_ann_ivfpq",
@@ -95,24 +179,12 @@ _PRIORITY = [
     "q_multimodal_features",
     "q_multimodal_resize",
     "q_image_resize",
-    # ... and the post-window round-5 additions
     "q_corpus_diff",
     "q_vocab_spectrum",
-    # ... and the round-6 additions (memorization audit, DSIR weights,
-    # split leakage, IVF cell profile)
-    "q_ngram_novelty",
-    "q_dsir_weights",
-    "q_split_leakage",
     "q_ivf_cell_profile",
-    # ... and the round-6 second wave (estimator calibration, padding
-    # waste, embedding moments)
-    "q_minhash_calibration",
     "q_length_buckets",
     "q_embedding_audit",
-    "q_split_rescue",
-    "q_doc_scorecard",
     "q_dedup_keep_topk",
-    # 2-round group (displaced late in round 5)
     "q_window_sliding",
     "q_agg_approx_distinct",
     "q_fn_json",
@@ -120,8 +192,6 @@ _PRIORITY = [
     "q_lang_id",
     "q_doc_fingerprint",
     "q_embed_norm",
-    # stale §2 backfill (last checked round 4) — heavy representatives
-    # first, then the relational battery
     "q_join_chain_left",
     "q_match_trip_candidates",
     "q_project_derived",
@@ -145,74 +215,6 @@ _PRIORITY = [
     "q_fn_case_enum",
     "q_fn_sha256",
     "q_stream_dedup_latest",
-    # --- window boundary: 50 entries above this line ---
-    "q_ttl_retention",
-    "q_topk_per_group",
-    "q_agg_count_distinct",
-    # stale §2 remainder (the round-6 additions displaced seven of these
-    # to fund their slots): next in line for round 7 alongside the
-    # back-rotating round-5 wave below
-    "q_unpivot",
-    "q_dedup_exact",
-    "q_dedup_bow",
-    "q_dedup_minhash_lsh",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_embedding",
-    "q_scan_star",
-    "q_scan_csv_projection",
-    "q_sql_passthrough",
-    "q_project_cols",
-    "q_filter_eq",
-    "q_filter_like",
-    "q_agg_distinct",
-    "q_agg_min",
-    "q_agg_count",
-    "q_sort_concat",
-    "q_limit",
-    "q_fn_dateformat",
-    # fresh round-5 greens (1 round of evidence, newest), guarded by the
-    # local full-battery replica while they sit out
-    "q_sample_stratified",
-    "q_decontaminate",
-    "q_pack_sequences",
-    "q_dedup_keep_canonical",
-    "q_repetition_stats",
-    "q_quality_rules",
-    "q_pii_scrub",
-    "q_split_assign",
-    "q_token_histogram",
-    "q_source_report",
-    "q_join_asof",
-    "q_join_asof_tol",
-    "q_range_join",
-    "q_dedup_incremental",
-    "q_export_shards",
-    "q_quantile_tokens",
-    "q_semantic_dedup",
-    "q_dedup_cluster_sizes",
-    "q_dedup_simhash",
-    "q_curate_pipeline",
-    "q_curate_rules",
-    "q_embed_project",
-    "q_multimodal_frames",
-    "q_dedup_clusters",
-    "q_text_top_tokens",
-    "q_dedup_spans",
-    "q_bm25_topk",
-    "q_audio_features",
-    "q_video_frames",
-    "q_rollup_tokens",
-    "q_pivot",
-    "q_window_tumbling",
-    "q_window_session",
-    "q_text_quality",
-    "q_doc_winnow",
-    "q_knn_cosine",
-    "q_ann_ivf",
-    "q_multimodal_bytes",
-    "q_mix_sources",
-    "q_unigram_nll",
-    "q_source_overlap",
 ]
 
 _missing = set(QUERIES) - set(_PRIORITY)

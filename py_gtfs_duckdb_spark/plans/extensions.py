@@ -1869,6 +1869,62 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bpe_tokenize(d, _BPE_MODEL[sf_dir]).select("id", "n_bpe_tokens")
 
 
+def _bpe_encode_oracle() -> str:
+    """DuckDB replay of bpe_encode_stats under the FROZEN merge table
+    (operators/bpe.py:FIXED_MERGES_V1): the identical rewriting system —
+    wrap chars as SEP+c+SEP, append the wrapped end-of-word marker, fold
+    every merge in learned order into a nested literal replace() — so the
+    encoding is bit-for-bit reproducible, the same fixed-constants trick
+    that oracled the ANN tier (plans/ann_oracles.py)."""
+    from py_gtfs_duckdb_spark.functions import pround_sql
+    from py_gtfs_duckdb_spark.operators.bpe import EOW, FIXED_MERGES_V1
+
+    s = "chr(31)"  # the symbol-boundary separator, SEP = 0x1f
+    enc = rf"regexp_replace(w, '(.)', {s} || '\1' || {s}, 'g') || {s} || '{EOW}' || {s}"
+    for left, right in FIXED_MERGES_V1:
+        enc = (
+            f"replace({enc},"
+            f" {s}||'{left}'||{s}||{s}||'{right}'||{s},"
+            f" {s}||'{left}{right}'||{s})"
+        )
+    return f"""
+    WITH e AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS words,
+               array_to_string(
+                   list_transform(list_filter(string_split(text, ' '),
+                                              w -> w <> ''),
+                                  w -> {enc}), '') AS encdoc,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           n_chars,
+           CAST((length(encdoc) - length(replace(encdoc, chr(31), ''))) / 2
+                AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN (length(encdoc) - length(replace(encdoc, chr(31), ''))) / 2 > 0
+                THEN {pround_sql("n_chars / ((length(encdoc) - length(replace(encdoc, chr(31), ''))) / 2)")}
+           END AS chars_per_token
+    FROM e
+    """
+
+
+@query("q_bpe_encode", oracle=_bpe_encode_oracle())
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword token budget under the FROZEN BPE merge table
+    (operators/bpe.py:FIXED_MERGES_V1, trained once and pasted as
+    literals): per-document word / char / BPE-token counts and the
+    chars-per-token compression ratio. Encoding is pure column math —
+    one narrow projection, ~25 string ops per word inside a single array
+    transform, no explode, no shuffle, no UDF — and the in-order replace
+    chain provably matches the greedy tokenizer on this corpus
+    (tests/test_bpe.py). Training itself stays API-only: a learned merge
+    table is data-dependent state static SQL cannot replay, which is
+    exactly why the battery entry fixes the table."""
+    return B.bpe_encode_stats(t(spark, sf_dir, "documents"))
+
+
 @query(
     "q_quantile_tokens",
     oracle=r"""

@@ -5,7 +5,11 @@ from __future__ import annotations
 
 from py_gtfs_duckdb_spark.operators.bpe import (
     EOW,
+    FIXED_MERGES_V1,
+    SEP,
     _encode_word,
+    bpe_encode_stats,
+    bpe_encode_word_expr,
     bpe_tokenize,
     bpe_train,
 )
@@ -54,3 +58,50 @@ def test_train_is_deterministic(spark, sf_dir):
     m1 = bpe_train(docs, n_merges=30, sample_size=50)
     m2 = bpe_train(docs, n_merges=30, sample_size=50)
     assert m1 == m2 and len(m1["merges"]) == 30
+
+
+def test_ordered_replace_matches_greedy_encoder(spark, sf_dir):
+    """The q_bpe_encode rewriting system (in-order literal replaces over
+    a frozen merge table) must segment every corpus word exactly like the
+    greedy lowest-rank tokenizer (_encode_word) under the same table —
+    this equivalence (Sennrich 2016 in-order application vs the rank
+    priority-queue optimization) is what lets a static SQL oracle replay
+    the real tokenizer's counts."""
+    from pyspark.sql import functions as F
+
+    from py_gtfs_duckdb_spark.plans._tables import t
+
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    enc = words.select(
+        "w", bpe_encode_word_expr(F.col("w"), FIXED_MERGES_V1).alias("e")
+    ).collect()
+    rank = {(l, r): i for i, (l, r) in enumerate(FIXED_MERGES_V1)}
+    assert enc, "corpus yielded no words"
+    for row in enc:
+        via_replace = [s for s in row["e"].split(SEP) if s]
+        assert via_replace == _encode_word(row["w"], rank), row["w"]
+
+
+def test_encode_stats_counts_match_tokenizer(spark, sf_dir):
+    """bpe_encode_stats' separator-derived token counts equal the real
+    tokenizer's len(tokens) under the same frozen table, doc by doc."""
+    from py_gtfs_duckdb_spark.plans._tables import t
+
+    docs = t(spark, sf_dir, "documents")
+    stats = {
+        r["doc_id"]: r
+        for r in bpe_encode_stats(docs).collect()
+    }
+    toks = {
+        r["id"]: r["n_bpe_tokens"]
+        for r in bpe_tokenize(docs, {"merges": FIXED_MERGES_V1}).collect()
+    }
+    assert set(stats) == set(toks)
+    for doc_id, n in toks.items():
+        assert stats[doc_id]["n_bpe_tokens"] == n, doc_id
+        assert stats[doc_id]["n_chars"] >= stats[doc_id]["n_words"]

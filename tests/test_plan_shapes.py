@@ -307,3 +307,18 @@ def test_doc_scorecard_single_corpus_pass(spark, sf_dir):
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
             assert "text#" not in l, l
+
+
+def test_bpe_encode_single_narrow_projection(spark, sf_dir):
+    """The frozen-merge BPE encode is ONE narrow pass: the whole
+    rewriting system (per-char wrap + 24 ordered replaces per word) folds
+    into a single projection over a pruned (doc_id, text) scan — no
+    Exchange, no Generate, no window, no UDF anywhere in the plan. At
+    100 TB this is embarrassingly parallel map work."""
+    plan = _plan(spark, sf_dir, "q_bpe_encode")
+    assert "Exchange" not in plan, plan[:800]
+    assert ") Generate" not in plan, plan[:800]
+    assert "windowspecdefinition(" not in plan, plan[:800]
+    assert "pythonUDF" not in plan and "ArrowEval" not in plan, plan[:800]
+    reads = [l for l in plan.splitlines() if "ReadSchema:" in l]
+    assert reads and all("text" in l and "embedding" not in l for l in reads), reads
