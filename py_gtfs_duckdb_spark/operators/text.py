@@ -273,16 +273,15 @@ def repetition_stats(
     a 5-gram seen more than once.
 
     Shape at scale: the whole-array metrics (word count, duplicate-word
-    fraction) are narrow per-row expressions; the n-gram metrics are ONE
-    posexplode + lead() window (tokens hash-partitioned by doc id — the
-    winnow_fingerprints pattern) feeding a (id, n, gram) count and two
-    further aggregations on the same id-prefixed key, so partial
-    aggregation absorbs the fan-out and nothing is quadratic. Documents
-    shorter than n words contribute no grams; their fractions coalesce
-    to 0.0.
+    fraction) are narrow per-row expressions; the n-gram strings build as
+    per-row array transforms over a STAGED words column (no token
+    shuffle, no window — the posexplode + lead() formulation this
+    replaced sorted every token by doc id before a single gram existed),
+    then ONE explode feeds a (id, n, gram) count and two further
+    aggregations on the same id-prefixed key, so partial aggregation
+    absorbs the fan-out and nothing is quadratic. Documents shorter than
+    n words contribute no grams; their fractions coalesce to 0.0.
     """
-    from pyspark.sql.window import Window
-
     c = F.col(text_col)
     words = F.filter(F.split(c, " "), lambda w: w != "")
     base = df.select(
@@ -298,25 +297,31 @@ def repetition_stats(
         ).alias("dup_word_frac"),
     )
 
-    tok = df.select(F.col(id_col).alias("id"), F.posexplode(words).alias("pos", "w"))
-    w_ord = Window.partitionBy("id").orderBy("pos")
-    grams = []
-    g = F.col("w")
-    for j in range(1, max(REP_NGRAMS)):
-        g = F.concat_ws(" ", g, F.lead("w", j).over(w_ord))
-        # lead() past the tail is null; concat_ws skips nulls, so guard by
-        # requiring the last word of the gram to exist.
-        if j + 1 in REP_NGRAMS:
-            grams.append(
-                F.when(F.lead("w", j).over(w_ord).isNotNull(), g).alias(f"g{j + 1}")
-            )
-    stacked = tok.select("id", *grams).select(
+    staged = df.select(F.col(id_col).alias("id"), words.alias("ws"))
+
+    def gram_arr(n: int):
+        # all n-grams of the doc as one per-row array; `ws` is a staged
+        # attribute, so the n element_at references per gram read the
+        # materialized array instead of re-splitting the text (see
+        # ngram_hash_col's CollapseProject note)
+        ws = F.col("ws")
+        return F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(ws, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    stacked = staged.select(
         "id",
         F.stack(
             F.lit(len(REP_NGRAMS)),
-            *[x for n in REP_NGRAMS for x in (F.lit(n), F.col(f"g{n}"))],
-        ).alias("n", "gram"),
-    ).filter(F.col("gram").isNotNull())
+            *[x for n in REP_NGRAMS for x in (F.lit(n), gram_arr(n))],
+        ).alias("n", "garr"),
+    ).select("id", "n", F.explode("garr").alias("gram"))
     counts = stacked.groupBy("id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
     per_n = counts.groupBy("id", "n").agg(
         F.max("c").alias("top"),
