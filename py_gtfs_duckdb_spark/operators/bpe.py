@@ -196,6 +196,51 @@ def bpe_encode_stats(
     )
 
 
+def bpe_vocab_spectrum(
+    docs: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    top_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(token, n_occurrences, n_docs) for the ``top_k`` most frequent
+    subword tokens under a FIXED merge table — the tokenizer-native
+    vocabulary audit (which merges actually pay for themselves on this
+    corpus; a merge whose token never surfaces is dead weight in the
+    vocab budget).
+
+    Scale shape: per-doc encode is the same narrow projection as
+    :func:`bpe_encode_stats`; ONE explode of the doc's token array feeds
+    a token-keyed count — map-side combinable and bounded by the
+    vocabulary (chars + merges + EOW variants), so the aggregate is tiny
+    at any corpus size; top-k is TakeOrderedAndProject (per-partition
+    heaps), never a global sort. Ties break on the token string so the
+    result is deterministic."""
+    merges = FIXED_MERGES_V1 if merges is None else merges
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    staged = docs.select(
+        F.col(id_col).alias("id"),
+        F.concat_ws(
+            "", F.transform(words, lambda w: bpe_encode_word_expr(w, merges))
+        ).alias("enc"),
+    )
+    toks = staged.select(
+        "id",
+        F.explode(
+            F.filter(F.split(F.col("enc"), SEP), lambda t: t != "")
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(top_k)
+    )
+
+
 def bpe_tokenize(
     docs: DataFrame,
     model: dict,

@@ -89,8 +89,9 @@ from py_gtfs_duckdb_spark.plans import flagship  # noqa: E402,F401
 _PRIORITY = [
     # flagship first — the reference's headline path (ddb.py:177-202)
     "q_flagship_nominal_trips",
-    # zero driver evidence: the new frozen-merge BPE encode
+    # zero driver evidence: the new frozen-merge BPE surfaces
     "q_bpe_encode",
+    "q_bpe_vocab",
     # changed implementation since their round-6 green (array-form gram
     # refactor + scoped persists): refresh driver evidence
     "q_ngram_novelty",
@@ -146,10 +147,10 @@ _PRIORITY = [
     "q_range_join",
     "q_export_shards",
     "q_quantile_tokens",
-    "q_semantic_dedup",
     # --- window boundary: 50 entries above this line ---
     # r5-wave remainder (green r5, 2 rounds old after r7): first in line
     # for the round-8 window, guarded meanwhile by the local replica
+    "q_semantic_dedup",
     "q_dedup_cluster_sizes",
     "q_dedup_simhash",
     "q_embed_project",

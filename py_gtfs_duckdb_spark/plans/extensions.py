@@ -1869,14 +1869,14 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bpe_tokenize(d, _BPE_MODEL[sf_dir]).select("id", "n_bpe_tokens")
 
 
-def _bpe_encode_oracle() -> str:
-    """DuckDB replay of bpe_encode_stats under the FROZEN merge table
-    (operators/bpe.py:FIXED_MERGES_V1): the identical rewriting system —
-    wrap chars as SEP+c+SEP, append the wrapped end-of-word marker, fold
-    every merge in learned order into a nested literal replace() — so the
-    encoding is bit-for-bit reproducible, the same fixed-constants trick
-    that oracled the ANN tier (plans/ann_oracles.py)."""
-    from py_gtfs_duckdb_spark.functions import pround_sql
+def _bpe_enc_sql() -> str:
+    """The DuckDB replay of bpe_encode_word_expr under the FROZEN merge
+    table (operators/bpe.py:FIXED_MERGES_V1): the identical rewriting
+    system — wrap chars as SEP+c+SEP, append the wrapped end-of-word
+    marker, fold every merge in learned order into a nested literal
+    replace() — so the encoding is bit-for-bit reproducible, the same
+    fixed-constants trick that oracled the ANN tier
+    (plans/ann_oracles.py). Shared by both BPE oracles."""
     from py_gtfs_duckdb_spark.operators.bpe import EOW, FIXED_MERGES_V1
 
     s = "chr(31)"  # the symbol-boundary separator, SEP = 0x1f
@@ -1887,6 +1887,13 @@ def _bpe_encode_oracle() -> str:
             f" {s}||'{left}'||{s}||{s}||'{right}'||{s},"
             f" {s}||'{left}{right}'||{s})"
         )
+    return enc
+
+
+def _bpe_encode_oracle() -> str:
+    from py_gtfs_duckdb_spark.functions import pround_sql
+
+    enc = _bpe_enc_sql()
     return f"""
     WITH e AS (
         SELECT doc_id,
@@ -1923,6 +1930,39 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is data-dependent state static SQL cannot replay, which is
     exactly why the battery entry fixes the table."""
     return B.bpe_encode_stats(t(spark, sf_dir, "documents"))
+
+
+def _bpe_vocab_oracle() -> str:
+    enc = _bpe_enc_sql()
+    return f"""
+    WITH e AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_transform(list_filter(string_split(text, ' '),
+                                              w -> w <> ''),
+                                  w -> {enc}), '') AS encdoc
+        FROM documents
+    ), tk AS (
+        SELECT doc_id, unnest(string_split(encdoc, chr(31))) AS token FROM e
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM tk WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 50
+    """
+
+
+@query("q_bpe_vocab", oracle=_bpe_vocab_oracle())
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 subword tokens under the frozen merge table — the
+    tokenizer-native vocabulary audit (operators/bpe.py:
+    bpe_vocab_spectrum): which merges pay for themselves on this corpus.
+    One explode into a vocabulary-bounded map-side-combinable count;
+    top-k is TakeOrderedAndProject, never a global sort."""
+    return B.bpe_vocab_spectrum(t(spark, sf_dir, "documents"))
 
 
 @query(

@@ -322,3 +322,14 @@ def test_bpe_encode_single_narrow_projection(spark, sf_dir):
     assert "pythonUDF" not in plan and "ArrowEval" not in plan, plan[:800]
     reads = [l for l in plan.splitlines() if "ReadSchema:" in l]
     assert reads and all("text" in l and "embedding" not in l for l in reads), reads
+
+
+def test_bpe_vocab_topk_no_global_sort(spark, sf_dir):
+    """The BPE vocabulary spectrum aggregates a vocabulary-bounded
+    token count (map-side combinable) and takes top-k via
+    TakeOrderedAndProject (per-partition heaps) — never a global Sort,
+    and no window anywhere."""
+    plan = _plan(spark, sf_dir, "q_bpe_vocab")
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert sum(1 for l in plan.splitlines() if ") Sort" in l) == 0, plan[:800]
+    assert "windowspecdefinition(" not in plan, plan[:800]
