@@ -343,6 +343,7 @@ def cmd_audit(args) -> None:
 
     from pyspark.sql import functions as F
 
+    from py_gtfs_duckdb_spark.operators.bpe import bpe_encode_stats
     from py_gtfs_duckdb_spark.operators.pipeline import (
         length_buckets,
         split_leakage,
@@ -363,6 +364,10 @@ def cmd_audit(args) -> None:
         base.join(quality_score(docs), "doc_id")
         .join(
             ngram_novelty(docs, n=args.ngram).select("doc_id", "shared_frac"),
+            "doc_id",
+        )
+        .join(
+            bpe_encode_stats(docs).select("doc_id", "n_bpe_tokens"),
             "doc_id",
         )
     )

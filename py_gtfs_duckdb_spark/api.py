@@ -89,8 +89,11 @@ from py_gtfs_duckdb_spark.operators.lexical import (  # noqa: F401
     vocab_spectrum,
 )
 from py_gtfs_duckdb_spark.operators.bpe import (  # noqa: F401
+    FIXED_MERGES_V1,
+    bpe_encode_stats,
     bpe_tokenize,
     bpe_train,
+    bpe_vocab_spectrum,
 )
 
 # temporal joins

@@ -211,4 +211,10 @@ def test_cli_audit_end_to_end(spark, tmp_path, capsys):
 
     back = spark.read.parquet(out)
     assert back.count() == 210
-    assert set(back.columns) == {"doc_id", "n_tokens", "quality", "shared_frac"}
+    assert set(back.columns) == {
+        "doc_id", "n_tokens", "quality", "shared_frac", "n_bpe_tokens",
+    }
+    # the frozen-table BPE budget is a real token count: at least one
+    # subword per word, at most one per character plus the EOW marker
+    r = back.filter("doc_id = 0").first()
+    assert 0 < r["n_bpe_tokens"] <= len(same.replace(" ", "")) + len(same.split())
