@@ -294,6 +294,9 @@ def main() -> None:
         )
     }
     compact["curate"] = {n: curate[n]["median"] for n in CURATE}
+    # one-number extras trend (per-extra medians live in the detail file)
+    compact["extra_total"] = round(sum(extra.values()), 3)
+    compact["n_extras"] = len(extra)
     compact["detail"] = "BENCH_FULL.json"
     line = json.dumps(compact)
     if len(line) > 1900:  # never regress past the recorder's tail budget
