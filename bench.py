@@ -92,6 +92,8 @@ EXTRA = [
     "q_split_rescue",
     "q_doc_scorecard",
     "q_dedup_keep_topk",
+    "q_bpe_encode",
+    "q_bpe_vocab",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 
