@@ -87,6 +87,33 @@ def test_ordered_replace_matches_greedy_encoder(spark, sf_dir):
         assert via_replace == _encode_word(row["w"], rank), row["w"]
 
 
+def test_ordered_replace_matches_greedy_on_random_words(spark):
+    """Harden the ordered-replace ≡ greedy equivalence beyond the corpus
+    vocabulary: 2000 seeded-random lowercase words (including lengths 0
+    and 1 and heavy repeat patterns that stress overlapping merges) must
+    segment identically under both encoders."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(0xB9E)
+    words = [""]
+    for _ in range(1999):
+        n = rng.randint(1, 12)
+        # bias toward the merge-table alphabet so merges actually fire
+        words.append(
+            "".join(rng.choice("aaeehijnorstuwy" + "bcdfgklmpqvxz") for _ in range(n))
+        )
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    enc = df.select(
+        "w", bpe_encode_word_expr(F.col("w"), FIXED_MERGES_V1).alias("e")
+    ).collect()
+    rank = {(l, r): i for i, (l, r) in enumerate(FIXED_MERGES_V1)}
+    for row in enc:
+        via_replace = [s for s in row["e"].split(SEP) if s]
+        assert via_replace == _encode_word(row["w"], rank), repr(row["w"])
+
+
 def test_encode_stats_counts_match_tokenizer(spark, sf_dir):
     """bpe_encode_stats' separator-derived token counts equal the real
     tokenizer's len(tokens) under the same frozen table, doc by doc."""
