@@ -216,9 +216,14 @@ def main() -> None:
             elapsed, n = run_once(name)
             if i > 0:  # first run is warmup (codegen / codebook training)
                 runs.append(elapsed)
-        while statistics.median(runs) > HEAVY_THRESHOLD_S and len(runs) < N_SAMPLES:
-            elapsed, n = run_once(name)
-            runs.append(elapsed)
+        # decide promotion ONCE on the initial sample — re-checking each
+        # iteration would let a near-threshold entry stop early with a
+        # small mixed sample, the exact undiagnosable-blip problem the
+        # promotion exists to fix
+        if statistics.median(runs) > HEAVY_THRESHOLD_S:
+            while len(runs) < N_SAMPLES:
+                elapsed, n = run_once(name)
+                runs.append(elapsed)
         extra[name] = round(statistics.median(runs), 3)
         extra_samples[name] = [round(r, 4) for r in runs]
         if len(runs) >= 2:

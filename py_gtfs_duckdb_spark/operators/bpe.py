@@ -169,16 +169,23 @@ def bpe_encode_stats(
     :func:`bpe_encode_word_expr` inside a single array transform, token
     count derived from separator counts on the concatenated encoding.
     No explode, no shuffle, no UDF; Catalyst prunes the scan to
-    (id, text)."""
+    (id, text).
+
+    Raw input text is sanitized of the SEP byte first (a stray 0x1f
+    would otherwise forge symbol boundaries and corrupt the separator-
+    derived counts — this operator runs on PRE-filter corpora via the
+    audit CLI, so the 'filtered text never contains 0x1f' assumption
+    does not hold here)."""
     merges = FIXED_MERGES_V1 if merges is None else merges
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    text = F.replace(F.col(text_col), F.lit(SEP))
+    words = F.filter(F.split(text, " "), lambda w: w != "")
     enc_doc = F.concat_ws(
         "", F.transform(words, lambda w: bpe_encode_word_expr(w, merges))
     )
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(words).cast("bigint").alias("n_words"),
-        F.length(F.replace(F.col(text_col), F.lit(" ")))
+        F.length(F.replace(text, F.lit(" ")))
         .cast("bigint")
         .alias("n_chars"),
         ((F.length(enc_doc) - F.length(F.replace(enc_doc, F.lit(SEP)))) / 2)
@@ -215,9 +222,13 @@ def bpe_vocab_spectrum(
     vocabulary (chars + merges + EOW variants), so the aggregate is tiny
     at any corpus size; top-k is TakeOrderedAndProject (per-partition
     heaps), never a global sort. Ties break on the token string so the
-    result is deterministic."""
+    result is deterministic. Input text is sanitized of the SEP byte
+    (see :func:`bpe_encode_stats`)."""
     merges = FIXED_MERGES_V1 if merges is None else merges
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    words = F.filter(
+        F.split(F.replace(F.col(text_col), F.lit(SEP)), " "),
+        lambda w: w != "",
+    )
     staged = docs.select(
         F.col(id_col).alias("id"),
         F.concat_ws(

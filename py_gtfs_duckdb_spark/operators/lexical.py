@@ -181,12 +181,16 @@ def unigram_nll(
     re-ran the corpus explode, three passes in all); one join keyed on
     the word (AQE picks broadcast while the vocabulary fits, sort-merge
     beyond); no windows, no driver-side state."""
-    per = shared(
+    per = (
         df.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
     if model is None:
+        # only the self-training path reuses `per` (model + sums); with a
+        # caller-supplied model it has a single consumer and persisting it
+        # would cache a corpus-sized frame for zero reuse
+        per = shared(per)
         model = per.groupBy("w").agg(F.sum("tf").cast("bigint").alias("c"))
     total = model.agg(F.sum("c").cast("bigint").alias("total"))
     qw = model.select(

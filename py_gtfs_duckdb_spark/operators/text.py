@@ -724,8 +724,6 @@ def ngram_novelty(
     gh-keyed LEFT SEMI join — skew there is AQE-splittable, which a
     window never is. Only (id, 8-byte hash) pairs shuffle; no self-join,
     no gram strings in any shuffle."""
-    from py_gtfs_duckdb_spark.operators._scope import shared
-
     grams = shared(doc_ngram_hashes(df, n, text_col, id_col))
     dup_gh = (
         grams.groupBy("gh")

@@ -1895,7 +1895,10 @@ def _bpe_encode_oracle() -> str:
 
     enc = _bpe_enc_sql()
     return f"""
-    WITH e AS (
+    WITH s AS (
+        -- sanitize the SEP byte (0x1f) exactly like bpe_encode_stats
+        SELECT doc_id, replace(text, chr(31), '') AS text FROM documents
+    ), e AS (
         SELECT doc_id,
                list_filter(string_split(text, ' '), w -> w <> '') AS words,
                array_to_string(
@@ -1903,7 +1906,7 @@ def _bpe_encode_oracle() -> str:
                                               w -> w <> ''),
                                   w -> {enc}), '') AS encdoc,
                CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
-        FROM documents
+        FROM s
     )
     SELECT doc_id,
            CAST(len(words) AS BIGINT) AS n_words,
@@ -1935,13 +1938,16 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_vocab_oracle() -> str:
     enc = _bpe_enc_sql()
     return f"""
-    WITH e AS (
+    WITH s AS (
+        -- sanitize the SEP byte (0x1f) exactly like bpe_vocab_spectrum
+        SELECT doc_id, replace(text, chr(31), '') AS text FROM documents
+    ), e AS (
         SELECT doc_id,
                array_to_string(
                    list_transform(list_filter(string_split(text, ' '),
                                               w -> w <> ''),
                                   w -> {enc}), '') AS encdoc
-        FROM documents
+        FROM s
     ), tk AS (
         SELECT doc_id, unnest(string_split(encdoc, chr(31))) AS token FROM e
     )

@@ -23,6 +23,21 @@ def sf_dir():
     return SF_DIR
 
 
+def plan_str(spark, sf_dir: str, name: str) -> str:
+    """Formatted physical plan of a registered battery query — the shared
+    capture helper for every plan-shape/cache-scope assertion."""
+    import contextlib
+    import io
+
+    from py_gtfs_duckdb_spark.plans import QUERIES
+
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
 @pytest.fixture(autouse=True)
 def _release_scoped_persists():
     """Free any operator-scoped persists after each test: tests that call

@@ -114,6 +114,28 @@ def test_ordered_replace_matches_greedy_on_random_words(spark):
         assert via_replace == _encode_word(row["w"], rank), repr(row["w"])
 
 
+def test_encode_stats_sanitizes_sep_byte(spark):
+    """Raw pre-filter text containing the 0x1f separator byte must not
+    forge symbol boundaries: the operators strip it first, so a doc with
+    embedded SEP counts exactly like the same doc without it."""
+    from py_gtfs_duckdb_spark.operators.bpe import bpe_vocab_spectrum
+
+    dirty = spark.createDataFrame(
+        [(1, f"hat{SEP} join{SEP}{SEP} hash")], "doc_id long, text string"
+    )
+    clean = spark.createDataFrame(
+        [(1, "hat join hash")], "doc_id long, text string"
+    )
+    rd = bpe_encode_stats(dirty).first()
+    rc = bpe_encode_stats(clean).first()
+    assert (rd["n_words"], rd["n_chars"], rd["n_bpe_tokens"]) == (
+        rc["n_words"], rc["n_chars"], rc["n_bpe_tokens"],
+    )
+    vd = sorted(tuple(r) for r in bpe_vocab_spectrum(dirty).collect())
+    vc = sorted(tuple(r) for r in bpe_vocab_spectrum(clean).collect())
+    assert vd == vc and vd, vd
+
+
 def test_encode_stats_counts_match_tokenizer(spark, sf_dir):
     """bpe_encode_stats' separator-derived token counts equal the real
     tokenizer's len(tokens) under the same frozen table, doc by doc."""

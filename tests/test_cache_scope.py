@@ -14,21 +14,16 @@ pin the two failure modes that slipped through round 6:
 
 from __future__ import annotations
 
-import contextlib
-import io
+from tests.conftest import plan_str
+
 
 def _cache_manager_empty(spark) -> bool:
     return bool(spark._jsparkSession.sharedState().cacheManager().isEmpty())
 
 
 def _generate_nodes(spark, sf_dir, name: str) -> int:
-    from py_gtfs_duckdb_spark.plans import QUERIES
-
-    df = QUERIES[name](spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return sum(1 for l in buf.getvalue().splitlines() if ") Generate" in l)
+    plan = plan_str(spark, sf_dir, name)
+    return sum(1 for l in plan.splitlines() if ") Generate" in l)
 
 
 def test_scorecard_then_dsir_single_explode(spark, sf_dir):

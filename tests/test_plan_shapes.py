@@ -13,20 +13,9 @@ properties:
 
 from __future__ import annotations
 
-import contextlib
-import io
-
 import pytest
 
-
-def _plan(spark, sf_dir, name: str) -> str:
-    from py_gtfs_duckdb_spark.plans import QUERIES
-
-    df = QUERIES[name](spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+from tests.conftest import plan_str as _plan
 
 
 def test_filter_queries_push_predicates(spark, sf_dir):
