@@ -94,6 +94,7 @@ EXTRA = [
     "q_dedup_keep_topk",
     "q_bpe_encode",
     "q_bpe_vocab",
+    "q_bpe_fertility",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

@@ -159,6 +159,7 @@ def bpe_encode_stats(
     merges: list[tuple[str, str]] | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, n_words, n_chars, n_bpe_tokens, chars_per_token): apply a
     FIXED merge table (default :data:`FIXED_MERGES_V1`) and count subword
@@ -184,6 +185,7 @@ def bpe_encode_stats(
     )
     d = docs.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
         F.size(words).cast("bigint").alias("n_words"),
         F.length(F.replace(text, F.lit(" ")))
         .cast("bigint")

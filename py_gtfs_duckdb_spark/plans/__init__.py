@@ -93,6 +93,7 @@ _PRIORITY = [
     # zero driver evidence: the new frozen-merge BPE surfaces
     "q_bpe_encode",
     "q_bpe_vocab",
+    "q_bpe_fertility",
     # changed implementation since their round-6 green (array-form gram
     # refactor + scoped persists): refresh driver evidence
     "q_ngram_novelty",
@@ -147,10 +148,10 @@ _PRIORITY = [
     "q_join_asof_tol",
     "q_range_join",
     "q_export_shards",
-    "q_quantile_tokens",
     # --- window boundary: 50 entries above this line ---
     # r5-wave remainder (green r5, 2 rounds old after r7): first in line
     # for the round-8 window, guarded meanwhile by the local replica
+    "q_quantile_tokens",
     "q_semantic_dedup",
     "q_dedup_cluster_sizes",
     "q_dedup_simhash",

@@ -1961,6 +1961,68 @@ def _bpe_vocab_oracle() -> str:
     """
 
 
+def _bpe_fertility_oracle() -> str:
+    from py_gtfs_duckdb_spark.functions import pround_sql
+
+    enc = _bpe_enc_sql()
+    return f"""
+    WITH s AS (
+        -- sanitize the SEP byte (0x1f) exactly like bpe_encode_stats
+        SELECT source, replace(text, chr(31), '') AS text FROM documents
+    ), e AS (
+        SELECT source,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                    AS BIGINT) AS n_words,
+               array_to_string(
+                   list_transform(list_filter(string_split(text, ' '),
+                                              w -> w <> ''),
+                                  w -> {enc}), '') AS encdoc
+        FROM s
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM((length(encdoc) - length(replace(encdoc, chr(31), ''))) / 2)
+                AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN SUM(n_words) > 0
+                THEN {pround_sql(
+                    "SUM((length(encdoc) - length(replace(encdoc, chr(31), ''))) / 2)"
+                    " / SUM(n_words)"
+                )}
+           END AS fertility
+    FROM e GROUP BY source
+    """
+
+
+@query("q_bpe_fertility", oracle=_bpe_fertility_oracle())
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility (subword tokens per word) under the
+    frozen merge table — the mixture-design signal that says which
+    sources are expensive to train on in the model's own units (a source
+    whose fertility is high pays more sequence length per word). Same
+    narrow per-doc encode as q_bpe_encode with the source column carried
+    through, then a sources-bounded aggregation; no explode, no window.
+    """
+    from py_gtfs_duckdb_spark.functions import pround
+
+    s = B.bpe_encode_stats(t(spark, sf_dir, "documents"), keep_cols=("source",))
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.when(
+                F.col("n_words") > 0,
+                pround(F.col("n_bpe_tokens") / F.col("n_words"), 4),
+            ),
+        )
+    )
+
+
 @query("q_bpe_vocab", oracle=_bpe_vocab_oracle())
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 subword tokens under the frozen merge table — the
