@@ -292,7 +292,11 @@ def cmd_score(args) -> None:
         model = unigram_model(spark.read.parquet(args.model))
     out = unigram_nll(docs, model=model)
     out.write.mode("overwrite").parquet(args.output)
-    q = out.selectExpr(
+    # read the quartiles back from the file just written — the scoring
+    # plan runs exactly once whichever model path was taken (recomputing
+    # from the lazy `out` would re-run the corpus explode+join for this
+    # second action when a caller-supplied model skips the scoped persist)
+    q = spark.read.parquet(args.output).selectExpr(
         "count(*) AS docs",
         "percentile(nll, array(0.25, 0.5, 0.75)) AS q",
     ).first()

@@ -66,12 +66,12 @@ from py_gtfs_duckdb_spark.plans import flagship  # noqa: E402,F401
 # 50-slot window carries the queries whose driver evidence matters most.
 #
 # Rotation ledger (latest driver evidence per group, entering round 7 —
-# 114 registered queries, cumulative distinct driver-green 112/112 of
+# 115 registered queries, cumulative distinct driver-green 112/112 of
 # the round-6 battery):
-#   zero evidence .... q_bpe_encode + q_bpe_vocab (new this round:
-#                      encode-only BPE surfaces under a frozen merge
-#                      table, closing the last extension component
-#                      without a driver surface)
+#   zero evidence .... q_bpe_encode + q_bpe_vocab + q_bpe_fertility
+#                      (new this round: encode-only BPE surfaces under
+#                      a frozen merge table, closing the last extension
+#                      component without a driver surface)
 #   changed impl ..... queries whose operators were refactored this
 #                      round (array-form n-gram hashes replacing the
 #                      token windows; NLL single-explode; persist
