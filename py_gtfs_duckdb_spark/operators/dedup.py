@@ -25,7 +25,7 @@ Spark-internal hash functions).
 from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -662,6 +662,25 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame
     )
 
 
+def _rank_key(score_col: str, id_col: str) -> Column:
+    """The dedup-action ranking (``quality DESC NULLS LAST, id ASC``)
+    encoded as an ASCENDING-sortable struct, so argmin machinery
+    (``min_by``, ``array_sort``) reproduces exactly the order a rank
+    window over ``desc_nulls_last(score), asc(id)`` would produce:
+
+    - ``u``: 0 for scored members, 1 for unscored — NULLS LAST;
+    - ``nq``: the negated score — higher quality sorts first (scores
+      must be numeric and non-NaN, true of every quality metric here;
+      ``-0.0`` vs ``0.0`` agrees with Spark's descending double order);
+    - ``i``: the member id — deterministic tie-break, and unique per
+      cluster member, so comparisons never fall through past it."""
+    return F.struct(
+        F.col(score_col).isNull().cast("int").alias("u"),
+        (-F.coalesce(F.col(score_col).cast("double"), F.lit(0.0))).alias("nq"),
+        F.col(id_col).alias("i"),
+    )
+
+
 def keep_canonical(
     clusters: DataFrame,
     scores: DataFrame,
@@ -681,26 +700,32 @@ def keep_canonical(
     join here would silently delete entire clusters whose members all
     lack scores — fatal under the documented anti-join usage.
 
-    Scale shape: one hash shuffle on the cluster id serves both window
-    functions (rank and member count share the partitioning); cluster
-    sizes bound the window partitions, and near-dup clusters are small
-    by construction, so no skew path is needed."""
-    from pyspark.sql import Window
-
+    Scale shape: ONE map-side-combinable aggregation — ``min_by`` on the
+    :func:`_rank_key` struct picks the representative and ``count``
+    sizes the cluster in the same ``groupBy``. No rank window: a
+    boilerplate mega-cluster (millions of near-identical pages, the
+    normal case in web-scale dedup, one connected component after CC)
+    would put ALL its members into a single unsplittable sorted window
+    partition; partial aggregation reduces each map task's slice of a
+    hot cluster to one candidate before the shuffle, so skew costs
+    nothing (guarded by ``test_plan_shapes.py`` and the mega-cluster
+    fixture in ``test_scale_helpers.py``)."""
     j = clusters.join(scores, id_col, "left")
-    w_rank = Window.partitionBy(cluster_col).orderBy(
-        F.desc_nulls_last(score_col), F.asc(id_col)
+    best = F.min_by(
+        F.struct(F.col(id_col).alias("i"), F.col(score_col).alias("s")),
+        _rank_key(score_col, id_col),
     )
-    w_all = Window.partitionBy(cluster_col)
     return (
-        j.withColumn("__rn", F.row_number().over(w_rank))
-        .withColumn("n_members", F.count(F.lit(1)).over(w_all).cast("bigint"))
-        .where(F.col("__rn") == 1)
+        j.groupBy(cluster_col)
+        .agg(
+            best.alias("__best"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
         .select(
             cluster_col,
-            F.col(id_col).alias("kept_doc_id"),
+            F.col("__best.i").alias("kept_doc_id"),
             "n_members",
-            F.col(score_col).alias("kept_quality"),
+            F.col("__best.s").alias("kept_quality"),
         )
     )
 
@@ -810,6 +835,7 @@ def keep_top_k(
     id_col: str = "doc_id",
     cluster_col: str = "cluster_id",
     score_col: str = "quality",
+    n_salts: int = 64,
 ) -> DataFrame:
     """Generalized dedup action: keep the top-``k`` members per near-dup
     cluster instead of one — the retention knob real pipelines tune
@@ -821,24 +847,45 @@ def keep_top_k(
 
     Same contracts as keep_canonical: scores join LEFT (unscored members
     rank below any scored one, ties to the smallest id — a missing score
-    must never delete a cluster), and one hash shuffle on the cluster id
-    serves both windows."""
-    from pyspark.sql import Window
+    must never delete a cluster).
 
+    Scale shape: salted two-phase top-k, NO rank window (a window keyed
+    on the cluster id puts a boilerplate mega-cluster into one
+    unsplittable sorted partition — the classic web-dedup skew). Phase 1
+    groups by (cluster, salt): each of the ``n_salts`` sub-groups keeps
+    only its best ``k`` members via sorted-array slice on the
+    :func:`_rank_key` encoding, so a hot cluster's members split across
+    salts and each aggregation buffer holds at most |cluster|/n_salts
+    rows before truncating to k. Phase 2 merges the ≤ n_salts×k
+    survivors per cluster (a bounded array) and re-slices to the global
+    top-k; member counts sum from phase-1 partials. Raise ``n_salts``
+    for hotter clusters — memory per task scales 1/n_salts."""
     j = clusters.join(scores, id_col, "left")
-    w_rank = Window.partitionBy(cluster_col).orderBy(
-        F.desc_nulls_last(score_col), F.asc(id_col)
+    member = F.struct(
+        F.col(score_col).isNull().cast("int").alias("u"),
+        (-F.coalesce(F.col(score_col).cast("double"), F.lit(0.0))).alias("nq"),
+        F.col(id_col).alias("i"),
+        F.col(score_col).alias("s"),
     )
-    w_all = Window.partitionBy(cluster_col)
-    return (
-        j.withColumn("__rn", F.row_number().over(w_rank))
-        .withColumn("n_members", F.count(F.lit(1)).over(w_all).cast("bigint"))
-        .where(F.col("__rn") <= k)
-        .select(
-            cluster_col,
-            id_col,
-            F.col("__rn").cast("bigint").alias("rank"),
-            "n_members",
-            F.col(score_col).alias("score"),
-        )
+    salted = j.select(
+        cluster_col,
+        member.alias("__m"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).alias("__salt"),
+    )
+    part = salted.groupBy(cluster_col, "__salt").agg(
+        F.slice(F.array_sort(F.collect_list("__m")), 1, k).alias("__cand"),
+        F.count(F.lit(1)).cast("bigint").alias("__cnt"),
+    )
+    top = part.groupBy(cluster_col).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__cand"))), 1, k).alias(
+            "__top"
+        ),
+        F.sum("__cnt").cast("bigint").alias("n_members"),
+    )
+    return top.select(cluster_col, "n_members", F.posexplode("__top")).select(
+        cluster_col,
+        F.col("col.i").alias(id_col),
+        (F.col("pos") + 1).cast("bigint").alias("rank"),
+        "n_members",
+        F.col("col.s").alias("score"),
     )

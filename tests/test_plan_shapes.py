@@ -313,6 +313,26 @@ def test_bpe_encode_single_narrow_projection(spark, sf_dir):
     assert reads and all("text" in l and "embedding" not in l for l in reads), reads
 
 
+@pytest.mark.parametrize("name", ["q_dedup_keep_canonical", "q_dedup_keep_topk"])
+def test_dedup_action_no_cluster_window(spark, sf_dir, name):
+    """The dedup ACTION step must contain NO window at all: keep_canonical
+    is one map-side-combinable min_by/count aggregation, keep_top_k is the
+    salted two-phase sorted-slice. A rank window keyed on the cluster id
+    puts a boilerplate mega-cluster (one CC component spanning millions of
+    near-identical pages — the normal web-crawl case) into a single
+    unsplittable sorted partition; AQE cannot split a window."""
+    plan = _plan(spark, sf_dir, name)
+    assert "windowspecdefinition(" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+
+
+def test_curate_pipeline_no_cluster_window(spark, sf_dir):
+    """curate_corpus composes keep_canonical (pipeline.py stage 2) — the
+    mega-cluster guard must hold through the composition too."""
+    plan = _plan(spark, sf_dir, "q_curate_pipeline")
+    assert "windowspecdefinition(" not in plan, plan[:800]
+
+
 def test_bpe_vocab_topk_no_global_sort(spark, sf_dir):
     """The BPE vocabulary spectrum aggregates a vocabulary-bounded
     token count (map-side combinable) and takes top-k via

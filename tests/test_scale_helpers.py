@@ -88,3 +88,92 @@ def test_salted_collect_list_spreads_hot_key(spark):
         df.select("k", salt.alias("__salt")).distinct().count()
     )
     assert n_partials > 1
+
+
+# ---------------------------------------------------------------------------
+# Mega-cluster stress: the boilerplate case. One near-dup cluster holds ~30%
+# of all documents (a template shared by millions of pages collapses into ONE
+# connected component after CC resolution). The dedup ACTION must survive it:
+# no cluster-keyed window (one unsplittable sorted partition), output exact.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mega_cluster(spark):
+    """20k docs; cluster 0 holds 6k members (30%); the rest sit in 2-member
+    clusters. Scores are a deterministic residue with heavy ties; every
+    17th member is unscored (exercises the LEFT-join null ranking)."""
+    n_mega, n_docs = 6_000, 20_000
+    rows = []
+    for i in range(n_docs):
+        cid = 0 if i < n_mega else 1 + (i - n_mega) // 2
+        rows.append((i, cid))
+    clusters = spark.createDataFrame(rows, "doc_id bigint, cluster_id bigint")
+    srows = [
+        (i, float((i * 37) % 101) / 100.0)
+        for i in range(n_docs)
+        if i % 17 != 0  # partial score table
+    ]
+    scores = spark.createDataFrame(srows, "doc_id bigint, quality double")
+    return clusters, scores, n_mega, n_docs
+
+
+def _expected_order(n_mega):
+    """The contract order: quality DESC NULLS LAST, doc_id ASC."""
+    members = []
+    for i in range(n_mega):
+        q = None if i % 17 == 0 else float((i * 37) % 101) / 100.0
+        members.append((i, q))
+    return sorted(members, key=lambda m: (m[1] is None, -(m[1] or 0.0), m[0]))
+
+
+def test_keep_canonical_mega_cluster_exact_no_window(spark, mega_cluster):
+    from py_gtfs_duckdb_spark.operators.dedup import keep_canonical
+
+    clusters, scores, n_mega, n_docs = mega_cluster
+    out = keep_canonical(clusters, scores)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan, plan[:500]
+    got = {r["cluster_id"]: r for r in out.collect()}
+    want_id, want_q = _expected_order(n_mega)[0]
+    assert got[0]["kept_doc_id"] == want_id
+    assert got[0]["kept_quality"] == want_q
+    assert got[0]["n_members"] == n_mega
+    # a small cluster: both members present, min id wins on tie-by-quality
+    assert len(got) == 1 + (n_docs - n_mega) // 2
+
+
+def test_keep_top_k_mega_cluster_exact_no_window(spark, mega_cluster):
+    from py_gtfs_duckdb_spark.operators.dedup import keep_top_k
+
+    clusters, scores, n_mega, _ = mega_cluster
+    k = 3
+    out = keep_top_k(clusters, scores, k=k, n_salts=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan, plan[:500]
+    mega = sorted(
+        (r for r in out.collect() if r["cluster_id"] == 0),
+        key=lambda r: r["rank"],
+    )
+    want = _expected_order(n_mega)[:k]
+    assert [(r["doc_id"], r["score"]) for r in mega] == want
+    assert [r["rank"] for r in mega] == [1, 2, 3]
+    assert all(r["n_members"] == n_mega for r in mega)
+
+
+def test_cc_fixpoint_mega_component(spark):
+    """Connected components on a 6k-member chain (worst diameter) plus
+    disjoint pairs: the large-star/small-star fixpoint must resolve one
+    mega component without a cluster-keyed window or cartesian blowup."""
+    from py_gtfs_duckdb_spark.operators.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(5_999)]  # one 6k chain
+    edges += [(10_000 + 2 * j, 10_001 + 2 * j) for j in range(500)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    cc = connected_components(df, "id_a", "id_b")
+    sizes = (
+        cc.groupBy("component").count().orderBy(F.desc("count")).limit(2).collect()
+    )
+    assert sizes[0]["count"] == 6_000
+    assert sizes[1]["count"] == 2
+    assert cc.count() == 6_000 + 1_000

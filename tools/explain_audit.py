@@ -106,9 +106,12 @@ AUDITED = [
     (
         "q_dedup_keep_canonical",
         "Dedup action: pairs → star-CC → one representative per cluster."
-        " Representative selection adds ONE exchange on the cluster id,"
-        " shared by both window functions (rank + member count stack over"
-        " a single sort+exchange).",
+        " Representative selection is ONE map-side-combinable aggregation"
+        " (min_by on the rank-key struct + count in a single groupBy) —"
+        " no rank window, so a boilerplate mega-cluster never lands in"
+        " one unsplittable sorted partition; partial aggregation reduces"
+        " each map task's slice of a hot cluster to one candidate before"
+        " the shuffle.",
     ),
     (
         "q_join_asof",
@@ -280,10 +283,11 @@ AUDITED = [
     (
         "q_dedup_keep_topk",
         "Top-k cluster retention: the minhash/CC spine is the audited"
-        " q_dedup_keep_canonical shape; the action itself is ONE hash"
-        " shuffle on the cluster id serving both windows (rank and"
-        " member count share the partitioning), with cluster sizes"
-        " bounding the window partitions.",
+        " q_dedup_keep_canonical shape; the action itself is the salted"
+        " two-phase top-k — per-(cluster, salt) sorted-slice partials"
+        " (each buffer ≤ |cluster|/n_salts rows, truncated to k), then a"
+        " bounded ≤ n_salts×k merge per cluster. No rank window, so hot"
+        " clusters split across salts instead of one sorted partition.",
     ),
 ]
 
