@@ -220,6 +220,56 @@ _PRIORITY = [
     "q_stream_dedup_latest",
 ]
 
+# Window-partition allowlist — the systematic form of the per-query
+# no-window plan guards. A window function sorts its ENTIRE partition in
+# one task (AQE cannot split a window), so every windowspecdefinition in
+# any battery plan must key on columns with a documented boundedness
+# argument. `tests/test_window_allowlist.py` sweeps all registered plans:
+# a query absent from this dict must contain NO window at all; a listed
+# query may only use the exact partition-key tuples recorded here.
+#
+# Boundedness arguments per key:
+#   shard ............ explicit hash shard, n_shards a tuning knob sized
+#                      to the cluster (pack_sequences/export_shards);
+#                      partition ≈ corpus/n_shards by construction
+#   o_custkey ........ per-customer order history — entity-bounded (a
+#                      customer places thousands of orders, not billions)
+#   user_id .......... per-user event stream (as-of carry, session gaps,
+#                      latest-state dedup) — entity-bounded activity
+#   (user_id, event_type) same, further split per event type
+#   query_id ......... ANN shortlist AFTER candidate pruning: ≤ probe
+#                      lists × per-list matches, k-bounded by the prune
+#   source / (source, bkt) mixing runs its cumsum window over the
+#                      AGGREGATED per-(source, bucket) offset table
+#                      (n_sources × n_buckets rows), and the corpus-side
+#                      window keys on (source, bkt) — bucket count scales
+#                      with corpus size, bounding each partition
+#   ()  .............. GLOBAL window — allowed ONLY over a post-limit
+#                      frame (BM25 ranks the k rows TakeOrderedAndProject
+#                      already reduced; lexical.py:108-126)
+#
+# The dedup-action keys (cluster_id) are deliberately ABSENT: a
+# boilerplate mega-cluster is one CC component, so anything keyed on it
+# inherits unbounded skew (operators/dedup.py keep_canonical/keep_top_k
+# are window-free by design; see SCALING.md §6).
+WINDOW_PARTITION_ALLOWLIST: dict[str, set[tuple[str, ...]]] = {
+    "q_topk_per_group": {("o_custkey",)},
+    "q_pack_sequences": {("shard",)},
+    "q_export_shards": {("shard",)},
+    "q_join_asof": {("user_id",)},
+    "q_join_asof_tol": {("user_id",)},
+    "q_window_session": {("user_id",)},
+    "q_stream_dedup_latest": {("user_id", "event_type")},
+    "q_knn_cosine": {("query_id",)},
+    "q_ann_ivf": {("query_id",)},
+    "q_ann_lsh": {("query_id",)},
+    "q_ann_pq": {("query_id",)},
+    "q_ann_ivfpq": {("query_id",)},
+    "q_ann_ivf_lloyd": {("query_id",)},
+    "q_bm25_topk": {()},
+    "q_mix_sources": {("source",), ("source", "bkt")},
+}
+
 _missing = set(QUERIES) - set(_PRIORITY)
 _unknown = set(_PRIORITY) - set(QUERIES)
 assert not _missing and not _unknown, (
@@ -228,4 +278,4 @@ assert not _missing and not _unknown, (
 QUERIES = {name: QUERIES[name] for name in _PRIORITY}
 ORACLE = {name: ORACLE[name] for name in _PRIORITY if name in ORACLE}
 
-__all__ = ["QUERIES", "ORACLE", "query"]
+__all__ = ["QUERIES", "ORACLE", "WINDOW_PARTITION_ALLOWLIST", "query"]
