@@ -65,92 +65,39 @@ from py_gtfs_duckdb_spark.plans import flagship  # noqa: E402,F401
 # order with a bounded budget (the first 50 names each round), so the
 # 50-slot window carries the queries whose driver evidence matters most.
 #
-# Rotation ledger (latest driver evidence per group, entering round 7 —
-# 115 registered queries, cumulative distinct driver-green 112/112 of
-# the round-6 battery):
-#   zero evidence .... q_bpe_encode + q_bpe_vocab + q_bpe_fertility
-#                      (new this round: encode-only BPE surfaces under
-#                      a frozen merge table, closing the last extension
-#                      component without a driver surface)
-#   changed impl ..... queries whose operators were refactored this
-#                      round (array-form n-gram hashes replacing the
-#                      token windows; NLL single-explode; persist
-#                      scoping) — driver-green on the OLD code, so their
-#                      evidence needs refreshing even though local
-#                      parity is green
-#   r3/r4 (stale) .... the §2 singletons + headline dedup queries whose
-#                      last driver contact is rounds 3-4 (VERDICT r6
-#                      Next #3 back-rotation)
-#   r5 ............... the round-4/5 extension wave, green r5 — 2 rounds
-#                      old after this round; changed-impl members and
-#                      the oldest fill the remaining slots, the rest
-#                      rotate in round 8
-#   r6 (fresh) ....... the round-6 window, all green r6 — freshest
-#                      evidence, so they fund this round's slots
+# Rotation ledger (latest driver evidence per group, entering round 8 —
+# 115 registered queries, cumulative distinct driver-green 115/115;
+# CORRECTNESS_r07 was 50/50 green, zero err, zero hash-fail):
+#   changed impl ..... queries whose operators were rebuilt this round —
+#                      keep_canonical/keep_top_k (cluster windows ->
+#                      combinable argmax / salted two-phase top-k), the
+#                      curate pair (composes keep_canonical), and
+#                      unigram_nll + doc_scorecard (token-direct NLL,
+#                      vocab-sized persist only). All driver-green r7 on
+#                      the OLD code; their evidence needs refreshing.
+#   r5 tail .......... the 22-query round-5 wave (q_quantile_tokens ...
+#                      q_mix_sources) — 3 rounds old, the oldest
+#                      evidence block; windowed in full this round
+#                      (VERDICT r7 Next #2).
+#   r6 ............... the round-6 window, 2 rounds old; the 21 oldest
+#                      fill the remaining slots, the rest head the
+#                      round-9 queue below the boundary.
+#   r7 (fresh) ....... this round's 50 greens fund the slots; they sit
+#                      at the back of the queue.
+# After this window lands, no registered query's driver evidence will be
+# older than round 6 (= 2 rounds).
 _PRIORITY = [
     # flagship first — the reference's headline path (ddb.py:177-202)
     "q_flagship_nominal_trips",
-    # zero driver evidence: the new frozen-merge BPE surfaces
-    "q_bpe_encode",
-    "q_bpe_vocab",
-    "q_bpe_fertility",
-    # changed implementation since their round-6 green (array-form gram
-    # refactor + scoped persists): refresh driver evidence
-    "q_ngram_novelty",
-    "q_dsir_weights",
-    "q_split_leakage",
-    "q_split_rescue",
-    "q_doc_scorecard",
-    "q_minhash_calibration",
-    # stale block, last driver contact r3/r4 (VERDICT r6 Next #3):
-    # the five headline dedup queries, the r4 singletons, then the
-    # r3 relational/function battery
-    "q_ttl_retention",
-    "q_topk_per_group",
-    "q_agg_count_distinct",
-    "q_unpivot",
-    "q_dedup_exact",
-    "q_dedup_bow",
-    "q_dedup_minhash_lsh",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_embedding",
-    "q_scan_star",
-    "q_scan_csv_projection",
-    "q_sql_passthrough",
-    "q_project_cols",
-    "q_filter_eq",
-    "q_filter_like",
-    "q_agg_distinct",
-    "q_agg_min",
-    "q_agg_count",
-    "q_sort_concat",
-    "q_limit",
-    "q_fn_dateformat",
-    # round-5 wave back-rotation: changed-impl members first (their
-    # operators were touched by this round's refactors) ...
-    "q_unigram_nll",
-    "q_source_overlap",
+    # changed implementation since their round-7 green: the deskewed
+    # dedup actions, their composing pipeline, and the reshaped NLL
+    "q_dedup_keep_canonical",
+    "q_dedup_keep_topk",
     "q_curate_pipeline",
     "q_curate_rules",
-    "q_dedup_incremental",
-    # ... then oldest-first as far as the window reaches
-    "q_sample_stratified",
-    "q_decontaminate",
-    "q_pack_sequences",
-    "q_dedup_keep_canonical",
-    "q_repetition_stats",
-    "q_quality_rules",
-    "q_pii_scrub",
-    "q_split_assign",
-    "q_token_histogram",
-    "q_source_report",
-    "q_join_asof",
-    "q_join_asof_tol",
-    "q_range_join",
-    "q_export_shards",
-    # --- window boundary: 50 entries above this line ---
-    # r5-wave remainder (green r5, 2 rounds old after r7): first in line
-    # for the round-8 window, guarded meanwhile by the local replica
+    "q_unigram_nll",
+    "q_doc_scorecard",
+    # the r5 tail — oldest driver evidence (3 rounds), full back-rotation
     "q_quantile_tokens",
     "q_semantic_dedup",
     "q_dedup_cluster_sizes",
@@ -173,8 +120,7 @@ _PRIORITY = [
     "q_ann_ivf",
     "q_multimodal_bytes",
     "q_mix_sources",
-    # round-6 greens (freshest driver evidence), funding this round's
-    # slots; back-rotate round 8+
+    # oldest r6 greens, filling the window to 50
     "q_ann_lsh",
     "q_ann_pq",
     "q_ann_ivfpq",
@@ -187,7 +133,6 @@ _PRIORITY = [
     "q_ivf_cell_profile",
     "q_length_buckets",
     "q_embedding_audit",
-    "q_dedup_keep_topk",
     "q_window_sliding",
     "q_agg_approx_distinct",
     "q_fn_json",
@@ -197,6 +142,8 @@ _PRIORITY = [
     "q_embed_norm",
     "q_join_chain_left",
     "q_match_trip_candidates",
+    # --- window boundary: 50 entries above this line ---
+    # remaining r6 greens: first in line for round 9
     "q_project_derived",
     "q_filter_range",
     "q_filter_isin",
@@ -218,6 +165,51 @@ _PRIORITY = [
     "q_fn_case_enum",
     "q_fn_sha256",
     "q_stream_dedup_latest",
+    # round-7 greens (freshest driver evidence): back of the queue
+    "q_bpe_encode",
+    "q_bpe_vocab",
+    "q_bpe_fertility",
+    "q_ngram_novelty",
+    "q_dsir_weights",
+    "q_split_leakage",
+    "q_split_rescue",
+    "q_minhash_calibration",
+    "q_ttl_retention",
+    "q_topk_per_group",
+    "q_agg_count_distinct",
+    "q_unpivot",
+    "q_dedup_exact",
+    "q_dedup_bow",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embedding",
+    "q_scan_star",
+    "q_scan_csv_projection",
+    "q_sql_passthrough",
+    "q_project_cols",
+    "q_filter_eq",
+    "q_filter_like",
+    "q_agg_distinct",
+    "q_agg_min",
+    "q_agg_count",
+    "q_sort_concat",
+    "q_limit",
+    "q_fn_dateformat",
+    "q_source_overlap",
+    "q_dedup_incremental",
+    "q_sample_stratified",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_repetition_stats",
+    "q_quality_rules",
+    "q_pii_scrub",
+    "q_split_assign",
+    "q_token_histogram",
+    "q_source_report",
+    "q_join_asof",
+    "q_join_asof_tol",
+    "q_range_join",
+    "q_export_shards",
 ]
 
 # Window-partition allowlist — the systematic form of the per-query
