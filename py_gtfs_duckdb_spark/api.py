@@ -13,6 +13,15 @@ from py_gtfs_duckdb_spark.lake import GtfsLake  # noqa: F401
 from py_gtfs_duckdb_spark.queries import GtfsQueries  # noqa: F401
 from py_gtfs_duckdb_spark.session import get_spark, load_tables  # noqa: F401
 
+# cache-lifecycle contract for long-lived callers: operators that persist
+# a shared frame register it here; wrap each loop iteration in
+# shared_scope(spark) (or call release_shared once per iteration) so
+# persists never accumulate across iterations
+from py_gtfs_duckdb_spark.operators._scope import (  # noqa: F401
+    release_shared,
+    shared_scope,
+)
+
 # dedup
 from py_gtfs_duckdb_spark.operators.dedup import (  # noqa: F401
     exact_jaccard,

@@ -369,10 +369,12 @@ def minhash_lsh_dedup_incremental(
     the unioned per-doc rows.
 
     Caching contract (same as minhash_lsh_dedup): both signature frames
-    stay persisted for the consumer's action — one-shot callers (battery,
-    bench with its per-query clearCache) are fine; a long-lived loop
-    should manage cache lifecycle itself, the way
-    streaming/ingest.NearDupIngestGate persists and unpersists per
+    persist via the scoped registry (operators/_scope.py) for the
+    consumer's action — one-shot callers (battery, bench with its
+    per-query clearCache) are fine; a long-lived loop MUST bound the
+    registry by wrapping each iteration in ``api.shared_scope(spark)``
+    (or calling ``api.release_shared`` after consuming each batch), the
+    way streaming/ingest.NearDupIngestGate scopes its persists per
     batch."""
     new_sets = shared(shingle_signatures(new_docs, text_col, id_col, k))
     corpus_sets = shared(shingle_signatures(corpus_docs, text_col, id_col, k))

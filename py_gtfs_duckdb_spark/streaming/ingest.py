@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from py_gtfs_duckdb_spark.lake import GtfsLake
+from py_gtfs_duckdb_spark.operators._scope import shared, shared_scope
 from py_gtfs_duckdb_spark.operators.dedup import (
     estimate_filter_pairs,
     exact_jaccard,
@@ -90,11 +91,23 @@ class NearDupIngestGate:
         return hits.select(F.col("id_a").alias("id")).distinct()
 
     def process_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        # per-batch persist scope: everything registered below (the batch
+        # signature pass, the survivor set) is released when the batch's
+        # commits have run — including on the error paths (the batch-id
+        # ValueError below used to skip the manual unpersists), so the
+        # CacheManager is empty between micro-batches
+        # (tests/test_ingest_gate.py pins the invariant).
         if batch_df.isEmpty():
             return
-        new_sets = shingle_signatures(
-            batch_df, self.text_col, self.id_col, self.k
-        ).persist()
+        with shared_scope(batch_df.sparkSession):
+            self._process_batch_scoped(batch_df, batch_id)
+
+    def _process_batch_scoped(
+        self, batch_df: DataFrame, batch_id: int | None
+    ) -> None:
+        new_sets = shared(
+            shingle_signatures(batch_df, self.text_col, self.id_col, self.k)
+        )
 
         # 1 — reject docs near-duplicating the accepted CORPUS first. The
         # order matters: near-dup is not transitive at a fixed threshold,
@@ -129,7 +142,7 @@ class NearDupIngestGate:
         # persist the final survivor set: three appends below are three
         # actions — without this the whole LSH/verify lineage re-executes
         # per append
-        survivors = survivors.join(internal_dups, "id", "left_anti").persist()
+        survivors = shared(survivors.join(internal_dups, "id", "left_anti"))
 
         # 3 — append accepted docs + artifacts as SEGMENTS: O(batch) I/O
         # per table, no corpus rewrite, no corpus-key scan. Idempotency
@@ -182,8 +195,6 @@ class NearDupIngestGate:
         commit(self.table, accepted_docs, self.id_col)
         commit(self.sigs_table, survivors, "id")
         commit(self.bands_table, lsh_bands(survivors), "id")
-        survivors.unpersist()
-        new_sets.unpersist()
 
         if (
             self.fold_every

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from py_gtfs_duckdb_spark.lake import GtfsLake
+from py_gtfs_duckdb_spark.operators._scope import shared, shared_scope
 from py_gtfs_duckdb_spark.schemas import REALTIME_SCHEMAS, REALTIME_TABLES
 from py_gtfs_duckdb_spark.streaming import gtfsrt
 
@@ -133,8 +134,13 @@ class RealtimeMerger:
         )
         if latest.isEmpty():
             return
-        latest = latest.persist()
-        try:
+        # per-batch persist scope (operators/_scope.py): `latest` feeds
+        # every family builder below; released — exception-safe — once the
+        # merges have run, so the CacheManager is empty between
+        # micro-batches (the NominalIndexCache's daily frames are the one
+        # documented cross-batch exception, freed at rollover).
+        with shared_scope(latest.sparkSession):
+            latest = shared(latest)
             dead = latest.where(
                 F.coalesce(F.col("entity.is_deleted"), F.lit(False))
             ).select(F.col("entity.id").alias("entity_key"))
@@ -170,8 +176,6 @@ class RealtimeMerger:
                         key=key,
                         n_buckets=self.n_buckets,
                     )
-        finally:
-            latest.unpersist()
 
     # -- the foreachBatch entry (R1) ----------------------------------------
 

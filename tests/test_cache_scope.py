@@ -61,3 +61,73 @@ def test_driver_window_shared_session_no_cache_interference(spark, sf_dir):
     # the doubled-explode symptom, probed on the queries that persist
     for name in ("q_dsir_weights", "q_ngram_novelty", "q_split_rescue"):
         assert _generate_nodes(spark, sf_dir, name) == 1, name
+
+
+def test_release_shared_is_session_keyed(spark):
+    """release_shared(spark) must not touch frames owned by ANOTHER live
+    session: the registry is keyed by owning SparkSession (ADVICE r7)."""
+    from py_gtfs_duckdb_spark.operators._scope import (
+        _SHARED,
+        release_shared,
+        shared,
+    )
+
+    release_shared()
+    other = spark.newSession()
+    mine = shared(spark.range(10).selectExpr("id * 2 AS v"))
+    theirs = shared(other.range(5).selectExpr("id + 1 AS w"))
+    mine.count(), theirs.count()
+    assert mine.storageLevel.useMemory and theirs.storageLevel.useMemory
+    released = release_shared(other)
+    assert released == 1
+    assert mine.storageLevel.useMemory, "foreign-session release hit our frame"
+    assert not theirs.storageLevel.useMemory
+    assert len(_SHARED) == 1 and _SHARED[0] is mine
+    release_shared()
+    assert not mine.storageLevel.useMemory and not _SHARED
+
+
+def test_shared_scope_releases_only_its_block(spark):
+    """The public loop-caller contract: shared_scope frees exactly the
+    frames its block registered, leaving pre-existing entries alone."""
+    from py_gtfs_duckdb_spark.operators._scope import (
+        _SHARED,
+        release_shared,
+        shared,
+        shared_scope,
+    )
+
+    release_shared()
+    outer = shared(spark.range(7).selectExpr("id AS a"))
+    outer.count()
+    with shared_scope(spark):
+        inner = shared(spark.range(3).selectExpr("id AS b"))
+        inner.count()
+        assert inner.storageLevel.useMemory
+    assert not inner.storageLevel.useMemory
+    assert outer.storageLevel.useMemory
+    assert _SHARED == [outer]
+    release_shared()
+
+
+def test_release_shared_drops_stopped_session_entries(spark):
+    """Entries whose owning session has stopped unregister without an
+    unpersist attempt (their cache died with the JVM context) — and a
+    registry populated before a session swap never blocks the new one."""
+    from py_gtfs_duckdb_spark.operators import _scope
+
+    _scope.release_shared()
+    df = spark.range(4).selectExpr("id AS z")
+    _scope._SHARED.append(df)
+
+    class _Dead:
+        _sc = type("SC", (), {"_jsc": None})()
+
+    # simulate a stopped owner without killing the shared test session
+    orig = _scope._is_stopped
+    _scope._is_stopped = lambda s: True
+    try:
+        assert _scope.release_shared(spark) == 1
+        assert not _scope._SHARED
+    finally:
+        _scope._is_stopped = orig

@@ -241,3 +241,33 @@ def test_gate_fresh_checkpoint_against_old_tables_fails_loudly(spark, tmp_path):
     # redelivery of the SAME id stays a clean no-op
     gate.process_batch(_docs(spark, [(1, BASE)]), 5)
     assert lake.table("corpus_docs").count() == 1
+
+
+def test_gate_cache_empty_between_micro_batches(spark, tmp_path):
+    """The scoped-persist invariant extended to the streaming path: each
+    process_batch releases its own persists (signature pass + survivor
+    set) on exit, so the CacheManager is empty BETWEEN micro-batches —
+    including after the batch-id-mismatch error path, which used to skip
+    the manual unpersists."""
+    import pytest
+
+    from py_gtfs_duckdb_spark.operators._scope import _SHARED
+
+    def cache_empty() -> bool:
+        return bool(
+            spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        )
+
+    spark.catalog.clearCache()
+    lake = GtfsLake(spark, str(tmp_path / "lake"))
+    gate = NearDupIngestGate(lake)
+    before = len(_SHARED)
+    gate.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
+    assert cache_empty() and len(_SHARED) == before
+    gate.process_batch(_docs(spark, [(10, BASE + " tail"), (11, FRESH)]), 1)
+    assert cache_empty() and len(_SHARED) == before
+    # error path: a smaller batch id (fresh checkpoint against old
+    # tables) raises — the scope must still release everything
+    with pytest.raises(ValueError, match="different stream checkpoint"):
+        gate.process_batch(_docs(spark, [(20, FRESH + " x")]), 0)
+    assert cache_empty() and len(_SHARED) == before

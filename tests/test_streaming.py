@@ -266,3 +266,20 @@ def test_spool_clean_source_deletes_processed_files(spark, lake, tmp_path):
         assert first_name not in os.listdir(spool), "processed spool file not cleaned"
     finally:
         q.stop()
+
+
+def test_merger_cache_empty_between_micro_batches(spark, lake, merger):
+    """Per-batch persist scope on the realtime merge path: `latest` (and
+    anything else the batch registered) is released when process_batch
+    returns, so the CacheManager is empty between micro-batches."""
+
+    def cache_empty() -> bool:
+        return bool(
+            spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        )
+
+    spark.catalog.clearCache()
+    merger.process_batch(batch(spark, [trip_update("tu1"), alert("al1")]))
+    assert cache_empty()
+    merger.process_batch(batch(spark, [vehicle("v1"), alert("al1", deleted=True)]))
+    assert cache_empty()
