@@ -127,6 +127,21 @@ def _encode_word(word: str, rank: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+# Hard ceiling for the expression-tree encoder. Each merge nests one more
+# Replace node, and Catalyst's recursive column-node/analysis passes blow
+# the default JVM thread stack on deep trees: measured at sf0.1 (padded
+# merge tables so every chain is full length), 256 merges analyze in
+# 0.6 s and execute in ~0.15 s, 320 still works (~0.66 s exec — per-merge
+# cost is linear, each replace is one string pass), but 384+ dies with
+# java.lang.StackOverflowError inside ColumnNodeToExpressionConverter
+# BEFORE any data is touched. 256 leaves margin under the measured
+# 320/384 cliff without relying on a bigger -Xss. Production-scale merge
+# tables (32k) must use the Arrow-batched ``bpe_tokenize`` path instead —
+# its per-batch word memo amortizes the merge loop and it has no
+# expression-depth limit.
+MAX_EXPR_MERGES = 256
+
+
 def bpe_encode_word_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
     """Encoded symbol string of one word under a FIXED merge table, as a
     pure column expression: the word's characters wrapped SEP+c+SEP, the
@@ -140,7 +155,18 @@ def bpe_encode_word_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
 
     Token count of the result = count(SEP)/2 (each symbol carries
     exactly two separators). Kept JVM-side: ~1 regexp + len(merges)
-    replaces per word, no UDF, no shuffle."""
+    replaces per word, no UDF, no shuffle. Merge tables larger than
+    :data:`MAX_EXPR_MERGES` are rejected (Catalyst stack-overflows on
+    the nested expression tree — see the constant's measurement notes);
+    use :func:`bpe_tokenize` for production-sized tables."""
+    if len(merges) > MAX_EXPR_MERGES:
+        raise ValueError(
+            f"{len(merges)} merges exceed MAX_EXPR_MERGES="
+            f"{MAX_EXPR_MERGES}: the nested-replace expression encoder "
+            "stack-overflows Catalyst beyond ~320 merges (measured; see "
+            "operators/bpe.py). Use bpe_tokenize (Arrow-batched, "
+            "memoized) for large merge tables."
+        )
     s = F.concat(
         F.regexp_replace(word, "(.)", SEP + "$1" + SEP),
         F.lit(SEP + EOW + SEP),

@@ -154,3 +154,28 @@ def test_encode_stats_counts_match_tokenizer(spark, sf_dir):
     for doc_id, n in toks.items():
         assert stats[doc_id]["n_bpe_tokens"] == n, doc_id
         assert stats[doc_id]["n_chars"] >= stats[doc_id]["n_words"]
+
+
+def test_expr_encoder_rejects_oversize_merge_table(spark):
+    """The nested-replace expression encoder stack-overflows Catalyst
+    beyond ~320 merges (measured cliff, see operators/bpe.py), so it
+    must refuse tables past MAX_EXPR_MERGES with a pointer to the
+    Arrow-batched tokenizer — which handles the same table fine."""
+    import pytest
+
+    from py_gtfs_duckdb_spark.operators.bpe import (
+        MAX_EXPR_MERGES,
+        bpe_encode_stats,
+    )
+
+    big = list(FIXED_MERGES_V1) + [
+        (f"x{i}", f"y{i}") for i in range(MAX_EXPR_MERGES)
+    ]
+    docs = spark.createDataFrame(
+        [(1, "lowest lower low")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="MAX_EXPR_MERGES"):
+        bpe_encode_stats(docs, merges=big)
+    # the fallback path has no expression-depth limit
+    [row] = bpe_tokenize(docs, {"merges": big}).collect()
+    assert row["n_bpe_tokens"] >= 3
