@@ -863,6 +863,10 @@ def keep_top_k(
     top-k; member counts sum from phase-1 partials. Raise ``n_salts``
     for hotter clusters — memory per task scales 1/n_salts."""
     j = clusters.join(scores, id_col, "left")
+    # the member struct leads with :func:`_rank_key`'s three fields (u,
+    # nq, i — keep in sync) so array_sort orders members exactly like
+    # keep_canonical's argmin; the score payload rides behind and is
+    # never reached in comparisons (i is unique per member)
     member = F.struct(
         F.col(score_col).isNull().cast("int").alias("u"),
         (-F.coalesce(F.col(score_col).cast("double"), F.lit(0.0))).alias("nq"),

@@ -36,6 +36,9 @@ def test_api_surface_imports_and_is_flat():
         "exact_dedup_stream",
         "dedup_spans",
         "bm25_topk",
+        # the cache-lifecycle contract for long-lived loop callers
+        "release_shared",
+        "shared_scope",
     ):
         assert must in names, must
     assert len(names) >= 50
