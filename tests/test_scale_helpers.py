@@ -177,3 +177,60 @@ def test_cc_fixpoint_mega_component(spark):
     assert sizes[0]["count"] == 6_000
     assert sizes[1]["count"] == 2
     assert cc.count() == 6_000 + 1_000
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_dedup_actions_match_window_reference(spark, seed):
+    """Differential: the combinable keep_canonical and the salted
+    keep_top_k must reproduce the rank-window semantics (quality DESC
+    NULLS LAST, id ASC) on adversarial score distributions — exact ties,
+    0.0 vs -0.0 boundaries, negatives, and missing scores."""
+    import random
+
+    rng = random.Random(seed)
+    n = 400
+    pool = [0.0, -0.0, 1.0, -1.0, 0.5, 0.25, None]
+    rows, srows = [], []
+    for i in range(n):
+        rows.append((i, rng.randrange(12)))
+        q = rng.choice(pool)
+        if q is not None:
+            srows.append((i, q))
+    clusters = spark.createDataFrame(rows, "doc_id bigint, cluster_id bigint")
+    scores = spark.createDataFrame(srows, "doc_id bigint, quality double")
+
+    # python reference of the contract order per cluster
+    smap = dict(srows)
+    members: dict[int, list[int]] = {}
+    for i, c in rows:
+        members.setdefault(c, []).append(i)
+
+    def order(c):
+        return sorted(
+            members[c],
+            key=lambda i: (smap.get(i) is None, -(smap.get(i) or 0.0), i),
+        )
+
+    from py_gtfs_duckdb_spark.operators.dedup import keep_canonical, keep_top_k
+
+    got = {r["cluster_id"]: r for r in keep_canonical(clusters, scores).collect()}
+    assert set(got) == set(members)
+    for c in members:
+        want = order(c)[0]
+        assert got[c]["kept_doc_id"] == want, c
+        assert got[c]["kept_quality"] == smap.get(want), c
+        assert got[c]["n_members"] == len(members[c]), c
+
+    k = 3
+    out = keep_top_k(clusters, scores, k=k, n_salts=8).collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert set(by_cluster) == set(members)
+    for c, rs in by_cluster.items():
+        rs.sort(key=lambda r: r["rank"])
+        want = order(c)[:k]
+        assert [r["doc_id"] for r in rs] == want, c
+        assert [r["rank"] for r in rs] == list(range(1, len(want) + 1)), c
+        assert all(r["n_members"] == len(members[c]) for r in rs), c
+        assert [r["score"] for r in rs] == [smap.get(i) for i in want], c
