@@ -35,6 +35,14 @@ The contract here makes the cache SCOPED to one battery query:
   results) — otherwise registered persists accumulate unboundedly.
   ``streaming/ingest.NearDupIngestGate`` does exactly this per batch.
 
+:func:`shared_scope` is THREAD-LOCAL: frames registered inside an active
+scope belong to that scope alone (a per-thread stack), so two concurrent
+``foreachBatch`` streams in one process — each stream runs its batches
+on its own driver thread — release exactly their own batch's persists
+and can never free (or orphan) the other stream's in-flight frames, and
+a ``release_shared()`` call inside a scope drains only the global
+registry without corrupting the scope's bookkeeping.
+
 Double-unpersist is a no-op, so operators that can free a frame early
 (``curate_corpus`` drops each stage's cache once the next stage is
 counted) still do — the registry is the backstop, not the only owner.
@@ -44,62 +52,92 @@ from __future__ import annotations
 
 import contextlib
 import logging
+import threading
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
+# process-wide registry for frames registered OUTSIDE any shared_scope
+# (the battery path: drained by release_shared in the query decorator)
 _SHARED: list[DataFrame] = []
 
+# per-thread stack of active shared_scope frames
+_LOCAL = threading.local()
+
 _log = logging.getLogger(__name__)
+
+
+def _scope_stack() -> list[list[DataFrame]]:
+    stack = getattr(_LOCAL, "stack", None)
+    if stack is None:
+        stack = _LOCAL.stack = []
+    return stack
 
 
 def shared(df: DataFrame) -> DataFrame:
     """Persist ``df`` for reuse by multiple consumers within the CURRENT
     query, registering it for release when the next battery query (or the
-    surrounding test / the caller's :func:`shared_scope`) begins."""
+    surrounding test / the caller's :func:`shared_scope`) begins. Inside
+    an active :func:`shared_scope` on this thread, the frame belongs to
+    the innermost scope; otherwise to the process-wide registry."""
     df.persist()
-    _SHARED.append(df)
+    stack = _scope_stack()
+    (stack[-1] if stack else _SHARED).append(df)
     return df
 
 
 def _is_stopped(session: SparkSession) -> bool:
-    """True when the session's JVM context is gone — its cached frames
-    were freed with it, so there is nothing left to unpersist."""
+    """True when the session's JVM context is known to be gone — its
+    cached frames were freed with it, so there is nothing left to
+    unpersist. A session without a local JVM handle (Spark Connect has
+    no ``_sc``) is assumed LIVE: unpersist must still be attempted there,
+    and its own error handling covers a genuinely dead channel."""
     try:
         return session._sc._jsc is None
+    except AttributeError:
+        return False  # no classic JVM handle (e.g. Connect) — assume live
     except Exception:
         return True
 
 
-def release_shared(spark: SparkSession | None = None) -> int:
-    """Unpersist registered frames (newest first) and drop them from the
-    registry. With ``spark`` given, releases ONLY frames owned by that
-    session (plus entries whose session has stopped — their caches died
-    with the JVM context); with no argument, drains every entry. Returns
-    how many frames were released. Safe to call any time the previous
-    query's results are materialized. A genuine unpersist failure on a
-    live session is logged, never swallowed — the CacheManager-empty
-    invariant the test suite asserts must not rot silently."""
+def _release(frames: list[DataFrame], spark: SparkSession | None, who: str):
+    """Unpersist ``frames`` newest-first, honoring the session filter.
+    Returns (n_released, kept) where kept preserves registration order."""
     kept: list[DataFrame] = []
     n = 0
-    while _SHARED:
-        df = _SHARED.pop()
+    for df in reversed(frames):
         try:
             owner = df.sparkSession
         except Exception:
             owner = None
-        if owner is None or _is_stopped(owner):
-            n += 1  # session gone — cache already freed, just unregister
-            continue
-        if spark is not None and owner is not spark:
-            kept.append(df)
-            continue
-        try:
-            df.unpersist(blocking=False)
-        except Exception:
-            _log.warning("release_shared: unpersist failed", exc_info=True)
+        if owner is not None and not _is_stopped(owner):
+            if spark is not None and owner is not spark:
+                kept.append(df)
+                continue
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                _log.warning("%s: unpersist failed", who, exc_info=True)
+        # else: session gone — cache already freed, just unregister
         n += 1
     kept.reverse()
+    return n, kept
+
+
+def release_shared(spark: SparkSession | None = None) -> int:
+    """Unpersist frames in the PROCESS-WIDE registry (newest first) and
+    drop them from it; frames owned by an active :func:`shared_scope`
+    are that scope's responsibility and are not touched. With ``spark``
+    given, releases ONLY frames owned by that session (plus entries
+    whose session has stopped — their caches died with the JVM context);
+    with no argument, drains every entry. Returns how many frames were
+    released. Safe to call any time the previous query's results are
+    materialized. A genuine unpersist failure on a live session is
+    logged, never swallowed — the CacheManager-empty invariant the test
+    suite asserts must not rot silently."""
+    frames = list(_SHARED)
+    _SHARED.clear()
+    n, kept = _release(frames, spark, "release_shared")
     _SHARED.extend(kept)
     return n
 
@@ -107,34 +145,27 @@ def release_shared(spark: SparkSession | None = None) -> int:
 @contextlib.contextmanager
 def shared_scope(spark: SparkSession | None = None) -> Iterator[None]:
     """Context manager for PUBLIC-API callers running scoped operators in
-    a long-lived loop: everything the wrapped iteration registered via
+    a long-lived loop: everything the wrapped block registered via
     :func:`shared` is released on exit (materialize/collect the results
     INSIDE the block — release forces recompute on anything still lazy).
+    The scope is thread-local, so concurrent streams release only their
+    own frames.
 
     >>> for batch in batches:
     ...     with shared_scope(spark):
     ...         flagged = minhash_lsh_dedup(batch, "text", "doc_id")
     ...         flagged.write.parquet(...)   # materialized inside
     """
-    before = len(_SHARED)
+    mine: list[DataFrame] = []
+    _scope_stack().append(mine)
     try:
         yield
     finally:
-        # release only what this block registered (entries past the
-        # entry point), newest first, honoring the session filter
-        added = _SHARED[before:]
-        del _SHARED[before:]
-        for df in reversed(added):
-            try:
-                owner = df.sparkSession
-            except Exception:
-                owner = None
-            if owner is None or _is_stopped(owner):
-                continue  # session gone — cache already freed
-            if spark is not None and owner is not spark:
-                _SHARED.append(df)  # not ours to free
-                continue
-            try:
-                df.unpersist(blocking=False)
-            except Exception:
-                _log.warning("shared_scope: unpersist failed", exc_info=True)
+        stack = _scope_stack()
+        assert stack and stack[-1] is mine, "shared_scope stack corrupted"
+        stack.pop()
+        _, kept = _release(mine, spark, "shared_scope")
+        # foreign-session frames survive the scope; hand them to the
+        # enclosing scope (or the global registry) instead of dropping
+        # them on the floor
+        (stack[-1] if stack else _SHARED).extend(kept)

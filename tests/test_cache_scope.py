@@ -120,9 +120,6 @@ def test_release_shared_drops_stopped_session_entries(spark):
     df = spark.range(4).selectExpr("id AS z")
     _scope._SHARED.append(df)
 
-    class _Dead:
-        _sc = type("SC", (), {"_jsc": None})()
-
     # simulate a stopped owner without killing the shared test session
     orig = _scope._is_stopped
     _scope._is_stopped = lambda s: True
@@ -131,3 +128,68 @@ def test_release_shared_drops_stopped_session_entries(spark):
         assert not _scope._SHARED
     finally:
         _scope._is_stopped = orig
+
+
+def test_shared_scope_is_thread_local(spark):
+    """Two concurrent foreachBatch streams run their batches on separate
+    driver threads; each scope must release exactly its own frames — a
+    scope exiting on one thread can never unpersist (or orphan) a frame
+    another thread's in-flight scope registered."""
+    import threading
+
+    from py_gtfs_duckdb_spark.operators._scope import (
+        _SHARED,
+        release_shared,
+        shared,
+        shared_scope,
+    )
+
+    release_shared()
+    entered = threading.Event()
+    release_other = threading.Event()
+    state = {}
+
+    def other_stream():
+        with shared_scope(spark):
+            f = shared(spark.range(5).selectExpr("id AS other"))
+            f.count()
+            state["frame"] = f
+            entered.set()
+            release_other.wait(30)
+            assert state["frame"].storageLevel.useMemory, (
+                "another thread's scope released this stream's live frame"
+            )
+
+    worker = threading.Thread(target=other_stream)
+    worker.start()
+    assert entered.wait(30)
+    # this thread's scope opens and closes while the other is mid-batch
+    with shared_scope(spark):
+        mine = shared(spark.range(3).selectExpr("id AS mine"))
+        mine.count()
+    assert not mine.storageLevel.useMemory
+    release_other.set()
+    worker.join(30)
+    assert not state["frame"].storageLevel.useMemory  # its own exit freed it
+    assert not _SHARED
+
+
+def test_release_shared_inside_scope_does_not_corrupt_it(spark):
+    """Mixing the two documented lifecycles: release_shared() called
+    inside a shared_scope drains only the global registry; the scope's
+    frames still release on exit."""
+    from py_gtfs_duckdb_spark.operators._scope import (
+        _SHARED,
+        release_shared,
+        shared,
+        shared_scope,
+    )
+
+    release_shared()
+    with shared_scope(spark):
+        inner = shared(spark.range(6).selectExpr("id AS q"))
+        inner.count()
+        release_shared()  # global drain mid-block
+        assert inner.storageLevel.useMemory  # scope-owned, untouched
+    assert not inner.storageLevel.useMemory
+    assert not _SHARED

@@ -516,3 +516,37 @@ def test_corpus_diff_statuses_and_silence(spark):
     )
     got = {r["doc_id"]: r["status"] for r in P.corpus_diff(old, new).collect()}
     assert got == {1: "modified", 3: "removed", 5: "added"}
+
+
+def test_keep_canonical_bigint_scores_exact_beyond_double(spark):
+    """Integral scores rank EXACTLY (bitwise_not on bigint), including
+    values adjacent at 2^53+ where a double cast would collapse the
+    comparison to an id tie-break."""
+    from py_gtfs_duckdb_spark.operators.dedup import keep_canonical, keep_top_k
+
+    base = 1 << 53
+    clusters = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "doc_id bigint, cluster_id bigint"
+    )
+    # doc 2 beats doc 1 by exactly 1 at 2^53 (indistinguishable as double)
+    scores = spark.createDataFrame(
+        [(1, base), (2, base + 1), (3, -(1 << 62))],
+        "doc_id bigint, quality bigint",
+    )
+    [r] = keep_canonical(clusters, scores).collect()
+    assert r["kept_doc_id"] == 2 and r["kept_quality"] == base + 1
+    top = sorted(keep_top_k(clusters, scores, k=3).collect(), key=lambda x: x["rank"])
+    assert [t["doc_id"] for t in top] == [2, 1, 3]
+
+
+def test_dedup_actions_reject_non_numeric_scores(spark):
+    """A string score cannot be order-reversed exactly — the actions must
+    refuse it loudly instead of ranking a silently-null cast."""
+    import pytest
+
+    from py_gtfs_duckdb_spark.operators.dedup import keep_canonical
+
+    clusters = spark.createDataFrame([(1, 0)], "doc_id bigint, cluster_id bigint")
+    scores = spark.createDataFrame([(1, "high")], "doc_id bigint, quality string")
+    with pytest.raises(TypeError, match="non-numeric"):
+        keep_canonical(clusters, scores)
