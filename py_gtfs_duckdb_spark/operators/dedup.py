@@ -677,18 +677,27 @@ def _rank_key(j: DataFrame, score_col: str, id_col: str) -> Column:
     - ``nq``: the order-reversed score — higher quality sorts first.
       Integral types (and boolean) reverse via ``bitwise_not`` on a
       BIGINT cast: exact at full 64-bit range, no ``-Long.MinValue``
-      overflow, no silent 2^53 double-precision collapse. Fractional
-      and decimal types negate NATIVELY (exact; ``-0.0`` vs ``0.0``
-      agrees with Spark's descending double order; NaN quality is
-      undefined — don't produce NaN scores). Any other score type
-      raises: an un-negatable type would otherwise rank garbage
-      silently, where the old rank window ordered it natively.
+      overflow, no silent 2^53 double-precision collapse. Date and
+      timestamp scores (the keep-NEWEST-member policy) reverse the same
+      way over their exact integer encodings (``unix_date`` /
+      ``unix_micros``). Fractional and decimal types negate NATIVELY
+      (exact; ``-0.0`` vs ``0.0`` agrees with Spark's descending double
+      order; NaN quality is undefined — don't produce NaN scores). Any
+      other score type raises: an un-negatable type would otherwise
+      rank garbage silently, where the old rank window ordered it
+      natively.
     - ``i``: the member id — deterministic tie-break, and unique per
       cluster member, so comparisons never fall through past it."""
     dt = dict(j.dtypes).get(score_col)
     c = F.col(score_col)
     if dt in _INTEGRAL_TYPES:
         nq = F.bitwise_not(F.coalesce(c.cast("bigint"), F.lit(0)))
+    elif dt == "date":
+        nq = F.bitwise_not(F.coalesce(F.unix_date(c), F.lit(0)))
+    elif dt in ("timestamp", "timestamp_ntz"):
+        nq = F.bitwise_not(
+            F.coalesce(F.unix_micros(c.cast("timestamp")), F.lit(0))
+        )
     elif dt in ("float", "double") or (dt or "").startswith("decimal"):
         nq = -F.coalesce(c, F.lit(0).cast(dt))
     else:

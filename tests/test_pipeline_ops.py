@@ -550,3 +550,37 @@ def test_dedup_actions_reject_non_numeric_scores(spark):
     scores = spark.createDataFrame([(1, "high")], "doc_id bigint, quality string")
     with pytest.raises(TypeError, match="non-numeric"):
         keep_canonical(clusters, scores)
+
+
+def test_keep_canonical_timestamp_scores_keep_newest(spark):
+    """The keep-NEWEST-member policy: timestamp/date scores rank exactly
+    over their integer encodings (unix_micros/unix_date) — newest wins,
+    ties to smallest id, unscored members last."""
+    import datetime as dt
+
+    from py_gtfs_duckdb_spark.operators.dedup import keep_canonical
+
+    clusters = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (10, 1), (11, 1)],
+        "doc_id bigint, cluster_id bigint",
+    )
+    t0 = dt.datetime(2026, 8, 15, 12, 0, 0)
+    scores = spark.createDataFrame(
+        [
+            (1, t0),
+            (2, t0 + dt.timedelta(microseconds=1)),  # newest by 1 us
+            (11, t0),
+            # doc 3 unscored; cluster 1: 10 unscored, 11 scored
+        ],
+        "doc_id bigint, quality timestamp",
+    )
+    got = {r["cluster_id"]: r for r in keep_canonical(clusters, scores).collect()}
+    assert got[0]["kept_doc_id"] == 2 and got[0]["n_members"] == 3
+    assert got[1]["kept_doc_id"] == 11
+
+    dscores = spark.createDataFrame(
+        [(1, dt.date(2026, 8, 14)), (2, dt.date(2026, 8, 15)), (3, dt.date(2026, 8, 15))],
+        "doc_id bigint, quality date",
+    )
+    [r] = keep_canonical(clusters.where("cluster_id = 0"), dscores).collect()
+    assert r["kept_doc_id"] == 2  # newest date, tie to smallest id
