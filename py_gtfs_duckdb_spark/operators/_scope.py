@@ -58,8 +58,14 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 
 # process-wide registry for frames registered OUTSIDE any shared_scope
-# (the battery path: drained by release_shared in the query decorator)
+# (the battery path: drained by release_shared in the query decorator).
+# Guarded by _SHARED_LOCK: register and drain are each a single locked
+# step, so a shared() racing a concurrent release_shared() lands either
+# in the drained snapshot or in the registry for the NEXT release —
+# never dropped unregistered (an unregistered persist is a silent cache
+# leak, the exact class this module exists to kill).
 _SHARED: list[DataFrame] = []
+_SHARED_LOCK = threading.Lock()
 
 # per-thread stack of active shared_scope frames
 _LOCAL = threading.local()
@@ -82,7 +88,11 @@ def shared(df: DataFrame) -> DataFrame:
     the innermost scope; otherwise to the process-wide registry."""
     df.persist()
     stack = _scope_stack()
-    (stack[-1] if stack else _SHARED).append(df)
+    if stack:
+        stack[-1].append(df)
+    else:
+        with _SHARED_LOCK:
+            _SHARED.append(df)
     return df
 
 
@@ -97,12 +107,22 @@ def _is_stopped(session: SparkSession) -> bool:
     except AttributeError:
         return False  # no classic JVM handle (e.g. Connect) — assume live
     except Exception:
+        # Any other introspection failure is READ as "stopped", which can
+        # false-positive on a live session mid-teardown elsewhere. The
+        # worst case is benign: the frame is unregistered without an
+        # unpersist attempt, double-unpersist is a no-op, and a truly
+        # live session's cache entry dies with the session anyway — but
+        # this is a heuristic, not a proof.
         return True
 
 
 def _release(frames: list[DataFrame], spark: SparkSession | None, who: str):
     """Unpersist ``frames`` newest-first, honoring the session filter.
-    Returns (n_released, kept) where kept preserves registration order."""
+    Returns (n_released, kept) where kept preserves registration order.
+    A frame whose unpersist RAISES on a live session stays in ``kept``
+    (re-queued, retried on the next release) — counting it as released
+    would discard the only handle to a still-cached frame, rotting the
+    CacheManager-empty invariant silently."""
     kept: list[DataFrame] = []
     n = 0
     for df in reversed(frames):
@@ -117,7 +137,13 @@ def _release(frames: list[DataFrame], spark: SparkSession | None, who: str):
             try:
                 df.unpersist(blocking=False)
             except Exception:
-                _log.warning("%s: unpersist failed", who, exc_info=True)
+                _log.warning(
+                    "%s: unpersist failed — re-queued for retry",
+                    who,
+                    exc_info=True,
+                )
+                kept.append(df)
+                continue
         # else: session gone — cache already freed, just unregister
         n += 1
     kept.reverse()
@@ -133,12 +159,19 @@ def release_shared(spark: SparkSession | None = None) -> int:
     with no argument, drains every entry. Returns how many frames were
     released. Safe to call any time the previous query's results are
     materialized. A genuine unpersist failure on a live session is
-    logged, never swallowed — the CacheManager-empty invariant the test
-    suite asserts must not rot silently."""
-    frames = list(_SHARED)
-    _SHARED.clear()
+    logged AND the frame is re-queued for the next release — the
+    CacheManager-empty invariant the test suite asserts must not rot
+    silently. Snapshot-and-clear happens atomically under the registry
+    lock, so a concurrent :func:`shared` is never dropped unregistered;
+    the unpersist calls themselves run outside the lock (they can block
+    on the JVM)."""
+    with _SHARED_LOCK:
+        frames = list(_SHARED)
+        _SHARED.clear()
     n, kept = _release(frames, spark, "release_shared")
-    _SHARED.extend(kept)
+    if kept:
+        with _SHARED_LOCK:
+            _SHARED.extend(kept)
     return n
 
 
@@ -165,7 +198,12 @@ def shared_scope(spark: SparkSession | None = None) -> Iterator[None]:
         assert stack and stack[-1] is mine, "shared_scope stack corrupted"
         stack.pop()
         _, kept = _release(mine, spark, "shared_scope")
-        # foreign-session frames survive the scope; hand them to the
-        # enclosing scope (or the global registry) instead of dropping
-        # them on the floor
-        (stack[-1] if stack else _SHARED).extend(kept)
+        # foreign-session and failed-unpersist frames survive the scope;
+        # hand them to the enclosing scope (or the global registry)
+        # instead of dropping them on the floor
+        if kept:
+            if stack:
+                stack[-1].extend(kept)
+            else:
+                with _SHARED_LOCK:
+                    _SHARED.extend(kept)

@@ -674,31 +674,61 @@ def _rank_key(j: DataFrame, score_col: str, id_col: str) -> Column:
     window over ``desc_nulls_last(score), asc(id)`` would produce:
 
     - ``u``: 0 for scored members, 1 for unscored — NULLS LAST;
+    - ``nn``: 0 for NaN float/double scores, 1 otherwise — NaN FIRST
+      among scored members, exactly where the rank window put it
+      (Spark's total order treats NaN as greater than any number, so
+      ``desc_nulls_last`` ranked NaN above +Infinity; naive negation
+      would have silently flipped NaN to LAST). Constant 1 for
+      non-floating types, which have no NaN.
     - ``nq``: the order-reversed score — higher quality sorts first.
       Integral types (and boolean) reverse via ``bitwise_not`` on a
       BIGINT cast: exact at full 64-bit range, no ``-Long.MinValue``
       overflow, no silent 2^53 double-precision collapse. Date and
       timestamp scores (the keep-NEWEST-member policy) reverse the same
-      way over their exact integer encodings (``unix_date`` /
-      ``unix_micros``). Fractional and decimal types negate NATIVELY
+      way over their exact integer encodings: ``unix_date`` for dates,
+      ``unix_micros`` for instants, and for ``timestamp_ntz`` a
+      session-timezone-FREE (day, microsecond-of-day) decomposition —
+      casting NTZ through ``timestamp`` would interpret the wall clock
+      in the session zone, which is non-injective across a DST
+      fall-back (two distinct NTZ values, one instant) and would let
+      the tie fall through to smallest id instead of the true NTZ
+      descending order. Fractional and decimal types negate NATIVELY
       (exact; ``-0.0`` vs ``0.0`` agrees with Spark's descending double
-      order; NaN quality is undefined — don't produce NaN scores). Any
-      other score type raises: an un-negatable type would otherwise
-      rank garbage silently, where the old rank window ordered it
-      natively.
+      order; NaN is pinned by ``nn`` above). Any other score type
+      raises: an un-negatable type would otherwise rank garbage
+      silently, where the old rank window ordered it natively.
     - ``i``: the member id — deterministic tie-break, and unique per
       cluster member, so comparisons never fall through past it."""
     dt = dict(j.dtypes).get(score_col)
     c = F.col(score_col)
+    nn = F.lit(1)
     if dt in _INTEGRAL_TYPES:
         nq = F.bitwise_not(F.coalesce(c.cast("bigint"), F.lit(0)))
     elif dt == "date":
         nq = F.bitwise_not(F.coalesce(F.unix_date(c), F.lit(0)))
-    elif dt in ("timestamp", "timestamp_ntz"):
-        nq = F.bitwise_not(
-            F.coalesce(F.unix_micros(c.cast("timestamp")), F.lit(0))
+    elif dt == "timestamp":
+        nq = F.bitwise_not(F.coalesce(F.unix_micros(c), F.lit(0)))
+    elif dt == "timestamp_ntz":
+        # timezone-independent exact micros since epoch of the WALL
+        # CLOCK: days (NTZ→date keeps the wall-clock date) plus
+        # microsecond-of-day from the time fields. date_part('SECOND')
+        # carries the fractional seconds at micro precision.
+        micros = F.unix_date(c.cast("date")).cast("bigint") * F.lit(
+            86_400_000_000
+        ) + (
+            (
+                F.hour(c).cast("bigint") * 3600
+                + F.minute(c).cast("bigint") * 60
+            )
+            * 1_000_000
+            + (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("bigint")
         )
-    elif dt in ("float", "double") or (dt or "").startswith("decimal"):
+        nq = F.bitwise_not(F.coalesce(micros, F.lit(0)))
+    elif dt in ("float", "double"):
+        cc = F.coalesce(c, F.lit(0).cast(dt))
+        nn = F.when(F.isnan(cc), F.lit(0)).otherwise(F.lit(1))
+        nq = F.when(F.isnan(cc), F.lit(0).cast(dt)).otherwise(-cc)
+    elif (dt or "").startswith("decimal"):
         nq = -F.coalesce(c, F.lit(0).cast(dt))
     else:
         raise TypeError(
@@ -708,6 +738,7 @@ def _rank_key(j: DataFrame, score_col: str, id_col: str) -> Column:
         )
     return F.struct(
         c.isNull().cast("int").alias("u"),
+        nn.alias("nn"),
         nq.alias("nq"),
         F.col(id_col).alias("i"),
     )
@@ -902,6 +933,7 @@ def keep_top_k(
     key = _rank_key(j, score_col, id_col)
     member = F.struct(
         key.getField("u").alias("u"),
+        key.getField("nn").alias("nn"),
         key.getField("nq").alias("nq"),
         key.getField("i").alias("i"),
         F.col(score_col).alias("s"),

@@ -226,9 +226,24 @@ _PRIORITY = [
 #                      partition ≈ corpus/n_shards by construction
 #   o_custkey ........ per-customer order history — entity-bounded (a
 #                      customer places thousands of orders, not billions)
-#   user_id .......... per-user event stream (as-of carry, session gaps,
-#                      latest-state dedup) — entity-bounded activity
-#   (user_id, event_type) same, further split per event type
+#   user_id .......... per-user event stream (as-of carry, session gaps)
+#                      — entity-bounded activity
+#
+# "Entity-bounded" is a DATA CONTRACT, not a theorem: a 100 TB event log
+# has bot/firehose entities whose row counts look like cluster_id skew.
+# When that contract breaks for a deployment:
+#   - an order-free "latest per key" query must become a combinable
+#     max_by (q_stream_dedup_latest was rewritten exactly so in round 9
+#     and left the allowlist — the template to copy);
+#   - a genuinely order-dependent window (as-of carry, session gaps)
+#     cannot drop the sort, so split the entity by a bounded sub-key the
+#     semantics already respect — (user_id, day) for sessions whose gap
+#     threshold never spans a day boundary, or chunked carry: window per
+#     (user_id, time_chunk), then a second pass joins each chunk's last
+#     state to the next chunk (two bounded shuffles instead of one
+#     unbounded sort). What breaks if ignored: the hot entity's window
+#     sorts in ONE task — AQE cannot split a window partition — and the
+#     stage runs at the speed of its biggest bot.
 #   query_id ......... ANN shortlist AFTER candidate pruning: ≤ probe
 #                      lists × per-list matches, k-bounded by the prune
 #   source / (source, bkt) mixing runs its cumsum window over the
@@ -251,7 +266,6 @@ WINDOW_PARTITION_ALLOWLIST: dict[str, set[tuple[str, ...]]] = {
     "q_join_asof": {("user_id",)},
     "q_join_asof_tol": {("user_id",)},
     "q_window_session": {("user_id",)},
-    "q_stream_dedup_latest": {("user_id", "event_type")},
     "q_knn_cosine": {("query_id",)},
     "q_ann_ivf": {("query_id",)},
     "q_ann_lsh": {("query_id",)},

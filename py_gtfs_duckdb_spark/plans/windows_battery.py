@@ -144,16 +144,35 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R4 keyed-upsert state, batch view: latest record per key wins
-    (reference ddb.py:296-332 delete-then-insert per entity id). The same
-    window powers the streaming merge in streaming/merge.py."""
+    (reference ddb.py:296-332 delete-then-insert per entity id).
+
+    Scale shape: ONE map-side-combinable ``max_by`` on the (ts, event_id)
+    struct — the argmax form of the row_number window this used through
+    round 8. The old window keyed on (user_id, event_type), justified as
+    "entity-bounded activity", but a 100 TB event log has bot/firehose
+    users with billions of rows — the same unsplittable-partition skew
+    shape the dedup actions were rebuilt to avoid; partial aggregation
+    reduces each map task's slice of a hot key to one candidate before
+    the shuffle, so the contract no longer matters here. (The per-batch
+    window in streaming/merge.py is bounded by the micro-batch, a
+    different regime.) event_id is the deterministic tie-break for equal
+    timestamps, matching the oracle's ORDER BY ts DESC, event_id DESC."""
     e = t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id", "event_type").orderBy(
-        F.desc("ts"), F.desc("event_id")
+    best = F.max_by(
+        F.struct(F.col("event_id").alias("e"), F.col("ts").alias("t"),
+                 F.col("value").alias("v")),
+        F.struct(F.col("ts"), F.col("event_id")),
     )
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "ts", "value")
+        e.groupBy("user_id", "event_type")
+        .agg(best.alias("__b"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("__b.e").alias("event_id"),
+            F.col("__b.t").alias("ts"),
+            F.col("__b.v").alias("value"),
+        )
     )
 
 

@@ -130,6 +130,65 @@ def test_release_shared_drops_stopped_session_entries(spark):
         _scope._is_stopped = orig
 
 
+def test_release_requeues_failed_unpersist(spark):
+    """A frame whose unpersist RAISES on a live session must stay
+    registered (retried on the next release), not be counted released
+    and discarded — the ADVICE r8 silent-leak path."""
+    from py_gtfs_duckdb_spark.operators import _scope
+
+    _scope.release_shared()
+    df = _scope.shared(spark.range(4).selectExpr("id AS y"))
+    df.count()
+    orig = df.unpersist
+    calls = {"n": 0}
+
+    def flaky(blocking=False):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient JVM hiccup")
+        return orig(blocking)
+
+    df.unpersist = flaky
+    try:
+        assert _scope.release_shared() == 0  # failed — not counted
+        assert _scope._SHARED == [df]  # re-queued, handle kept
+        assert _scope.release_shared() == 1  # retry succeeds
+        assert not _scope._SHARED
+        assert calls["n"] == 2
+    finally:
+        df.unpersist = orig
+        df.unpersist()
+
+
+def test_shared_during_release_is_never_dropped(spark):
+    """Registry register/drain are atomic under the lock: shared() calls
+    hammering a concurrent release_shared() loop always land either in
+    the drained snapshot or in the registry — none vanish unregistered
+    with a live cache entry (the ADVICE r8 race)."""
+    import threading
+
+    from py_gtfs_duckdb_spark.operators import _scope
+
+    _scope.release_shared()
+    frames = []
+    stop = threading.Event()
+
+    def registrar():
+        for i in range(40):
+            frames.append(_scope.shared(spark.range(2).selectExpr(f"id AS c{i}")))
+        stop.set()
+
+    t = threading.Thread(target=registrar)
+    t.start()
+    while not stop.is_set():
+        _scope.release_shared()
+    t.join()
+    _scope.release_shared()
+    assert not _scope._SHARED
+    # every frame was actually unpersisted — no silent cache leak
+    assert all(not f.storageLevel.useMemory for f in frames)
+
+
 def test_shared_scope_is_thread_local(spark):
     """Two concurrent foreachBatch streams run their batches on separate
     driver threads; each scope must release exactly its own frames — a

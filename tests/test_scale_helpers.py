@@ -179,17 +179,31 @@ def test_cc_fixpoint_mega_component(spark):
     assert cc.count() == 6_000 + 1_000
 
 
+def _feq(a, b) -> bool:
+    """Score equality where NaN == NaN (Python's != would reject it)."""
+    import math
+
+    if a is None or b is None:
+        return a is b
+    return (math.isnan(a) and math.isnan(b)) or a == b
+
+
 @pytest.mark.parametrize("seed", [7, 23, 99])
 def test_dedup_actions_match_window_reference(spark, seed):
     """Differential: the combinable keep_canonical and the salted
     keep_top_k must reproduce the rank-window semantics (quality DESC
-    NULLS LAST, id ASC) on adversarial score distributions — exact ties,
-    0.0 vs -0.0 boundaries, negatives, and missing scores."""
+    NULLS LAST, id ASC, with Spark's total order — NaN above +inf) on
+    adversarial score distributions: exact ties, 0.0 vs -0.0
+    boundaries, negatives, ±inf, NaN, and missing scores."""
+    import math
     import random
 
     rng = random.Random(seed)
     n = 400
-    pool = [0.0, -0.0, 1.0, -1.0, 0.5, 0.25, None]
+    pool = [
+        0.0, -0.0, 1.0, -1.0, 0.5, 0.25, None,
+        float("nan"), float("inf"), float("-inf"),
+    ]
     rows, srows = [], []
     for i in range(n):
         rows.append((i, rng.randrange(12)))
@@ -199,17 +213,24 @@ def test_dedup_actions_match_window_reference(spark, seed):
     clusters = spark.createDataFrame(rows, "doc_id bigint, cluster_id bigint")
     scores = spark.createDataFrame(srows, "doc_id bigint, quality double")
 
-    # python reference of the contract order per cluster
+    # python reference of the contract order per cluster: NULLS LAST,
+    # then NaN (Spark's greatest double) first, then score descending,
+    # then id ascending
     smap = dict(srows)
     members: dict[int, list[int]] = {}
     for i, c in rows:
         members.setdefault(c, []).append(i)
 
+    def _key(i):
+        q = smap.get(i)
+        if q is None:
+            return (1, 1, 0.0, i)
+        if math.isnan(q):
+            return (0, 0, 0.0, i)
+        return (0, 1, -q, i)
+
     def order(c):
-        return sorted(
-            members[c],
-            key=lambda i: (smap.get(i) is None, -(smap.get(i) or 0.0), i),
-        )
+        return sorted(members[c], key=_key)
 
     from py_gtfs_duckdb_spark.operators.dedup import keep_canonical, keep_top_k
 
@@ -218,7 +239,7 @@ def test_dedup_actions_match_window_reference(spark, seed):
     for c in members:
         want = order(c)[0]
         assert got[c]["kept_doc_id"] == want, c
-        assert got[c]["kept_quality"] == smap.get(want), c
+        assert _feq(got[c]["kept_quality"], smap.get(want)), c
         assert got[c]["n_members"] == len(members[c]), c
 
     k = 3
@@ -233,4 +254,42 @@ def test_dedup_actions_match_window_reference(spark, seed):
         assert [r["doc_id"] for r in rs] == want, c
         assert [r["rank"] for r in rs] == list(range(1, len(want) + 1)), c
         assert all(r["n_members"] == len(members[c]) for r in rs), c
-        assert [r["score"] for r in rs] == [smap.get(i) for i in want], c
+        assert all(
+            _feq(r["score"], smap.get(i)) for r, i in zip(rs, want)
+        ), c
+
+
+def test_rank_key_timestamp_ntz_is_timezone_independent(spark):
+    """keep-newest over timestamp_ntz scores must follow the NTZ wall
+    clock, not the session-zone instant: across a spring-forward gap
+    (America/Los_Angeles 2021-03-14, 02:xx doesn't exist) a cast through
+    `timestamp` maps the nonexistent 02:30 and the real 03:30 to the
+    SAME instant, collapsing the order to the id tie-break — the ADVICE
+    r8 finding. The (day, micros-of-day) encoding keeps them distinct."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        from py_gtfs_duckdb_spark.operators.dedup import keep_canonical
+
+        clusters = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 1), (4, 1)],
+            "doc_id bigint, cluster_id bigint",
+        )
+        scores = spark.createDataFrame(
+            [
+                (1, "2021-03-14 02:30:00"),   # nonexistent wall time
+                (2, "2021-03-14 03:30:00"),   # real; same instant as 02:30
+                (3, "2021-03-14 03:30:00.000001"),  # micro precision kept
+                (4, "2021-03-14 03:30:00"),
+            ],
+            "doc_id bigint, s string",
+        ).select("doc_id", F.to_timestamp_ntz("s").alias("quality"))
+        got = {
+            r["cluster_id"]: r["kept_doc_id"]
+            for r in keep_canonical(clusters, scores).collect()
+        }
+        # newest NTZ wall clock wins: 03:30 > 02:30 even though the
+        # session-zone instants coincide; fractional seconds count
+        assert got == {0: 2, 1: 3}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

@@ -23,6 +23,27 @@ _SPEC = re.compile(r"windowspecdefinition\((.*?)specifiedwindowframe")
 _ATTR_ID = re.compile(r"#\d+L?")
 
 
+def _split_args(s: str) -> list[str]:
+    """Split a windowspecdefinition argument list on TOP-LEVEL commas
+    only: a composite partition key like ``substring(k#1, 1, 2)`` is one
+    argument, not three garbage fragments (a bare ``split(',')`` would
+    shred it and compare nonsense tuples against the allowlist)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+    tail = s[start:].strip()
+    if tail:
+        parts.append(tail)
+    assert depth >= 0, f"unbalanced parens in windowspecdefinition args: {s!r}"
+    return parts
+
+
 def window_partition_keys(plan: str) -> set[tuple[str, ...]]:
     """Every distinct window partition-key tuple in a formatted plan.
 
@@ -32,10 +53,29 @@ def window_partition_keys(plan: str) -> set[tuple[str, ...]]:
     compare by column base name."""
     specs: set[tuple[str, ...]] = set()
     for m in _SPEC.finditer(plan):
-        parts = [p.strip() for p in m.group(1).split(",")]
+        parts = _split_args(m.group(1))
         keys = [p for p in parts if p and " ASC" not in p and " DESC" not in p]
         specs.add(tuple(_ATTR_ID.sub("", k) for k in keys))
     return specs
+
+
+def test_split_args_is_paren_aware():
+    """Unit-pin the splitter on composite keys (the ADVICE r8 finding:
+    bare comma-split would shred function-call partition keys)."""
+    got = _split_args(
+        "substring(k#1, 1, 2), u#2L, CASE WHEN f(a#3, b#4) THEN 1 END, "
+        "ts#5 ASC NULLS FIRST,"
+    )
+    assert got == [
+        "substring(k#1, 1, 2)",
+        "u#2L",
+        "CASE WHEN f(a#3, b#4) THEN 1 END",
+        "ts#5 ASC NULLS FIRST",
+    ]
+    assert window_partition_keys(
+        "windowspecdefinition(substring(k#1, 1, 2), ts#5 ASC NULLS FIRST, "
+        "specifiedwindowframe(...))"
+    ) == {("substring(k, 1, 2)",)}
 
 
 def _battery_names() -> list[str]:
