@@ -53,6 +53,68 @@ FIXED_MERGES_V1: list[tuple[str, str]] = [
     ("jo", "in" + EOW), ("a", "s"), ("as", "h" + EOW), ("h", "ash" + EOW),
 ]
 
+# Full-memorization frozen table (bpe_train(n_merges=600, sample_size=8000,
+# min_pair_freq=1) on the sf0.01 documents sample, pasted as literals):
+# training ran until no adjacent pair was left, at which point every
+# corpus word is a single token — the generator vocabulary is a CLOSED
+# 31-word set, identical at sf0.001/0.01/0.1, so that fixpoint is 106
+# merges and every one of them fires on the corpus. Prefix-compatible
+# with FIXED_MERGES_V1 (same training order, longer run).
+FIXED_MERGES_MEMO: list[tuple[str, str]] = [
+    ("e", "r"), ("e", EOW), ("n", EOW),
+    ("er", EOW), ("o", "w"), ("ow", EOW),
+    ("o", "r"), ("s", "t"), ("h", EOW),
+    ("a", "t"), ("l", "u"), ("i", "n"),
+    ("a", EOW), ("g", EOW), ("y", EOW),
+    ("a", "r"), ("p", "ar"), ("t", EOW),
+    ("i", "n" + EOW), ("j", "o"), ("jo", "in" + EOW),
+    ("a", "s"), ("as", "h" + EOW), ("h", "ash" + EOW),
+    ("r", "ow" + EOW), ("at", "c"), ("atc", "h" + EOW),
+    ("b", "atch" + EOW), ("a", "n" + EOW), ("c", "an" + EOW),
+    ("s", "can" + EOW), ("c", "o"), ("c", "u"),
+    ("co", "lu"), ("colu", "m"), ("colum", "n" + EOW),
+    ("cu", "st"), ("cust", "o"), ("custo", "m"),
+    ("custom", "er" + EOW), ("f", "i"), ("fi", "l"),
+    ("fil", "t"), ("filt", "er" + EOW), ("a", "l"),
+    ("al", "l"), ("all", EOW), ("m", "all" + EOW),
+    ("s", "mall" + EOW), ("er", "g"), ("erg", "e" + EOW),
+    ("l", "ow" + EOW), ("m", "erge" + EOW), ("s", "low" + EOW),
+    ("c", "t"), ("ct", "or"), ("ctor", EOW),
+    ("d", "er" + EOW), ("e", "ctor" + EOW), ("or", "der" + EOW),
+    ("v", "ector" + EOW), ("in", "e" + EOW), ("l", "ine" + EOW),
+    ("a", "b"), ("ab", "l"), ("abl", "e" + EOW),
+    ("at", "a" + EOW), ("d", "ata" + EOW), ("t", "able" + EOW),
+    ("p", EOW), ("u", "p" + EOW), ("a", "g"),
+    ("ag", "g" + EOW), ("a", "lu"), ("alu", "e" + EOW),
+    ("v", "alue" + EOW), ("e", "y" + EOW), ("k", "ey" + EOW),
+    ("a", "m"), ("am", EOW), ("e", "am" + EOW),
+    ("r", "eam" + EOW), ("st", "ream" + EOW), ("d", "ow" + EOW),
+    ("in", "dow" + EOW), ("w", "indow" + EOW), ("k", EOW),
+    ("par", "k" + EOW), ("s", "park" + EOW), ("g", "r"),
+    ("gr", "o"), ("gro", "up" + EOW), ("par", "t" + EOW),
+    ("b", "i"), ("bi", "g" + EOW), ("or", "t" + EOW),
+    ("s", "ort" + EOW), ("er", "y" + EOW), ("q", "u"),
+    ("qu", "ery" + EOW), ("a", "st"), ("ast", EOW),
+    ("f", "ast" + EOW), ("h", "e" + EOW), ("t", "he" + EOW),
+    ("d", "up" + EOW),
+]
+
+# Production-DEPTH frozen table: the 106 real memorization merges padded
+# with deterministic digit-led pairs to 384 entries. Digits cannot occur
+# in the [a-z ] corpus (and the encoders sanitize the SEP byte), so each
+# pad is a verified NO-OP on both engines — its only job is to make the
+# table longer than MAX_EXPR_MERGES (256) and land on the measured 384
+# Catalyst expression cliff, forcing the automatic Arrow dispatch in
+# :func:`bpe_encode_stats` / :func:`bpe_vocab_spectrum` down the
+# :func:`bpe_tokenize` path a real 32k-merge vocabulary would take. A
+# naturally-deep table is impossible on a 31-word closed vocabulary;
+# padding is the honest way to drive the deep path against an exact
+# oracle (the DuckDB replay stages ALL 384 replaces, so the no-op
+# property is itself hash-checked — see plans/extensions.py).
+FIXED_MERGES_LARGE: list[tuple[str, str]] = FIXED_MERGES_MEMO + [
+    ("0", f"pad{i}") for i in range(384 - len(FIXED_MERGES_MEMO))
+]
+
 
 def _word_freqs(texts) -> dict[str, int]:
     freqs: dict[str, int] = {}
@@ -68,11 +130,16 @@ def bpe_train(
     sample_size: int = 1000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    min_pair_freq: int = 2,
 ) -> dict:
     """Learn ``n_merges`` BPE merges from an md5-ordered document sample.
     Returns {"merges": [[left, right], ...]} — plain data, shippable in a
     task closure. Deterministic: ties in pair frequency break on the
-    lexicographically smallest pair."""
+    lexicographically smallest pair. Training stops when the best pair
+    occurs fewer than ``min_pair_freq`` times: the default 2 refuses
+    merges that fire once in the sample (pure memorization);
+    ``min_pair_freq=1`` deliberately memorizes — how the deep frozen
+    table :data:`FIXED_MERGES_LARGE` was produced."""
     rows = (
         docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
         .orderBy(F.md5(F.col("id").cast("string")), "id")
@@ -93,8 +160,8 @@ def bpe_train(
         if not pair_counts:
             break
         best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pair_counts[best] < 2:
-            break  # nothing repeats — further merges are memorization
+        if pair_counts[best] < min_pair_freq:
+            break  # below the repeat floor — see the docstring
         merges.append([best[0], best[1]])
         joined = best[0] + best[1]
         new_words = []
@@ -202,8 +269,18 @@ def bpe_encode_stats(
     would otherwise forge symbol boundaries and corrupt the separator-
     derived counts — this operator runs on PRE-filter corpora via the
     audit CLI, so the 'filtered text never contains 0x1f' assumption
-    does not hold here)."""
+    does not hold here).
+
+    DISPATCH: merge tables past :data:`MAX_EXPR_MERGES` automatically
+    take the Arrow-batched greedy path (:func:`_bpe_stats_arrow`, the
+    same kernel as :func:`bpe_tokenize`) instead of raising — a
+    production 32k-merge vocabulary must not depend on Catalyst's
+    expression-depth ceiling. Same output, same rounding; the two paths
+    agree wherever ordered-replace ≡ greedy holds (tests/test_bpe.py
+    pins it for every frozen table on the corpus vocabulary)."""
     merges = FIXED_MERGES_V1 if merges is None else merges
+    if len(merges) > MAX_EXPR_MERGES:
+        return _bpe_stats_arrow(docs, merges, text_col, id_col, keep_cols)
     text = F.replace(F.col(text_col), F.lit(SEP))
     words = F.filter(F.split(text, " "), lambda w: w != "")
     enc_doc = F.concat_ws(
@@ -223,6 +300,71 @@ def bpe_encode_stats(
     from py_gtfs_duckdb_spark.functions import pround
 
     return d.withColumn(
+        "chars_per_token",
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            pround(F.col("n_chars") / F.col("n_bpe_tokens"), 4),
+        ),
+    )
+
+
+def _bpe_stats_arrow(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str,
+    id_col: str,
+    keep_cols: tuple[str, ...],
+) -> DataFrame:
+    """:func:`bpe_encode_stats` for merge tables too deep for the
+    expression encoder: one narrow Arrow-batched ``mapInPandas`` pass
+    with the merge ranks in the task closure and a per-batch word memo
+    (the :func:`bpe_tokenize` kernel, counting instead of materializing
+    token arrays). Mirrors the expression path's definitions exactly —
+    SEP-sanitize, split on ' ' dropping empties, n_chars = non-space
+    length — and applies the shared ``pround`` ratio JVM-side so the
+    hash-checked columns are bit-identical to the shallow path."""
+    rank = {(left, right): i for i, (left, right) in enumerate(merges)}
+    src = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
+        F.col(text_col).alias("__t"),
+    )
+    schema = T.StructType(
+        [src.schema["doc_id"], *[src.schema[c] for c in keep_cols]]
+        + [
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("n_bpe_tokens", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            nw, nc, nt = [], [], []
+            for text in pdf["__t"]:
+                text = text.replace(SEP, "")
+                words = [w for w in text.split(" ") if w]
+                nw.append(len(words))
+                nc.append(len(text.replace(" ", "")))
+                total = 0
+                for w in words:
+                    got = memo.get(w)
+                    if got is None:
+                        got = memo[w] = len(_encode_word(w, rank))
+                    total += got
+                nt.append(total)
+            out = pdf.drop(columns=["__t"])
+            out["n_words"] = pd.Series(nw, dtype="int64", index=pdf.index)
+            out["n_chars"] = pd.Series(nc, dtype="int64", index=pdf.index)
+            out["n_bpe_tokens"] = pd.Series(nt, dtype="int64", index=pdf.index)
+            yield out
+
+    from py_gtfs_duckdb_spark.functions import pround
+
+    return src.mapInPandas(run, schema=schema).withColumn(
         "chars_per_token",
         F.when(
             F.col("n_bpe_tokens") > 0,
@@ -251,8 +393,28 @@ def bpe_vocab_spectrum(
     at any corpus size; top-k is TakeOrderedAndProject (per-partition
     heaps), never a global sort. Ties break on the token string so the
     result is deterministic. Input text is sanitized of the SEP byte
-    (see :func:`bpe_encode_stats`)."""
+    (see :func:`bpe_encode_stats`). Merge tables past
+    :data:`MAX_EXPR_MERGES` dispatch to the Arrow :func:`bpe_tokenize`
+    kernel (same downstream vocabulary-bounded aggregation, token arrays
+    exploded instead of the separator-string split)."""
     merges = FIXED_MERGES_V1 if merges is None else merges
+    if len(merges) > MAX_EXPR_MERGES:
+        sane = docs.select(
+            F.col(id_col).alias("id"),
+            F.replace(F.col(text_col), F.lit(SEP)).alias("__txt"),
+        )
+        toks = bpe_tokenize(
+            sane, {"merges": list(merges)}, text_col="__txt", id_col="id"
+        ).select("id", F.explode("tokens").alias("token"))
+        return (
+            toks.groupBy("token")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+                F.countDistinct("id").cast("bigint").alias("n_docs"),
+            )
+            .orderBy(F.desc("n_occurrences"), "token")
+            .limit(top_k)
+        )
     words = F.filter(
         F.split(F.replace(F.col(text_col), F.lit(SEP)), " "),
         lambda w: w != "",

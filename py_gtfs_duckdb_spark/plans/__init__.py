@@ -65,39 +65,105 @@ from py_gtfs_duckdb_spark.plans import flagship  # noqa: E402,F401
 # order with a bounded budget (the first 50 names each round), so the
 # 50-slot window carries the queries whose driver evidence matters most.
 #
-# Rotation ledger (latest driver evidence per group, entering round 8 —
-# 115 registered queries, cumulative distinct driver-green 115/115;
-# CORRECTNESS_r07 was 50/50 green, zero err, zero hash-fail):
-#   changed impl ..... queries whose operators were rebuilt this round —
-#                      keep_canonical/keep_top_k (cluster windows ->
-#                      combinable argmax / salted two-phase top-k), the
-#                      curate pair (composes keep_canonical), and
-#                      unigram_nll + doc_scorecard (token-direct NLL,
-#                      vocab-sized persist only). All driver-green r7 on
-#                      the OLD code; their evidence needs refreshing.
-#   r5 tail .......... the 22-query round-5 wave (q_quantile_tokens ...
-#                      q_mix_sources) — 3 rounds old, the oldest
-#                      evidence block; windowed in full this round
-#                      (VERDICT r7 Next #2).
-#   r6 ............... the round-6 window, 2 rounds old; the 21 oldest
-#                      fill the remaining slots, the rest head the
-#                      round-9 queue below the boundary.
-#   r7 (fresh) ....... this round's 50 greens fund the slots; they sit
-#                      at the back of the queue.
+# Rotation ledger (latest driver evidence per group, entering round 9 —
+# 116 registered queries, cumulative distinct driver-green 115/115 of the
+# pre-round-9 battery; CORRECTNESS_r08 was 50/50 green, zero err, zero
+# hash-fail; distribution after r8: 50@r8 / 44@r7 / 21@r6):
+#   changed impl ..... queries touched this round — q_stream_dedup_latest
+#                      (window -> combinable max_by), the dedup actions +
+#                      curate pair (rank-key NTZ/NaN encoding changed),
+#                      the BPE battery (dispatch added), and the NEW
+#                      q_bpe_tokenize_large (Arrow-path driver evidence,
+#                      VERDICT r8 Missing #2).
+#   r6 block ......... the 20 remaining round-6 greens (the stable
+#                      relational/scalar core), 3 rounds old — the
+#                      ordered rotation VERDICT r8 Missing #3 called for.
+#   oldest r7 ........ 20 of the 44 round-7 greens fill the window so
+#                      round 10 only owes the remaining 21.
+#   r8 (fresh) ....... last round's 50 greens sit at the back.
 # After this window lands, no registered query's driver evidence will be
-# older than round 6 (= 2 rounds).
+# older than round 7 (= 2 rounds).
 _PRIORITY = [
     # flagship first — the reference's headline path (ddb.py:177-202)
     "q_flagship_nominal_trips",
-    # changed implementation since their round-7 green: the deskewed
-    # dedup actions, their composing pipeline, and the reshaped NLL
+    # changed implementation since their last driver green
+    "q_stream_dedup_latest",
     "q_dedup_keep_canonical",
     "q_dedup_keep_topk",
     "q_curate_pipeline",
     "q_curate_rules",
+    "q_bpe_tokenize_large",
+    "q_bpe_encode",
+    "q_bpe_vocab",
+    "q_bpe_fertility",
+    # the r6 block — oldest driver evidence (3 rounds), full rotation
+    "q_project_derived",
+    "q_filter_range",
+    "q_filter_isin",
+    "q_filter_first_stop",
+    "q_map_id_regex",
+    "q_join_inner",
+    "q_join_anti",
+    "q_join_semi",
+    "q_upsert_stops",
+    "q_agg_collect_list",
+    "q_agg_collect_list_salted",
+    "q_set_union_except",
+    "q_sort_multikey",
+    "q_sort_by_min_desc",
+    "q_fn_totimestamp",
+    "q_fn_interval",
+    "q_fn_epoch",
+    "q_fn_concat_format",
+    "q_fn_case_enum",
+    "q_fn_sha256",
+    # oldest r7 greens, filling the window to 50
+    "q_ngram_novelty",
+    "q_dsir_weights",
+    "q_split_leakage",
+    "q_split_rescue",
+    "q_minhash_calibration",
+    "q_ttl_retention",
+    "q_topk_per_group",
+    "q_agg_count_distinct",
+    "q_unpivot",
+    "q_dedup_exact",
+    "q_dedup_bow",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embedding",
+    "q_scan_star",
+    "q_scan_csv_projection",
+    "q_sql_passthrough",
+    "q_project_cols",
+    "q_filter_eq",
+    "q_filter_like",
+    # --- window boundary: 50 entries above this line ---
+    # remaining r7 greens: first in line for round 10
+    "q_agg_distinct",
+    "q_agg_min",
+    "q_agg_count",
+    "q_sort_concat",
+    "q_limit",
+    "q_fn_dateformat",
+    "q_source_overlap",
+    "q_dedup_incremental",
+    "q_sample_stratified",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_repetition_stats",
+    "q_quality_rules",
+    "q_pii_scrub",
+    "q_split_assign",
+    "q_token_histogram",
+    "q_source_report",
+    "q_join_asof",
+    "q_join_asof_tol",
+    "q_range_join",
+    "q_export_shards",
+    # round-8 greens (freshest driver evidence): back of the queue
     "q_unigram_nll",
     "q_doc_scorecard",
-    # the r5 tail — oldest driver evidence (3 rounds), full back-rotation
     "q_quantile_tokens",
     "q_semantic_dedup",
     "q_dedup_cluster_sizes",
@@ -120,7 +186,6 @@ _PRIORITY = [
     "q_ann_ivf",
     "q_multimodal_bytes",
     "q_mix_sources",
-    # oldest r6 greens, filling the window to 50
     "q_ann_lsh",
     "q_ann_pq",
     "q_ann_ivfpq",
@@ -142,74 +207,6 @@ _PRIORITY = [
     "q_embed_norm",
     "q_join_chain_left",
     "q_match_trip_candidates",
-    # --- window boundary: 50 entries above this line ---
-    # remaining r6 greens: first in line for round 9
-    "q_project_derived",
-    "q_filter_range",
-    "q_filter_isin",
-    "q_filter_first_stop",
-    "q_map_id_regex",
-    "q_join_inner",
-    "q_join_anti",
-    "q_join_semi",
-    "q_upsert_stops",
-    "q_agg_collect_list",
-    "q_agg_collect_list_salted",
-    "q_set_union_except",
-    "q_sort_multikey",
-    "q_sort_by_min_desc",
-    "q_fn_totimestamp",
-    "q_fn_interval",
-    "q_fn_epoch",
-    "q_fn_concat_format",
-    "q_fn_case_enum",
-    "q_fn_sha256",
-    "q_stream_dedup_latest",
-    # round-7 greens (freshest driver evidence): back of the queue
-    "q_bpe_encode",
-    "q_bpe_vocab",
-    "q_bpe_fertility",
-    "q_ngram_novelty",
-    "q_dsir_weights",
-    "q_split_leakage",
-    "q_split_rescue",
-    "q_minhash_calibration",
-    "q_ttl_retention",
-    "q_topk_per_group",
-    "q_agg_count_distinct",
-    "q_unpivot",
-    "q_dedup_exact",
-    "q_dedup_bow",
-    "q_dedup_minhash_lsh",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_embedding",
-    "q_scan_star",
-    "q_scan_csv_projection",
-    "q_sql_passthrough",
-    "q_project_cols",
-    "q_filter_eq",
-    "q_filter_like",
-    "q_agg_distinct",
-    "q_agg_min",
-    "q_agg_count",
-    "q_sort_concat",
-    "q_limit",
-    "q_fn_dateformat",
-    "q_source_overlap",
-    "q_dedup_incremental",
-    "q_sample_stratified",
-    "q_decontaminate",
-    "q_pack_sequences",
-    "q_repetition_stats",
-    "q_quality_rules",
-    "q_pii_scrub",
-    "q_split_assign",
-    "q_token_histogram",
-    "q_source_report",
-    "q_join_asof",
-    "q_join_asof_tol",
-    "q_range_join",
-    "q_export_shards",
 ]
 
 # Window-partition allowlist — the systematic form of the per-query
