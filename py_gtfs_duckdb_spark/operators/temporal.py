@@ -182,3 +182,121 @@ def range_join_binned(
         (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
     )
     return joined.drop("__bin")
+
+
+def sessionize_chunked(
+    events: DataFrame,
+    gap_ms: int = 1_800_000,
+    chunk_ms: int = 21_600_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Inactivity-gap sessionization with BOUNDED window partitions — the
+    chunked-carry pattern for when the "entity-bounded activity" contract
+    behind a plain ``partitionBy(user)`` window breaks (bot/firehose
+    users with billions of rows; see plans/__init__.py's allowlist
+    notes). Returns (user_col, session_idx, session_start, session_end,
+    n_events) — identical rows to the single-window formulation
+    (q_window_session's), with identical 1-based per-user session
+    numbering in (ts, order_col) order.
+
+    Three bounded stages instead of one unbounded sort:
+
+    1. LOCAL sessionization per (user, time-chunk): the usual lag-gap →
+       running-sum window, but partitioned by (user, chunk) — a
+       partition holds at most ``chunk_ms`` worth of ONE user's events,
+       so the sort is bounded by time, not by how hot the user is.
+       Local sessions aggregate immediately (start/end/count), so only
+       per-session rows leave the stage.
+    2. BOUNDARY stitch over the per-(user, chunk) SUMMARY table (one row
+       per active chunk: first/last event ts, local session count): a
+       lag window keyed on user — bounded because its input is the
+       aggregated summary (rows per user = active chunks = time range /
+       chunk_ms), not the event stream. Chunk c's first local session
+       merges into chunk c-1's last iff the chunks are adjacent and the
+       boundary gap <= gap_ms; because ``chunk_ms >= gap_ms`` is
+       enforced, a session can NEVER bridge non-adjacent chunks (the
+       gap across an empty chunk is > chunk_ms >= gap_ms), and merges
+       chain correctly through single-session chunks. A running sum of
+       (local sessions - merges) over the same summary window converts
+       local indices to global ones: global = offset(prior chunks)
+       + local_idx - merge_flag(chunk).
+    3. Re-aggregate by (user, global_idx): merged boundary pieces
+       collapse into one session row (min start / max end / summed
+       count).
+
+    Shuffle budget: one shuffle of events on (user, chunk) serving both
+    the local window and the local aggregation, one tiny shuffle of the
+    summary table on user, one co-keyed join of per-session rows to
+    per-chunk offsets, one final combinable aggregation. No partition
+    anywhere scales with a single user's total activity."""
+    if chunk_ms < gap_ms:
+        raise ValueError(
+            f"chunk_ms ({chunk_ms}) must be >= gap_ms ({gap_ms}): a "
+            "session may bridge at most one chunk boundary only when "
+            "chunks are at least one inactivity gap long"
+        )
+    u, ts = F.col(user_col), F.col(ts_col)
+    ev = events.select(
+        user_col,
+        ts_col,
+        order_col,
+        F.floor(F.unix_millis(ts) / F.lit(chunk_ms)).alias("__chunk"),
+    )
+    w_local = Window.partitionBy(user_col, "__chunk").orderBy(ts_col, order_col)
+    gap_prev = F.unix_millis(ts) - F.unix_millis(F.lag(ts_col).over(w_local))
+    is_new = (
+        F.when(gap_prev > gap_ms, 1)
+        .when(F.lag(ts_col).over(w_local).isNull(), 1)
+        .otherwise(0)
+    )
+    local = ev.withColumn(
+        "__lidx",
+        F.sum(is_new).over(w_local.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = local.groupBy(user_col, "__chunk", "__lidx").agg(
+        F.min(ts_col).alias("__start"),
+        F.max(ts_col).alias("__end"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    summary = local.groupBy(user_col, "__chunk").agg(
+        F.min(ts_col).alias("__first_ts"),
+        F.max(ts_col).alias("__last_ts"),
+        F.max("__lidx").alias("__n_sessions"),
+    )
+    w_user = Window.partitionBy(user_col).orderBy("__chunk")
+    merge = (
+        F.when(
+            (F.lag("__chunk").over(w_user) == F.col("__chunk") - 1)
+            & (
+                F.unix_millis(F.col("__first_ts"))
+                - F.unix_millis(F.lag("__last_ts").over(w_user))
+                <= gap_ms
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+    )
+    offsets = summary.withColumn("__m", merge).withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum(F.col("__n_sessions") - F.col("__m")).over(
+                w_user.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    glob = sess.join(
+        offsets.select(user_col, "__chunk", "__m", "__offset"),
+        [user_col, "__chunk"],
+    ).withColumn(
+        "session_idx",
+        (F.col("__offset") + F.col("__lidx") - F.col("__m")).cast("bigint"),
+    )
+    return glob.groupBy(user_col, "session_idx").agg(
+        F.min("__start").alias("session_start"),
+        F.max("__end").alias("session_end"),
+        F.sum("__n").cast("bigint").alias("n_events"),
+    )

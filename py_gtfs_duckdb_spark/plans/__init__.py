@@ -96,6 +96,7 @@ _PRIORITY = [
     "q_bpe_encode",
     "q_bpe_vocab",
     "q_bpe_fertility",
+    "q_window_session_chunked",
     # the r6 block — oldest driver evidence (3 rounds), full rotation
     "q_project_derived",
     "q_filter_range",
@@ -137,9 +138,9 @@ _PRIORITY = [
     "q_sql_passthrough",
     "q_project_cols",
     "q_filter_eq",
-    "q_filter_like",
     # --- window boundary: 50 entries above this line ---
     # remaining r7 greens: first in line for round 10
+    "q_filter_like",
     "q_agg_distinct",
     "q_agg_min",
     "q_agg_count",
@@ -225,6 +226,13 @@ _PRIORITY = [
 #                      customer places thousands of orders, not billions)
 #   user_id .......... per-user event stream (as-of carry, session gaps)
 #                      — entity-bounded activity
+#   (user_id, __chunk) chunked-carry sessionization: partition holds at
+#                      most chunk_ms of ONE user's events — bounded by
+#                      time, independent of entity heat
+#   user_id (q_window_session_chunked's second window) runs over the
+#                      AGGREGATED per-(user, chunk) summary (rows per
+#                      user = active chunks = range/chunk_ms), the same
+#                      aggregated-table argument as mix_sources
 #
 # "Entity-bounded" is a DATA CONTRACT, not a theorem: a 100 TB event log
 # has bot/firehose entities whose row counts look like cluster_id skew.
@@ -263,6 +271,7 @@ WINDOW_PARTITION_ALLOWLIST: dict[str, set[tuple[str, ...]]] = {
     "q_join_asof": {("user_id",)},
     "q_join_asof_tol": {("user_id",)},
     "q_window_session": {("user_id",)},
+    "q_window_session_chunked": {("user_id", "__chunk"), ("user_id",)},
     "q_knn_cosine": {("query_id",)},
     "q_ann_ivf": {("query_id",)},
     "q_ann_lsh": {("query_id",)},

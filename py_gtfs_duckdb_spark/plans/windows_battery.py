@@ -77,9 +77,10 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_window_session",
-    oracle="""
+# Shared by q_window_session (single-window form) and
+# q_window_session_chunked (bounded chunked-carry form): the two plans
+# must produce IDENTICAL rows, so they hash against the same oracle.
+_SESSION_ORACLE = """
     WITH ordered AS (
         SELECT user_id, ts, event_id,
                CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
@@ -99,8 +100,10 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start, MAX(ts) AS session_end,
            COUNT(*) AS n_events
     FROM sessions GROUP BY user_id, session_idx
-    """,
-)
+    """
+
+
+@query("q_window_session", oracle=_SESSION_ORACLE)
 def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap: lag → gap flag →
     running sum = session index → per-session aggregate. One shuffle on
@@ -126,6 +129,22 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
         )
+    )
+
+
+@query("q_window_session_chunked", oracle=_SESSION_ORACLE)
+def q_window_session_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sessionization as q_window_session, computed with the
+    chunked-carry plan (operators/temporal.py:sessionize_chunked): local
+    windows bounded by (user_id, 6h-chunk), boundary stitch over the
+    per-chunk summary table, combinable re-aggregation — the shape to
+    reach for when the entity-bounded window contract breaks (firehose
+    users; the allowlist's documented escape hatch, made executable and
+    hash-checked against the single-window oracle)."""
+    from py_gtfs_duckdb_spark.operators.temporal import sessionize_chunked
+
+    return sessionize_chunked(
+        t(spark, sf_dir, "events"), gap_ms=1_800_000, chunk_ms=21_600_000
     )
 
 

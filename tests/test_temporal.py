@@ -252,3 +252,91 @@ def test_range_join_epoch_scale_edges(spark):
         ).collect()
     )
     assert got == [(1, 10)]
+
+
+@pytest.mark.parametrize("seed", [3, 41])
+@pytest.mark.parametrize("chunk_ms", [1_800_000, 3_600_000, 21_600_000])
+def test_sessionize_chunked_matches_single_window(spark, seed, chunk_ms):
+    """Differential: the chunked-carry plan must reproduce the plain
+    partitionBy(user) window sessionization row-for-row — including
+    sessions that chain across MANY chunk boundaries (events every
+    gap-1ms for hours), single-event chunks, empty chunks, and exact
+    gap-boundary ties (gap == threshold stays in-session; strictly
+    greater splits)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from py_gtfs_duckdb_spark.operators.temporal import sessionize_chunked
+
+    gap_ms = 1_800_000
+    rng = random.Random(seed)
+    base = 1_700_000_000_000
+    rows = []
+    eid = 0
+    for uid in range(6):
+        t = base + rng.randrange(0, 3_600_000)
+        # a long chain: 40 events exactly gap-1 apart (spans many chunks)
+        for _ in range(40):
+            rows.append((uid, t, eid)); eid += 1
+            t += gap_ms - 1
+        # exact-boundary tie: gap == threshold stays in the session
+        rows.append((uid, t + gap_ms, eid)); eid += 1
+        t += gap_ms
+        # scattered sparse events with big gaps (single-event sessions)
+        for _ in range(20):
+            t += gap_ms + rng.randrange(1, 10 * gap_ms)
+            rows.append((uid, t, eid)); eid += 1
+            # occasional same-timestamp pair (order_col tie-break)
+            if rng.random() < 0.3:
+                rows.append((uid, t, eid)); eid += 1
+    df = spark.createDataFrame(
+        [(u, t, e) for u, t, e in rows], "user_id bigint, ms bigint, event_id bigint"
+    ).select(
+        "user_id",
+        F.timestamp_millis(F.col("ms")).alias("ts"),
+        "event_id",
+    )
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    plain = (
+        df.withColumn(
+            "session_idx",
+            F.sum(
+                F.when(gap > gap_ms, 1)
+                .when(F.lag("ts").over(w).isNull(), 1)
+                .otherwise(0)
+            )
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    chunked = sessionize_chunked(df, gap_ms=gap_ms, chunk_ms=chunk_ms)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, chunked.collect()))
+    assert a == b
+    # the chain really does span multiple chunks at the small chunk sizes
+    if chunk_ms <= 3_600_000:
+        n_chunks = (
+            df.filter(F.col("user_id") == 0)
+            .select(F.floor(F.unix_millis("ts") / chunk_ms))
+            .distinct()
+            .count()
+        )
+        assert n_chunks > 3
+
+
+def test_sessionize_chunked_rejects_short_chunks(spark):
+    from py_gtfs_duckdb_spark.operators.temporal import sessionize_chunked
+
+    df = spark.createDataFrame([(1, 1, 1)], "user_id long, ts long, event_id long")
+    with pytest.raises(ValueError, match="chunk_ms"):
+        sessionize_chunked(df, gap_ms=1000, chunk_ms=999)
