@@ -59,35 +59,9 @@ def asof_join(
         raise ValueError(
             "asof_join: tolerance requires the build ts column in build_cols"
         )
-    seq = build_cols[0]
     backward = direction == "backward"
     probe_cols = probe.columns
-
-    b = build.select(
-        F.col(by),
-        F.col(on),
-        F.struct(*[F.col(c) for c in build_cols]).alias("__b"),
-    )
-    # side ordering makes equal-ts build rows fall INSIDE the probe row's
-    # frame (inclusive semantics) for either direction
-    p_side, b_side = (1, 0) if backward else (0, 1)
-    u = probe.select(
-        *probe_cols,
-        F.lit(p_side).alias("__side"),
-        F.lit(None).cast(b.schema["__b"].dataType).alias("__b"),
-        F.lit(None).cast(build.schema[seq].dataType).alias("__seq"),
-    ).unionByName(
-        b.select(
-            *[
-                F.col(c) if c in (by, on)
-                else F.lit(None).cast(probe.schema[c].dataType).alias(c)
-                for c in probe_cols
-            ],
-            F.lit(b_side).alias("__side"),
-            F.col("__b"),
-            F.col("__b").getField(seq).alias("__seq"),
-        )
-    )
+    u, p_side = _asof_union(probe, build, on, by, build_cols, backward)
 
     order = [F.col(on).asc(), F.col("__side").asc(), F.col("__seq").asc()]
     if backward:
@@ -108,7 +82,48 @@ def asof_join(
     matched = u.select(
         *probe_cols, "__side", carried.alias("__m")
     ).filter(F.col("__side") == p_side)
+    return _asof_project(
+        matched, probe, on, probe_cols, build_cols, tolerance_seconds, suffix
+    )
 
+
+def _asof_union(probe, build, on, by, build_cols, backward):
+    """The tagged union frame both as-of variants sort: probe rows carry a
+    null payload; build rows pack ``build_cols`` into ONE struct (so a
+    null inside a payload column can never mix fields across build rows).
+    Side ordering makes equal-ts build rows fall INSIDE the probe row's
+    frame (inclusive semantics) for either direction. Returns (frame,
+    probe_side_tag)."""
+    seq = build_cols[0]
+    probe_cols = probe.columns
+    b = build.select(
+        F.col(by),
+        F.col(on),
+        F.struct(*[F.col(c) for c in build_cols]).alias("__b"),
+    )
+    p_side, b_side = (1, 0) if backward else (0, 1)
+    u = probe.select(
+        *probe_cols,
+        F.lit(p_side).alias("__side"),
+        F.lit(None).cast(b.schema["__b"].dataType).alias("__b"),
+        F.lit(None).cast(build.schema[seq].dataType).alias("__seq"),
+    ).unionByName(
+        b.select(
+            *[
+                F.col(c) if c in (by, on)
+                else F.lit(None).cast(probe.schema[c].dataType).alias(c)
+                for c in probe_cols
+            ],
+            F.lit(b_side).alias("__side"),
+            F.col("__b"),
+            F.col("__b").getField(seq).alias("__seq"),
+        )
+    )
+    return u, p_side
+
+
+def _asof_project(matched, probe, on, probe_cols, build_cols, tolerance_seconds, suffix):
+    """Tolerance gating + payload unpacking shared by both as-of plans."""
     m = F.col("__m")
     if tolerance_seconds is not None:
         # integer-microsecond math for timestamps (exact at the boundary —
@@ -124,6 +139,107 @@ def asof_join(
     return matched.select(
         *probe_cols,
         *[m.getField(c).alias(f"{c}{suffix}") for c in build_cols],
+    )
+
+
+def asof_join_chunked(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    by: str,
+    build_cols: list[str],
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    suffix: str = "_matched",
+    chunk_ms: int = 21_600_000,
+) -> DataFrame:
+    """:func:`asof_join` with BOUNDED window partitions — the
+    chunked-carry form for when the entity-bounded contract behind
+    ``partitionBy(by)`` breaks (a firehose key's union frame would sort
+    in one task; see plans/__init__.py's allowlist notes). Same rows,
+    same tie-breaks, same tolerance semantics as :func:`asof_join`.
+
+    Shape (backward; forward is the mirror):
+
+    1. LOCAL carry per (key, time-chunk): the running
+       ``last(payload, ignorenulls)`` window, partitioned by (by, chunk)
+       — each partition holds at most ``chunk_ms`` of ONE key's
+       probe+build rows.
+    2. Chunk-final payloads WITHOUT a window: ``max_by(payload,
+       (ts, seq))`` per (key, chunk) — map-side combinable (probe rows
+       carry a null ordering key, which max_by ignores).
+    3. Cross-chunk handoff over the per-(key, chunk) SUMMARY (one row
+       per active chunk): ``last(final_payload, ignorenulls)`` over
+       chunks strictly before c — a lag-window on a TIME-bounded frame.
+       Unlike sessionization there is no adjacency condition: an as-of
+       carry reaches back arbitrarily far, so the handoff is simply the
+       latest non-empty chunk's final payload.
+    4. Row result = ``coalesce(local carry, incoming handoff)``, then
+       the shared tolerance/unpack projection.
+
+    ``chunk_ms`` is in milliseconds for timestamp ``on`` columns, and in
+    the column's own units for plain numeric ordering columns."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join_chunked: unknown direction {direction!r}")
+    if tolerance_seconds is not None and on not in build_cols:
+        raise ValueError(
+            "asof_join_chunked: tolerance requires the build ts column in "
+            "build_cols"
+        )
+    backward = direction == "backward"
+    probe_cols = probe.columns
+    u, p_side = _asof_union(probe, build, on, by, build_cols, backward)
+    if isinstance(probe.schema[on].dataType, TimestampType):
+        chunk = F.floor(F.unix_millis(F.col(on)) / F.lit(chunk_ms))
+    else:
+        chunk = F.floor(F.col(on).cast("double") / F.lit(chunk_ms))
+    u = u.withColumn("__chunk", chunk)
+
+    order = [F.col(on).asc(), F.col("__side").asc(), F.col("__seq").asc()]
+    ord_key = F.when(
+        F.col("__b").isNotNull(),
+        F.struct(F.col(on), F.col("__side"), F.col("__seq")),
+    )
+    w_user = Window.partitionBy(by).orderBy("__chunk")
+    if backward:
+        w_local = (
+            Window.partitionBy(by, "__chunk")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = F.last("__b", ignorenulls=True).over(w_local)
+        final = F.max_by("__b", ord_key)
+        handoff = F.last("__final", ignorenulls=True).over(
+            w_user.rowsBetween(Window.unboundedPreceding, -1)
+        )
+    else:
+        w_local = (
+            Window.partitionBy(by, "__chunk")
+            .orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        local = F.first("__b", ignorenulls=True).over(w_local)
+        final = F.min_by("__b", ord_key)
+        handoff = F.first("__final", ignorenulls=True).over(
+            w_user.rowsBetween(1, Window.unboundedFollowing)
+        )
+    summary = (
+        u.groupBy(by, "__chunk")
+        .agg(final.alias("__final"))
+        .select(by, "__chunk", handoff.alias("__in"))
+    )
+    matched = (
+        u.withColumn("__local", local)
+        .join(summary, [by, "__chunk"])
+        .select(
+            *probe_cols,
+            "__side",
+            F.coalesce(F.col("__local"), F.col("__in")).alias("__m"),
+        )
+        .filter(F.col("__side") == p_side)
+    )
+    return _asof_project(
+        matched, probe, on, probe_cols, build_cols, tolerance_seconds, suffix
     )
 
 

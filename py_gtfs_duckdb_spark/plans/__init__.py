@@ -97,6 +97,7 @@ _PRIORITY = [
     "q_bpe_vocab",
     "q_bpe_fertility",
     "q_window_session_chunked",
+    "q_join_asof_chunked",
     # the r6 block — oldest driver evidence (3 rounds), full rotation
     "q_project_derived",
     "q_filter_range",
@@ -137,9 +138,9 @@ _PRIORITY = [
     "q_scan_csv_projection",
     "q_sql_passthrough",
     "q_project_cols",
-    "q_filter_eq",
     # --- window boundary: 50 entries above this line ---
     # remaining r7 greens: first in line for round 10
+    "q_filter_eq",
     "q_filter_like",
     "q_agg_distinct",
     "q_agg_min",
@@ -272,6 +273,7 @@ WINDOW_PARTITION_ALLOWLIST: dict[str, set[tuple[str, ...]]] = {
     "q_join_asof_tol": {("user_id",)},
     "q_window_session": {("user_id",)},
     "q_window_session_chunked": {("user_id", "__chunk"), ("user_id",)},
+    "q_join_asof_chunked": {("user_id", "__chunk"), ("user_id",)},
     "q_knn_cosine": {("query_id",)},
     "q_ann_ivf": {("query_id",)},
     "q_ann_lsh": {("query_id",)},

@@ -1560,9 +1560,9 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 from py_gtfs_duckdb_spark.operators import temporal as TJ  # noqa: E402
 
 
-@query(
-    "q_join_asof",
-    oracle="""
+# Shared by q_join_asof (union-sort single window) and
+# q_join_asof_chunked (bounded chunked-carry): identical rows, one oracle.
+_ASOF_ORACLE = """
     WITH probe AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
     ), b AS (
@@ -1579,8 +1579,10 @@ from py_gtfs_duckdb_spark.operators import temporal as TJ  # noqa: E402
            c.event_id_matched, c.ts_matched, c.value_matched
     FROM probe p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
         USING (event_id)
-    """,
-)
+    """
+
+
+@query("q_join_asof", oracle=_ASOF_ORACLE)
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each click event picks the latest view event
     by the same user at or before it (ties: largest event id), null when
@@ -1596,6 +1598,27 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return TJ.asof_join(
         probe, build, on="ts", by="user_id", build_cols=["event_id", "ts", "value"]
+    )
+
+
+@query("q_join_asof_chunked", oracle=_ASOF_ORACLE)
+def q_join_asof_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME backward as-of join as q_join_asof, computed with the
+    chunked-carry plan (operators/temporal.py:asof_join_chunked): local
+    carry windows bounded by (user_id, 6h-chunk), chunk-final payloads
+    via a combinable max_by (no window), cross-chunk handoff over the
+    per-chunk summary — the bounded form for firehose keys, hash-checked
+    against the single-window oracle."""
+    e = t(spark, sf_dir, "events")
+    probe = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    build = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return TJ.asof_join_chunked(
+        probe, build, on="ts", by="user_id",
+        build_cols=["event_id", "ts", "value"], chunk_ms=21_600_000,
     )
 
 

@@ -340,3 +340,57 @@ def test_sessionize_chunked_rejects_short_chunks(spark):
     df = spark.createDataFrame([(1, 1, 1)], "user_id long, ts long, event_id long")
     with pytest.raises(ValueError, match="chunk_ms"):
         sessionize_chunked(df, gap_ms=1000, chunk_ms=999)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("chunk_ms", [1_000, 7_000, 1_000_000])
+def test_asof_chunked_matches_unchunked(spark, direction, chunk_ms):
+    """Differential: the chunked-carry as-of join must reproduce
+    asof_join row-for-row — carries reaching back across MANY chunks
+    (keys whose only build row is at the very start), keys with no build
+    rows at all, empty chunks between build and probe, same-ts
+    tie-breaks, and null payload columns."""
+    import random
+
+    from py_gtfs_duckdb_spark.operators.temporal import (
+        asof_join,
+        asof_join_chunked,
+    )
+
+    rng = random.Random(direction.__len__() * 1000 + chunk_ms)
+    probe_rows, build_rows = [], []
+    eid = 0
+    for uid in range(8):
+        # key 7 has NO build rows; key 6 has ONE build row at t=0
+        n_builds = 0 if uid == 7 else (1 if uid == 6 else rng.randrange(1, 15))
+        for _ in range(n_builds):
+            t = 0 if uid == 6 else rng.randrange(0, 100_000)
+            # null payloads must not mix across rows
+            v = None if rng.random() < 0.3 else round(rng.random(), 3)
+            build_rows.append((eid, uid, t, v)); eid += 1
+        for _ in range(rng.randrange(1, 20)):
+            probe_rows.append((eid, uid, rng.randrange(0, 100_000))); eid += 1
+    # same-ts collisions between probe and build
+    probe_rows.append((eid, 0, build_rows[0][2])); eid += 1
+
+    probe = spark.createDataFrame(
+        probe_rows, "event_id bigint, user_id bigint, ts bigint"
+    )
+    build = spark.createDataFrame(
+        build_rows, "event_id bigint, user_id bigint, ts bigint, value double"
+    )
+    kw = dict(
+        on="ts", by="user_id",
+        build_cols=["event_id", "ts", "value"], direction=direction,
+    )
+    a = sorted(map(tuple, asof_join(probe, build, **kw).collect()))
+    b = sorted(
+        map(tuple, asof_join_chunked(probe, build, chunk_ms=chunk_ms, **kw).collect())
+    )
+    assert a == b
+    # and with tolerance gating
+    at = sorted(map(tuple, asof_join(
+        probe, build, tolerance_seconds=5_000.0, **kw).collect()))
+    bt = sorted(map(tuple, asof_join_chunked(
+        probe, build, tolerance_seconds=5_000.0, chunk_ms=chunk_ms, **kw).collect()))
+    assert at == bt

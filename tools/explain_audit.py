@@ -289,6 +289,35 @@ AUDITED = [
         " bounded ≤ n_salts×k merge per cluster. No rank window, so hot"
         " clusters split across salts instead of one sorted partition.",
     ),
+    (
+        "q_stream_dedup_latest",
+        "Latest state per key as ONE combinable max_by aggregation (no"
+        " row_number window since round 9): partial aggregation reduces a"
+        " firehose key's map-side slice to one candidate before the"
+        " shuffle.",
+    ),
+    (
+        "q_window_session_chunked",
+        "Chunked-carry sessionization: local lag-gap windows keyed"
+        " (user, 6h-chunk) — partitions bounded by time, not entity heat;"
+        " boundary stitch windows run over the per-(user, chunk) SUMMARY"
+        " aggregate; final combinable re-aggregation merges boundary"
+        " spans. Same rows as q_window_session (shared oracle).",
+    ),
+    (
+        "q_join_asof_chunked",
+        "Chunked-carry as-of join: (user, chunk)-bounded local carry"
+        " window, WINDOW-FREE max_by chunk-final payloads, cross-chunk"
+        " handoff over the per-chunk summary. Same rows as q_join_asof"
+        " (shared oracle).",
+    ),
+    (
+        "q_bpe_tokenize_large",
+        "Production-depth BPE: 384-merge table auto-dispatches past the"
+        " Catalyst expression cliff into ONE Arrow-batched mapInPandas"
+        " pass (memoized greedy kernel), no shuffle before the narrow"
+        " projection; hash-checked against a staged DuckDB replay.",
+    ),
 ]
 
 
