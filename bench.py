@@ -95,6 +95,11 @@ EXTRA = [
     "q_bpe_encode",
     "q_bpe_vocab",
     "q_bpe_fertility",
+    # round-9 additions: the deep-table Arrow path and the bounded
+    # chunked-carry forms, benched next to their unbounded siblings
+    "q_bpe_tokenize_large",
+    "q_window_session_chunked",
+    "q_join_asof_chunked",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

@@ -105,10 +105,14 @@ from py_gtfs_duckdb_spark.operators.bpe import (  # noqa: F401
     bpe_vocab_spectrum,
 )
 
-# temporal joins
+# temporal joins and sessionization (the *_chunked forms trade one
+# bounded extra stage for window partitions that never scale with a
+# single entity's activity — see SCALING.md §12)
 from py_gtfs_duckdb_spark.operators.temporal import (  # noqa: F401
     asof_join,
+    asof_join_chunked,
     range_join_binned,
+    sessionize_chunked,
 )
 
 # pipeline composition

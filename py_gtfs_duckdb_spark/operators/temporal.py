@@ -353,7 +353,7 @@ def sessionize_chunked(
             "session may bridge at most one chunk boundary only when "
             "chunks are at least one inactivity gap long"
         )
-    u, ts = F.col(user_col), F.col(ts_col)
+    ts = F.col(ts_col)
     ev = events.select(
         user_col,
         ts_col,

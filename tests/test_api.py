@@ -26,6 +26,8 @@ def test_api_surface_imports_and_is_flat():
         "pq_train",
         "ivfpq_topk",
         "asof_join",
+        "asof_join_chunked",
+        "sessionize_chunked",
         "range_join_binned",
         "curate_corpus",
         "export_shards",
