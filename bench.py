@@ -100,6 +100,8 @@ EXTRA = [
     "q_bpe_tokenize_large",
     "q_window_session_chunked",
     "q_join_asof_chunked",
+    "q_window_trailing",
+    "q_interval_join",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

@@ -111,6 +111,7 @@ from py_gtfs_duckdb_spark.operators.bpe import (  # noqa: F401
 from py_gtfs_duckdb_spark.operators.temporal import (  # noqa: F401
     asof_join,
     asof_join_chunked,
+    interval_join_binned,
     range_join_binned,
     sessionize_chunked,
 )

@@ -416,3 +416,88 @@ def sessionize_chunked(
         F.max("__end").alias("session_end"),
         F.sum("__n").cast("bigint").alias("n_events"),
     )
+
+
+def interval_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    by: str | None = None,
+    bin_width: float = 3600.0,
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair whose HALF-OPEN
+    intervals [start, end) intersect (``l_start < r_end AND r_start <
+    l_end``), optionally within an equality key — campaigns × sessions,
+    outages × requests. Spark has no native operator; the naive
+    inequality join is a per-key cross product.
+
+    Binned shape (the sibling of :func:`range_join_binned`): both sides
+    explode into the fixed-width bins their interval touches, pairs meet
+    in a bin-equality (+ key) hash join, the overlap predicate runs
+    inside the join — and each qualifying pair is emitted EXACTLY ONCE,
+    with no dedup shuffle, by keeping it only in the canonical bin
+    containing the overlap's start (``greatest(l_start, r_start)``,
+    which every overlapping pair shares in exactly one bin both sides
+    exploded into). Cost: |rows| × (interval_len / bin_width) duplicated
+    bin rows and a co-partitioned equi-join — tune ``bin_width`` toward
+    the typical interval length. Column names must be disjoint across
+    the two inputs (select/alias first); empty or inverted intervals
+    match nothing."""
+    overlap = set(left.columns) & set(right.columns)
+    overlap -= {by} if by else set()
+    if overlap:
+        raise ValueError(
+            f"interval_join_binned: column collision {sorted(overlap)} — "
+            "alias the sides apart first"
+        )
+
+    def binned(df: DataFrame, start: str, end: str) -> DataFrame:
+        e = F.col(end).cast("double")
+        end_bin_raw = F.floor(e / F.lit(bin_width)).cast("bigint")
+        # end exclusive: an interval ending exactly on a bin edge does
+        # not reach into that bin (same exact-edge test as
+        # range_join_binned — no epsilon)
+        end_bin = end_bin_raw - F.when(
+            e == end_bin_raw.cast("double") * F.lit(bin_width), F.lit(1)
+        ).otherwise(F.lit(0))
+        return df.filter(
+            F.col(end).cast("double") > F.col(start).cast("double")
+        ).withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start).cast("double") / F.lit(bin_width))
+                    .cast("bigint"),
+                    end_bin,
+                )
+            ),
+        )
+
+    lb = binned(left, l_start, l_end)
+    rb = binned(right, r_start, r_end).withColumnRenamed("__bin", "__rbin")
+    cond = lb["__bin"] == rb["__rbin"]
+    if by:
+        cond = cond & (lb[by] == rb[by])
+    ov_start = F.greatest(
+        F.col(l_start).cast("double"), F.col(r_start).cast("double")
+    )
+    joined = lb.join(rb, cond)
+    if by:
+        joined = joined.drop(rb[by])
+    joined = (
+        joined
+        .filter(
+            (F.col(l_start).cast("double") < F.col(r_end).cast("double"))
+            & (F.col(r_start).cast("double") < F.col(l_end).cast("double"))
+            # canonical-bin guard: exactly-once emission
+            & (
+                F.col("__bin")
+                == F.floor(ov_start / F.lit(bin_width)).cast("bigint")
+            )
+        )
+        .drop("__bin", "__rbin")
+    )
+    return joined

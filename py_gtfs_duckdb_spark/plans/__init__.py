@@ -98,6 +98,8 @@ _PRIORITY = [
     "q_bpe_fertility",
     "q_window_session_chunked",
     "q_join_asof_chunked",
+    "q_window_trailing",
+    "q_interval_join",
     # the r6 block — oldest driver evidence (3 rounds), full rotation
     "q_project_derived",
     "q_filter_range",
@@ -136,10 +138,10 @@ _PRIORITY = [
     "q_dedup_embedding",
     "q_scan_star",
     "q_scan_csv_projection",
-    "q_sql_passthrough",
-    "q_project_cols",
     # --- window boundary: 50 entries above this line ---
     # remaining r7 greens: first in line for round 10
+    "q_sql_passthrough",
+    "q_project_cols",
     "q_filter_eq",
     "q_filter_like",
     "q_agg_distinct",
@@ -273,6 +275,7 @@ WINDOW_PARTITION_ALLOWLIST: dict[str, set[tuple[str, ...]]] = {
     "q_join_asof_tol": {("user_id",)},
     "q_window_session": {("user_id",)},
     "q_window_session_chunked": {("user_id", "__chunk"), ("user_id",)},
+    "q_window_trailing": {("user_id",)},
     "q_join_asof_chunked": {("user_id", "__chunk"), ("user_id",)},
     "q_knn_cosine": {("query_id",)},
     "q_ann_ivf": {("query_id",)},

@@ -1670,6 +1670,67 @@ def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_interval_join",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id,
+               epoch_us(ts) // 1000000 AS c_start,
+               epoch_us(ts) // 1000000 + 1800 AS c_end
+        FROM events WHERE event_type = 'click'
+    ), v AS (
+        SELECT event_id AS view_id, user_id,
+               epoch_us(ts) // 1000000 AS v_start,
+               epoch_us(ts) // 1000000 + 600 AS v_end
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT c.click_id, v.view_id,
+           CAST(least(c_end, v_end) - greatest(c_start, v_start) AS BIGINT)
+               AS overlap_s
+    FROM c JOIN v USING (user_id)
+    WHERE c_start < v_end AND v_start < c_end
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/temporal.py:interval_join_binned):
+    every click's 30-minute attention window × every view's 10-minute
+    window of the same user that intersect it, with the overlap length —
+    campaigns × sessions shape. The binned plan explodes each interval
+    into the fixed-width bins it touches and meets pairs in a
+    co-partitioned (bin, key) hash join with the overlap predicate
+    inside; the canonical-bin guard (the bin holding
+    greatest(start, start)) emits each pair exactly once with NO dedup
+    shuffle. Interval endpoints are exact integer seconds on both
+    engines (unix_micros//1e6 vs epoch_us//1e6) so the boundary
+    comparisons can never drift; the oracle is the naive inequality
+    join."""
+    e = t(spark, sf_dir, "events")
+    sec = F.floor(F.unix_micros(F.col("ts")) / F.lit(1_000_000)).cast("bigint")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        sec.alias("c_start"),
+        (sec + 1800).alias("c_end"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        sec.alias("v_start"),
+        (sec + 600).alias("v_end"),
+    )
+    j = TJ.interval_join_binned(
+        clicks, views, "c_start", "c_end", "v_start", "v_end",
+        by="user_id", bin_width=1800.0,
+    )
+    return j.select(
+        "click_id",
+        "view_id",
+        (
+            F.least("c_end", "v_end") - F.greatest("c_start", "v_start")
+        ).cast("bigint").alias("overlap_s"),
+    )
+
+
+@query(
     "q_range_join",
     oracle="""
     WITH iv AS (

@@ -77,6 +77,48 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_window_trailing",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trail_1h,
+           floor((AVG(value) OVER w) * 10000.0 + 0.5) / 10000.0
+               AS avg_value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 1-hour aggregate (count + mean value of the
+    same user's events in [ts − 1h, ts]) — the RANGE-frame window class
+    the tumbling/sliding/session entries don't cover; the feature a
+    rate-limiter or rolling-quality monitor reads per event. Frame math
+    is integer MICROseconds on both engines (unix_micros ordering vs
+    DuckDB's INTERVAL arithmetic — millisecond ordering would disagree
+    with the oracle on sub-ms boundary peers). The window keys on
+    user_id under the entity-bounded allowlist contract; when that
+    breaks, the shifted-copy chunked form applies (duplicate each event
+    into the next chunk when within the lookback of its boundary, window
+    per (user, chunk), keep home-chunk rows — same recipe as
+    sessionize_chunked, lookback-bounded instead of gap-bounded)."""
+    from py_gtfs_duckdb_spark.functions import pround
+
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trail_1h"),
+        pround(F.avg("value").over(w), 4).alias("avg_value_1h"),
+    )
+
+
 # Shared by q_window_session (single-window form) and
 # q_window_session_chunked (bounded chunked-carry form): the two plans
 # must produce IDENTICAL rows, so they hash against the same oracle.

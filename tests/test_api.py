@@ -28,6 +28,7 @@ def test_api_surface_imports_and_is_flat():
         "asof_join",
         "asof_join_chunked",
         "sessionize_chunked",
+        "interval_join_binned",
         "range_join_binned",
         "curate_corpus",
         "export_shards",

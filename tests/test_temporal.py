@@ -394,3 +394,69 @@ def test_asof_chunked_matches_unchunked(spark, direction, chunk_ms):
     bt = sorted(map(tuple, asof_join_chunked(
         probe, build, tolerance_seconds=5_000.0, chunk_ms=chunk_ms, **kw).collect()))
     assert at == bt
+
+
+@pytest.mark.parametrize("bin_width", [5.0, 50.0, 1000.0])
+def test_interval_join_matches_naive_overlap(spark, bin_width):
+    """Differential: the binned interval-overlap join must equal the
+    naive inequality join exactly — pairs overlapping across MANY bins
+    emitted once, bin-edge-aligned starts/ends, touching-but-not-
+    overlapping intervals excluded (half-open), empty intervals dropped,
+    keys respected."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from py_gtfs_duckdb_spark.operators.temporal import interval_join_binned
+
+    rng = random.Random(int(bin_width))
+    lrows, rrows = [], []
+    for i in range(120):
+        k = rng.randrange(3)
+        lo = rng.choice([rng.uniform(0, 500), float(rng.randrange(0, 500, 5))])
+        ln = rng.choice([0.0, 2.0, 7.5, 60.0, 400.0])
+        lrows.append((i, k, lo, lo + ln))
+    for j in range(120):
+        k = rng.randrange(3)
+        lo = rng.choice([rng.uniform(0, 500), float(rng.randrange(0, 500, 5))])
+        ln = rng.choice([0.0, 1.0, 5.0, 90.0, 300.0])
+        rrows.append((1000 + j, k, lo, lo + ln))
+    left = spark.createDataFrame(
+        lrows, "l_id bigint, key bigint, l_lo double, l_hi double"
+    )
+    right = spark.createDataFrame(
+        rrows, "r_id bigint, key bigint, r_lo double, r_hi double"
+    )
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_join_binned(
+            left, right, "l_lo", "l_hi", "r_lo", "r_hi",
+            by="key", bin_width=bin_width,
+        ).collect()
+    )
+    # the naive predicate alone would also 'match' EMPTY [x, x)
+    # intervals sitting strictly inside the other side — the operator's
+    # half-open contract says an empty interval overlaps nothing, so the
+    # reference excludes them too
+    naive = sorted(
+        (r["l_id"], r["r_id"])
+        for r in left.join(right, "key")
+        .filter(
+            (F.col("l_lo") < F.col("r_hi"))
+            & (F.col("r_lo") < F.col("l_hi"))
+            & (F.col("l_hi") > F.col("l_lo"))
+            & (F.col("r_hi") > F.col("r_lo"))
+        )
+        .collect()
+    )
+    assert got == naive
+    assert len(got) == len(set(got))  # exactly-once, no dup emission
+    assert naive, "fixture produced no overlaps — weaken nothing"
+
+
+def test_interval_join_rejects_column_collisions(spark):
+    from py_gtfs_duckdb_spark.operators.temporal import interval_join_binned
+
+    a = spark.createDataFrame([(1, 0.0, 1.0)], "id long, lo double, hi double")
+    with pytest.raises(ValueError, match="collision"):
+        interval_join_binned(a, a, "lo", "hi", "lo", "hi")
