@@ -101,6 +101,7 @@ EXTRA = [
     "q_window_session_chunked",
     "q_join_asof_chunked",
     "q_window_trailing",
+    "q_window_trailing_chunked",
     "q_interval_join",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))

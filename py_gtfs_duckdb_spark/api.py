@@ -112,6 +112,7 @@ from py_gtfs_duckdb_spark.operators.temporal import (  # noqa: F401
     asof_join,
     asof_join_chunked,
     interval_join_binned,
+    lookback_chunks,
     range_join_binned,
     sessionize_chunked,
 )

@@ -501,3 +501,46 @@ def interval_join_binned(
         .drop("__bin", "__rbin")
     )
     return joined
+
+
+def lookback_chunks(
+    df: DataFrame,
+    ts_col: str,
+    lookback_us: int,
+    chunk_us: int,
+) -> DataFrame:
+    """The shifted-copy kernel for bounding TRAILING-frame windows (the
+    third order-dependent window class, after sessionization's
+    chunked-carry and the as-of handoff): every row gets a home chunk
+    (``__chunk = floor(micros / chunk_us)``, ``__home = true``), and rows
+    within ``lookback_us`` of their chunk's END are DUPLICATED into the
+    next chunk (``__home = false``). A window partitioned by
+    (key, __chunk) with a ``rangeBetween(-lookback_us, 0)`` frame over
+    the result sees, for every home row, exactly the rows its unbounded
+    per-key window would have seen: same-chunk rows directly, and every
+    prior-chunk row within the lookback via its spill copy (a prior
+    event within the lookback of t >= chunk start is necessarily within
+    the lookback of the boundary, so it has a copy; ``chunk_us >=
+    lookback_us`` guarantees one copy into the NEXT chunk suffices).
+    Filter ``__home`` after the window: copies feed frames, they don't
+    emit rows. Cost: <= lookback/chunk fraction of rows duplicated —
+    the knob that buys a partition bounded by (chunk + lookback) worth
+    of ONE key's events instead of the key's whole history."""
+    if chunk_us < lookback_us:
+        raise ValueError(
+            f"chunk_us ({chunk_us}) must be >= lookback_us ({lookback_us}): "
+            "one spill copy per row only covers a lookback no longer than "
+            "the chunk"
+        )
+    micros = F.unix_micros(F.col(ts_col))
+    home = df.withColumn("__chunk", F.floor(micros / F.lit(chunk_us))).withColumn(
+        "__home", F.lit(True)
+    )
+    spill = (
+        df.filter(
+            micros % F.lit(chunk_us) >= F.lit(chunk_us - lookback_us)
+        )
+        .withColumn("__chunk", F.floor(micros / F.lit(chunk_us)) + 1)
+        .withColumn("__home", F.lit(False))
+    )
+    return home.unionByName(spill)

@@ -100,6 +100,7 @@ _PRIORITY = [
     "q_join_asof_chunked",
     "q_window_trailing",
     "q_interval_join",
+    "q_window_trailing_chunked",
     # the r6 block — oldest driver evidence (3 rounds), full rotation
     "q_project_derived",
     "q_filter_range",
@@ -137,9 +138,9 @@ _PRIORITY = [
     "q_dedup_ngram_jaccard",
     "q_dedup_embedding",
     "q_scan_star",
-    "q_scan_csv_projection",
     # --- window boundary: 50 entries above this line ---
     # remaining r7 greens: first in line for round 10
+    "q_scan_csv_projection",
     "q_sql_passthrough",
     "q_project_cols",
     "q_filter_eq",
@@ -276,6 +277,7 @@ WINDOW_PARTITION_ALLOWLIST: dict[str, set[tuple[str, ...]]] = {
     "q_window_session": {("user_id",)},
     "q_window_session_chunked": {("user_id", "__chunk"), ("user_id",)},
     "q_window_trailing": {("user_id",)},
+    "q_window_trailing_chunked": {("user_id", "__chunk")},
     "q_join_asof_chunked": {("user_id", "__chunk"), ("user_id",)},
     "q_knn_cosine": {("query_id",)},
     "q_ann_ivf": {("query_id",)},

@@ -77,9 +77,10 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_window_trailing",
-    oracle="""
+# Shared by q_window_trailing (single-window form) and
+# q_window_trailing_chunked (lookback-spill bounded form): identical
+# rows, one oracle.
+_TRAILING_ORACLE = """
     SELECT event_id, user_id, ts,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_trail_1h,
            floor((AVG(value) OVER w) * 10000.0 + 0.5) / 10000.0
@@ -87,8 +88,10 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-    """,
-)
+    """
+
+
+@query("q_window_trailing", oracle=_TRAILING_ORACLE)
 def q_window_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event trailing 1-hour aggregate (count + mean value of the
     same user's events in [ts − 1h, ts]) — the RANGE-frame window class
@@ -116,6 +119,41 @@ def q_window_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_trail_1h"),
         pround(F.avg("value").over(w), 4).alias("avg_value_1h"),
+    )
+
+
+@query("q_window_trailing_chunked", oracle=_TRAILING_ORACLE)
+def q_window_trailing_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME trailing aggregate as q_window_trailing, computed with
+    the shifted-copy bounded plan (operators/temporal.py:
+    lookback_chunks): rows within the 1h lookback of their 6h chunk's
+    end are duplicated into the next chunk, the RANGE window partitions
+    by (user_id, chunk) — bounded by chunk+lookback worth of ONE user's
+    events — and only home rows emit. The third chunked twin (after
+    session carry and as-of handoff), hash-checked against the
+    single-window oracle."""
+    from py_gtfs_duckdb_spark.functions import pround
+    from py_gtfs_duckdb_spark.operators.temporal import lookback_chunks
+
+    e = t(spark, sf_dir, "events")
+    lb = 3_600_000_000  # 1h in micros
+    u = lookback_chunks(e, "ts", lookback_us=lb, chunk_us=6 * lb)
+    w = (
+        W.partitionBy("user_id", "__chunk")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-lb, 0)
+    )
+    return (
+        u.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "__home",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_trail_1h"),
+            pround(F.avg("value").over(w), 4).alias("avg_value_1h"),
+        )
+        .filter(F.col("__home"))
+        .drop("__home")
     )
 
 

@@ -460,3 +460,74 @@ def test_interval_join_rejects_column_collisions(spark):
     a = spark.createDataFrame([(1, 0.0, 1.0)], "id long, lo double, hi double")
     with pytest.raises(ValueError, match="collision"):
         interval_join_binned(a, a, "lo", "hi", "lo", "hi")
+
+
+@pytest.mark.parametrize("chunk_mult", [1, 3])
+def test_lookback_chunks_trailing_matches_plain(spark, chunk_mult):
+    """Differential: a RANGE-frame trailing aggregate over
+    lookback_chunks (home rows only) must equal the plain per-key window
+    — dense bursts straddling chunk boundaries, events exactly ON
+    boundaries, lookback == chunk (tightest legal), duplicate
+    timestamps."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from py_gtfs_duckdb_spark.operators.temporal import lookback_chunks
+
+    lb = 1_000_000  # 1s lookback in micros
+    chunk = chunk_mult * lb
+    rng = random.Random(chunk_mult)
+    rows = []
+    eid = 0
+    for uid in range(5):
+        # burst exactly straddling a chunk boundary + boundary-exact ts
+        base = 10 * chunk
+        for off in (-3, -2, -1, 0, 0, 1, 2):  # includes a duplicate ts
+            rows.append((eid, uid, base + off * 100_000)); eid += 1
+        # scattered events
+        tcur = 0
+        for _ in range(40):
+            tcur += rng.randrange(1, 3 * lb)
+            rows.append((eid, uid, tcur)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, us bigint"
+    ).select("event_id", "user_id", F.timestamp_micros(F.col("us")).alias("ts"),
+             (F.col("us") % 97).cast("double").alias("value"))
+
+    plain_w = (
+        W.partitionBy("user_id").orderBy(F.unix_micros("ts")).rangeBetween(-lb, 0)
+    )
+    plain = df.select(
+        "event_id",
+        F.count(F.lit(1)).over(plain_w).cast("bigint").alias("n"),
+        F.sum("value").over(plain_w).alias("s"),
+    )
+    u = lookback_chunks(df, "ts", lookback_us=lb, chunk_us=chunk)
+    ch_w = (
+        W.partitionBy("user_id", "__chunk")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-lb, 0)
+    )
+    chunked = (
+        u.select(
+            "event_id",
+            "__home",
+            F.count(F.lit(1)).over(ch_w).cast("bigint").alias("n"),
+            F.sum("value").over(ch_w).alias("s"),
+        )
+        .filter(F.col("__home"))
+        .drop("__home")
+    )
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, chunked.collect()))
+    assert a == b
+
+
+def test_lookback_chunks_rejects_short_chunks(spark):
+    from py_gtfs_duckdb_spark.operators.temporal import lookback_chunks
+
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="chunk_us"):
+        lookback_chunks(df, "x", lookback_us=10, chunk_us=9)
