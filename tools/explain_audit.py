@@ -318,6 +318,25 @@ AUDITED = [
         " pass (memoized greedy kernel), no shuffle before the narrow"
         " projection; hash-checked against a staged DuckDB replay.",
     ),
+    (
+        "q_window_trailing",
+        "Per-event trailing RANGE frame (1h count/mean), integer-micros"
+        " frame math; ONE user_id shuffle serving both window functions.",
+    ),
+    (
+        "q_window_trailing_chunked",
+        "Shifted-copy bounded trailing window: <= lookback/chunk extra"
+        " rows via union, RANGE frame keyed (user, chunk), home-row"
+        " filter after the window. Same rows as q_window_trailing"
+        " (shared oracle).",
+    ),
+    (
+        "q_interval_join",
+        "Binned interval-overlap join: both interval sets explode into"
+        " touched bins, co-partitioned (bin, user) hash join with the"
+        " overlap predicate and canonical-bin exactly-once guard inside"
+        " — no dedup shuffle, no per-key cross product.",
+    ),
 ]
 
 
