@@ -531,3 +531,116 @@ def test_lookback_chunks_rejects_short_chunks(spark):
     df = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(ValueError, match="chunk_us"):
         lookback_chunks(df, "x", lookback_us=10, chunk_us=9)
+
+
+_event_lists = (
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # user (few keys)
+            st.integers(min_value=0, max_value=40),  # ts seconds (dense ties)
+        ),
+        min_size=0,
+        max_size=14,
+    )
+    if HAVE_HYPOTHESIS
+    else None
+)
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_event_lists, chunk_s=st.sampled_from([10, 17, 1000]))
+def test_sessionize_chunked_fuzz_python_reference(spark, rows, chunk_s):
+    """Hypothesis fuzz: sessionize_chunked vs a pure-Python reference on
+    tiny random event sets (gap 10s, chunk >= gap) — a different angle
+    from the seeded large differential."""
+    from pyspark.sql import functions as F
+
+    from py_gtfs_duckdb_spark.operators.temporal import sessionize_chunked
+
+    gap_s = 10
+    data = [(i, u, t) for i, (u, t) in enumerate(rows)]
+    # python reference: per user in (ts, event_id) order
+    want = {}
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for i, u, t in data:
+        by_user.setdefault(u, []).append((t, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        idx, last = 0, None
+        for t, _i in evs:
+            if last is None or (t - last) > gap_s:
+                idx += 1
+                want[(u, idx)] = [t, t, 0]
+            cur = want[(u, idx)]
+            cur[1] = max(cur[1], t)
+            cur[2] += 1
+            last = t
+    df = spark.createDataFrame(
+        [(i, u, t * 1000) for i, u, t in data],
+        "event_id bigint, user_id bigint, ms bigint",
+    ).select("event_id", "user_id", F.timestamp_millis(F.col("ms")).alias("ts"))
+    got = {
+        (r["user_id"], r["session_idx"]): [
+            int(r["session_start"].timestamp()),
+            int(r["session_end"].timestamp()),
+            r["n_events"],
+        ]
+        for r in sessionize_chunked(
+            df, gap_ms=gap_s * 1000, chunk_ms=chunk_s * 1000
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ivals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # key
+            st.integers(min_value=0, max_value=30),   # lo
+            st.integers(min_value=0, max_value=12),   # length (0 = empty)
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    bin_width=st.sampled_from([3.0, 7.0, 100.0]),
+)
+def test_interval_join_fuzz_python_reference(spark, ivals, bin_width):
+    """Hypothesis fuzz: interval_join_binned (self-join shape) vs a
+    pure-Python O(n^2) overlap reference under half-open semantics."""
+    from py_gtfs_duckdb_spark.operators.temporal import interval_join_binned
+
+    data = [(i, k, float(lo), float(lo + ln)) for i, (k, lo, ln) in enumerate(ivals)]
+    want = sorted(
+        (a[0], 100 + b[0])
+        for a in data
+        for b in data
+        if a[1] == b[1]
+        and a[2] < b[3] and b[2] < a[3]
+        and a[3] > a[2] and b[3] > b[2]
+    )
+    left = spark.createDataFrame(
+        data, "l_id bigint, key bigint, l_lo double, l_hi double"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, k, lo, hi) for i, k, lo, hi in data],
+        "r_id bigint, key bigint, r_lo double, r_hi double",
+    )
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_join_binned(
+            left, right, "l_lo", "l_hi", "r_lo", "r_hi",
+            by="key", bin_width=bin_width,
+        ).collect()
+    )
+    assert got == want
