@@ -101,6 +101,7 @@ _PRIORITY = [
     "q_window_trailing",
     "q_interval_join",
     "q_window_trailing_chunked",
+    "q_cube_chars",
     # the r6 block — oldest driver evidence (3 rounds), full rotation
     "q_project_derived",
     "q_filter_range",
@@ -137,9 +138,9 @@ _PRIORITY = [
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
     "q_dedup_embedding",
-    "q_scan_star",
     # --- window boundary: 50 entries above this line ---
     # remaining r7 greens: first in line for round 10
+    "q_scan_star",
     "q_scan_csv_projection",
     "q_sql_passthrough",
     "q_project_cols",

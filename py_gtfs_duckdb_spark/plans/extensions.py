@@ -2581,6 +2581,44 @@ def q_rollup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_cube_chars",
+    oracle="""
+    SELECT COALESCE(source, 'ALL') AS source,
+           COALESCE(lang, 'ALL') AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY CUBE (source, lang)
+    """,
+)
+def q_cube_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — every subset of (source, lang): the grouping
+    class ROLLUP (q_rollup_tokens) doesn't produce (the lang-only
+    marginals), i.e. the full cross-tab a mixture dashboard pivots on.
+    Spark ``cube`` ≡ SQL GROUP BY CUBE: one Expand + one combinable
+    aggregation — at 100 TB the Expand multiplies rows by the 4 grouping
+    sets BEFORE the map-side partial combine, so the shuffle still
+    carries only group aggregates (4 × |source×lang| rows), never the
+    corpus. NULL level markers coalesce to 'ALL' on both sides (the
+    synthetic dims are never null, so the marker is unambiguous)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("source", "lang", "n_chars")
+        .cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # round-6 additions: memorization audit, DSIR selection weights, split
 # leakage, IVF index-quality profile
