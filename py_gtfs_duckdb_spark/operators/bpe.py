@@ -293,9 +293,17 @@ def bpe_encode_stats(
         F.length(F.replace(text, F.lit(" ")))
         .cast("bigint")
         .alias("n_chars"),
-        ((F.length(enc_doc) - F.length(F.replace(enc_doc, F.lit(SEP)))) / 2)
-        .cast("bigint")
-        .alias("n_bpe_tokens"),
+        # guard: concat_ws over the null words array yields "" (not
+        # null), so without the when() a NULL document would count 0
+        # tokens while n_words/n_chars null-propagate — null text must
+        # yield ALL-null stats, identically on both dispatch paths
+        F.when(
+            F.col(text_col).isNotNull(),
+            (
+                (F.length(enc_doc) - F.length(F.replace(enc_doc, F.lit(SEP))))
+                / 2
+            ).cast("bigint"),
+        ).alias("n_bpe_tokens"),
     )
     from py_gtfs_duckdb_spark.functions import pround
 
@@ -345,6 +353,14 @@ def _bpe_stats_arrow(
         for pdf in batches:
             nw, nc, nt = [], [], []
             for text in pdf["__t"]:
+                if text is None:
+                    # match the expression path: replace/split/length all
+                    # propagate NULL, so a null document yields null stats
+                    # rows there — the kernel must not crash nor invent 0s
+                    nw.append(None)
+                    nc.append(None)
+                    nt.append(None)
+                    continue
                 text = text.replace(SEP, "")
                 words = [w for w in text.split(" ") if w]
                 nw.append(len(words))
@@ -357,9 +373,15 @@ def _bpe_stats_arrow(
                     total += got
                 nt.append(total)
             out = pdf.drop(columns=["__t"])
-            out["n_words"] = pd.Series(nw, dtype="int64", index=pdf.index)
-            out["n_chars"] = pd.Series(nc, dtype="int64", index=pdf.index)
-            out["n_bpe_tokens"] = pd.Series(nt, dtype="int64", index=pdf.index)
+            out["n_words"] = pd.Series(
+                pd.array(nw, dtype="Int64"), index=pdf.index
+            )
+            out["n_chars"] = pd.Series(
+                pd.array(nc, dtype="Int64"), index=pdf.index
+            )
+            out["n_bpe_tokens"] = pd.Series(
+                pd.array(nt, dtype="Int64"), index=pdf.index
+            )
             yield out
 
     from py_gtfs_duckdb_spark.functions import pround
@@ -470,6 +492,12 @@ def bpe_tokenize(
         for pdf in batches:
             toks_col, n_col = [], []
             for text in pdf["__t"]:
+                if text is None:
+                    # null document -> null tokens/count (null propagation,
+                    # like every expression-path string op), not a crash
+                    toks_col.append(None)
+                    n_col.append(None)
+                    continue
                 toks: list[str] = []
                 for w in text.split():
                     got = memo.get(w)
@@ -482,7 +510,9 @@ def bpe_tokenize(
                 {
                     "id": pdf["id"],
                     "tokens": toks_col,
-                    "n_bpe_tokens": pd.Series(n_col, dtype="int64"),
+                    "n_bpe_tokens": pd.Series(
+                        pd.array(n_col, dtype="Int64")
+                    ),
                 }
             )
 

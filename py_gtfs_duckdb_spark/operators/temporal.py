@@ -537,8 +537,14 @@ def lookback_chunks(
         "__home", F.lit(True)
     )
     spill = (
+        # pmod, not %: Spark's % follows the dividend's sign, so for
+        # pre-1970 timestamps (negative unix_micros) a plain remainder is
+        # <= 0 and the tail rows of a chunk would never spill into the
+        # next one — while floor() keeps assigning negative chunks
+        # correctly. pmod keeps the offset-within-chunk in [0, chunk_us)
+        # for every epoch sign.
         df.filter(
-            micros % F.lit(chunk_us) >= F.lit(chunk_us - lookback_us)
+            F.pmod(micros, F.lit(chunk_us)) >= F.lit(chunk_us - lookback_us)
         )
         .withColumn("__chunk", F.floor(micros / F.lit(chunk_us)) + 1)
         .withColumn("__home", F.lit(False))

@@ -255,3 +255,32 @@ def test_vocab_spectrum_dispatch_agrees(spark, sf_dir):
     b = bpe_vocab_spectrum(docs, merges=FIXED_MERGES_LARGE).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert a, "empty spectrum"
+
+
+def test_null_text_yields_null_stats_on_both_paths(spark):
+    """A NULL document must produce null stats rows on BOTH dispatch
+    paths — the expression path gets this free from null propagation
+    (replace/split/length of null are null); the Arrow kernel used to
+    crash with AttributeError on None.replace. Pins crash-free parity."""
+    from py_gtfs_duckdb_spark.operators.bpe import (
+        FIXED_MERGES_LARGE,
+        FIXED_MERGES_MEMO,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the merge table"), (2, None), (3, "")],
+        "doc_id bigint, text string",
+    )
+    expr = {r["doc_id"]: tuple(r)[1:] for r in
+            bpe_encode_stats(docs, merges=FIXED_MERGES_MEMO).collect()}
+    arrow = {r["doc_id"]: tuple(r)[1:] for r in
+             bpe_encode_stats(docs, merges=FIXED_MERGES_LARGE).collect()}
+    assert expr == arrow
+    assert expr[2] == (None, None, None, None)
+    # null text -> null tokens on the tokenize kernel too, not a crash
+    toks = {r["id"]: (r["tokens"], r["n_bpe_tokens"]) for r in
+            bpe_tokenize(docs, {"merges": FIXED_MERGES_MEMO},
+                         id_col="doc_id").collect()}
+    assert toks[2] == (None, None)
+    assert toks[3] == ([], 0)
+    assert toks[1][1] == len(toks[1][0]) > 0

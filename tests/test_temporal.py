@@ -525,6 +525,71 @@ def test_lookback_chunks_trailing_matches_plain(spark, chunk_mult):
     assert a == b
 
 
+def test_lookback_chunks_pre_epoch_timestamps(spark):
+    """Pre-1970 rows (negative unix_micros) must still spill copies into
+    the next chunk: Spark's % follows the dividend's sign, so a plain
+    remainder filter silently drops every pre-epoch spill row while
+    floor() keeps assigning negative chunk ids — the trailing frame of
+    the FOLLOWING chunk's early rows then loses its cross-boundary
+    peers. pmod fixes it; this differential straddles the epoch and a
+    negative chunk boundary to pin the fix."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from py_gtfs_duckdb_spark.operators.temporal import lookback_chunks
+
+    lb = 1_000_000
+    chunk = 2 * lb
+    rows = []
+    eid = 0
+    for uid in range(3):
+        # cluster just BEFORE a negative chunk boundary (-10*chunk) so the
+        # spill into the next (still negative) chunk is exercised, plus a
+        # run straddling the epoch itself, plus post-epoch controls
+        for off in (-3, -2, -1, 0, 1):
+            rows.append((eid, uid, -10 * chunk + off * 300_000)); eid += 1
+        for off in (-4, -2, -1, 0, 1, 3):
+            rows.append((eid, uid, off * 400_000)); eid += 1
+        for off in (2, 5, 9):
+            rows.append((eid, uid, off * lb)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, us bigint"
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        F.pmod(F.col("us"), F.lit(97)).cast("double").alias("value"),
+    )
+
+    plain_w = (
+        W.partitionBy("user_id").orderBy(F.unix_micros("ts")).rangeBetween(-lb, 0)
+    )
+    plain = df.select(
+        "event_id",
+        F.count(F.lit(1)).over(plain_w).cast("bigint").alias("n"),
+        F.sum("value").over(plain_w).alias("s"),
+    )
+    u = lookback_chunks(df, "ts", lookback_us=lb, chunk_us=chunk)
+    ch_w = (
+        W.partitionBy("user_id", "__chunk")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-lb, 0)
+    )
+    chunked = (
+        u.select(
+            "event_id",
+            "__home",
+            F.count(F.lit(1)).over(ch_w).cast("bigint").alias("n"),
+            F.sum("value").over(ch_w).alias("s"),
+        )
+        .filter(F.col("__home"))
+        .drop("__home")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, chunked.collect())
+    )
+
+
 def test_lookback_chunks_rejects_short_chunks(spark):
     from py_gtfs_duckdb_spark.operators.temporal import lookback_chunks
 
