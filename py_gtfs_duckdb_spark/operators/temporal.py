@@ -453,6 +453,13 @@ def interval_join_binned(
             f"interval_join_binned: column collision {sorted(overlap)} — "
             "alias the sides apart first"
         )
+    reserved = {"__bin", "__rbin", "__rby"}
+    taken = reserved & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(
+            f"interval_join_binned: reserved column name(s) {sorted(taken)} "
+            "present in an input — rename them first"
+        )
 
     def binned(df: DataFrame, start: str, end: str) -> DataFrame:
         e = F.col(end).cast("double")
@@ -478,15 +485,25 @@ def interval_join_binned(
 
     lb = binned(left, l_start, l_end)
     rb = binned(right, r_start, r_end).withColumnRenamed("__bin", "__rbin")
-    cond = lb["__bin"] == rb["__rbin"]
+    # Rename the right side's key apart BEFORE the join (exactly like
+    # __bin/__rbin): when both sides derive from the same DataFrame — a
+    # self-join, the common shape — `lb[by] == rb[by]` builds what Spark
+    # logs as a "trivially true equals predicate" and leaves correctness
+    # to the ambiguous-self-join resolver. Distinct names make the join
+    # condition bind two distinct attributes by construction (the plan
+    # assert in tests/test_plan_shapes.py pins it) and the equality is
+    # restored simply by dropping the renamed right key after the join.
     if by:
-        cond = cond & (lb[by] == rb[by])
+        rb = rb.withColumnRenamed(by, "__rby")
+    cond = F.col("__bin") == F.col("__rbin")
+    if by:
+        cond = cond & (F.col(by) == F.col("__rby"))
     ov_start = F.greatest(
         F.col(l_start).cast("double"), F.col(r_start).cast("double")
     )
     joined = lb.join(rb, cond)
     if by:
-        joined = joined.drop(rb[by])
+        joined = joined.drop("__rby")
     joined = (
         joined
         .filter(

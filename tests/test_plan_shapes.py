@@ -118,6 +118,33 @@ def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
     )
 
 
+def test_interval_join_equi_hash_on_distinct_keys(spark, sf_dir):
+    """The binned interval join must (a) plan as an equi hash/sort-merge
+    join on (bin, key) — never a nested loop — and (b) bind the key
+    equality to two DISTINCT attributes: the right side's key is renamed
+    __rby before the join, so a self-join (both sides derived from the
+    same events scan, exactly this query's shape) never constructs the
+    'trivially true equals predicate' Spark's ambiguous-self-join
+    resolver has to rescue."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+    # the renamed right key is a real join attribute in the plan...
+    assert "__rby" in plan, "right-side key was not renamed before the join"
+    # ...and wherever user_id meets __rby in a join condition the two
+    # expression ids differ (they must: different names, but pin the ids
+    # so a refactor back to analyzer-resolved duplicates fails loudly)
+    pairs = re.findall(r"user_id#(\d+)\w*\]?, \[?__rby#(\d+)", plan)
+    cond_pairs = re.findall(r"user_id#(\d+)\w* = __rby#(\d+)", plan)
+    for a, b in pairs + cond_pairs:
+        assert a != b
+
+
 def test_incremental_dedup_no_corpus_self_join(spark, sf_dir):
     """The incremental band join must stay hash-equi (new x corpus on the
     band key) — no nested loop, no cartesian anywhere in the pipeline."""
