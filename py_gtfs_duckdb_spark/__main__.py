@@ -345,36 +345,16 @@ def cmd_audit(args) -> None:
     plus split-leakage and padding-waste summaries as one JSON line."""
     import json
 
-    from pyspark.sql import functions as F
-
-    from py_gtfs_duckdb_spark.operators.bpe import bpe_encode_stats
     from py_gtfs_duckdb_spark.operators.pipeline import (
+        audit_scorecard,
         length_buckets,
         split_leakage,
-    )
-    from py_gtfs_duckdb_spark.operators.text import (
-        ngram_novelty,
-        quality_score,
-        token_count,
     )
     from py_gtfs_duckdb_spark.session import get_spark
 
     spark = get_spark("gtfs-cli")
     docs = spark.read.parquet(args.input)
-    base = docs.select(
-        "doc_id", token_count(F.col("text")).alias("n_tokens")
-    )
-    card = (
-        base.join(quality_score(docs), "doc_id")
-        .join(
-            ngram_novelty(docs, n=args.ngram).select("doc_id", "shared_frac"),
-            "doc_id",
-        )
-        .join(
-            bpe_encode_stats(docs).select("doc_id", "n_bpe_tokens"),
-            "doc_id",
-        )
-    )
+    card = audit_scorecard(docs, ngram=args.ngram)
     card.write.mode("overwrite").parquet(args.output)
     leak = {
         f"{r['split_a']}|{r['split_b']}": r["jaccard"]

@@ -119,6 +119,7 @@ from py_gtfs_duckdb_spark.operators.temporal import (  # noqa: F401
 
 # pipeline composition
 from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
+    audit_scorecard,
     corpus_diff,
     curate_corpus,
     decontaminate,

@@ -724,3 +724,38 @@ def rescue_leaked_eval(
             F.coalesce("n_leaked", F.lit(0).cast("bigint")).alias("n_leaked"),
         )
     )
+
+
+def audit_scorecard(docs: DataFrame, ngram: int = 8) -> DataFrame:
+    """The audit CLI's per-document card (the plan behind
+    ``python -m py_gtfs_duckdb_spark audit``): regex token count,
+    heuristic quality, duplicated-``ngram`` fraction, and BPE subword
+    count in one row per document — the battery scorecard's sibling with
+    the tokenizer-native count in place of NLL/DSIR.
+
+    Same scale shape as q_doc_scorecard (plans/extensions.py): each
+    audit branch is scan -> per-row array math -> combinable
+    aggregation, stitched by doc_id joins; no window, no token-level
+    shuffle, no self-join. Public (instead of inlined in __main__) so
+    the serving-surface plan sweep covers the CLI's composition too."""
+    from py_gtfs_duckdb_spark.operators.bpe import bpe_encode_stats
+    from py_gtfs_duckdb_spark.operators.text import (
+        ngram_novelty,
+        quality_score,
+        token_count,
+    )
+
+    base = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        base.join(quality_score(docs), "doc_id")
+        .join(
+            ngram_novelty(docs, n=ngram).select("doc_id", "shared_frac"),
+            "doc_id",
+        )
+        .join(
+            bpe_encode_stats(docs).select("doc_id", "n_bpe_tokens"),
+            "doc_id",
+        )
+    )
