@@ -247,6 +247,32 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Non-battery operator benchmarks: training jobs whose output is a
+    # model dict, not a DataFrame (no oracle — the battery can't carry
+    # them), timed as single runs because each IS a multi-job loop that
+    # amortizes its own codegen. bpe_train_distributed at the asked-for
+    # n_merges=200 budget hits the corpus's 106-merge fixpoint and stops
+    # there (the generator vocabulary is closed) — the measured figure is
+    # the full corpus-pass + ~106 iterations of pair-count/argmax/rewrite
+    # (see SCALING.md for the cost model).
+    ops: dict[str, dict] = {}
+    if N_EXTRA_SAMPLES > 0:
+        from py_gtfs_duckdb_spark.operators.bpe import bpe_train_distributed
+        from py_gtfs_duckdb_spark.plans._tables import t as _t
+
+        start = time.perf_counter()
+        model = bpe_train_distributed(_t(spark, sf_dir, "documents"), n_merges=200)
+        ops["bpe_train_distributed"] = {
+            "sec": round(time.perf_counter() - start, 3),
+            "n_merges_learned": len(model["merges"]),
+        }
+        spark.catalog.clearCache()
+        print(
+            f"# op bpe_train_distributed: {ops['bpe_train_distributed']['sec']:.3f}s "
+            f"({ops['bpe_train_distributed']['n_merges_learned']} merges learned)",
+            file=sys.stderr,
+        )
+
     full = {
         "metric": "headline_batch_total",
         "value": round(total, 3),
@@ -269,6 +295,7 @@ def main() -> None:
         "extra_iqr": extra_iqr,
         "curate": curate,
         "curate_rules_delta": rules_delta,
+        "ops": ops,
         "sum_of_mins": round(sum(min(v) for v in samples.values()), 3),
         "noise_ratio": round(
             max(sum(samples[k][i] for k in HEADLINE) for i in range(N_SAMPLES))

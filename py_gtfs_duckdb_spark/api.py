@@ -102,6 +102,7 @@ from py_gtfs_duckdb_spark.operators.bpe import (  # noqa: F401
     bpe_encode_stats,
     bpe_tokenize,
     bpe_train,
+    bpe_train_distributed,
     bpe_vocab_spectrum,
 )
 

@@ -10,13 +10,18 @@ deterministic — the sample is md5-ordered, and frequency ties break
 lexicographically — so two training runs (or two engines) produce the
 same merge table.
 
-Scale shape: training reads ``sample_size`` documents to the driver
-(explicit bound — industry practice trains tokenizers on a sample, not
-the corpus); encoding is a narrow Arrow-batched pass with the merge
-ranks in the task closure and a per-batch word memo (word-soup corpora
-repeat words heavily, so the memo turns per-word merge loops into dict
-hits). Not SQL-expressible — battery entry is rows-only; correctness is
-pinned by hand-computable merge tests and the reconstruction property.
+Scale shape: two trainers with one contract. :func:`bpe_train` reads
+``sample_size`` documents to the driver (explicit bound — industry
+practice trains tokenizers on a sample); :func:`bpe_train_distributed`
+learns the IDENTICAL merge list as combinable aggregations over the
+distributed (word, freq) vocabulary — one corpus pass, then one
+argmax row per merge to the driver (cost model: SCALING.md §13).
+Encoding is a narrow Arrow-batched pass with the merge ranks in the
+task closure and a per-batch word memo (word-soup corpora repeat words
+heavily, so the memo turns per-word merge loops into dict hits).
+Training is not SQL-expressible (iterative argmax); correctness is
+pinned by hand-computable merge tests, the sampled↔distributed
+differential, and the reconstruction property.
 """
 
 from __future__ import annotations
@@ -517,3 +522,107 @@ def bpe_tokenize(
             )
 
     return src.mapInPandas(run, schema=schema)
+
+
+def bpe_train_distributed(
+    docs: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    min_pair_freq: int = 2,
+) -> dict:
+    """:func:`bpe_train` without the driver-side sample: merge learning
+    as ``n_merges`` combinable aggregations over the distributed
+    (word, freq) vocabulary table — only the per-iteration ARGMAX row
+    (one row, via TakeOrdered) ever reaches the driver, so training
+    scales with the corpus instead of a fixed sample bound.
+
+    Scale shape: the CORPUS is touched exactly once — one explode +
+    map-side-combinable word count (shuffling distinct words, not
+    occurrences). Every iteration after that runs over the vocabulary
+    state (word-symbol arrays × freq), which is smaller than the corpus
+    by the word-repetition factor and SHRINKS as training proceeds:
+    fully-merged words (single symbol) can never pair again and are
+    dropped from the state. Per iteration: (a) adjacent-pair counts —
+    explode + combinable sum, shuffling (symbol-pair, count) rows only;
+    (b) argmax — TakeOrderedAndProject, ONE row collected; (c) merge
+    application — a narrow per-row string rewrite (the same SEP-wrapped
+    replace the expression encoder uses, so left-to-right non-overlapping
+    semantics match :func:`bpe_train`'s greedy scan exactly), followed by
+    an eager ``localCheckpoint`` that truncates the lineage (200
+    iterations of nested replaces would otherwise rebuild the same
+    Catalyst expression cliff :data:`MAX_EXPR_MERGES` guards against —
+    measured in SCALING.md §12). On a real cluster swap localCheckpoint
+    for a reliable ``checkpoint`` dir; the vocabulary state it
+    materializes is vocab-sized, not corpus-sized.
+
+    Determinism matches :func:`bpe_train` tie for tie: highest pair
+    count, then lexicographically smallest (left, right) (both engines
+    compare ASCII byte order), and the same ``min_pair_freq`` stop rule —
+    differential-pinned in tests/test_bpe.py. Cost model: ~2 tiny jobs ×
+    n_merges after the single corpus pass; see SCALING.md."""
+    state = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(F.split(F.col("w"), ""), F.array(F.lit(EOW))).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[list[str]] = []
+    try:
+        for _ in range(n_merges):
+            best = (
+                state.select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(slice(syms, 1, size(syms) - 1),"
+                            " (s, i) -> struct(s AS l, syms[i + 1] AS r))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["cnt"] < min_pair_freq:
+                break
+            left, right = best[0]["l"], best[0]["r"]
+            merges.append([left, right])
+            ws = F.concat_ws(
+                "", F.transform("syms", lambda s: F.concat(F.lit(SEP), s, F.lit(SEP)))
+            )
+            merged = F.replace(
+                ws,
+                F.lit(SEP + left + SEP + SEP + right + SEP),
+                F.lit(SEP + left + right + SEP),
+            )
+            nxt = (
+                state.select(
+                    F.filter(F.split(merged, SEP), lambda x: x != "").alias("syms"),
+                    "freq",
+                )
+                # single-symbol words can never pair again: drop them —
+                # the state monotonically shrinks toward the fixpoint
+                .filter(F.size("syms") >= 2)
+                # lazy: the NEXT iteration's argmax materializes it, so
+                # each iteration schedules ONE job instead of two while
+                # the lineage still truncates at the checkpoint (measured
+                # at sf0.1: same ~21 s wall either way — per-iteration
+                # scheduler latency dominates, see SCALING.md — but half
+                # the jobs is half the event-log/UI noise)
+                .localCheckpoint(eager=False)
+            )
+            state.unpersist()
+            state = nxt
+    finally:
+        state.unpersist()
+    return {"merges": merges}

@@ -263,7 +263,10 @@ def range_join_binned(
     Scale: cost per bin is |points_in_bin| x |intervals_overlapping_bin|
     — bounded by construction when interval lengths are bounded; pick
     bin_width ~ median interval length. This is the standard distributed
-    interval-join shape (bin-and-filter)."""
+    interval-join shape (bin-and-filter). A firehose (key, bin) cell is
+    the residual skew shape: the triage (shrink bin_width → AQE
+    skew-join → sub-bin salting, and what each one does and does NOT
+    fix) is SCALING.md §13."""
     pb = points.withColumn(
         "__bin",
         F.floor(F.col(point_col).cast("double") / F.lit(bin_width)).cast("bigint"),
@@ -443,7 +446,9 @@ def interval_join_binned(
     which every overlapping pair shares in exactly one bin both sides
     exploded into). Cost: |rows| × (interval_len / bin_width) duplicated
     bin rows and a co-partitioned equi-join — tune ``bin_width`` toward
-    the typical interval length. Column names must be disjoint across
+    the typical interval length; per-cell cost is |left-in-bin| ×
+    |right-in-bin|, so a firehose (key, bin) is the residual skew shape
+    (triage in SCALING.md §13). Column names must be disjoint across
     the two inputs (select/alias first); empty or inverted intervals
     match nothing."""
     overlap = set(left.columns) & set(right.columns)

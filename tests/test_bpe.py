@@ -284,3 +284,55 @@ def test_null_text_yields_null_stats_on_both_paths(spark):
     assert toks[2] == (None, None)
     assert toks[3] == ([], 0)
     assert toks[1][1] == len(toks[1][0]) > 0
+
+
+def test_train_distributed_matches_sampled_on_corpus(spark, sf_dir):
+    """bpe_train_distributed must learn the IDENTICAL merge list to the
+    driver-side bpe_train when the sample covers the whole corpus — same
+    greedy argmax, same lexicographic tie-break, same min_pair_freq stop
+    rule, executed as combinable aggregations instead of a collect."""
+    from py_gtfs_duckdb_spark.operators.bpe import bpe_train_distributed
+    from py_gtfs_duckdb_spark.plans._tables import t
+
+    docs = t(spark, sf_dir, "documents")
+    sampled = bpe_train(docs, n_merges=30, sample_size=10**6)
+    dist = bpe_train_distributed(docs, n_merges=30)
+    assert sampled == dist
+
+
+def test_train_distributed_min_pair_freq_stop(spark):
+    """The repeat floor stops distributed training exactly like the
+    sampled trainer: singleton pairs are refused at the default floor and
+    memorized at min_pair_freq=1."""
+    from py_gtfs_duckdb_spark.operators.bpe import bpe_train_distributed
+
+    docs = spark.createDataFrame(
+        [(1, "ab cd")], "doc_id bigint, text string"
+    )
+    assert bpe_train_distributed(docs, n_merges=10)["merges"] == []
+    memo = bpe_train_distributed(docs, n_merges=10, min_pair_freq=1)
+    assert bpe_train(docs, n_merges=10, sample_size=10, min_pair_freq=1) == {
+        "merges": memo["merges"]
+    }
+    assert memo["merges"]  # memorization actually ran
+
+
+def test_train_distributed_feeds_encode_dispatch(spark):
+    """A distributed-trained table drives the existing encode dispatch:
+    tokenize reconstructs each word and stats agree across paths."""
+    from pyspark.sql import functions as F
+
+    from py_gtfs_duckdb_spark.operators.bpe import bpe_train_distributed
+
+    docs = spark.createDataFrame(
+        [(i, "stream window merge sort query " * 2) for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    model = bpe_train_distributed(docs, n_merges=40, min_pair_freq=1)
+    toks = bpe_tokenize(docs, model, id_col="doc_id")
+    row = toks.first()
+    rebuilt = "".join(row["tokens"]).replace(EOW, " ").strip()
+    assert rebuilt == ("stream window merge sort query " * 2).strip()
+    stats = bpe_encode_stats(docs, merges=[tuple(m) for m in model["merges"]])
+    r = stats.first()
+    assert r["n_words"] == 10 and r["n_bpe_tokens"] == row["n_bpe_tokens"]
