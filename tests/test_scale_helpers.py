@@ -293,3 +293,162 @@ def test_rank_key_timestamp_ntz_is_timezone_independent(spark):
         assert got == {0: 2, 1: 3}
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+# ---------------------------------------------------------------------------
+# Decade-up mega-cluster stress (round 10): 2M members in ONE cluster. The
+# assertion is on SHUFFLE ROWS via the SQL status store — not wall time —
+# because the scale contract of the window-free dedup actions is "the
+# shuffle carries O(clusters) partial rows, never O(members)": partial
+# aggregation collapses each map task's slice of the hot cluster to one
+# candidate (keep_canonical) or k-per-salt candidates (keep_top_k) BEFORE
+# the exchange. Numbers recorded in SCALING.md §13.
+# ---------------------------------------------------------------------------
+
+
+def _execution_shuffle_rows(spark, df) -> list[int]:
+    """Run ``df.collect()`` and return every exchange's 'shuffle records
+    written' for the triggered SQL execution(s), via the same
+    SQLAppStatusStore the Spark UI reads."""
+    import time
+
+    def as_list(seq):
+        out, it = [], seq.iterator()
+        while it.hasNext():
+            out.append(it.next())
+        return out
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = {e.executionId() for e in as_list(store.executionsList())}
+    df.collect()
+    execs = []
+    for _ in range(100):  # the status store updates asynchronously
+        execs = [
+            e
+            for e in as_list(store.executionsList())
+            if e.executionId() not in before
+        ]
+        if execs and all(e.completionTime().isDefined() for e in execs):
+            break
+        time.sleep(0.1)
+    vals = []
+    for e in execs:
+        names = {m.accumulatorId(): m.name() for m in as_list(e.metrics())}
+        it = store.executionMetrics(e.executionId()).iterator()
+        while it.hasNext():
+            kv = it.next()
+            if names.get(kv._1()) == "shuffle records written":
+                vals.append(int(str(kv._2()).replace(",", "").split()[0]))
+    return vals
+
+
+@pytest.fixture(scope="module")
+def giga_cluster(spark):
+    """2.1M docs, cluster 0 holding 2M (95%) — one decade up from the
+    20k fixture, built JVM-side (spark.range) so the fixture itself
+    doesn't serialize 2M driver rows. Same score residue/void pattern as
+    the small fixture: quality = ((id*37) % 101)/100, every 17th member
+    unscored."""
+    n_mega, n_docs = 2_000_000, 2_100_000
+    ids = F.col("id")
+    clusters = spark.range(n_docs).select(
+        ids.alias("doc_id"),
+        F.when(ids < n_mega, F.lit(0))
+        .otherwise(1 + F.floor((ids - n_mega) / 2))
+        .cast("bigint")
+        .alias("cluster_id"),
+    )
+    scores = (
+        spark.range(n_docs)
+        .filter(ids % 17 != 0)
+        .select(
+            ids.alias("doc_id"),
+            (((ids * 37) % 101) / 100.0).alias("quality"),
+        )
+    )
+    n_clusters = 1 + (n_docs - n_mega) // 2
+    return clusters, scores, n_mega, n_docs, n_clusters
+
+
+def _broadcast_scores(spark):
+    """Let the doc_id-keyed score join broadcast so the ONLY exchanges in
+    the execution are the aggregation shuffles under test (the join key
+    is unskewed — at real scale it shuffles fine; here it would drown the
+    O(clusters) signal in O(rows) join traffic)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(512 << 20))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    return ctx()
+
+
+@pytest.mark.slow
+def test_keep_canonical_2m_cluster_shuffles_o_clusters(spark, giga_cluster):
+    from py_gtfs_duckdb_spark.operators.dedup import keep_canonical
+
+    clusters, scores, n_mega, n_docs, n_clusters = giga_cluster
+    with _broadcast_scores(spark):
+        out = keep_canonical(clusters, scores)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "windowspecdefinition" not in plan
+        rows = _execution_shuffle_rows(spark, out)
+    total = sum(rows)
+    # O(clusters), never O(members): every exchange carries partial-agg
+    # rows — one per (cluster, map task) — so the bound is n_clusters
+    # (each small cluster is contiguous in ONE task) plus a tasks-sized
+    # sliver for the mega cluster's per-task partials. 2x slack for
+    # partial-buffer flushes; the point is total << n_docs.
+    n_tasks = int(spark.sparkContext.defaultParallelism)
+    assert rows, "no exchange metrics captured"
+    assert total <= 2 * (n_clusters + n_tasks), (total, n_clusters)
+    assert total < n_docs * 0.1
+    # exactness at this scale: the known best scored member of cluster 0
+    got = {r["cluster_id"]: r for r in out.collect()}
+    want_id = next(
+        i for i in range(n_mega) if i % 17 != 0 and (i * 37) % 101 == 100
+    )
+    assert got[0]["kept_doc_id"] == want_id
+    assert got[0]["kept_quality"] == 1.0
+    assert got[0]["n_members"] == n_mega
+    assert len(got) == n_clusters
+
+
+@pytest.mark.slow
+def test_keep_top_k_2m_cluster_shuffles_o_clusters(spark, giga_cluster):
+    from py_gtfs_duckdb_spark.operators.dedup import keep_top_k
+
+    clusters, scores, n_mega, n_docs, n_clusters = giga_cluster
+    k, n_salts = 3, 16
+    with _broadcast_scores(spark):
+        out = keep_top_k(clusters, scores, k=k, n_salts=n_salts)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "windowspecdefinition" not in plan
+        rows = _execution_shuffle_rows(spark, out)
+    total = sum(rows)
+    n_tasks = int(spark.sparkContext.defaultParallelism)
+    # phase 1 shuffles ≤ (salts present per cluster per task) partials:
+    # a 2-member cluster contributes ≤ 2 (one per member's salt), the
+    # mega cluster ≤ n_tasks × n_salts; phase 2 shuffles the ≤ n_salts
+    # groups per cluster. Bound: ~2 rows/cluster/phase + the mega
+    # sliver, 2x slack — again total << n_docs.
+    bound = 2 * (2 * n_clusters + n_tasks * n_salts)
+    assert rows, "no exchange metrics captured"
+    assert total <= bound, (total, bound)
+    assert total < n_docs * 0.2
+    mega = sorted(
+        (r for r in out.collect() if r["cluster_id"] == 0),
+        key=lambda r: r["rank"],
+    )
+    want = sorted(
+        (i for i in range(n_mega) if i % 17 != 0 and (i * 37) % 101 == 100)
+    )[:k]
+    assert [r["doc_id"] for r in mega] == want
+    assert [r["rank"] for r in mega] == [1, 2, 3]
+    assert all(r["n_members"] == n_mega for r in mega)
