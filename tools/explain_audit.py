@@ -333,9 +333,18 @@ AUDITED = [
     (
         "q_interval_join",
         "Binned interval-overlap join: both interval sets explode into"
-        " touched bins, co-partitioned (bin, user) hash join with the"
-        " overlap predicate and canonical-bin exactly-once guard inside"
-        " — no dedup shuffle, no per-key cross product.",
+        " touched bins, co-partitioned (bin, user) hash join — on the"
+        " explicitly renamed (user_id, __rby) pair, two distinct"
+        " attributes by construction — with the overlap predicate and"
+        " canonical-bin exactly-once guard inside; no dedup shuffle, no"
+        " per-key cross product.",
+    ),
+    (
+        "q_cube_chars",
+        "CUBE over (source, lang-bucket): ONE Expand (4x group rows, never"
+        " the corpus) feeding a single map-side-combinable aggregation —"
+        " the reshaping family's closing entry next to rollup/pivot/"
+        " unpivot.",
     ),
 ]
 
@@ -354,12 +363,70 @@ def main() -> None:
         "regenerate after plan-affecting changes.",
         "",
     ]
-    for name, why in AUDITED:
+    audited = dict(AUDITED)
+    missing = set(audited) - set(QUERIES)
+    assert not missing, f"AUDITED names not in the battery: {sorted(missing)}"
+
+    # Full-battery coverage table first: EVERY registered query gets a
+    # recorded plan audit (exchanges, window keys, join operators, Python
+    # stages, scan pushdown) even when it has no narrative entry below —
+    # so a new battery query is never absent from this doc.
+    from tests.test_window_allowlist import window_partition_keys
+
+    def plan_of(name):
         df = QUERIES[name](spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        out += [f"## {name}", "", why, "", "```", buf.getvalue().rstrip(), "```", ""]
+        return buf.getvalue().rstrip()
+
+    plans = {name: plan_of(name) for name in QUERIES}
+    out += [
+        "## Coverage table — every registered battery query",
+        "",
+        "| query | exchanges | window keys | joins | python stages |"
+        " pushed scan filters |",
+        "|---|---|---|---|---|---|",
+    ]
+    join_ops = (
+        "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct",
+    )
+    for name, plan in plans.items():
+        wkeys = sorted(
+            "(" + ", ".join(tup) + ")" for tup in window_partition_keys(plan)
+        )
+        joins = sorted(
+            {op for op in join_ops if op in plan},
+            key=join_ops.index,
+        )
+        pythonic = sorted(
+            op for op in ("MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas")
+            if op in plan
+        )
+        pushed = any(
+            "PushedFilters:" in line and "[]" not in line
+            for line in plan.splitlines()
+        )
+        out.append(
+            f"| {name}{' *' if name in audited else ''} "
+            f"| {plan.count('Exchange')} "
+            f"| {'; '.join(wkeys) or '—'} "
+            f"| {', '.join(j.removesuffix('Join').removeprefix('Broadcast') or j for j in joins) or '—'} "
+            f"| {', '.join(pythonic) or '—'} "
+            f"| {'yes' if pushed else '—'} |"
+        )
+    out += [
+        "",
+        "`*` = narrative audit below. Window keys must match",
+        "`plans.WINDOW_PARTITION_ALLOWLIST` (enforced by",
+        "`tests/test_window_allowlist.py`); exchange counts are from the",
+        "formatted plan string and include reused exchanges.",
+        "",
+    ]
+
+    for name, why in AUDITED:
+        out += [f"## {name}", "", why, "", "```", plans[name], "```", ""]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EXPLAIN.md")
     with open(path, "w") as fh:
         fh.write("\n".join(out))
