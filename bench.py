@@ -112,12 +112,22 @@ N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 HEAVY_THRESHOLD_S = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_S", "1.0"))
 
 # The curate compositions are the heaviest single entries (~half the
-# headline total each as ONE query), so they get the full N_SAMPLES
-# round-robin treatment with per-sample arrays + IQR — separately from
-# the headline total to keep it comparable across rounds/baseline
-# (VERDICT r5 Next #5). Benching BOTH rules-off and rules-on makes the
-# quality-rule cost separable from the shared dedup/CC/redaction spine.
+# headline total each as ONE query), so they get their own round-robin
+# sampling with per-sample arrays + IQR — separately from the headline
+# total to keep it comparable across rounds/baseline (VERDICT r5 Next
+# #5). Benching BOTH rules-off and rules-on makes the quality-rule cost
+# separable from the shared dedup/CC/redaction spine. N >= 12: at n=8
+# the pair's 0.7-0.9 s IQRs were too wide to distinguish a +6-9% drift
+# from sandbox noise (VERDICT r9 hygiene note) — the wider sample
+# settles it.
 CURATE = ["q_curate_pipeline", "q_curate_rules"]
+N_CURATE_SAMPLES = int(
+    os.environ.get(
+        "SPARK_GRAFT_BENCH_CURATE_SAMPLES",
+        # quick runs (SPARK_GRAFT_BENCH_SAMPLES <= 3) stay quick
+        str(max(N_SAMPLES, 12) if N_SAMPLES >= 4 else N_SAMPLES),
+    )
+)
 
 
 def main() -> None:
@@ -177,12 +187,12 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # curate pair: warmup once each, then N_SAMPLES round-robin passes
+    # curate pair: warmup once each, then N_CURATE_SAMPLES round-robin passes
     for name in CURATE:
         run_once(name)
     curate_samples: dict[str, list[float]] = {name: [] for name in CURATE}
     curate_rows: dict[str, int] = {}
-    for _ in range(N_SAMPLES):
+    for _ in range(N_CURATE_SAMPLES):
         for name in CURATE:
             elapsed, curate_rows[name] = run_once(name)
             curate_samples[name].append(elapsed)
