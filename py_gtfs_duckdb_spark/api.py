@@ -125,6 +125,7 @@ from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
     curate_corpus,
     decontaminate,
     export_shards,
+    histogram_quantiles,
     mix_sources,
     length_buckets,
     pack_sequences,

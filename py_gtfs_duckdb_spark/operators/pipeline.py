@@ -759,3 +759,90 @@ def audit_scorecard(docs: DataFrame, ngram: int = 8) -> DataFrame:
             "doc_id",
         )
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    n_bins: int = 32,
+    lo: float = 0.0,
+    hi: float = 256.0,
+) -> DataFrame:
+    """Per-group quantile ESTIMATES from a fixed-width histogram — the
+    quantile that survives unbounded group cardinality. Spark's exact
+    ``percentile`` (and the q_quantile_tokens battery entry) collects
+    each group's values into one aggregation buffer: fine for bounded
+    groups, a straggler-then-OOM at a 100 TB group. This operator's
+    state is ``n_bins`` counts per group NO MATTER the group size, built
+    by one map-side-combinable (group, bin) count; the estimate
+    linearly interpolates within the winning bin, so its error is
+    bounded by the bin width — the knob you buy accuracy with, priced
+    in counts, not in memory.
+
+    Definition (deterministic, shared bit-for-bit with the DuckDB
+    oracle): values clamp into ``n_bins`` equal bins over [lo, hi);
+    the value at integer rank r (1-indexed) is
+    ``lo + w * (bin + (r - cum_before) / cnt)`` for the first bin whose
+    cumulative count reaches r; quantile(p) interpolates ranks
+    ``target = 1 + p*(N-1)`` as ``v(k) + frac*(v(k+1) - v(k))``
+    (quantile_cont's rank convention). Nulls are excluded; returns one
+    row per group with ``n`` and a ``p<int(100p)>`` column per prob.
+
+    Scale shape: corpus pass -> (group, bin) combinable count
+    (<= groups × n_bins rows shuffled) -> per-group sorted bin array
+    (bounded collect_list) -> per-prob expression folds. No window over
+    data rows, no per-group value buffers."""
+    w = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    binned = (
+        df.filter(v.isNotNull())
+        .select(
+            F.col(by),
+            F.least(
+                F.greatest(
+                    F.floor((v - F.lit(lo)) / F.lit(w)).cast("bigint"),
+                    F.lit(0),
+                ),
+                F.lit(n_bins - 1),
+            ).alias("__bin"),
+        )
+        .groupBy(by, "__bin")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    g = binned.groupBy(by).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__bin").alias("bin"),
+                                    F.col("__cnt").alias("cnt")))
+        ).alias("__h"),
+        F.sum("__cnt").cast("bigint").alias("n"),
+    )
+
+    def rank_value(r_expr: str) -> str:
+        # value at integer rank r: fold the (bin, cnt) array carrying the
+        # running cumulative; emit on the first bin whose cum reaches r
+        return (
+            "aggregate(__h, named_struct('cum', CAST(0 AS BIGINT), "
+            "'res', CAST(NULL AS DOUBLE)), "
+            "(acc, x) -> named_struct('cum', acc.cum + x.cnt, "
+            "'res', CASE WHEN acc.res IS NULL AND acc.cum + x.cnt >= "
+            f"({r_expr}) THEN {lo!r}D + {w!r}D * (CAST(x.bin AS DOUBLE) + "
+            f"CAST(({r_expr}) - acc.cum AS DOUBLE) / CAST(x.cnt AS DOUBLE)) "
+            "ELSE acc.res END), acc -> acc.res)"
+        )
+
+    cols = [F.col(by), F.col("n")]
+    for p in probs:
+        tgt = f"(1.0D + {p!r}D * (CAST(n - 1 AS DOUBLE)))"
+        k = f"CAST(FLOOR({tgt}) AS BIGINT)"
+        frac = f"({tgt} - CAST({k} AS DOUBLE))"
+        vk = rank_value(k)
+        vk1 = rank_value(f"{k} + 1")
+        cols.append(
+            F.expr(
+                f"CASE WHEN {frac} = 0.0D THEN {vk} "
+                f"ELSE {vk} + {frac} * (({vk1}) - ({vk})) END"
+            ).alias(f"p{int(round(p * 100))}")
+        )
+    return g.select(*cols)

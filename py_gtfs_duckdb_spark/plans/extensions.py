@@ -2244,6 +2244,101 @@ def q_quantile_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_histogram_quantiles",
+    # identical deterministic arithmetic to the Spark operator: same
+    # binning (clamp to [0, 31], w = 4.0), same rank convention
+    # (target = 1 + p*(N-1)), same within-bin interpolation
+    # lo + w*(bin + (r - cum_before)/cnt), same vk + frac*(vk1 - vk)
+    # blend — every float literal CAST to DOUBLE (DuckDB parses bare
+    # decimals as DECIMAL, whose arithmetic would drift from IEEE).
+    oracle=r"""
+    WITH tk AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+                   AS v
+        FROM documents
+    ),
+    b AS (
+        SELECT source,
+               LEAST(GREATEST(CAST(FLOOR((CAST(v AS DOUBLE)
+                   - CAST(0.0 AS DOUBLE)) / CAST(4.0 AS DOUBLE)) AS BIGINT),
+                   0), 31) AS bin
+        FROM tk WHERE v IS NOT NULL
+    ),
+    c AS (SELECT source, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    cum AS (
+        SELECT source, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum
+        FROM c
+    ),
+    ns AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+    ranks AS (
+        SELECT s.source, s.n, p.p,
+               CAST(FLOOR(CAST(1.0 AS DOUBLE) + p.p
+                   * CAST(s.n - 1 AS DOUBLE)) AS BIGINT) AS k,
+               (CAST(1.0 AS DOUBLE) + p.p * CAST(s.n - 1 AS DOUBLE))
+                   - CAST(CAST(FLOOR(CAST(1.0 AS DOUBLE) + p.p
+                       * CAST(s.n - 1 AS DOUBLE)) AS BIGINT) AS DOUBLE)
+                   AS frac
+        FROM ns s CROSS JOIN (
+            SELECT UNNEST([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                           CAST(0.75 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS p
+        ) p
+    ),
+    vals AS (
+        SELECT r.source, r.p, r.frac,
+               MIN_BY(CAST(0.0 AS DOUBLE) + CAST(4.0 AS DOUBLE)
+                   * (CAST(cum.bin AS DOUBLE)
+                      + CAST(r.k - (cum.cum - cum.cnt) AS DOUBLE)
+                        / CAST(cum.cnt AS DOUBLE)), cum.bin)
+                   FILTER (WHERE cum.cum >= r.k) AS vk,
+               MIN_BY(CAST(0.0 AS DOUBLE) + CAST(4.0 AS DOUBLE)
+                   * (CAST(cum.bin AS DOUBLE)
+                      + CAST(r.k + 1 - (cum.cum - cum.cnt) AS DOUBLE)
+                        / CAST(cum.cnt AS DOUBLE)), cum.bin)
+                   FILTER (WHERE cum.cum >= r.k + 1) AS vk1
+        FROM ranks r JOIN cum ON cum.source = r.source
+        GROUP BY 1, 2, 3
+    ),
+    q AS (
+        SELECT source, p,
+               CASE WHEN frac = CAST(0.0 AS DOUBLE) THEN vk
+                    ELSE vk + frac * (vk1 - vk) END AS q
+        FROM vals
+    )
+    SELECT q.source, ANY_VALUE(ns.n) AS n,
+           MAX(CASE WHEN p = CAST(0.25 AS DOUBLE) THEN q END) AS p25,
+           MAX(CASE WHEN p = CAST(0.5 AS DOUBLE) THEN q END) AS p50,
+           MAX(CASE WHEN p = CAST(0.75 AS DOUBLE) THEN q END) AS p75,
+           MAX(CASE WHEN p = CAST(0.95 AS DOUBLE) THEN q END) AS p95
+    FROM q JOIN ns ON ns.source = q.source
+    GROUP BY 1
+    """,
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length quantiles from a FIXED-BIN histogram
+    (operators/pipeline.py:histogram_quantiles) — the unbounded-
+    cardinality sibling of q_quantile_tokens: exact ``percentile``
+    buffers each group's values (fine for bounded groups, a straggler-
+    then-OOM at a 100 TB group); this plan's per-group state is 32 bin
+    counts no matter the group size, built by one map-side-combinable
+    (source, bin) count. Estimate error is bounded by the bin width
+    (w=4 tokens here); the estimator is deterministic binned
+    interpolation, so the DuckDB oracle replays it bit-for-bit."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(X.TOKEN_RE), 0))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return P.histogram_quantiles(
+        tk, "n_tokens", "source", probs=(0.25, 0.5, 0.75, 0.95),
+        n_bins=32, lo=0.0, hi=128.0,
+    )
+
+
+@query(
     "q_semantic_dedup",
     # embedding pair SQL + the same recursive-closure CTEs as the text
     # clusters oracle, instantiated over vec ids

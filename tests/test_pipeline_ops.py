@@ -584,3 +584,78 @@ def test_keep_canonical_timestamp_scores_keep_newest(spark):
     )
     [r] = keep_canonical(clusters.where("cluster_id = 0"), dscores).collect()
     assert r["kept_doc_id"] == 2  # newest date, tie to smallest id
+
+
+# -- histogram quantiles (round 10) ------------------------------------------
+
+
+def test_histogram_quantiles_hand_computed(spark):
+    """4 copies of 5.0 in bin 0 (w=8): v(r) = 8*r/4 -> v(1..4) = 2,4,6,8;
+    p25 target 1.75 -> 2 + .75*(4-2) = 3.5; p50 target 2.5 -> 5.0."""
+    from py_gtfs_duckdb_spark.operators.pipeline import histogram_quantiles
+
+    df = spark.createDataFrame([("b", 5.0)] * 4, "src string, v double")
+    r = histogram_quantiles(
+        df, "v", "src", probs=(0.25, 0.5), n_bins=32, lo=0.0, hi=256.0
+    ).first()
+    assert (r["n"], r["p25"], r["p50"]) == (4, 3.5, 5.0)
+
+
+def test_histogram_quantiles_error_bounded_by_bin_width(spark):
+    """Against the exact percentile on a skewed random sample, every
+    estimate must land within one bin width — the operator's documented
+    accuracy contract."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from py_gtfs_duckdb_spark.operators.pipeline import histogram_quantiles
+
+    rng = random.Random(7)
+    rows = [("s", float(min(rng.expovariate(0.05), 127.0))) for _ in range(5000)]
+    df = spark.createDataFrame(rows, "src string, v double")
+    probs = (0.25, 0.5, 0.75, 0.95)
+    w = 128.0 / 32
+    est = histogram_quantiles(
+        df, "v", "src", probs=probs, n_bins=32, lo=0.0, hi=128.0
+    ).first()
+    exact = df.groupBy("src").agg(
+        *[F.expr(f"percentile(v, {p})").alias(f"e{int(p*100)}") for p in probs]
+    ).first()
+    for p in probs:
+        e, g = exact[f"e{int(p*100)}"], est[f"p{int(p*100)}"]
+        assert abs(e - g) <= w, (p, e, g)
+
+
+def test_histogram_quantiles_nulls_and_clamping(spark):
+    """Null values are excluded from N; out-of-range values clamp to the
+    edge bins instead of vanishing."""
+    from py_gtfs_duckdb_spark.operators.pipeline import histogram_quantiles
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", -50.0), ("a", 10_000.0), ("a", 64.0)],
+        "src string, v double",
+    )
+    r = histogram_quantiles(
+        df, "v", "src", probs=(0.5,), n_bins=32, lo=0.0, hi=128.0
+    ).first()
+    assert r["n"] == 3  # null excluded
+    # median of {clamped-low, 64, clamped-high}: rank 2 lands in bin 16
+    assert 64.0 <= r["p50"] <= 68.0
+
+
+def test_histogram_quantiles_plan_bounded_state(spark):
+    """No window anywhere; the only collect_list is over the bounded
+    (bin, cnt) pairs — the per-group state must be n_bins, not group
+    size. Guarded by asserting the aggregation input is the (group, bin)
+    pre-count, i.e. TWO hash aggregations and zero windows."""
+    from py_gtfs_duckdb_spark.operators.pipeline import histogram_quantiles
+
+    df = spark.range(1000).selectExpr("'s' AS src", "CAST(id AS DOUBLE) AS v")
+    plan = (
+        histogram_quantiles(df, "v", "src")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "windowspecdefinition" not in plan
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
+    assert "collect_list" in plan
