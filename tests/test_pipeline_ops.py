@@ -659,3 +659,80 @@ def test_histogram_quantiles_plan_bounded_state(spark):
     assert "windowspecdefinition" not in plan
     assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
     assert "collect_list" in plan
+
+
+def _py_histogram_quantiles(values, probs, n_bins, lo, hi):
+    """Pure-Python replica of the operator's deterministic definition —
+    the fuzz reference (same arithmetic, straight from the docstring)."""
+    w = (hi - lo) / n_bins
+    vals = [v for v in values if v is not None]
+    n = len(vals)
+    counts: dict[int, int] = {}
+    for v in vals:
+        b = min(max(int(__import__("math").floor((v - lo) / w)), 0), n_bins - 1)
+        counts[b] = counts.get(b, 0) + 1
+    h = sorted(counts.items())
+
+    def v_at(r):
+        cum = 0
+        for b, cnt in h:
+            if cum + cnt >= r:
+                return lo + w * (float(b) + float(r - cum) / float(cnt))
+            cum += cnt
+        return None
+
+    out = [n]
+    for p in probs:
+        tgt = 1.0 + p * float(n - 1)
+        import math
+
+        k = int(math.floor(tgt))
+        frac = tgt - float(k)
+        vk = v_at(k)
+        out.append(vk if frac == 0.0 else vk + frac * (v_at(k + 1) - vk))
+    return tuple(out)
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-10.0, max_value=200.0,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda vs: any(v is not None for v in vs)),
+    n_bins=st.sampled_from([4, 8, 32]),
+)
+def test_histogram_quantiles_fuzz_python_reference(spark, vals, n_bins):
+    """Random values (incl. nulls, ties, out-of-range clamps) against the
+    pure-Python replica of the same deterministic definition — the
+    distributed fold must agree to float equality."""
+    from py_gtfs_duckdb_spark.operators.pipeline import histogram_quantiles
+
+    probs = (0.25, 0.5, 0.95)
+    df = spark.createDataFrame([("g", v) for v in vals], "src string, v double")
+    r = histogram_quantiles(
+        df, "v", "src", probs=probs, n_bins=n_bins, lo=0.0, hi=128.0
+    ).first()
+    got = (r["n"], *[r[f"p{int(p*100)}"] for p in probs])
+    want = _py_histogram_quantiles(vals, probs, n_bins, 0.0, 128.0)
+    assert got[0] == want[0]
+    for g, w_ in zip(got[1:], want[1:]):
+        assert g == pytest.approx(w_, abs=1e-9), (got, want)
