@@ -103,6 +103,8 @@ EXTRA = [
     "q_window_trailing",
     "q_window_trailing_chunked",
     "q_interval_join",
+    # round-10 addition: bounded-state per-group quantiles
+    "q_histogram_quantiles",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 
