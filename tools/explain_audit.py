@@ -384,7 +384,7 @@ def main() -> None:
     out += [
         "## Coverage table — every registered battery query",
         "",
-        "| query | exchanges | window keys | joins | python stages |"
+        "| query | shuffles | window keys | joins | python stages |"
         " pushed scan filters |",
         "|---|---|---|---|---|---|",
     ]
@@ -408,9 +408,14 @@ def main() -> None:
             "PushedFilters:" in line and "[]" not in line
             for line in plan.splitlines()
         )
+        import re
+
+        # count each Exchange once via its numbered detail entry — the
+        # formatted plan prints every node twice (tree + details)
+        n_exch = len(re.findall(r"\(\d+\) Exchange", plan))
         out.append(
             f"| {name}{' *' if name in audited else ''} "
-            f"| {plan.count('Exchange')} "
+            f"| {n_exch} "
             f"| {'; '.join(wkeys) or '—'} "
             f"| {', '.join(j.removesuffix('Join').removeprefix('Broadcast') or j for j in joins) or '—'} "
             f"| {', '.join(pythonic) or '—'} "
@@ -418,7 +423,9 @@ def main() -> None:
         )
     out += [
         "",
-        "`*` = narrative audit below. Window keys must match",
+        "`*` = narrative audit below. `shuffles` counts shuffle Exchange",
+        "nodes only (BroadcastExchange excluded — broadcasts don't move the",
+        "fact side). Window keys must match",
         "`plans.WINDOW_PARTITION_ALLOWLIST` (enforced by",
         "`tests/test_window_allowlist.py`); exchange counts are from the",
         "formatted plan string and include reused exchanges.",
