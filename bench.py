@@ -103,8 +103,10 @@ EXTRA = [
     "q_window_trailing",
     "q_window_trailing_chunked",
     "q_interval_join",
-    # round-10 addition: bounded-state per-group quantiles
+    # round-10 additions: bounded-state per-group quantiles +
+    # deterministic weighted sampling
     "q_histogram_quantiles",
+    "q_weighted_sample",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

@@ -135,6 +135,7 @@ from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
     split_leakage,
     stratified_sample,
     token_histogram,
+    weighted_sample,
     write_shards,
 )
 

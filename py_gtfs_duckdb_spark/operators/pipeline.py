@@ -846,3 +846,70 @@ def histogram_quantiles(
             ).alias(f"p{int(round(p * 100))}")
         )
     return g.select(*cols)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    by: str | None = None,
+    n_salts: int = 64,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (per group, or
+    global with ``by=None``): keep ``k`` rows where each row's inclusion
+    probability is proportional to its weight — the Efraimidis–Spirakis
+    exponential race, with the "randomness" derived from a 48-bit md5 of
+    the row id so two runs (and two engines) draw the SAME sample. The
+    training-data use: sample documents proportional to token count or
+    quality for a budgeted pilot corpus, reproducibly.
+
+    Key: ``u = (md5_48(id) + 1) / 2^48`` ∈ (0, 1], rank by ``ln(u)/w``
+    DESCENDING (≡ u^(1/w) descending — the E-S order statistic); ties
+    break on the id. Rows with null/zero/negative/NaN weight are
+    excluded (weight 0 = never sampled). LIBM CAVEAT (same as
+    unigram_nll): bit-identical choice across engines assumes both
+    ``ln`` implementations agree on these arguments — true on this
+    platform; a cross-libm deployment could in principle flip a
+    selection whose two keys sit within 1 ulp.
+
+    Scale shape: the same salted two-phase bounded top-k as
+    dedup.keep_top_k — NO rank window (a hot group would sort in one
+    task). Phase 1 keeps k candidates per (group, salt) inside a
+    sorted-array slice; phase 2 merges ≤ n_salts×k survivors. Per-task
+    memory ∝ k; shuffle rows ∝ groups × salts, never corpus rows."""
+    w = F.col(weight_col).cast("double")
+    u48 = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        + 1
+    )
+    # key <= 0, LARGER wins; negate so ascending struct order ranks it
+    key = F.log(u48.cast("double") / F.lit(float(1 << 48))) / w
+    cand = df.filter(w.isNotNull() & (w > 0) & ~F.isnan(w)).select(
+        *([F.col(by)] if by else []),
+        F.struct(
+            (-key).alias("nk"),
+            F.col(id_col).alias("i"),
+            w.alias("wt"),
+        ).alias("__m"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts)).alias(
+            "__salt"
+        ),
+    )
+    part = cand.groupBy(*([by, "__salt"] if by else ["__salt"])).agg(
+        F.slice(F.array_sort(F.collect_list("__m")), 1, k).alias("__c")
+    )
+    top = part.groupBy(*([by] if by else [])).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__c"))), 1, k).alias(
+            "__t"
+        )
+    )
+    return top.select(
+        *([F.col(by)] if by else []), F.posexplode("__t")
+    ).select(
+        *([F.col(by)] if by else []),
+        F.col("col.i").alias(id_col),
+        (F.col("pos") + 1).cast("bigint").alias("rank"),
+        F.col("col.wt").alias("weight"),
+    )

@@ -2339,6 +2339,60 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_weighted_sample",
+    # ROW_NUMBER is fine in the ORACLE (DuckDB is the single-node
+    # reference); the Spark plan is the salted two-phase bounded top-k.
+    # Same E-S key arithmetic in the same order: u = (md5_48(id)+1)/2^48,
+    # key = ln(u)/w, DESC, tie on doc_id.
+    oracle=r"""
+    WITH tk AS (
+        SELECT source, doc_id,
+               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS DOUBLE)
+                   AS w,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                   AS h48
+        FROM documents
+    ),
+    keyed AS (
+        SELECT source, doc_id, w,
+               LN(CAST(h48 + 1 AS DOUBLE)
+                  / CAST(281474976710656 AS DOUBLE)) / w AS key
+        FROM tk WHERE w > 0
+    ),
+    ranked AS (
+        SELECT source, doc_id, w,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY key DESC, doc_id ASC) AS rn
+        FROM keyed
+    )
+    SELECT source, doc_id, CAST(rn AS BIGINT) AS rank, w AS weight
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/pipeline.py:weighted_sample): 5 documents per source with
+    inclusion probability proportional to TOKEN COUNT — the reproducible
+    pilot-corpus draw (longer docs proportionally likelier, same sample
+    on every run and every engine). Spark plan is the salted two-phase
+    bounded top-k (no rank window — a firehose source never sorts in one
+    task); the oracle ranks the identical Efraimidis–Spirakis key with a
+    plain window, which is exactly what the distributed form must
+    reproduce."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "source",
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(X.TOKEN_RE), 0))
+        .cast("double")
+        .alias("w"),
+    )
+    return P.weighted_sample(tk, k=5, weight_col="w", id_col="doc_id",
+                             by="source")
+
+
+
+@query(
     "q_semantic_dedup",
     # embedding pair SQL + the same recursive-closure CTEs as the text
     # clusters oracle, instantiated over vec ids

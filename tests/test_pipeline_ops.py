@@ -736,3 +736,100 @@ def test_histogram_quantiles_fuzz_python_reference(spark, vals, n_bins):
     assert got[0] == want[0]
     for g, w_ in zip(got[1:], want[1:]):
         assert g == pytest.approx(w_, abs=1e-9), (got, want)
+
+
+# -- deterministic weighted sampling (round 10) -------------------------------
+
+
+def _py_weighted_sample(rows, k):
+    """Pure-Python Efraimidis–Spirakis replica with the same md5-derived
+    randomness: rows = [(id, w)], returns [(id, rank, w)] for the top k."""
+    import hashlib
+    import math
+
+    keyed = []
+    for i, w in rows:
+        if w is None or not (w > 0) or w != w:
+            continue
+        h48 = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        u = float(h48 + 1) / float(1 << 48)
+        keyed.append((-(math.log(u) / w), i, w))
+    keyed.sort()
+    return [(i, r + 1, w) for r, (_, i, w) in enumerate(keyed[:k])]
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    from py_gtfs_duckdb_spark.operators.pipeline import weighted_sample
+
+    rows = [(f"d{i}", float(1 + (i * 13) % 29)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, w double")
+    got = [
+        (r["doc_id"], r["rank"], r["weight"])
+        for r in weighted_sample(df, 7, "w").orderBy("rank").collect()
+    ]
+    assert got == _py_weighted_sample(rows, 7)
+
+
+def test_weighted_sample_excludes_unusable_weights(spark):
+    from py_gtfs_duckdb_spark.operators.pipeline import weighted_sample
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 0.0), ("c", -2.0), ("d", None),
+         ("e", float("nan")), ("f", 3.0)],
+        "doc_id string, w double",
+    )
+    got = {r["doc_id"] for r in weighted_sample(df, 10, "w").collect()}
+    assert got == {"a", "f"}
+
+
+def test_weighted_sample_heavy_weights_dominate(spark):
+    """5 items at weight 1000 among 95 at weight 1: the exponential race
+    makes each heavy item's key ~1000x closer to zero, so (for this
+    deterministic id population) all heavies land in the top 10."""
+    from py_gtfs_duckdb_spark.operators.pipeline import weighted_sample
+
+    rows = [(f"h{i}", 1000.0) for i in range(5)] + [
+        (f"l{i}", 1.0) for i in range(95)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, w double")
+    top = {r["doc_id"] for r in weighted_sample(df, 10, "w").collect()}
+    assert {f"h{i}" for i in range(5)} <= top
+
+
+def test_weighted_sample_per_group_matches_global_of_group(spark):
+    """A group's sample must equal the global sample of that group alone
+    — the salted two-phase merge cannot leak across groups."""
+    from py_gtfs_duckdb_spark.operators.pipeline import weighted_sample
+
+    rows = [(f"d{i}", "g1" if i % 2 else "g2", float(1 + i % 5))
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id string, src string, w double")
+    per = {
+        (r["src"], r["rank"]): r["doc_id"]
+        for r in weighted_sample(df, 4, "w", by="src").collect()
+    }
+    for g in ("g1", "g2"):
+        alone = weighted_sample(
+            df.filter(df.src == g).drop("src"), 4, "w"
+        ).orderBy("rank").collect()
+        assert [per[(g, i + 1)] for i in range(4)] == [
+            r["doc_id"] for r in alone
+        ]
+
+
+def test_weighted_sample_plan_no_window(spark):
+    from py_gtfs_duckdb_spark.operators.pipeline import weighted_sample
+
+    df = spark.range(100).selectExpr(
+        "CAST(id AS STRING) AS doc_id", "'s' AS src",
+        "CAST(1 + id % 9 AS DOUBLE) AS w"
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        weighted_sample(df, 5, "w", by="src").explain("formatted")
+    plan = buf.getvalue()
+    assert "windowspecdefinition" not in plan
+    assert "slice" in plan and "array_sort" in plan
