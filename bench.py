@@ -103,10 +103,11 @@ EXTRA = [
     "q_window_trailing",
     "q_window_trailing_chunked",
     "q_interval_join",
-    # round-10 additions: bounded-state per-group quantiles +
-    # deterministic weighted sampling
+    # round-10 additions: bounded-state per-group quantiles,
+    # deterministic weighted sampling, mergeable KMV distinct sketch
     "q_histogram_quantiles",
     "q_weighted_sample",
+    "q_kmv_distinct",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

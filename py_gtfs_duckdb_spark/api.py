@@ -126,6 +126,9 @@ from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
     decontaminate,
     export_shards,
     histogram_quantiles,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
     mix_sources,
     length_buckets,
     pack_sequences,

@@ -913,3 +913,79 @@ def weighted_sample(
         (F.col("pos") + 1).cast("bigint").alias("rank"),
         F.col("col.wt").alias("weight"),
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    k: int = 64,
+    n_salts: int = 16,
+    prehashed: bool = False,
+) -> DataFrame:
+    """K-minimum-values distinct sketch per group: the k smallest
+    DISTINCT 48-bit md5 hashes of ``value_col``, as one bounded
+    ``array<bigint>`` row per group — the DETERMINISTIC portable
+    cousin of HLL (q_agg_approx_distinct): two engines, two runs, or two
+    shards always build the SAME sketch, so estimates are reproducible
+    and oracle-checkable bit-for-bit, and sketches MERGE losslessly
+    (:func:`kmv_merge`: union-distinct-reslice) — persist per-shard/
+    per-day sketches in the lake and answer any rollup's distinct
+    estimate from k-sized arrays instead of re-scanning the corpus.
+
+    Scale shape: one (group, hash) DISTINCT aggregation (map-side
+    partial dedup — the shuffle carries distinct hashes per partition,
+    the same cost exact count-distinct pays once), then the salted
+    bounded k-smallest merge (state per (group, salt) buffer is the
+    distinct-hash count in that salt slice before the slice truncates —
+    ``n_salts`` is the memory knob, same contract as keep_top_k).
+    Estimator: :func:`kmv_estimate` (pass the matching ``universe``).
+
+    ``prehashed=True`` treats ``value_col`` as an ALREADY-uniform bigint
+    hash (e.g. the staged Horner n-gram hashes of text.ngram_hash_col —
+    far cheaper than md5-ing reassembled gram strings) and skips the
+    md5; pair it with ``kmv_estimate(..., universe=<that hash's
+    modulus>)``."""
+    h = (
+        F.col(value_col).cast("bigint")
+        if prehashed
+        else F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, 12), 16, 10
+        ).cast("bigint")
+    )
+    dist = df.select(F.col(by), h.alias("__h")).distinct()
+    part = (
+        dist.withColumn("__salt", F.pmod(F.col("__h"), F.lit(n_salts)))
+        .groupBy(by, "__salt")
+        .agg(F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("__c"))
+    )
+    return part.groupBy(by).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("__c"))), 1, k
+        ).alias("sketch")
+    )
+
+
+def kmv_merge(sketches: Column, k: int = 64) -> Column:
+    """Merge an array of KMV sketches (e.g. ``collect_list(sketch)``
+    across shards/days): union, dedup, keep the k smallest — the merged
+    sketch is IDENTICAL to the sketch of the unioned data, which is the
+    property that makes per-shard sketches a lossless lake artifact."""
+    return F.slice(
+        F.array_sort(F.array_distinct(F.flatten(sketches))), 1, k
+    )
+
+
+def kmv_estimate(
+    sketch: Column, k: int = 64, universe: float = float(1 << 48)
+) -> Column:
+    """Distinct-count estimate from a KMV sketch: EXACT (= array size)
+    while fewer than k distinct values were seen; otherwise the standard
+    (k-1)/U_(k) order-statistic estimator with U_(k) = kth smallest
+    hash / ``universe`` (2^48 for the built-in md5 hash; pass the hash's
+    own modulus for ``prehashed`` sketches). Deterministic double
+    arithmetic — the DuckDB oracle replays it bit-for-bit."""
+    kth = F.element_at(sketch, k).cast("double")
+    return F.when(F.size(sketch) < k, F.size(sketch).cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(universe)) / kth
+    )

@@ -2339,6 +2339,86 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_kmv_distinct",
+    # identical pipeline in SQL: same staged word hashes (md5 48-bit mod
+    # P) and Horner 3-gram rolling hashes as every winnow oracle,
+    # ROW_NUMBER picks the k smallest distinct hashes (the oracle may
+    # window - it is the single-node reference), same estimator
+    # arithmetic (63 * P / h_k) in the same operation order.
+    oracle=r"""
+    WITH w AS (
+        SELECT source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), wh AS (
+        SELECT source,
+               [('0x' || substr(md5(x), 1, 12))::BIGINT % 2147483647
+                for x in ws] AS hs,
+               len(ws) AS n
+        FROM w
+    ), kg AS (
+        SELECT source,
+               unnest([((hs[i] * 69069 + hs[i+1]) % 2147483647 * 69069
+                        + hs[i+2]) % 2147483647
+                       for i in range(1, n - 2 + 1)]) AS h
+        FROM wh WHERE n >= 3
+    ),
+    d AS (SELECT DISTINCT source, h FROM kg),
+    r AS (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM d
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN rn <= 64 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sketch,
+           CASE WHEN SUM(CASE WHEN rn <= 64 THEN 1 ELSE 0 END) < 64
+                THEN CAST(SUM(CASE WHEN rn <= 64 THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                ELSE CAST(63.0 AS DOUBLE) * CAST(2147483647.0 AS DOUBLE)
+                     / CAST(MAX(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+           END AS est_distinct
+    FROM r GROUP BY 1
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic approximate distinct via a K-minimum-values sketch
+    (operators/pipeline.py:kmv_sketch): distinct word-3-gram count per
+    source, estimated from the 64 smallest distinct gram hashes - the
+    portable, MERGEABLE sibling of HLL (q_agg_approx_distinct): where
+    HLL's registers are engine-internal (its battery oracle can only
+    tolerance-check), KMV is plain integer order statistics, so the
+    DuckDB oracle replays the sketch AND the (k-1)/U_(k) estimator
+    bit-for-bit - and per-shard sketches union losslessly
+    (kmv_merge == sketch-of-union, pinned in tests), which is what makes
+    a persisted per-day sketch answer any date-range distinct estimate
+    from k-sized arrays. Gram hashing reuses the STAGED word-hash +
+    Horner rolling-hash front-end every winnow audit uses (per-row array
+    math; the naive md5-of-reassembled-gram-strings transform measured
+    ~4x slower - the round-7 interpreted-HOF lesson)."""
+    d = t(spark, sf_dir, "documents")
+    # reuse the audits' shared gram front-end with source as the id —
+    # it stages the word-hash array ONE projection below the explode,
+    # which is the exact shape that keeps the inferred Generate filter
+    # referencing attributes instead of inlining the whole hash chain
+    # (a two-stage staging here measured 100x slower: the pushed-down
+    # size()>0 filter re-evaluated the word-hash transform per
+    # element_at — see ngram_hash_col's CollapseProject note)
+    grams = X.doc_ngram_hashes(d, n=3, text_col="text", id_col="source")
+    sk = P.kmv_sketch(
+        grams.select(F.col("id").alias("source"), "gh"),
+        "gh", "source", k=64, prehashed=True,
+    )
+    return sk.select(
+        "source",
+        F.size("sketch").cast("bigint").alias("n_sketch"),
+        P.kmv_estimate(
+            F.col("sketch"), 64, universe=2147483647.0
+        ).alias("est_distinct"),
+    )
+
+
+@query(
     "q_weighted_sample",
     # ROW_NUMBER is fine in the ORACLE (DuckDB is the single-node
     # reference); the Spark plan is the salted two-phase bounded top-k.

@@ -833,3 +833,76 @@ def test_weighted_sample_plan_no_window(spark):
     plan = buf.getvalue()
     assert "windowspecdefinition" not in plan
     assert "slice" in plan and "array_sort" in plan
+
+
+# -- KMV distinct sketches (round 10) -----------------------------------------
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """The lake-artifact property: merging per-shard sketches must yield
+    the IDENTICAL sketch (not just a similar estimate) to sketching the
+    unioned data — union/dedup/reslice over k-minimum values is
+    lossless."""
+    from pyspark.sql import functions as F
+
+    from py_gtfs_duckdb_spark.operators.pipeline import kmv_merge, kmv_sketch
+
+    rows = [("s", f"v{i % 700}", i % 3) for i in range(4000)]
+    df = spark.createDataFrame(rows, "src string, v string, shard int")
+    whole = kmv_sketch(df, "v", "src", k=64).first()["sketch"]
+    per_shard = kmv_sketch(
+        df.withColumn("src", F.concat_ws("|", "src", "shard")), "v", "src",
+        k=64,
+    )
+    merged = (
+        per_shard.select(F.split("src", r"\|")[0].alias("src"), "sketch")
+        .groupBy("src")
+        .agg(kmv_merge(F.collect_list("sketch"), 64).alias("m"))
+        .first()["m"]
+    )
+    assert merged == whole
+
+
+def test_kmv_estimate_exact_below_k_and_bounded_error_above(spark):
+    from pyspark.sql import functions as F
+
+    from py_gtfs_duckdb_spark.operators.pipeline import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    rows = [("small", f"a{i}") for i in range(30)] + [
+        ("big", f"b{i}") for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "src string, v string")
+    got = {
+        r["src"]: (r["est"], r["sz"])
+        for r in kmv_sketch(df, "v", "src", k=64)
+        .select(
+            "src",
+            kmv_estimate(F.col("sketch"), 64).alias("est"),
+            F.size("sketch").alias("sz"),
+        )
+        .collect()
+    }
+    assert got["small"] == (30.0, 30)  # below k: exact
+    est, sz = got["big"]
+    assert sz == 64
+    # RSE ~ 1/sqrt(k-2) ~ 12.7%; allow 4 sigma for one fixed draw
+    assert abs(est - 2000) / 2000 < 0.51, est
+
+
+def test_kmv_sketch_plan_no_window(spark):
+    import contextlib
+    import io
+
+    from py_gtfs_duckdb_spark.operators.pipeline import kmv_sketch
+
+    df = spark.range(500).selectExpr(
+        "'s' AS src", "CAST(id % 97 AS STRING) AS v"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        kmv_sketch(df, "v", "src").explain("formatted")
+    plan = buf.getvalue()
+    assert "windowspecdefinition" not in plan
