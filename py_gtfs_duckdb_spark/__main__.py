@@ -339,6 +339,42 @@ def cmd_mix(args) -> None:
                      sort_keys=True))
 
 
+def cmd_sample(args) -> None:
+    """Deterministic weighted sample of a documents parquet: k docs
+    (per source with --per-source, else global) with inclusion
+    probability proportional to token count — the reproducible
+    pilot-corpus draw. Writes the sampled docs, prints a JSON summary."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from py_gtfs_duckdb_spark.operators.pipeline import weighted_sample
+    from py_gtfs_duckdb_spark.operators.text import token_count
+    from py_gtfs_duckdb_spark.session import get_spark
+
+    spark = get_spark("gtfs-cli")
+    docs = spark.read.parquet(args.input)
+    weighted = docs.withColumn(
+        "__w", token_count(F.col("text")).cast("double")
+    )
+    picked = weighted_sample(
+        weighted, k=args.k, weight_col="__w", id_col="doc_id",
+        by="source" if args.per_source else None,
+    )
+    out = docs.join(picked.select("doc_id", "rank", "weight"), "doc_id")
+    out.write.mode("overwrite").parquet(args.output)
+    back = spark.read.parquet(args.output)
+    summary = back.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("weight").cast("bigint").alias("tokens"),
+    ).first()
+    print(json.dumps(
+        {"docs": summary["docs"], "sampled_tokens": int(summary["tokens"] or 0),
+         "k": args.k, "per_source": bool(args.per_source)},
+        sort_keys=True,
+    ))
+
+
 def cmd_audit(args) -> None:
     """Corpus audit over a documents parquet: per-document scorecard
     (tokens, quality, duplicated-n-gram fraction) written to parquet,
@@ -488,6 +524,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--token-budget", "-b", type=int, required=True)
     sp.set_defaults(fn=cmd_mix)
+
+    sp = sub.add_parser(
+        "sample",
+        help="deterministic weighted sample (by token count) of a documents parquet",
+    )
+    sp.add_argument("--input", "-i", required=True, help="documents parquet path")
+    sp.add_argument("--output", "-o", required=True)
+    sp.add_argument("-k", type=int, default=100, help="docs to keep (per group)")
+    sp.add_argument(
+        "--per-source", action="store_true",
+        help="sample k per source instead of k global",
+    )
+    sp.set_defaults(fn=cmd_sample)
 
     sp = sub.add_parser(
         "audit",

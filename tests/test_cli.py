@@ -218,3 +218,42 @@ def test_cli_audit_end_to_end(spark, tmp_path, capsys):
     # subword per word, at most one per character plus the EOW marker
     r = back.filter("doc_id = 0").first()
     assert 0 < r["n_bpe_tokens"] <= len(same.replace(" ", "")) + len(same.split())
+
+
+def test_cli_sample_end_to_end(spark, tmp_path, capsys):
+    import json
+
+    from py_gtfs_duckdb_spark.__main__ import main
+    from py_gtfs_duckdb_spark.operators.pipeline import weighted_sample
+    from py_gtfs_duckdb_spark.operators.text import token_count
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "web" if i % 2 else "wiki",
+          "token " * (3 + i % 11)) for i in range(60)],
+        "doc_id string, source string, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "sampled")
+    assert main(["sample", "-i", src, "-o", out, "-k", "5",
+                 "--per-source"]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs"] == 10 and summary["per_source"] is True
+    back = spark.read.parquet(out)
+    assert back.count() == 10
+    assert back.groupBy("source").count().collect()[0]["count"] == 5
+    # the CLI draw equals the operator draw — deterministic end to end
+    want = {
+        (r["source"], r["doc_id"])
+        for r in weighted_sample(
+            docs.withColumn("__w", token_count(docs.text).cast("double")),
+            k=5, weight_col="__w", id_col="doc_id", by="source",
+        ).collect()
+    }
+    got = {(r["source"], r["doc_id"]) for r in back.collect()}
+    assert got == want
+    # global draw: k rows total
+    out2 = str(tmp_path / "sampled_g")
+    assert main(["sample", "-i", src, "-o", out2, "-k", "7"]) == 0
+    assert spark.read.parquet(out2).count() == 7
