@@ -251,6 +251,7 @@ def range_join_binned(
     end_col: str,
     by: str | None = None,
     bin_width: float = 3600.0,
+    sub_salts: int = 1,
 ) -> DataFrame:
     """Point-in-interval join without the O(points x intervals) nested
     loop Spark's planner produces for raw inequality predicates: both
@@ -265,8 +266,12 @@ def range_join_binned(
     bin_width ~ median interval length. This is the standard distributed
     interval-join shape (bin-and-filter). A firehose (key, bin) cell is
     the residual skew shape: the triage (shrink bin_width → AQE
-    skew-join → sub-bin salting, and what each one does and does NOT
-    fix) is SCALING.md §13."""
+    skew-join → ``sub_salts``, and what each one does and does NOT fix)
+    is SCALING.md §13. ``sub_salts=S`` splits each cell's POINT side S
+    ways by row hash and replicates the interval side into every
+    sub-cell — total work unchanged, per-task work /S, result row-for-
+    row identical (each pair still meets exactly once, in the point's
+    sub-cell)."""
     pb = points.withColumn(
         "__bin",
         F.floor(F.col(point_col).cast("double") / F.lit(bin_width)).cast("bigint"),
@@ -297,10 +302,22 @@ def range_join_binned(
         )
     )
     keys = ["__bin"] + ([by] if by else [])
+    if sub_salts > 1:
+        pb = pb.withColumn(
+            "__ssalt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in points.columns]),
+                F.lit(sub_salts),
+            ),
+        )
+        ib = ib.withColumn(
+            "__ssalt", F.explode(F.sequence(F.lit(0), F.lit(sub_salts - 1)))
+        )
+        keys = keys + ["__ssalt"]
     joined = pb.join(ib, keys).filter(
         (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
     )
-    return joined.drop("__bin")
+    return joined.drop("__bin", *(["__ssalt"] if sub_salts > 1 else []))
 
 
 def sessionize_chunked(
@@ -430,6 +447,7 @@ def interval_join_binned(
     r_end: str,
     by: str | None = None,
     bin_width: float = 3600.0,
+    sub_salts: int = 1,
 ) -> DataFrame:
     """Interval-overlap join: every (left, right) pair whose HALF-OPEN
     intervals [start, end) intersect (``l_start < r_end AND r_start <
@@ -448,9 +466,11 @@ def interval_join_binned(
     bin rows and a co-partitioned equi-join — tune ``bin_width`` toward
     the typical interval length; per-cell cost is |left-in-bin| ×
     |right-in-bin|, so a firehose (key, bin) is the residual skew shape
-    (triage in SCALING.md §13). Column names must be disjoint across
-    the two inputs (select/alias first); empty or inverted intervals
-    match nothing."""
+    (triage in SCALING.md §13; ``sub_salts=S`` splits each cell's LEFT
+    side S ways by row hash and replicates the right side into every
+    sub-cell — work unchanged, per-task work /S, rows identical).
+    Column names must be disjoint across the two inputs (select/alias
+    first); empty or inverted intervals match nothing."""
     overlap = set(left.columns) & set(right.columns)
     overlap -= {by} if by else set()
     if overlap:
@@ -458,7 +478,7 @@ def interval_join_binned(
             f"interval_join_binned: column collision {sorted(overlap)} — "
             "alias the sides apart first"
         )
-    reserved = {"__bin", "__rbin", "__rby"}
+    reserved = {"__bin", "__rbin", "__rby", "__ssalt"}
     taken = reserved & (set(left.columns) | set(right.columns))
     if taken:
         raise ValueError(
@@ -503,6 +523,18 @@ def interval_join_binned(
     cond = F.col("__bin") == F.col("__rbin")
     if by:
         cond = cond & (F.col(by) == F.col("__rby"))
+    if sub_salts > 1:
+        lb = lb.withColumn(
+            "__ssalt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in left.columns]),
+                F.lit(sub_salts),
+            ),
+        )
+        rb = rb.withColumn(
+            "__rssalt", F.explode(F.sequence(F.lit(0), F.lit(sub_salts - 1)))
+        )
+        cond = cond & (F.col("__ssalt") == F.col("__rssalt"))
     ov_start = F.greatest(
         F.col(l_start).cast("double"), F.col(r_start).cast("double")
     )
@@ -520,7 +552,11 @@ def interval_join_binned(
                 == F.floor(ov_start / F.lit(bin_width)).cast("bigint")
             )
         )
-        .drop("__bin", "__rbin")
+        .drop(
+            "__bin",
+            "__rbin",
+            *(["__ssalt", "__rssalt"] if sub_salts > 1 else []),
+        )
     )
     return joined
 

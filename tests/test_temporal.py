@@ -709,3 +709,67 @@ def test_interval_join_fuzz_python_reference(spark, ivals, bin_width):
         ).collect()
     )
     assert got == want
+
+
+@pytest.mark.parametrize("sub_salts", [2, 5])
+def test_range_join_sub_salts_row_identical(spark, sub_salts):
+    """sub_salts splits each (key, bin) cell's point side by row hash and
+    replicates intervals into every sub-cell: the result must be
+    row-for-row IDENTICAL to the unsalted join (each pair meets exactly
+    once, in the point's sub-cell) and the join must stay an equi-join
+    carrying the salt key."""
+    import random
+
+    from py_gtfs_duckdb_spark.operators.temporal import range_join_binned
+
+    rng = random.Random(sub_salts)
+    points = spark.createDataFrame(
+        [(i, i % 3, float(rng.randrange(0, 500))) for i in range(300)],
+        "pid bigint, k bigint, t double",
+    )
+    ivals = spark.createDataFrame(
+        [(1000 + i, i % 3, float(s), float(s + rng.randrange(1, 120)))
+         for i, s in enumerate(rng.randrange(0, 480) for _ in range(60))],
+        "iid bigint, k bigint, lo double, hi double",
+    )
+    plain = range_join_binned(
+        points, ivals.withColumnRenamed("k", "k2").withColumnRenamed(
+            "k2", "k"), "t", "lo", "hi", by="k", bin_width=50.0,
+    )
+    salted = range_join_binned(
+        points, ivals, "t", "lo", "hi", by="k", bin_width=50.0,
+        sub_salts=sub_salts,
+    )
+    a = sorted(map(tuple, plain.select("pid", "iid").collect()))
+    b = sorted(map(tuple, salted.select("pid", "iid").collect()))
+    assert a == b and a
+    assert "__ssalt" not in salted.columns
+
+
+@pytest.mark.parametrize("sub_salts", [2, 4])
+def test_interval_join_sub_salts_row_identical(spark, sub_salts):
+    from py_gtfs_duckdb_spark.operators.temporal import interval_join_binned
+    import random
+
+    rng = random.Random(sub_salts)
+    lf = spark.createDataFrame(
+        [(i, i % 2, float(s), float(s + rng.randrange(1, 90)))
+         for i, s in enumerate(rng.randrange(0, 400) for _ in range(120))],
+        "lid bigint, u bigint, ls double, le double",
+    )
+    rf = spark.createDataFrame(
+        [(500 + i, i % 2, float(s), float(s + rng.randrange(1, 60)))
+         for i, s in enumerate(rng.randrange(0, 400) for _ in range(80))],
+        "rid bigint, u bigint, rs double, re double",
+    )
+    plain = interval_join_binned(
+        lf, rf, "ls", "le", "rs", "re", by="u", bin_width=60.0
+    )
+    salted = interval_join_binned(
+        lf, rf, "ls", "le", "rs", "re", by="u", bin_width=60.0,
+        sub_salts=sub_salts,
+    )
+    a = sorted(map(tuple, plain.select("lid", "rid").collect()))
+    b = sorted(map(tuple, salted.select("lid", "rid").collect()))
+    assert a == b and a
+    assert "__ssalt" not in salted.columns and "__rssalt" not in salted.columns
