@@ -340,6 +340,27 @@ AUDITED = [
         " per-key cross product.",
     ),
     (
+        "q_histogram_quantiles",
+        "Bounded-state quantiles: (group, bin) combinable count -> bounded"
+        " per-group bin array -> per-prob expression folds. Two shuffles"
+        " carrying counts; per-group state is n_bins at ANY group"
+        " cardinality (the exact-percentile entry buffers whole groups).",
+    ),
+    (
+        "q_weighted_sample",
+        "Deterministic E-S weighted sampling: md5-derived keys, salted"
+        " two-phase bounded top-k (the keep_top_k shape) — per-task memory"
+        " k, shuffle rows groups x salts, no rank window.",
+    ),
+    (
+        "q_kmv_distinct",
+        "KMV distinct sketch over staged Horner gram hashes: per-row array"
+        " math to the grams, ONE (group, hash) distinct aggregation, then"
+        " the bounded k-smallest merge. The oracle replays sketch AND"
+        " estimator bit-for-bit (HLL's registers can only be"
+        " tolerance-checked).",
+    ),
+    (
         "q_cube_chars",
         "CUBE over (source, lang-bucket): ONE Expand (4x group rows, never"
         " the corpus) feeding a single map-side-combinable aggregation —"
