@@ -108,6 +108,7 @@ EXTRA = [
     "q_histogram_quantiles",
     "q_weighted_sample",
     "q_kmv_distinct",
+    "q_doc_chunks",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

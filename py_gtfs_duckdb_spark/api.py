@@ -122,6 +122,7 @@ from py_gtfs_duckdb_spark.operators.temporal import (  # noqa: F401
 from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
     audit_scorecard,
     corpus_diff,
+    chunk_documents,
     curate_corpus,
     decontaminate,
     export_shards,

@@ -989,3 +989,59 @@ def kmv_estimate(
     return F.when(F.size(sketch) < k, F.size(sketch).cast("double")).otherwise(
         F.lit(float(k - 1)) * F.lit(float(universe)) / kth
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_words: int = 512,
+    overlap_words: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into overlapping word-window chunks —
+    (doc_id, chunk_idx, chunk_text, n_chunk_words) — the preprocessing
+    step that fits documents into a training context window without
+    losing cross-boundary phrases (each consecutive pair of chunks
+    shares ``overlap_words`` words).
+
+    Chunk starts are ``1, 1+step, ...`` with ``step = max_words -
+    overlap_words``, up to ``greatest(n - overlap_words, 1)`` — a rule
+    with two provable properties: the chunks cover every word, and
+    every chunk contributes at least one word no earlier chunk had (no
+    fully-redundant trailing chunk). A document shorter than one window
+    yields itself as chunk 0; an empty document yields one empty chunk
+    (every doc_id survives — chunking must never silently drop rows).
+
+    Scale shape: pure per-row array math over a STAGED words column
+    (the one-hop staging every gram operator uses — see
+    text.ngram_hash_col's CollapseProject note) followed by ONE
+    posexplode; no shuffle at all. Output rows ≈ corpus_words / step."""
+    if overlap_words < 0 or max_words <= overlap_words:
+        raise ValueError(
+            f"need 0 <= overlap_words < max_words, got "
+            f"overlap={overlap_words} max={max_words}"
+        )
+    step = max_words - overlap_words
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    staged = df.select(F.col(id_col).alias(id_col), words.alias("__ws"))
+    ws = F.col("__ws")
+    n = F.size(ws)
+    chunks = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(n - F.lit(overlap_words), F.lit(1)),
+            F.lit(step),
+        ),
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(ws, s, max_words)).alias("t"),
+            F.least(F.lit(max_words), n - s + 1).alias("nw"),
+        ),
+    )
+    return staged.select(id_col, F.posexplode(chunks)).select(
+        id_col,
+        F.col("pos").cast("bigint").alias("chunk_idx"),
+        F.col("col.t").alias("chunk_text"),
+        F.greatest(F.col("col.nw"), F.lit(0)).cast("bigint").alias(
+            "n_chunk_words"
+        ),
+    )

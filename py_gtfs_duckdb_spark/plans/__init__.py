@@ -75,11 +75,11 @@ from py_gtfs_duckdb_spark.plans import flagship  # noqa: E402,F401
 #                      touched (see the inline notes in the list).
 #   r7 block ......... ALL 27 remaining r7-evidence queries — the oldest
 #                      cohort, owed by the <=2-round staleness invariant.
-#   oldest r8 ........ 14 of the 45 r8-evidence greens fill the window
-#                      to 50 (three slots went to the NEW
+#   oldest r8 ........ 13 of the 45 r8-evidence greens fill the window
+#                      to 50 (four slots went to the NEW
 #                      q_histogram_quantiles / q_weighted_sample /
-#                      q_kmv_distinct), so round 11 owes the
-#                      remaining 31.
+#                      q_kmv_distinct / q_doc_chunks), so round 11 owes
+#                      the remaining 32.
 #   r9 (fresh) ....... last round's greens sit at the back.
 # After this window lands, no registered query's driver evidence will be
 # older than round 8 (= 2 rounds), for the fourth consecutive round.
@@ -93,6 +93,7 @@ _PRIORITY = [
     "q_histogram_quantiles",  # NEW in round 10 (bounded-state quantiles)
     "q_weighted_sample",  # NEW in round 10 (deterministic E-S sampling)
     "q_kmv_distinct",  # NEW in round 10 (mergeable distinct sketch)
+    "q_doc_chunks",  # NEW in round 10 (context-window chunking)
     "q_interval_join",
     "q_window_trailing_chunked",
     "q_bpe_tokenize_large",
@@ -127,8 +128,8 @@ _PRIORITY = [
     "q_join_asof_tol",
     "q_range_join",
     "q_export_shards",
-    # oldest 14 of the 45 r8-evidence queries fill the window to 50, so
-    # round 11 owes only the remaining 31
+    # oldest 13 of the 45 r8-evidence queries fill the window to 50, so
+    # round 11 owes only the remaining 32
     "q_unigram_nll",
     "q_doc_scorecard",
     "q_quantile_tokens",
@@ -142,8 +143,8 @@ _PRIORITY = [
     "q_dedup_spans",
     "q_bm25_topk",
     "q_audio_features",
-    "q_video_frames",
     # --- window boundary: 50 entries above this line ---
+    "q_video_frames",
     # remaining r8-evidence queries: first in line for round 11
     "q_rollup_tokens",
     "q_pivot",

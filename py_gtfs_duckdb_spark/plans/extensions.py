@@ -2339,6 +2339,42 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_doc_chunks",
+    # same rule in SQL: starts 1, 1+step, ... up to greatest(n-ov, 1)
+    # (DuckDB range() is stop-EXCLUSIVE, hence the +1), chunk_idx
+    # recovered as (s-1)/step, list_slice is inclusive-end and clips at
+    # the tail exactly like Spark's slice(.., start, length).
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, ws, s
+        FROM w, UNNEST(range(1, GREATEST(len(ws) - 8, 1) + 1, 32)) AS t(s)
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 32 AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(ws, s, s + 39), ' ') AS chunk_text,
+           CAST(GREATEST(LEAST(40, len(ws) - s + 1), 0) AS BIGINT)
+               AS n_chunk_words
+    FROM c
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking
+    (operators/pipeline.py:chunk_documents): documents split into
+    40-word chunks overlapping by 8 — the long-document preprocessing
+    step before sequence packing. Pure per-row array math over a staged
+    words column + one posexplode, zero shuffles; every chunk provably
+    adds a word no earlier chunk had, and every doc_id survives (short
+    docs become their own chunk 0, empty docs one empty chunk)."""
+    d = t(spark, sf_dir, "documents")
+    return P.chunk_documents(d, max_words=40, overlap_words=8)
+
+
+@query(
     "q_kmv_distinct",
     # identical pipeline in SQL: same staged word hashes (md5 48-bit mod
     # P) and Horner 3-gram rolling hashes as every winnow oracle,

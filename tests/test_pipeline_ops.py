@@ -906,3 +906,81 @@ def test_kmv_sketch_plan_no_window(spark):
         kmv_sketch(df, "v", "src").explain("formatted")
     plan = buf.getvalue()
     assert "windowspecdefinition" not in plan
+
+
+# -- document chunking (round 10) ---------------------------------------------
+
+
+def test_chunk_documents_hand_computed(spark):
+    from py_gtfs_duckdb_spark.operators.pipeline import chunk_documents
+
+    df = spark.createDataFrame(
+        [("a", " ".join(f"w{i}" for i in range(10))), ("b", "x y"), ("c", "")],
+        "doc_id string, text string",
+    )
+    got = [
+        tuple(r)
+        for r in chunk_documents(df, max_words=4, overlap_words=1)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    ]
+    assert got == [
+        ("a", 0, "w0 w1 w2 w3", 4),
+        ("a", 1, "w3 w4 w5 w6", 4),
+        ("a", 2, "w6 w7 w8 w9", 4),
+        ("b", 0, "x y", 2),
+        ("c", 0, "", 0),
+    ]
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    """Every word of every doc appears in some chunk; consecutive chunks
+    share exactly the overlap; no chunk is fully contained in an earlier
+    one — across a range of doc lengths including the boundary cases
+    n == max, n == max+1, n == multiple-of-step."""
+    from py_gtfs_duckdb_spark.operators.pipeline import chunk_documents
+
+    max_w, ov = 6, 2
+    docs = [(f"d{n}", " ".join(f"t{i}" for i in range(n)))
+            for n in (1, 5, 6, 7, 8, 12, 13, 17, 24)]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = chunk_documents(df, max_words=max_w, overlap_words=ov)
+    by_doc: dict[str, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"].split(" ") if r["chunk_text"] else [])
+        )
+    for doc_id, text in docs:
+        n = len(text.split(" ")) if text else 0
+        chunks = [ws for _, ws in sorted(by_doc[doc_id])]
+        covered = [w for ws in chunks for w in ws]
+        assert set(covered) == set(text.split(" ") if text else []), doc_id
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[-ov:] == b[:ov], (doc_id, "overlap mismatch")
+            assert len(set(b) - set(a)) >= 1, (doc_id, "redundant chunk")
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from py_gtfs_duckdb_spark.operators.pipeline import chunk_documents
+
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_words=4, overlap_words=4)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_words=4, overlap_words=-1)
+
+
+def test_chunk_documents_plan_shuffle_free(spark):
+    import contextlib
+    import io
+
+    from py_gtfs_duckdb_spark.operators.pipeline import chunk_documents
+
+    df = spark.range(50).selectExpr(
+        "CAST(id AS STRING) AS doc_id", "repeat('w ', 100) AS text"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        chunk_documents(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "windowspecdefinition" not in plan
