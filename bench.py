@@ -109,6 +109,11 @@ EXTRA = [
     "q_weighted_sample",
     "q_kmv_distinct",
     "q_doc_chunks",
+    # late-round-10 additions: blocked fuzzy linkage, integer-exact
+    # tf-idf keywords, histogram drift (KS + PSI)
+    "q_fuzzy_pairs",
+    "q_tfidf_keywords",
+    "q_dist_drift",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

@@ -93,9 +93,16 @@ from py_gtfs_duckdb_spark.operators.text import (  # noqa: F401
 from py_gtfs_duckdb_spark.operators.lexical import (  # noqa: F401
     bm25_topk,
     dsir_weights,
+    tfidf_keywords,
     unigram_model,
     unigram_nll,
     vocab_spectrum,
+)
+
+# fuzzy record linkage (blocked edit-distance joins)
+from py_gtfs_duckdb_spark.operators.linkage import (  # noqa: F401
+    fuzzy_join_blocked,
+    fuzzy_pairs,
 )
 from py_gtfs_duckdb_spark.operators.bpe import (  # noqa: F401
     FIXED_MERGES_V1,
@@ -126,6 +133,7 @@ from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
     curate_corpus,
     decontaminate,
     export_shards,
+    histogram_drift,
     histogram_quantiles,
     kmv_estimate,
     kmv_merge,

@@ -229,6 +229,73 @@ def unigram_nll(
     )
 
 
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, term, tf, score, rank): each document's top-k terms by
+    tf–idf — the classic keyword-extraction / document-signature
+    operator (what "this doc is about X" reduces to without a model).
+    ``idf = ln((N+1)/(df+1)) + 1`` (smoothed, non-negative; N counts ALL
+    corpus documents), ``score = tf · idf``.
+
+    Determinism (the unigram_nll recipe): idf is quantized to integer
+    micro-nats ONCE PER TERM (plus an exact 10^6 for the "+1"), the
+    per-(doc, term) score is the BIGINT product ``tf · q_idf`` — ranking
+    compares integers, so ties and order are engine-exact — and the only
+    float math is the final ``score_q / 10^6`` display epilogue, rounded
+    to 4 digits. Rank ties break on the term string.
+
+    Scale shape: one explode → (doc, term) combinable count (map-side
+    combine collapses repeats before the shuffle); document frequencies
+    derive from that table by a second combinable count (vocab-sized);
+    the vocab-sized q_idf table broadcasts back. Top-k per document is a
+    bounded sorted-array slice inside ONE aggregation — per-group state
+    is the document's distinct-term set (doc-length-bounded by the same
+    contract as the collect_list battery entries), never a rank window
+    over the corpus. No driver state; nothing corpus-sized persists."""
+    toks = df.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
+    tf = toks.groupBy(id_col, "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("dfw"))
+    q_idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "w",
+        (
+            F.floor(
+                F.log(
+                    (F.col("n_docs") + F.lit(1)).cast("double")
+                    / (F.col("dfw") + F.lit(1)).cast("double")
+                )
+                * F.lit(_NLL_SCALE)
+                + F.lit(0.5)
+            ).cast("bigint")
+            + F.lit(1_000_000)
+        ).alias("q"),
+    )
+    scored = tf.join(F.broadcast(q_idf), "w").select(
+        F.col(id_col),
+        F.struct(
+            (-(F.col("tf") * F.col("q"))).alias("ns"),
+            F.col("w").alias("term"),
+            F.col("tf").alias("tf"),
+        ).alias("__m"),
+    )
+    top = scored.groupBy(id_col).agg(
+        F.slice(F.array_sort(F.collect_list("__m")), 1, int(k)).alias("__t")
+    )
+    return top.select(F.col(id_col), F.posexplode("__t")).select(
+        F.col(id_col),
+        F.col("col.term").alias("term"),
+        F.col("col.tf").alias("tf"),
+        pround((-F.col("col.ns")) / F.lit(_NLL_SCALE), 4).alias("score"),
+        (F.col("pos") + 1).cast("bigint").alias("rank"),
+    )
+
+
 def vocab_spectrum(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

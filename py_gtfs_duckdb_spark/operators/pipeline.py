@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from py_gtfs_duckdb_spark.functions import pround
 from py_gtfs_duckdb_spark.operators._scope import shared
 from py_gtfs_duckdb_spark.operators.text import token_count, winnow_fingerprints
 
@@ -846,6 +847,136 @@ def histogram_quantiles(
             ).alias(f"p{int(round(p * 100))}")
         )
     return g.select(*cols)
+
+
+def histogram_drift(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    n_bins: int = 32,
+    lo: float = 0.0,
+    hi: float = 256.0,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """(group, n, ks, psi): each group's value distribution compared to
+    the REST of the corpus over a fixed-bin histogram — the per-source
+    drift monitor a curation pipeline runs before mixing ("did src7's
+    length profile shift this crawl?"). Two standard statistics from one
+    pass: the two-sample Kolmogorov–Smirnov distance (max ECDF gap,
+    sensitive to location shifts) and the Population Stability Index
+    (Σ (p_g − p_r)·ln(p_g/p_r) with add-``smooth`` smoothing, the
+    industry drift score — <0.1 stable, >0.25 action).
+
+    Exactness contract: both statistics are computed on the BINNED
+    distribution, so they are exact for the histogram and bin-width-
+    bounded estimates for the underlying values (the histogram_quantiles
+    trade). Bins empty across the WHOLE corpus are excluded from the PSI
+    sum (they carry no evidence, only smoothing noise); the fixed bin
+    grid is what makes per-shard histograms mergeable, so a persisted
+    per-day (group, bin) count table answers any day-range drift
+    question without rescanning the corpus.
+
+    Determinism: bin counts and their cumulative sums are BIGINT (the
+    KS fold walks bins in sorted order); the ECDF deviation compares
+    ``|cum_g·n_r − cum_r·n_g|`` computed in DOUBLE (overflow-safe past
+    the 3·10^9-row point where the integer product would wrap — both
+    engines evaluate the identical expression tree, so the bits agree);
+    each PSI term is quantized to integer micro-nats and summed as
+    BIGINT (order-independent; same LIBM caveat as unigram_nll).
+
+    Scale shape: one corpus pass → (group, bin) combinable count; the
+    global per-bin table is ≤ n_bins rows (broadcast); the comparison
+    grid is groups × n_bins rows; per-group state in the final
+    aggregation is the n_bins-sized sorted (bin, cg, cr) array. No
+    window over data rows, no per-group value buffers, no driver state."""
+    w = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    binned = (
+        df.filter(v.isNotNull())
+        .select(
+            F.col(by),
+            F.least(
+                F.greatest(
+                    F.floor((v - F.lit(lo)) / F.lit(w)).cast("bigint"),
+                    F.lit(0),
+                ),
+                F.lit(n_bins - 1),
+            ).alias("__bin"),
+        )
+        .groupBy(by, "__bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cg"))
+    )
+    binned = shared(binned)
+    gtot = binned.groupBy(by).agg(F.sum("__cg").cast("bigint").alias("n_g"))
+    btot = binned.groupBy("__bin").agg(
+        F.sum("__cg").cast("bigint").alias("__cb")
+    )
+    ntot = binned.agg(F.sum("__cg").cast("bigint").alias("n_all"))
+    grid = (
+        gtot.crossJoin(F.broadcast(btot))
+        .crossJoin(F.broadcast(ntot))
+        .join(binned, [by, "__bin"], "left")
+        .select(
+            F.col(by),
+            F.col("__bin"),
+            F.col("n_g"),
+            (F.col("n_all") - F.col("n_g")).alias("n_r"),
+            F.coalesce("__cg", F.lit(0).cast("bigint")).alias("cg"),
+            (F.col("__cb") - F.coalesce("__cg", F.lit(0).cast("bigint"))).alias(
+                "cr"
+            ),
+        )
+    )
+    s = float(smooth)
+    denom_pad = s * n_bins
+    p_g = (F.col("cg").cast("double") + F.lit(s)) / (
+        F.col("n_g").cast("double") + F.lit(denom_pad)
+    )
+    p_r = (F.col("cr").cast("double") + F.lit(s)) / (
+        F.col("n_r").cast("double") + F.lit(denom_pad)
+    )
+    q_term = F.floor((p_g - p_r) * F.log(p_g / p_r) * F.lit(1e6) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    agg = grid.groupBy(by, "n_g", "n_r").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("__bin").alias("bin"),
+                    F.col("cg").alias("cg"),
+                    F.col("cr").alias("cr"),
+                )
+            )
+        ).alias("__h"),
+        F.sum(q_term).cast("bigint").alias("__psi_q"),
+    )
+    # bounded fold over the n_bins-sized array: exact integer cumulatives,
+    # double deviation (identical expression tree to the DuckDB oracle)
+    ks_md = (
+        "aggregate(__h, named_struct("
+        "'cg', CAST(0 AS BIGINT), 'cr', CAST(0 AS BIGINT), "
+        "'md', CAST(0.0 AS DOUBLE)), "
+        "(acc, x) -> named_struct("
+        "'cg', acc.cg + x.cg, 'cr', acc.cr + x.cr, "
+        "'md', GREATEST(acc.md, ABS("
+        "CAST(acc.cg + x.cg AS DOUBLE) * CAST(n_r AS DOUBLE) "
+        "- CAST(acc.cr + x.cr AS DOUBLE) * CAST(n_g AS DOUBLE)))), "
+        "acc -> acc.md)"
+    )
+    ks = F.when(
+        F.col("n_r") > 0,
+        pround(
+            F.expr(ks_md)
+            / (F.col("n_g").cast("double") * F.col("n_r").cast("double")),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col(by),
+        F.col("n_g").alias("n"),
+        ks.alias("ks"),
+        pround(F.col("__psi_q") / F.lit(1e6), 4).alias("psi"),
+    )
 
 
 def weighted_sample(

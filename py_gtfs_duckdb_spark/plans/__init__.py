@@ -94,6 +94,9 @@ _PRIORITY = [
     "q_weighted_sample",  # NEW in round 10 (deterministic E-S sampling)
     "q_kmv_distinct",  # NEW in round 10 (mergeable distinct sketch)
     "q_doc_chunks",  # NEW in round 10 (context-window chunking)
+    "q_fuzzy_pairs",  # NEW in round 10 (blocked edit-distance linkage)
+    "q_tfidf_keywords",  # NEW in round 10 (integer-exact tf-idf top-k)
+    "q_dist_drift",  # NEW in round 10 (histogram KS + PSI drift)
     "q_interval_join",
     "q_window_trailing_chunked",
     "q_bpe_tokenize_large",
@@ -128,8 +131,10 @@ _PRIORITY = [
     "q_join_asof_tol",
     "q_range_join",
     "q_export_shards",
-    # oldest 13 of the 45 r8-evidence queries fill the window to 50, so
-    # round 11 owes only the remaining 32
+    # oldest 10 of the 45 r8-evidence queries fill the window to 50
+    # (three slots went to the late-round-10 q_fuzzy_pairs /
+    # q_tfidf_keywords / q_dist_drift additions), so round 11 owes the
+    # remaining 35
     "q_unigram_nll",
     "q_doc_scorecard",
     "q_quantile_tokens",
@@ -140,10 +145,10 @@ _PRIORITY = [
     "q_multimodal_frames",
     "q_dedup_clusters",
     "q_text_top_tokens",
+    # --- window boundary: 50 entries above this line ---
     "q_dedup_spans",
     "q_bm25_topk",
     "q_audio_features",
-    # --- window boundary: 50 entries above this line ---
     "q_video_frames",
     # remaining r8-evidence queries: first in line for round 11
     "q_rollup_tokens",

@@ -3339,3 +3339,182 @@ def q_dedup_keep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
     )
     return D.keep_top_k(clusters, X.quality_score(d), k=2)
+
+
+# ---------------------------------------------------------------------------
+# round 10 additions: fuzzy linkage, tf-idf keywords, distribution drift
+# ---------------------------------------------------------------------------
+
+from py_gtfs_duckdb_spark.operators import linkage as K  # noqa: E402
+
+
+@query(
+    "q_fuzzy_pairs",
+    # the oracle verifies the BLOCKING is lossless: it computes the full
+    # O(n^2) cross product over the distinct-name dictionary (fine for a
+    # single-node reference), so any pair the length-band join missed
+    # would surface as a row-count/hash mismatch. Same unit-cost
+    # Levenshtein DP in both engines.
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM n a, n b
+    WHERE a.p_name < b.p_name
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution over the part-name dictionary
+    (operators/linkage.py:fuzzy_pairs): distinct name pairs within 2
+    edits, found by a length-band BLOCKED join (each left name hashes to
+    one band, each right name replicates into <= 3) — never the
+    cross product the oracle brute-forces. The training-metadata use:
+    collapsing typo-variant source/entity labels before joins."""
+    p = t(spark, sf_dir, "part")
+    return K.fuzzy_pairs(p, "p_name", max_dist=2)
+
+
+@query(
+    "q_tfidf_keywords",
+    # identical integer arithmetic: idf quantized to micro-nats per term
+    # (plus an exact 10^6 for the smoothing "+1"), score ranked as the
+    # BIGINT product tf*q, ties on the term string; the only float math
+    # is the shared display epilogue. The oracle may window (single-node
+    # reference); the Spark side ranks inside a bounded sorted-array
+    # slice per document.
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS w
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM w GROUP BY 1, 2
+    ),
+    dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS dfw FROM tf GROUP BY 1),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    qi AS (
+        SELECT w,
+               CAST(FLOOR(LN(CAST(n_docs + 1 AS DOUBLE)
+                             / CAST(dfw + 1 AS DOUBLE))
+                          * CAST(1000000.0 AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   + 1000000 AS q
+        FROM dfq CROSS JOIN nd
+    ),
+    sc AS (
+        SELECT tf.doc_id, tf.w, tf.tf, tf.tf * qi.q AS sq
+        FROM tf JOIN qi USING (w)
+    ),
+    r AS (
+        SELECT doc_id, w, tf, sq,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY sq DESC, w ASC) AS rn
+        FROM sc
+    )
+    SELECT doc_id, w AS term, tf,
+           FLOOR(CAST(sq AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+                 * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               / CAST(10000.0 AS DOUBLE) AS score,
+           CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 3
+    """,
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document
+    (operators/lexical.py:tfidf_keywords) — the model-free document
+    signature. Integer-exact ranking (BIGINT tf x micro-nat idf), vocab
+    table broadcasts, top-k per doc is a doc-length-bounded array slice
+    (no corpus rank window)."""
+    d = t(spark, sf_dir, "documents")
+    return L.tfidf_keywords(d, k=3)
+
+
+@query(
+    "q_dist_drift",
+    # same fixed-bin grid as the q_histogram_quantiles oracle, then:
+    # KS from BIGINT bin cumulatives compared in DOUBLE (identical
+    # expression tree), PSI from per-bin micro-nat-quantized terms
+    # summed as BIGINT (order-independent). The oracle may window for
+    # the cumulative; the Spark side folds the n_bins-sized array.
+    oracle=r"""
+    WITH tk AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+                   AS v
+        FROM documents
+    ),
+    b AS (
+        SELECT source,
+               LEAST(GREATEST(CAST(FLOOR((CAST(v AS DOUBLE)
+                   - CAST(0.0 AS DOUBLE)) / CAST(4.0 AS DOUBLE)) AS BIGINT),
+                   0), 31) AS bin
+        FROM tk WHERE v IS NOT NULL
+    ),
+    c AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS cg
+          FROM b GROUP BY 1, 2),
+    gt AS (SELECT source, CAST(SUM(cg) AS BIGINT) AS n_g FROM c GROUP BY 1),
+    bt AS (SELECT bin, CAST(SUM(cg) AS BIGINT) AS cb FROM c GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cg) AS BIGINT) AS n_all FROM c),
+    grid AS (
+        SELECT gt.source, gt.n_g, tot.n_all - gt.n_g AS n_r, bt.bin,
+               COALESCE(c.cg, 0) AS cg,
+               bt.cb - COALESCE(c.cg, 0) AS cr
+        FROM gt CROSS JOIN bt CROSS JOIN tot
+        LEFT JOIN c ON c.source = gt.source AND c.bin = bt.bin
+    ),
+    cum AS (
+        SELECT source, n_g, n_r, cg, cr,
+               SUM(cg) OVER (PARTITION BY source ORDER BY bin) AS ccg,
+               SUM(cr) OVER (PARTITION BY source ORDER BY bin) AS ccr,
+               CAST(FLOOR(
+                   ((CAST(cg AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                        / (CAST(n_g AS DOUBLE) + CAST(16.0 AS DOUBLE))
+                    - (CAST(cr AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                        / (CAST(n_r AS DOUBLE) + CAST(16.0 AS DOUBLE)))
+                   * LN(((CAST(cg AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                         / (CAST(n_g AS DOUBLE) + CAST(16.0 AS DOUBLE)))
+                        / ((CAST(cr AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                           / (CAST(n_r AS DOUBLE) + CAST(16.0 AS DOUBLE))))
+                   * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   AS BIGINT) AS qterm
+        FROM grid
+    ),
+    dev AS (
+        SELECT source, n_g, n_r, qterm,
+               ABS(CAST(ccg AS DOUBLE) * CAST(n_r AS DOUBLE)
+                   - CAST(ccr AS DOUBLE) * CAST(n_g AS DOUBLE)) AS d
+        FROM cum
+    )
+    SELECT source, n_g AS n,
+           CASE WHEN n_r > 0 THEN
+               FLOOR(MAX(d) / (CAST(n_g AS DOUBLE) * CAST(n_r AS DOUBLE))
+                     * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   / CAST(10000.0 AS DOUBLE)
+           ELSE CAST(0.0 AS DOUBLE) END AS ks,
+           FLOOR(CAST(SUM(qterm) AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+                 * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               / CAST(10000.0 AS DOUBLE) AS psi
+    FROM dev
+    GROUP BY source, n_g, n_r
+    """,
+)
+def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift vs the rest of the corpus
+    (operators/pipeline.py:histogram_drift): two-sample KS distance and
+    PSI over the token-count histogram — the pre-mixing drift monitor.
+    Bounded state everywhere: (source, bin) combinable counts, a
+    broadcast n_bins-row global table, one n_bins-sized fold per source."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(X.TOKEN_RE), 0))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return P.histogram_drift(
+        tk, "n_tokens", "source", n_bins=32, lo=0.0, hi=128.0, smooth=0.5
+    )

@@ -39,6 +39,10 @@ def test_api_surface_imports_and_is_flat():
         "exact_dedup_stream",
         "dedup_spans",
         "bm25_topk",
+        "tfidf_keywords",
+        "fuzzy_join_blocked",
+        "fuzzy_pairs",
+        "histogram_drift",
         # the cache-lifecycle contract for long-lived loop callers
         "release_shared",
         "shared_scope",
