@@ -114,6 +114,8 @@ EXTRA = [
     "q_fuzzy_pairs",
     "q_tfidf_keywords",
     "q_dist_drift",
+    "q_dedup_containment",
+    "q_dedup_containment_inc",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

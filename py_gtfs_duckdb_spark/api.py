@@ -24,6 +24,8 @@ from py_gtfs_duckdb_spark.operators._scope import (  # noqa: F401
 
 # dedup
 from py_gtfs_duckdb_spark.operators.dedup import (  # noqa: F401
+    containment_pairs,
+    containment_pairs_incremental,
     exact_jaccard,
     keep_canonical,
     keep_top_k,

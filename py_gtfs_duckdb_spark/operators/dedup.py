@@ -492,6 +492,139 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    freq_order: bool = False,
+) -> DataFrame:
+    """EXACT n-gram containment join: ordered pairs (id_a, id_b) where at
+    least ``threshold`` of A's distinct k-shingles also appear in B —
+    ``C(A→B) = |A∩B| / |A|``. The ASYMMETRIC sibling of
+    :func:`ngram_jaccard_pairs`: a short document quoted wholesale inside
+    a long one has high containment but low Jaccard (the length-ratio
+    filter J ≥ t forces |B| ≤ |A|/t, so the symmetric join structurally
+    cannot see quote-inclusion — and MinHash-LSH, tuned for Jaccard,
+    misses it too). This is the dedup tier that catches aggregator pages,
+    quote farms, and copy-with-commentary.
+
+    Exactness: if C(A→B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so A∩B cannot fit in
+    A's suffix of ⌈t·|A|⌉ − 1 elements — A's PREFIX of the
+    (|A| − ⌈t·|A|⌉ + 1) globally-smallest shingles must intersect B.
+    Hence the candidate join explodes only A-side prefixes, but — unlike
+    the Jaccard join — the B side is the FULL inverted index (no upper
+    bound on |B| exists for containment, the defining asymmetry of
+    set-containment joins). Two exact prunes run inside the join:
+
+    - size filter: |B| ≥ ⌈t·|A|⌉ (B must hold the whole overlap);
+    - positional filter: a match at positions (pa, pb) of the sorted
+      arrays bounds the overlap by 1 + min(|A|−pa−1, |B|−pb−1) ≥ ⌈t·|A|⌉.
+
+    Scale shape: the B-side index shuffles 8-byte hashes (the
+    source_ngram_overlap argument — never text); A-side explode is
+    ~(1−t)·|shingles| rows. Candidate volume concentrates on SHARED
+    hashes, so the hot-shingle (boilerplate gram) bucket is the residual
+    skew shape — ``freq_order=True`` reorders shingles rarest-first
+    (:func:`frequency_ordered_sets`), keeping boilerplate grams out of
+    every A-prefix, the same Zipf argument as the Jaccard join (defaults
+    off: the flat synthetic corpus doesn't repay the reorder shuffle).
+    Verification is one per-row array intersection over the bounded pair
+    list. Returns (id_a, id_b, containment ≥ threshold), both directions
+    of an exact-duplicate pair."""
+    sets = shingle_sets(df, text_col, id_col, k)
+    if freq_order:
+        sets = frequency_ordered_sets(sets)
+    sets = shared(sets)
+    return _containment_join(sets, sets, threshold, exclude_same_id=True)
+
+
+def containment_pairs_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Ingest-time containment check: (id_a = NEW doc, id_b = CORPUS doc,
+    containment) for each new document mostly-contained in an existing
+    corpus document — the asymmetric tier of the same ingest gate
+    :func:`minhash_lsh_dedup_incremental` serves for Jaccard ("this
+    'new' page is an aggregator quoting what we already have"). Only the
+    new batch's prefixes explode; the corpus side is the full hash-only
+    inverted index, probed new×corpus ONLY — the corpus is never
+    self-joined, so a B-doc batch against an N-doc corpus costs
+    O(B_prefixes + N_shingles) index rows, not O(N²). Ids must be unique
+    across both frames (one id space — the ingest reality). Same caching
+    contract as the Jaccard incremental (scoped persists; long-lived
+    loops wrap iterations in ``api.shared_scope``)."""
+    new_sets = shared(shingle_sets(new_docs, text_col, id_col, k))
+    corpus_sets = shared(shingle_sets(corpus_docs, text_col, id_col, k))
+    return _containment_join(
+        new_sets, corpus_sets, threshold, exclude_same_id=False
+    )
+
+
+def _containment_join(
+    sets_a: DataFrame,
+    sets_b: DataFrame,
+    threshold: float,
+    exclude_same_id: bool,
+) -> DataFrame:
+    """Core A-prefix × B-full-index containment join over two (id, hs,
+    sz) frames — the ONE definition behind :func:`containment_pairs`
+    (sets_a is sets_b, same-id pairs excluded) and
+    :func:`containment_pairs_incremental` (disjoint id spaces)."""
+    # slack so float rounding can only ADMIT a borderline candidate
+    # (verified exactly later), never prune a true pair
+    o_min_a = F.ceil(F.col("a.sz") * threshold - F.lit(1e-9))
+    prefix_len = (F.col("sz") - F.ceil(F.col("sz") * threshold) + 1).cast("int")
+    a = sets_a.select(
+        "id",
+        "sz",
+        F.posexplode(F.slice(F.col("hs"), F.lit(1), prefix_len)).alias(
+            "pos", "h"
+        ),
+    ).alias("a")
+    b = sets_b.select(
+        "id", "sz", F.posexplode(F.col("hs")).alias("pos", "h")
+    ).alias("b")
+    overlap_ub = 1 + F.least(
+        F.col("a.sz") - F.col("a.pos") - 1, F.col("b.sz") - F.col("b.pos") - 1
+    )
+    cond = (
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("b.sz") >= o_min_a)
+        & (overlap_ub >= o_min_a)
+    )
+    if exclude_same_id:
+        cond = cond & (F.col("a.id") != F.col("b.id"))
+    pairs = a.join(b, cond).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    )
+    sa = sets_a.select(
+        F.col("id").alias("id_a"), F.col("hs").alias("hs_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = sets_b.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    n_inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            pround(n_inter.cast("double") / F.col("sz_a"), 4).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

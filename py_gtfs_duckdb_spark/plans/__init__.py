@@ -97,6 +97,8 @@ _PRIORITY = [
     "q_fuzzy_pairs",  # NEW in round 10 (blocked edit-distance linkage)
     "q_tfidf_keywords",  # NEW in round 10 (integer-exact tf-idf top-k)
     "q_dist_drift",  # NEW in round 10 (histogram KS + PSI drift)
+    "q_dedup_containment",  # NEW in round 10 (asymmetric containment join)
+    "q_dedup_containment_inc",  # NEW in round 10 (ingest-gate direction)
     "q_interval_join",
     "q_window_trailing_chunked",
     "q_bpe_tokenize_large",
@@ -131,10 +133,11 @@ _PRIORITY = [
     "q_join_asof_tol",
     "q_range_join",
     "q_export_shards",
-    # oldest 10 of the 45 r8-evidence queries fill the window to 50
-    # (three slots went to the late-round-10 q_fuzzy_pairs /
-    # q_tfidf_keywords / q_dist_drift additions), so round 11 owes the
-    # remaining 35
+    # oldest 8 of the 45 r8-evidence queries fill the window to 50
+    # (five slots went to the late-round-10 q_fuzzy_pairs /
+    # q_tfidf_keywords / q_dist_drift / q_dedup_containment /
+    # q_dedup_containment_inc additions), so round 11 owes the
+    # remaining 37
     "q_unigram_nll",
     "q_doc_scorecard",
     "q_quantile_tokens",
@@ -143,9 +146,9 @@ _PRIORITY = [
     "q_dedup_simhash",
     "q_embed_project",
     "q_multimodal_frames",
+    # --- window boundary: 50 entries above this line ---
     "q_dedup_clusters",
     "q_text_top_tokens",
-    # --- window boundary: 50 entries above this line ---
     "q_dedup_spans",
     "q_bm25_topk",
     "q_audio_features",

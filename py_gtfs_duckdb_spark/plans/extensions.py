@@ -3518,3 +3518,98 @@ def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.histogram_drift(
         tk, "n_tokens", "source", n_bins=32, lo=0.0, hi=128.0, smooth=0.5
     )
+
+
+@query(
+    "q_dedup_containment",
+    # brute-force oracle — STRONGER than replaying the prefix filter: it
+    # joins the full exploded shingle tables, so a lossy change to the
+    # Spark side's candidate generation (prefix slice, size filter,
+    # positional filter) surfaces as a missing-row hash mismatch, not a
+    # silently-agreeing replay. Same md5-48 shingle front-end as every
+    # dedup oracle.
+    oracle="""
+    WITH w AS (
+        SELECT doc_id AS id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
+        FROM (
+            SELECT DISTINCT id,
+                   unnest([coalesce(array_to_string(ws[i : i + 2], ' '), '')
+                           for i in range(1, greatest(len(ws) - 2, 1) + 1)]) AS s
+            FROM w
+        )
+    ), sets AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS o
+        FROM sh a JOIN sh b ON a.h = b.h AND a.id <> b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor((CAST(o AS DOUBLE) / za.sz) * 10000.0 + 0.5) / 10000.0
+               AS containment
+    FROM inter JOIN sets za ON za.id = inter.id_a
+    WHERE floor((CAST(o AS DOUBLE) / za.sz) * 10000.0 + 0.5) / 10000.0 >= 0.6
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment join
+    (operators/dedup.py:containment_pairs): ordered pairs where >= 60%
+    of A's distinct 3-shingles appear in B — the quote-inclusion dedup
+    tier Jaccard structurally misses (J's length filter caps |B| at
+    |A|/t; containment has no upper bound on the container). A-side
+    prefix explode, B-side full hash-only inverted index, exact size +
+    positional prunes inside the join."""
+    d = t(spark, sf_dir, "documents")
+    return D.containment_pairs(d, "text", "doc_id", k=3, threshold=0.6)
+
+
+@query(
+    "q_dedup_containment_inc",
+    # the q_dedup_containment brute-force oracle restricted to the
+    # new-batch x corpus direction (doc_id % 7 = 0 stands in for the
+    # batch, as in q_dedup_incremental)
+    oracle="""
+    WITH w AS (
+        SELECT doc_id AS id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
+        FROM (
+            SELECT DISTINCT id,
+                   unnest([coalesce(array_to_string(ws[i : i + 2], ' '), '')
+                           for i in range(1, greatest(len(ws) - 2, 1) + 1)]) AS s
+            FROM w
+        )
+    ), sets AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS o
+        FROM sh a JOIN sh b ON a.h = b.h
+        WHERE a.id % 7 = 0 AND b.id % 7 <> 0
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor((CAST(o AS DOUBLE) / za.sz) * 10000.0 + 0.5) / 10000.0
+               AS containment
+    FROM inter JOIN sets za ON za.id = inter.id_a
+    WHERE floor((CAST(o AS DOUBLE) / za.sz) * 10000.0 + 0.5) / 10000.0 >= 0.6
+    """,
+)
+def q_dedup_containment_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time containment check
+    (operators/dedup.py:containment_pairs_incremental): each 'new batch'
+    document (doc_id % 7 = 0) probed for mostly-contained-in-corpus —
+    only batch prefixes explode, the corpus contributes the hash-only
+    inverted index, never a corpus self-join."""
+    d = t(spark, sf_dir, "documents")
+    return D.containment_pairs_incremental(
+        d.filter(F.col("doc_id") % 7 == 0),
+        d.filter(F.col("doc_id") % 7 != 0),
+        "text",
+        "doc_id",
+        k=3,
+        threshold=0.6,
+    )

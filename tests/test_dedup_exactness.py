@@ -154,3 +154,163 @@ def test_incremental_dedup_flags_only_new_vs_corpus(spark):
         ).collect()
     }
     assert {(1, 100), (2, 100)} <= full
+
+
+def _containment_corpus(seed: int, n_docs: int = 60) -> list[tuple[str, str]]:
+    """Background docs + planted QUOTE-INCLUSION cases: short docs pasted
+    verbatim (or with a few mutations) inside longer hosts — high
+    containment, low Jaccard — at rates straddling the threshold."""
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = []
+    for i in range(n_docs):
+        words = [rng.choice(vocab) for _ in range(rng.randint(15, 50))]
+        docs.append((f"d{i:03d}", " ".join(words)))
+    for j in range(15):
+        src_id, src_text = docs[rng.randrange(n_docs)]
+        quoted = src_text.split()
+        n_mut = rng.randint(0, max(1, len(quoted) // 3))
+        for _ in range(n_mut):
+            quoted[rng.randrange(len(quoted))] = rng.choice(vocab)
+        host = [rng.choice(vocab) for _ in range(rng.randint(40, 90))]
+        cut = rng.randrange(len(host) + 1)
+        docs.append(
+            (f"h{j:03d}_{src_id}", " ".join(host[:cut] + quoted + host[cut:]))
+        )
+    return docs
+
+
+def _brute_force_containment(spark, docs_df, threshold: float):
+    from py_gtfs_duckdb_spark.functions import pround
+    from py_gtfs_duckdb_spark.operators.dedup import shingle_sets
+
+    sets = shingle_sets(docs_df, "text", "doc_id")
+    sa = sets.select(
+        F.col("id").alias("id_a"), F.col("hs").alias("hs_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    n_inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    return (
+        sa.crossJoin(sb)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            pround(n_inter.cast("double") / F.col("sz_a"), 4).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+@pytest.mark.parametrize("seed", [5, 33, 2024])
+def test_containment_join_equals_brute_force(spark, seed):
+    """The A-prefix/B-full-index candidate generation (and the size +
+    positional prunes) must be LOSSLESS for containment — checked against
+    an unpruned all-ordered-pairs join on corpora with planted quote
+    inclusions straddling the threshold."""
+    from py_gtfs_duckdb_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        _containment_corpus(seed), "doc_id string, text string"
+    )
+    threshold = 0.8
+    got = sorted(
+        tuple(r)
+        for r in containment_pairs(
+            docs, "text", "doc_id", threshold=threshold
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _brute_force_containment(spark, docs, threshold).collect()
+    )
+    assert got == want
+    assert want, "corpus must actually contain containment pairs"
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """The defining asymmetry: a 20-word doc quoted verbatim inside a
+    120-word host has containment 1.0 in the quote→host direction ONLY,
+    while Jaccard (both the exact join and its length filter) never
+    surfaces the pair."""
+    from py_gtfs_duckdb_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(300)]
+    quote = [rng.choice(vocab) for _ in range(20)]
+    host = [rng.choice(vocab) for _ in range(60)] + quote + [
+        rng.choice(vocab) for _ in range(60)
+    ]
+    docs = spark.createDataFrame(
+        [("quote", " ".join(quote)), ("host", " ".join(host))],
+        "doc_id string, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            docs, "text", "doc_id", threshold=0.9
+        ).collect()
+    }
+    assert ("quote", "host") in cont and cont[("quote", "host")] == 1.0
+    assert ("host", "quote") not in cont, "containment is directional"
+    jac = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.7).collect()
+    assert jac == [], "Jaccard structurally misses quote inclusion"
+
+
+def test_containment_freq_order_variant_equals_default(spark):
+    from py_gtfs_duckdb_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        _containment_corpus(42), "doc_id string, text string"
+    )
+    default = sorted(
+        tuple(r)
+        for r in containment_pairs(docs, "text", "doc_id", threshold=0.8).collect()
+    )
+    freq = sorted(
+        tuple(r)
+        for r in containment_pairs(
+            docs, "text", "doc_id", threshold=0.8, freq_order=True
+        ).collect()
+    )
+    assert default == freq
+
+
+def test_containment_incremental_flags_only_new_vs_corpus(spark):
+    """The ingest direction: every flagged pair is (new doc, corpus doc);
+    results equal the self-join battery form restricted to that
+    direction (same core join, disjoint id frames)."""
+    from py_gtfs_duckdb_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_incremental,
+    )
+
+    docs = spark.createDataFrame(
+        _containment_corpus(7), "doc_id string, text string"
+    )
+    # the short base docs are the "new batch": the planted hosts already
+    # in the corpus quote them, so the gate direction (new contained in
+    # corpus) fires
+    new = docs.filter(F.substring("doc_id", 1, 1) == "d")
+    corpus = docs.filter(F.substring("doc_id", 1, 1) != "d")
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    inc = containment_pairs_incremental(
+        new, corpus, "text", "doc_id", threshold=0.8
+    ).collect()
+    assert inc, "planted hosts must contain new docs' shingles"
+    for r in inc:
+        assert r["id_a"] in new_ids and r["id_b"] not in new_ids
+    full = containment_pairs(docs, "text", "doc_id", threshold=0.8).collect()
+    want = sorted(
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in full
+        if r["id_a"] in new_ids and r["id_b"] not in new_ids
+    )
+    got = sorted((r["id_a"], r["id_b"], r["containment"]) for r in inc)
+    assert got == want

@@ -367,6 +367,43 @@ AUDITED = [
         " the reshaping family's closing entry next to rollup/pivot/"
         " unpivot.",
     ),
+    (
+        "q_fuzzy_pairs",
+        "Length-band blocked Levenshtein join: left dictionary hashes to"
+        " ONE band, right replicates into <= 3 — a plain shuffle hash"
+        " equi-join on the band id (never BroadcastNestedLoopJoin; the"
+        " oracle brute-forces the cross product to prove the blocking"
+        " lossless).",
+    ),
+    (
+        "q_tfidf_keywords",
+        "Integer-exact tf-idf: (doc, term) combinable count, vocab-sized"
+        " df table broadcast back as micro-nat q_idf, top-k per doc inside"
+        " a doc-bounded sorted-array slice — no rank window over corpus"
+        " rows.",
+    ),
+    (
+        "q_dist_drift",
+        "Histogram KS + PSI: (group, bin) combinable count, n_bins-row"
+        " global table broadcast, groups x bins comparison grid, one"
+        " n_bins-sized fold per group — BIGINT cumulatives, quantized PSI"
+        " terms, no window over data rows.",
+    ),
+    (
+        "q_dedup_containment",
+        "Asymmetric containment join: A-side prefix explode, B-side FULL"
+        " hash-only inverted index (no container length bound exists),"
+        " exact size + positional prunes inside the join, bounded per-pair"
+        " array verify. The brute-force oracle fails loudly on any lossy"
+        " prune.",
+    ),
+    (
+        "q_dedup_containment_inc",
+        "Ingest-gate containment: only the NEW batch's prefixes explode,"
+        " the corpus contributes the inverted index — new x corpus"
+        " probes only, the corpus is never self-joined (O(B + N), the"
+        " Jaccard-incremental complexity contract).",
+    ),
 ]
 
 
