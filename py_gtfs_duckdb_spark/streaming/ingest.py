@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from py_gtfs_duckdb_spark.lake import GtfsLake
 from py_gtfs_duckdb_spark.operators._scope import shared, shared_scope
 from py_gtfs_duckdb_spark.operators.dedup import (
+    _containment_join,
     estimate_filter_pairs,
     exact_jaccard,
     lsh_bands,
@@ -41,7 +42,9 @@ from py_gtfs_duckdb_spark.operators.dedup import (
 class NearDupIngestGate:
     """``foreachBatch`` target: accept only documents with no near-dup in
     the already-accepted corpus (exact-Jaccard >= threshold after LSH +
-    estimate pruning), then append survivors and their artifacts."""
+    estimate pruning; optionally also no ``containment_threshold``-level
+    quote-inclusion in a corpus doc or surviving batch-mate), then append
+    survivors and their artifacts."""
 
     def __init__(
         self,
@@ -52,6 +55,7 @@ class NearDupIngestGate:
         k: int = 3,
         threshold: float = 0.7,
         fold_every: int | None = None,
+        containment_threshold: float | None = None,
     ) -> None:
         self.lake = lake
         self.table = table
@@ -61,6 +65,19 @@ class NearDupIngestGate:
         self.id_col = id_col
         self.k = k
         self.threshold = threshold
+        # Optional ASYMMETRIC tier: also reject a new doc whose shingles
+        # are >= containment_threshold contained in one accepted corpus
+        # doc (or in a surviving batch-mate) — the quote-inclusion case
+        # the Jaccard tier structurally misses (its length filter caps
+        # the container at |A|/t). None = off. The corpus check reuses
+        # the stored sigs rows' shingle arrays (no extra artifact);
+        # batch-internal policy: the CONTAINED doc is rejected (its
+        # content survives inside the container), mutual containment
+        # keeps the smaller id — a pairwise-one-way containment CYCLE
+        # (theoretically possible at thresholds < 1, requires near-equal
+        # non-mutual sets) would over-reject; the corpus tier is
+        # unaffected by that edge.
+        self.containment_threshold = containment_threshold
         # fold (rewrite-as-one-segment) every N batches so per-batch
         # files don't accumulate into a small-files problem. None = never
         # (caller schedules lake.fold_segments itself). Folding costs one
@@ -120,6 +137,24 @@ class NearDupIngestGate:
             stored_bands = self.lake.table(self.bands_table)
             flagged = self._flag_against(new_sets, stored_sigs, stored_bands)
             survivors = survivors.join(flagged, "id", "left_anti")
+            if self.containment_threshold is not None:
+                # asymmetric tier: new doc mostly-contained in an accepted
+                # corpus doc. Only the batch's prefixes explode; the
+                # stored sigs contribute the hash-only inverted index
+                # (corpus never self-joined). Same-id exclusion keeps a
+                # REDELIVERED doc's own stored artifacts from rejecting it
+                # at containment 1.0 (the _flag_against convention).
+                contained = (
+                    _containment_join(
+                        new_sets,
+                        stored_sigs,
+                        self.containment_threshold,
+                        exclude_same_id=True,
+                    )
+                    .select(F.col("id_a").alias("id"))
+                    .distinct()
+                )
+                survivors = survivors.join(contained, "id", "left_anti")
 
         # 2 — collapse near-dup bursts among the remaining batch docs:
         # smallest id per near-dup pair survives.
@@ -139,10 +174,36 @@ class NearDupIngestGate:
             .select(F.col("id_b").alias("id"))
             .distinct()
         )
+        survivors = survivors.join(internal_dups, "id", "left_anti")
+        if self.containment_threshold is not None:
+            # batch-internal containment: reject the CONTAINED doc (its
+            # content lives on inside the container); mutual containment
+            # (near-identical pair, both directions fire) keeps the
+            # smaller id — the same min-id convention as the Jaccard
+            # burst collapse.
+            cpairs = _containment_join(
+                survivors, survivors,
+                self.containment_threshold, exclude_same_id=True,
+            ).select("id_a", "id_b")
+            rev = cpairs.select(
+                F.col("id_b").alias("id_a"),
+                F.col("id_a").alias("id_b"),
+                F.lit(True).alias("__rev"),
+            )
+            contained_ids = (
+                cpairs.join(rev, ["id_a", "id_b"], "left")
+                .filter(
+                    F.col("__rev").isNull() | (F.col("id_a") > F.col("id_b"))
+                )
+                .select(F.col("id_a").alias("id"))
+                .distinct()
+            )
+            survivors = survivors.join(contained_ids, "id", "left_anti")
+
         # persist the final survivor set: three appends below are three
         # actions — without this the whole LSH/verify lineage re-executes
         # per append
-        survivors = shared(survivors.join(internal_dups, "id", "left_anti"))
+        survivors = shared(survivors)
 
         # 3 — append accepted docs + artifacts as SEGMENTS: O(batch) I/O
         # per table, no corpus rewrite, no corpus-key scan. Idempotency

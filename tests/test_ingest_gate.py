@@ -271,3 +271,69 @@ def test_gate_cache_empty_between_micro_batches(spark, tmp_path):
     with pytest.raises(ValueError, match="different stream checkpoint"):
         gate.process_batch(_docs(spark, [(20, FRESH + " x")]), 0)
     assert cache_empty() and len(_SHARED) == before
+
+
+HOST = (
+    " ".join(f"pre{i}" for i in range(30))
+    + " " + BASE + " "
+    + " ".join(f"post{i}" for i in range(30))
+)
+
+
+def test_gate_containment_tier_rejects_quotes(spark, tmp_path):
+    """With containment_threshold set, a new doc quoted wholesale inside
+    an accepted corpus doc is rejected even though its Jaccard vs the
+    host is far below the near-dup threshold; unrelated docs pass."""
+    lake = GtfsLake(spark, str(tmp_path / "lake"))
+    gate = NearDupIngestGate(lake, containment_threshold=0.9)
+
+    gate.process_batch(_docs(spark, [(1, HOST), (2, OTHER)]), 0)
+    assert {r["doc_id"] for r in lake.table("corpus_docs").collect()} == {1, 2}
+
+    # batch 2: doc 10 is the verbatim quote inside accepted doc 1 (low
+    # Jaccard: |quote| << |host|), doc 11 is fresh
+    gate.process_batch(_docs(spark, [(10, BASE), (11, FRESH)]), 1)
+    accepted = {r["doc_id"] for r in lake.table("corpus_docs").collect()}
+    assert accepted == {1, 2, 11}, "quoted subset rejected by containment"
+    # the Jaccard-only gate would have ACCEPTED the quote
+    lake2 = GtfsLake(spark, str(tmp_path / "lake2"))
+    gate2 = NearDupIngestGate(lake2)
+    gate2.process_batch(_docs(spark, [(1, HOST), (2, OTHER)]), 0)
+    gate2.process_batch(_docs(spark, [(10, BASE), (11, FRESH)]), 1)
+    assert {r["doc_id"] for r in lake2.table("corpus_docs").collect()} == {
+        1, 2, 10, 11,
+    }
+
+
+def test_gate_containment_tier_batch_internal_policy(spark, tmp_path):
+    """One batch carries a host and its quote: the CONTAINED doc goes,
+    the container survives regardless of id order. A mutual (near-equal)
+    pair keeps the smaller id."""
+    lake = GtfsLake(spark, str(tmp_path / "lake"))
+    gate = NearDupIngestGate(lake, containment_threshold=0.9)
+    # quote has the SMALLER id — min-id alone would keep the quote and
+    # drop the host's superset content; the containment policy keeps the
+    # host
+    gate.process_batch(_docs(spark, [(3, BASE), (4, HOST), (5, OTHER)]), 0)
+    assert {r["doc_id"] for r in lake.table("corpus_docs").collect()} == {4, 5}
+
+    lake2 = GtfsLake(spark, str(tmp_path / "lake2"))
+    gate2 = NearDupIngestGate(lake2, containment_threshold=0.8)
+    # mutual containment (shared core, one extra word each side at the
+    # SAME position so 3-shingles stay mutual): smaller id survives
+    gate2.process_batch(
+        _docs(spark, [(7, BASE + " xa"), (8, BASE + " xb"), (9, OTHER)]), 0
+    )
+    assert {r["doc_id"] for r in lake2.table("corpus_docs").collect()} == {7, 9}
+
+
+def test_gate_containment_tier_redelivery_is_idempotent(spark, tmp_path):
+    """Redelivering a committed batch must not self-reject accepted docs
+    via their own stored artifacts (containment 1.0 against itself)."""
+    lake = GtfsLake(spark, str(tmp_path / "lake"))
+    gate = NearDupIngestGate(lake, containment_threshold=0.9)
+    batch = _docs(spark, [(1, HOST), (2, OTHER)])
+    gate.process_batch(batch, 0)
+    gate.process_batch(batch, 0)  # redelivery
+    docs = [r["doc_id"] for r in lake.table("corpus_docs").collect()]
+    assert sorted(docs) == [1, 2], "no duplicates, no self-rejection"
