@@ -116,6 +116,7 @@ EXTRA = [
     "q_dist_drift",
     "q_dedup_containment",
     "q_dedup_containment_inc",
+    "q_ann_recall_curve",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

@@ -45,6 +45,7 @@ from py_gtfs_duckdb_spark.operators.graph import connected_components  # noqa: F
 
 # similarity / ANN — float production tier ...
 from py_gtfs_duckdb_spark.operators.similarity import (  # noqa: F401
+    ann_recall,
     cosine_topk,
     ivf_cells,
     ivf_centroids,

@@ -411,6 +411,38 @@ def ivf_topk(
     return _topk(scored, k)
 
 
+def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """(query_id, n_hits, recall): per-query overlap@k between an
+    approximate neighbor table and the exact one — THE tuning metric of
+    every ANN index (sweep nprobe/planes/code size, read recall, pick the
+    cheapest setting above the target). Both inputs are (query_id,
+    vec_id, ...) result tables (:func:`ivf_topk`, :func:`lsh_bucketed_topk`,
+    :func:`pq_topk`, ... vs :func:`cosine_topk` ground truth); every
+    query in ``exact`` gets a row (0 hits when the index missed
+    entirely).
+
+    Determinism: membership is compared on ids (both pipelines rank on
+    4-digit-rounded cosine with vec_id tie-break, so their top-k SETS are
+    engine-exact); n_hits is a BIGINT count, recall its fixed-order
+    display ratio. Scale: the tables are k×|queries| rows — the
+    sampled-query tuning shape; one semi-join + one combinable count,
+    both sides tiny relative to the corpus scan that produced them."""
+    hits = approx.select("query_id", "vec_id").join(
+        exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    per = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    base = exact.select("query_id").distinct()
+    return base.join(per, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"),
+        pround(
+            F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(k)), 4
+        ).alias("recall"),
+    )
+
+
 # -- approximate path --------------------------------------------------------
 
 N_PLANES = 12  # 4096 buckets

@@ -99,6 +99,7 @@ _PRIORITY = [
     "q_dist_drift",  # NEW in round 10 (histogram KS + PSI drift)
     "q_dedup_containment",  # NEW in round 10 (asymmetric containment join)
     "q_dedup_containment_inc",  # NEW in round 10 (ingest-gate direction)
+    "q_ann_recall_curve",  # NEW in round 10 (IVF nprobe tuning curve)
     "q_interval_join",
     "q_window_trailing_chunked",
     "q_bpe_tokenize_large",
@@ -133,11 +134,11 @@ _PRIORITY = [
     "q_join_asof_tol",
     "q_range_join",
     "q_export_shards",
-    # oldest 8 of the 45 r8-evidence queries fill the window to 50
-    # (five slots went to the late-round-10 q_fuzzy_pairs /
+    # oldest 7 of the 45 r8-evidence queries fill the window to 50
+    # (six slots went to the late-round-10 q_fuzzy_pairs /
     # q_tfidf_keywords / q_dist_drift / q_dedup_containment /
-    # q_dedup_containment_inc additions), so round 11 owes the
-    # remaining 37
+    # q_dedup_containment_inc / q_ann_recall_curve additions), so
+    # round 11 owes the remaining 38
     "q_unigram_nll",
     "q_doc_scorecard",
     "q_quantile_tokens",
@@ -145,8 +146,8 @@ _PRIORITY = [
     "q_dedup_cluster_sizes",
     "q_dedup_simhash",
     "q_embed_project",
-    "q_multimodal_frames",
     # --- window boundary: 50 entries above this line ---
+    "q_multimodal_frames",
     "q_dedup_clusters",
     "q_text_top_tokens",
     "q_dedup_spans",
@@ -303,6 +304,10 @@ WINDOW_PARTITION_ALLOWLIST: dict[str, set[tuple[str, ...]]] = {
     "q_ann_pq": {("query_id",)},
     "q_ann_ivfpq": {("query_id",)},
     "q_ann_ivf_lloyd": {("query_id",)},
+    # recall curve composes cosine_topk + ivf_topk: same post-prune
+    # k-bounded query_id shortlists as the entries above; the recall
+    # math itself is window-free (semi-join + combinable count)
+    "q_ann_recall_curve": {("query_id",)},
     "q_bm25_topk": {()},
     "q_mix_sources": {("source",), ("source", "bkt")},
 }

@@ -3613,3 +3613,110 @@ def q_dedup_containment_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         threshold=0.6,
     )
+
+
+def _ann_recall_oracle_sql(nprobes=(1, 2, 4), k=5) -> str:
+    """Composed oracle: the q_ann_ivf front-end CTEs (seed centroids,
+    cell assignment) + the q_knn_cosine brute-force ground truth + one
+    approx branch per nprobe — recall read off a (nprobe, query) grid so
+    zero-hit queries keep their row."""
+    per_np = "\n        UNION ALL\n".join(
+        f"""
+        SELECT CAST({np} AS BIGINT) AS nprobe, query_id, vec_id FROM (
+            SELECT p.query_id, c.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY floor((list_dot_product(p.qv, c.v)
+                                       / (p.qn * c.nrm))
+                                      * 10000.0 + 0.5) / 10000.0 DESC,
+                                c.vec_id
+                   ) AS rnk
+            FROM (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid
+                  FROM assign WHERE vec_id < 10 AND rn <= {np}) p
+            JOIN cells c ON c.cid = p.cid AND c.vec_id <> p.query_id
+        ) WHERE rnk <= {k}"""
+        for np in nprobes
+    )
+    np_list = ", ".join(f"CAST({np} AS BIGINT)" for np in nprobes)
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+        FROM vecs ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ), assign AS (
+        SELECT vec_id, v, nrm, cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY floor((list_dot_product(v, cv) / (nrm * cnrm))
+                                  * 10000.0 + 0.5) / 10000.0 DESC, cid
+               ) AS rn
+        FROM vecs CROSS JOIN cent
+    ), cells AS (
+        SELECT vec_id, v, nrm, cid FROM assign WHERE rn = 1
+    ), exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY floor((list_dot_product(q.v, e.v)
+                                       / (q.nrm * e.nrm))
+                                      * 10000.0 + 0.5) / 10000.0 DESC,
+                                e.vec_id
+                   ) AS rn
+            FROM vecs e CROSS JOIN (SELECT * FROM vecs WHERE vec_id < 10) q
+            WHERE e.vec_id <> q.vec_id
+        ) WHERE rn <= {k}
+    ), approx AS ({per_np}
+    ), hits AS (
+        SELECT a.nprobe, a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM approx a
+        JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        GROUP BY 1, 2
+    ), grid AS (
+        SELECT np.nprobe, q.vec_id AS query_id
+        FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10) q
+        CROSS JOIN (SELECT UNNEST([{np_list}]) AS nprobe) np
+    )
+    SELECT g.nprobe, g.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           floor((CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                  / CAST({k}.0 AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+               AS recall
+    FROM grid g
+    LEFT JOIN hits h ON h.nprobe = g.nprobe AND h.query_id = g.query_id
+    """
+
+
+@query("q_ann_recall_curve", oracle=_ann_recall_oracle_sql())
+def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning loop as one query
+    (operators/similarity.py:ann_recall): recall@5 of seeded IVF vs the
+    brute-force ground truth at nprobe 1/2/4 — the curve an operator
+    reads to pick the cheapest probe setting above the recall target.
+    The exact table computes ONCE (scoped persist) and feeds all three
+    comparisons; each comparison is a semi-join + combinable count over
+    k x |queries| rows."""
+    from py_gtfs_duckdb_spark.operators._scope import shared
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = shared(S.cosine_topk(e, q, k=5))
+    parts = []
+    for np_ in (1, 2, 4):
+        approx = S.ivf_topk(e, q, k=5, nprobe=np_)
+        parts.append(
+            S.ann_recall(approx, exact, 5).select(
+                F.lit(np_).cast("bigint").alias("nprobe"),
+                "query_id",
+                "n_hits",
+                "recall",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -422,3 +422,35 @@ def test_ann_model_cache_invalidated_by_drop_and_rebuild(spark, tmp_path, sf_dir
     )
     cb1, cents1 = load_ann_models(lake, "emb")
     assert len(cents1) == 8, "stale cached centroids served after rebuild"
+
+
+def test_ann_recall_report_matches_python_and_is_monotone(spark, embeddings):
+    """ann_recall must equal the sequential overlap computation per
+    query, give every exact-side query a row (0 hits included), score
+    exact-vs-exact at 1.0, and produce a non-decreasing mean recall as
+    nprobe grows (more cells searched can only add candidates)."""
+    from py_gtfs_duckdb_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        ivf_topk,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 10)
+    exact_df = cosine_topk(embeddings, q, k=5)
+    exact = _topk_sets(exact_df)
+
+    means = []
+    for nprobe in (1, 2, 4):
+        approx_df = ivf_topk(embeddings, q, k=5, nprobe=nprobe)
+        approx = _topk_sets(approx_df)
+        rows = {r["query_id"]: r for r in ann_recall(approx_df, exact_df, 5).collect()}
+        assert set(rows) == set(exact), "every exact query gets a row"
+        for qid, want in exact.items():
+            n = len(approx.get(qid, set()) & want)
+            assert rows[qid]["n_hits"] == n
+            assert abs(rows[qid]["recall"] - n / 5) < 1e-9
+        means.append(sum(r["recall"] for r in rows.values()) / len(rows))
+    assert means == sorted(means), f"recall not monotone in nprobe: {means}"
+
+    self_rows = ann_recall(exact_df, exact_df, 5).collect()
+    assert all(r["recall"] == 1.0 and r["n_hits"] == 5 for r in self_rows)

@@ -404,6 +404,13 @@ AUDITED = [
         " probes only, the corpus is never self-joined (O(B + N), the"
         " Jaccard-incremental complexity contract).",
     ),
+    (
+        "q_ann_recall_curve",
+        "IVF tuning curve: ONE scoped-persisted brute-force ground truth"
+        " feeds three nprobe settings; each comparison is a semi-join +"
+        " combinable count over k x |queries| rows — the corpus scans"
+        " live in the compared pipelines, not the recall math.",
+    ),
 ]
 
 
