@@ -117,6 +117,7 @@ EXTRA = [
     "q_dedup_containment",
     "q_dedup_containment_inc",
     "q_ann_recall_curve",
+    "q_mix_temperature",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

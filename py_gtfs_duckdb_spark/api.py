@@ -149,6 +149,8 @@ from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
     split_assign,
     split_leakage,
     stratified_sample,
+    temperature_budgets,
+    temperature_weights,
     token_histogram,
     weighted_sample,
     write_shards,

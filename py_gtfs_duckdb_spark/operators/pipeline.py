@@ -849,6 +849,91 @@ def histogram_quantiles(
     return g.select(*cols)
 
 
+def temperature_budgets(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    token_budget: int | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, src_tokens, weight, [budget_tokens]): temperature-scaled
+    mixture weights — weight_i ∝ (token share_i)^alpha — the standard
+    up-weighting of low-resource sources in a multilingual/multi-domain
+    training mix (alpha=1 keeps natural proportions, alpha=0 flattens to
+    uniform; published multilingual-LM recipes use 0.3–0.7). With
+    ``token_budget`` set, each source also gets its integer token
+    allocation — the dict form (:func:`temperature_weights`) feeds
+    :func:`mix_sources` directly.
+
+    Determinism: each source's scaled share is quantized to integer
+    micro-units ONCE (``q_i = floor(share_i^alpha · 10^6 + 0.5)``), the
+    normalizer is their BIGINT sum (order-independent), weights are the
+    q_i/Q ratio (fixed-order display rounding) and budgets the EXACT
+    integer ``token_budget·q_i div Q`` — so Spark and the DuckDB oracle
+    agree bit-for-bit (libm pow caveat shared with unigram_nll's ln).
+
+    Scale: one corpus pass → per-source combinable token sum (sources
+    rows out), a one-row total broadcast back — nothing else touches the
+    corpus; the output is sources-sized."""
+    n_tokens = (
+        F.col("n_tokens").cast("bigint")
+        if "n_tokens" in docs.columns
+        else token_count(F.col(text_col))
+    )
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(n_tokens).cast("bigint").alias("src_tokens")
+    )
+    tot = per.agg(F.sum("src_tokens").cast("bigint").alias("total_tokens"))
+    q = F.floor(
+        F.pow(
+            F.col("src_tokens").cast("double")
+            / F.col("total_tokens").cast("double"),
+            F.lit(float(alpha)),
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    scaled = per.crossJoin(F.broadcast(tot)).select(
+        "source", "src_tokens", q.alias("__q")
+    )
+    qsum = scaled.agg(F.sum("__q").cast("bigint").alias("__qsum"))
+    out = scaled.crossJoin(F.broadcast(qsum)).select(
+        "source",
+        "src_tokens",
+        pround(F.col("__q").cast("double") / F.col("__qsum"), 6).alias(
+            "weight"
+        ),
+        *(
+            [
+                F.expr(f"CAST({int(token_budget)} AS BIGINT) * __q div __qsum")
+                .cast("bigint")
+                .alias("budget_tokens")
+            ]
+            if token_budget is not None
+            else []
+        ),
+    )
+    return out
+
+
+def temperature_weights(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> dict[str, float]:
+    """The dict form of :func:`temperature_budgets` for
+    :func:`mix_sources`: {source: weight}. One bounded collect of the
+    sources-sized weight table (the centroid-collect class: explicit,
+    tiny, documented)."""
+    return {
+        r["source"]: float(r["weight"])
+        for r in temperature_budgets(
+            docs, alpha, None, source_col, text_col
+        ).collect()
+    }
+
+
 def histogram_drift(
     df: DataFrame,
     value_col: str,

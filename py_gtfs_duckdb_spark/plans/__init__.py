@@ -100,6 +100,7 @@ _PRIORITY = [
     "q_dedup_containment",  # NEW in round 10 (asymmetric containment join)
     "q_dedup_containment_inc",  # NEW in round 10 (ingest-gate direction)
     "q_ann_recall_curve",  # NEW in round 10 (IVF nprobe tuning curve)
+    "q_mix_temperature",  # NEW in round 10 (share^alpha mixture budgets)
     "q_interval_join",
     "q_window_trailing_chunked",
     "q_bpe_tokenize_large",
@@ -134,19 +135,19 @@ _PRIORITY = [
     "q_join_asof_tol",
     "q_range_join",
     "q_export_shards",
-    # oldest 7 of the 45 r8-evidence queries fill the window to 50
-    # (six slots went to the late-round-10 q_fuzzy_pairs /
+    # oldest 6 of the 45 r8-evidence queries fill the window to 50
+    # (seven slots went to the late-round-10 q_fuzzy_pairs /
     # q_tfidf_keywords / q_dist_drift / q_dedup_containment /
-    # q_dedup_containment_inc / q_ann_recall_curve additions), so
-    # round 11 owes the remaining 38
+    # q_dedup_containment_inc / q_ann_recall_curve / q_mix_temperature
+    # additions), so round 11 owes the remaining 39
     "q_unigram_nll",
     "q_doc_scorecard",
     "q_quantile_tokens",
     "q_semantic_dedup",
     "q_dedup_cluster_sizes",
     "q_dedup_simhash",
-    "q_embed_project",
     # --- window boundary: 50 entries above this line ---
+    "q_embed_project",
     "q_multimodal_frames",
     "q_dedup_clusters",
     "q_text_top_tokens",

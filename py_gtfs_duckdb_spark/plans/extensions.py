@@ -3720,3 +3720,48 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "q_mix_temperature",
+    # identical integer pipeline: per-source token sums, share^alpha
+    # quantized to micro-units, BIGINT normalizer, q/Q display ratio,
+    # EXACT integer budget split (BIGINT div — no float in the
+    # allocation). POW carries the same libm caveat as LN (both engines
+    # bind glibc here).
+    oracle=r"""
+    WITH tk AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+                   AS n
+        FROM documents
+    ),
+    per AS (SELECT source, CAST(SUM(n) AS BIGINT) AS src_tokens
+            FROM tk GROUP BY 1),
+    tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens FROM per),
+    q AS (
+        SELECT source, src_tokens,
+               CAST(FLOOR(POW(CAST(src_tokens AS DOUBLE)
+                              / CAST(total_tokens AS DOUBLE),
+                              CAST(0.5 AS DOUBLE))
+                          * CAST(1000000.0 AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qv
+        FROM per CROSS JOIN tot
+    ),
+    qs AS (SELECT CAST(SUM(qv) AS BIGINT) AS qsum FROM q)
+    SELECT source, src_tokens,
+           floor((CAST(qv AS DOUBLE) / qsum) * 1000000.0 + 0.5) / 1000000.0
+               AS weight,
+           CAST(CAST(50000 AS BIGINT) * qv // qsum AS BIGINT)
+               AS budget_tokens
+    FROM q CROSS JOIN qs
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture budgets
+    (operators/pipeline.py:temperature_budgets): weight ∝ token-share^0.5
+    per source with an exact integer split of a 50k-token budget — the
+    low-resource up-weighting step ahead of mix_sources. One corpus
+    pass, sources-sized everything after."""
+    d = t(spark, sf_dir, "documents")
+    return P.temperature_budgets(d, alpha=0.5, token_budget=50_000)

@@ -984,3 +984,72 @@ def test_chunk_documents_plan_shuffle_free(spark):
         chunk_documents(df).explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan and "windowspecdefinition" not in plan
+
+
+def test_temperature_budgets_matches_python_model(spark):
+    """Distributed quantized pipeline == sequential reference; alpha=1
+    reproduces natural shares, alpha=0 flattens to uniform, the integer
+    budget split never exceeds the budget and each allocation is the
+    exact BIGINT div."""
+    import math
+
+    from py_gtfs_duckdb_spark.operators.pipeline import (
+        temperature_budgets,
+        temperature_weights,
+    )
+
+    rows = (
+        [("big", " ".join(["w"] * 90))] * 9
+        + [("small", " ".join(["w"] * 10))]
+        + [("mid", " ".join(["w"] * 30))] * 3
+    )
+    docs = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+    counts = {}
+    for _, (s, t) in enumerate(rows):
+        counts[s] = counts.get(s, 0) + len(t.split())
+    total = sum(counts.values())
+
+    for alpha in (0.0, 0.5, 1.0):
+        q = {
+            s: math.floor((c / total) ** alpha * 1e6 + 0.5)
+            for s, c in counts.items()
+        }
+        qsum = sum(q.values())
+        got = {
+            r["source"]: (r["src_tokens"], r["weight"], r["budget_tokens"])
+            for r in temperature_budgets(
+                docs, alpha=alpha, token_budget=1000
+            ).collect()
+        }
+        assert set(got) == set(counts)
+        for s in counts:
+            assert got[s][0] == counts[s]
+            want_w = math.floor(q[s] / qsum * 1e6 + 0.5) / 1e6
+            assert abs(got[s][1] - want_w) < 1e-12, (s, alpha)
+            assert got[s][2] == 1000 * q[s] // qsum
+        assert sum(v[2] for v in got.values()) <= 1000
+        assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-3
+
+    # alpha=0: uniform weights; alpha=1: natural proportions
+    uni = temperature_budgets(docs, alpha=0.0).collect()
+    ws = {r["source"]: r["weight"] for r in uni}
+    assert len(set(ws.values())) == 1
+    nat = {
+        r["source"]: r["weight"]
+        for r in temperature_budgets(docs, alpha=1.0).collect()
+    }
+    for s in counts:
+        assert abs(nat[s] - counts[s] / total) < 1e-5
+    # the 0<alpha<1 regime sits between: low-resource source up-weighted
+    half = {
+        r["source"]: r["weight"]
+        for r in temperature_budgets(docs, alpha=0.5).collect()
+    }
+    assert nat["small"] < half["small"] < ws["small"] + 1e-12
+
+    # dict form feeds mix_sources
+    w = temperature_weights(docs, alpha=0.5)
+    assert set(w) == set(counts) and abs(sum(w.values()) - 1.0) < 1e-3
