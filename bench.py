@@ -118,6 +118,7 @@ EXTRA = [
     "q_dedup_containment_inc",
     "q_ann_recall_curve",
     "q_mix_temperature",
+    "q_profile_table",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

@@ -144,6 +144,7 @@ from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
     mix_sources,
     length_buckets,
     pack_sequences,
+    profile_table,
     rescue_leaked_eval,
     source_report,
     split_assign,

@@ -849,6 +849,108 @@ def histogram_quantiles(
     return g.select(*cols)
 
 
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """(col_name, kind, n_rows, n_nulls, n_distinct, min_int, max_int,
+    min_num, max_num, min_str, max_str): one audit row per column — the
+    DuckDB-``SUMMARIZE`` equivalent, restricted to DETERMINISTIC
+    statistics so the oracle replays every cell bit-for-bit: counts and
+    exact distincts (BIGINT), min/max for integers (exact), timestamps
+    (epoch millis — engine-portable integers), floats (comparison only,
+    no summation) and strings (lexicographic). A float MEAN is
+    deliberately absent: a distributed double sum is
+    partition-order-dependent, the one statistic class this repo's
+    determinism contract excludes (quantize-to-integer first if you need
+    it — the unigram_nll recipe).
+
+    Scale shape: ONE corpus scan computes every statistic as a single
+    wide aggregation (Spark plans multi-distinct via Expand — rows
+    multiply by the number of DISTINCT columns profiled, the price of
+    exactness; profile a column subset via ``cols`` or swap in
+    kmv_sketch estimates when exact distincts stop paying at 100 TB).
+    The per-column explode happens on the ONE aggregated row."""
+    fields = [f for f in df.schema.fields if cols is None or f.name in cols]
+    if not fields:
+        raise ValueError("profile_table: no columns to profile")
+
+    def kind_of(dt) -> str:
+        s = dt.simpleString()
+        if s in ("tinyint", "smallint", "int", "bigint"):
+            return "int"
+        if s in ("float", "double") or s.startswith("decimal"):
+            return "float"
+        if s == "string":
+            return "string"
+        if s.startswith("timestamp"):
+            return "timestamp"
+        if s == "date":
+            return "date"
+        return "other"
+
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__nr")]
+    entries = []
+    for i, f in enumerate(fields):
+        c = F.col(f.name)
+        kind = kind_of(f.dataType)
+        aggs.append(
+            F.sum(c.isNull().cast("bigint")).cast("bigint").alias(f"__nn_{i}")
+        )
+        aggs.append(F.countDistinct(c).cast("bigint").alias(f"__nd_{i}"))
+        null_i = F.lit(None).cast("bigint")
+        null_d = F.lit(None).cast("double")
+        null_s = F.lit(None).cast("string")
+        mn_i = mx_i = null_i
+        mn_d = mx_d = null_d
+        mn_s = mx_s = null_s
+        if kind == "int":
+            aggs += [
+                F.min(c).cast("bigint").alias(f"__mni_{i}"),
+                F.max(c).cast("bigint").alias(f"__mxi_{i}"),
+            ]
+            mn_i, mx_i = F.col(f"__mni_{i}"), F.col(f"__mxi_{i}")
+        elif kind == "timestamp":
+            # NTZ columns (the t() loader's type) cast to TIMESTAMP in the
+            # UTC session first — a wall-clock reinterpretation that makes
+            # unix_millis agree with the oracle's naive epoch_ms
+            aggs += [
+                F.unix_millis(F.min(c).cast("timestamp"))
+                .cast("bigint")
+                .alias(f"__mni_{i}"),
+                F.unix_millis(F.max(c).cast("timestamp"))
+                .cast("bigint")
+                .alias(f"__mxi_{i}"),
+            ]
+            mn_i, mx_i = F.col(f"__mni_{i}"), F.col(f"__mxi_{i}")
+        elif kind == "float":
+            aggs += [
+                F.min(c).cast("double").alias(f"__mnd_{i}"),
+                F.max(c).cast("double").alias(f"__mxd_{i}"),
+            ]
+            mn_d, mx_d = F.col(f"__mnd_{i}"), F.col(f"__mxd_{i}")
+        elif kind == "string":
+            aggs += [
+                F.min(c).alias(f"__mns_{i}"),
+                F.max(c).alias(f"__mxs_{i}"),
+            ]
+            mn_s, mx_s = F.col(f"__mns_{i}"), F.col(f"__mxs_{i}")
+        entries.append(
+            F.struct(
+                F.lit(f.name).alias("col_name"),
+                F.lit(kind).alias("kind"),
+                F.col("__nr").alias("n_rows"),
+                F.col(f"__nn_{i}").alias("n_nulls"),
+                F.col(f"__nd_{i}").alias("n_distinct"),
+                mn_i.alias("min_int"),
+                mx_i.alias("max_int"),
+                mn_d.alias("min_num"),
+                mx_d.alias("max_num"),
+                mn_s.alias("min_str"),
+                mx_s.alias("max_str"),
+            )
+        )
+    row = df.agg(*aggs)
+    return row.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+
+
 def temperature_budgets(
     docs: DataFrame,
     alpha: float = 0.5,

@@ -101,6 +101,7 @@ _PRIORITY = [
     "q_dedup_containment_inc",  # NEW in round 10 (ingest-gate direction)
     "q_ann_recall_curve",  # NEW in round 10 (IVF nprobe tuning curve)
     "q_mix_temperature",  # NEW in round 10 (share^alpha mixture budgets)
+    "q_profile_table",  # NEW in round 10 (deterministic SUMMARIZE)
     "q_interval_join",
     "q_window_trailing_chunked",
     "q_bpe_tokenize_large",
@@ -135,18 +136,18 @@ _PRIORITY = [
     "q_join_asof_tol",
     "q_range_join",
     "q_export_shards",
-    # oldest 6 of the 45 r8-evidence queries fill the window to 50
-    # (seven slots went to the late-round-10 q_fuzzy_pairs /
+    # oldest 5 of the 45 r8-evidence queries fill the window to 50
+    # (eight slots went to the late-round-10 q_fuzzy_pairs /
     # q_tfidf_keywords / q_dist_drift / q_dedup_containment /
-    # q_dedup_containment_inc / q_ann_recall_curve / q_mix_temperature
-    # additions), so round 11 owes the remaining 39
+    # q_dedup_containment_inc / q_ann_recall_curve / q_mix_temperature /
+    # q_profile_table additions), so round 11 owes the remaining 40
     "q_unigram_nll",
     "q_doc_scorecard",
     "q_quantile_tokens",
     "q_semantic_dedup",
     "q_dedup_cluster_sizes",
-    "q_dedup_simhash",
     # --- window boundary: 50 entries above this line ---
+    "q_dedup_simhash",
     "q_embed_project",
     "q_multimodal_frames",
     "q_dedup_clusters",

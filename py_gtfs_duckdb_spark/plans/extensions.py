@@ -3765,3 +3765,59 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, sources-sized everything after."""
     d = t(spark, sf_dir, "documents")
     return P.temperature_budgets(d, alpha=0.5, token_budget=50_000)
+
+
+def _profile_col_sql(name: str, kind: str) -> str:
+    mn_i = mx_i = "CAST(NULL AS BIGINT)"
+    mn_d = mx_d = "CAST(NULL AS DOUBLE)"
+    mn_s = mx_s = "CAST(NULL AS VARCHAR)"
+    if kind == "int":
+        mn_i, mx_i = f"CAST(MIN({name}) AS BIGINT)", f"CAST(MAX({name}) AS BIGINT)"
+    elif kind == "timestamp":
+        mn_i, mx_i = (
+            f"CAST(epoch_ms(MIN({name})) AS BIGINT)",
+            f"CAST(epoch_ms(MAX({name})) AS BIGINT)",
+        )
+    elif kind == "float":
+        mn_d, mx_d = f"CAST(MIN({name}) AS DOUBLE)", f"CAST(MAX({name}) AS DOUBLE)"
+    elif kind == "string":
+        mn_s, mx_s = f"MIN({name})", f"MAX({name})"
+    return f"""
+    SELECT '{name}' AS col_name, '{kind}' AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct,
+           {mn_i} AS min_int, {mx_i} AS max_int,
+           {mn_d} AS min_num, {mx_d} AS max_num,
+           {mn_s} AS min_str, {mx_s} AS max_str
+    FROM orders"""
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "float"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+]
+
+
+@query(
+    "q_profile_table",
+    # one UNION ALL branch per column, each computing the same exact
+    # statistics the Spark single-pass wide aggregation emits
+    oracle="\n    UNION ALL\n".join(
+        _profile_col_sql(n, k) for n, k in _PROFILE_COLS
+    ),
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profile (operators/pipeline.py:profile_table) — the
+    deterministic DuckDB-SUMMARIZE equivalent over ``orders``: counts,
+    exact distincts, and type-appropriate min/max (epoch millis for
+    timestamps, no float mean — a distributed double sum is
+    order-dependent, excluded by the determinism contract). ONE corpus
+    scan for all six columns."""
+    o = t(spark, sf_dir, "orders")
+    return P.profile_table(o)

@@ -1053,3 +1053,52 @@ def test_temperature_budgets_matches_python_model(spark):
     # dict form feeds mix_sources
     w = temperature_weights(docs, alpha=0.5)
     assert set(w) == set(counts) and abs(sum(w.values()) - 1.0) < 1e-3
+
+
+def test_profile_table_mixed_types_and_nulls(spark):
+    """Planted frame with every kind and known nulls/distincts: each
+    column's row carries exactly the applicable min/max family, nulls
+    are excluded from distincts, and `cols` restricts the profile."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from py_gtfs_duckdb_spark.operators.pipeline import profile_table
+
+    rows = [
+        (1, "a", 1.5, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (2, "b", -0.5, dt.datetime(2024, 6, 1, 12, 0, 0)),
+        (2, None, None, None),
+        (None, "a", 2.5, dt.datetime(2024, 1, 1, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "k bigint, s string, x double, ts timestamp_ntz"
+    )
+    prof = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"k", "s", "x", "ts"}
+
+    k = prof["k"]
+    assert (k["kind"], k["n_rows"], k["n_nulls"], k["n_distinct"]) == (
+        "int", 4, 1, 2,
+    )
+    assert (k["min_int"], k["max_int"]) == (1, 2)
+    assert k["min_num"] is None and k["min_str"] is None
+
+    s = prof["s"]
+    assert (s["kind"], s["n_nulls"], s["n_distinct"]) == ("string", 1, 2)
+    assert (s["min_str"], s["max_str"]) == ("a", "b")
+
+    x = prof["x"]
+    assert (x["kind"], x["n_nulls"], x["n_distinct"]) == ("float", 1, 3)
+    assert (x["min_num"], x["max_num"]) == (-0.5, 2.5)
+
+    ts = prof["ts"]
+    assert (ts["kind"], ts["n_nulls"], ts["n_distinct"]) == ("timestamp", 1, 2)
+    epoch_jan1 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert ts["min_int"] == epoch_jan1
+    assert ts["max_int"] > ts["min_int"]
+
+    only = profile_table(df, cols=["k"]).collect()
+    assert [r["col_name"] for r in only] == ["k"]
+    with _pytest.raises(ValueError):
+        profile_table(df, cols=["nope"])
