@@ -310,23 +310,36 @@ def cmd_score(args) -> None:
 def cmd_mix(args) -> None:
     """Token-budgeted domain mixing over a documents parquet: keep each
     source's hash-ordered prefix until its share of the budget is spent,
-    write the mix, print per-source token accounting as one JSON line."""
+    write the mix, print per-source token accounting as one JSON line.
+    Weights come from explicit --weights OR from temperature scaling
+    (--alpha: weight ∝ token-share^alpha, the low-resource up-weighting
+    recipe) — exactly one of the two."""
     import json
 
     from pyspark.sql import functions as F
 
-    from py_gtfs_duckdb_spark.operators.pipeline import mix_sources
+    from py_gtfs_duckdb_spark.operators.pipeline import (
+        mix_sources,
+        temperature_weights,
+    )
     from py_gtfs_duckdb_spark.session import get_spark
 
-    weights: dict[str, float] = {}
-    for item in args.weights:
-        source, _, w = item.partition("=")
-        if not _ or not w:
-            raise SystemExit(f"--weights item {item!r} is not source=fraction")
-        weights[source] = float(w)
+    if bool(args.weights) == (args.alpha is not None):
+        raise SystemExit("pass exactly one of --weights or --alpha")
 
     spark = get_spark("gtfs-cli")
     docs = spark.read.parquet(args.input)
+    if args.alpha is not None:
+        weights = temperature_weights(docs, alpha=args.alpha)
+    else:
+        weights = {}
+        for item in args.weights:
+            source, _, w = item.partition("=")
+            if not _ or not w:
+                raise SystemExit(
+                    f"--weights item {item!r} is not source=fraction"
+                )
+            weights[source] = float(w)
     out = mix_sources(docs, weights, args.token_budget)
     out.write.mode("overwrite").parquet(args.output)
     per = {
@@ -412,6 +425,27 @@ def cmd_audit(args) -> None:
         },
         sort_keys=True,
     ))
+
+
+def cmd_profile(args) -> None:
+    """Deterministic table profile of any parquet dataset: one JSON line
+    with per-column counts, exact distincts, and type-appropriate
+    min/max (the SUMMARIZE equivalent; operators/pipeline.py:
+    profile_table). The profile is columns-sized — safe to print."""
+    import json
+
+    from py_gtfs_duckdb_spark.operators.pipeline import profile_table
+    from py_gtfs_duckdb_spark.session import get_spark
+
+    spark = get_spark("gtfs-cli")
+    df = spark.read.parquet(args.input)
+    cols = args.columns if args.columns else None
+    out = {}
+    for r in profile_table(df, cols=cols).collect():
+        d = r.asDict()
+        name = d.pop("col_name")
+        out[name] = {k: v for k, v in d.items() if v is not None}
+    print(json.dumps(out, sort_keys=True))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -518,9 +552,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--input", "-i", required=True, help="documents parquet path")
     sp.add_argument("--output", "-o", required=True)
     sp.add_argument(
-        "--weights", "-w", nargs="+", required=True,
+        "--weights", "-w", nargs="+",
         metavar="SOURCE=FRACTION",
         help="per-source budget shares, e.g. web=0.6 wiki=0.4",
+    )
+    sp.add_argument(
+        "--alpha", type=float,
+        help="temperature-derive the weights instead: share^alpha "
+        "(0=uniform, 1=natural; multilingual recipes use 0.3-0.7)",
     )
     sp.add_argument("--token-budget", "-b", type=int, required=True)
     sp.set_defaults(fn=cmd_mix)
@@ -537,6 +576,16 @@ def main(argv: list[str] | None = None) -> int:
         help="sample k per source instead of k global",
     )
     sp.set_defaults(fn=cmd_sample)
+
+    sp = sub.add_parser(
+        "profile",
+        help="deterministic per-column table profile of a parquet dataset",
+    )
+    sp.add_argument("--input", "-i", required=True, help="parquet path")
+    sp.add_argument(
+        "--columns", "-c", nargs="+", help="profile only these columns"
+    )
+    sp.set_defaults(fn=cmd_profile)
 
     sp = sub.add_parser(
         "audit",

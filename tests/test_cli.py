@@ -257,3 +257,69 @@ def test_cli_sample_end_to_end(spark, tmp_path, capsys):
     out2 = str(tmp_path / "sampled_g")
     assert main(["sample", "-i", src, "-o", out2, "-k", "7"]) == 0
     assert spark.read.parquet(out2).count() == 7
+
+
+def test_cli_mix_alpha_temperature_weights(spark, tmp_path, capsys):
+    """mix --alpha derives the weights from token shares (share^alpha):
+    the low-resource source gets MORE than its natural share; passing
+    both or neither of --weights/--alpha fails loudly."""
+    import json
+
+    import pytest
+
+    from py_gtfs_duckdb_spark.__main__ import main
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 36 else "small", "tok " * 10) for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "mix")
+    assert main(["mix", "-i", src, "-o", out, "--alpha", "0.5",
+                 "-b", "100"]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    small = summary["sources"]["small"]["tokens"]
+    # natural share would give small 10% = 10 tokens; sqrt-temperature
+    # lifts it well above
+    assert small >= 20, summary
+
+    with pytest.raises(SystemExit, match="exactly one"):
+        main(["mix", "-i", src, "-o", out, "-b", "10"])
+    with pytest.raises(SystemExit, match="exactly one"):
+        main(["mix", "-i", src, "-o", out, "-w", "big=1.0",
+              "--alpha", "0.5", "-b", "10"])
+
+
+def test_cli_profile_end_to_end(spark, tmp_path, capsys):
+    """profile prints one JSON object keyed by column with the
+    deterministic statistics; --columns restricts it."""
+    import datetime as dt
+    import json
+
+    from py_gtfs_duckdb_spark.__main__ import main
+
+    df = spark.createDataFrame(
+        [
+            (1, "x", 1.5, dt.datetime(2024, 1, 1)),
+            (2, None, 0.5, dt.datetime(2024, 2, 1)),
+            (None, "y", None, None),
+        ],
+        "k bigint, s string, v double, ts timestamp_ntz",
+    )
+    src = str(tmp_path / "t.parquet")
+    df.write.parquet(src)
+
+    assert main(["profile", "-i", src]) == 0
+    prof = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(prof) == {"k", "s", "v", "ts"}
+    assert prof["k"]["n_rows"] == 3 and prof["k"]["n_nulls"] == 1
+    assert prof["k"]["min_int"] == 1 and prof["k"]["max_int"] == 2
+    assert prof["s"]["min_str"] == "x" and prof["s"]["max_str"] == "y"
+    assert prof["v"]["min_num"] == 0.5
+    assert "min_num" not in prof["k"], "nulls dropped from the JSON"
+
+    assert main(["profile", "-i", src, "-c", "k", "s"]) == 0
+    prof2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(prof2) == {"k", "s"}
