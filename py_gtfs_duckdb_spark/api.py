@@ -136,7 +136,9 @@ from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
     curate_corpus,
     decontaminate,
     export_shards,
+    histogram_counts,
     histogram_drift,
+    histogram_drift_from_counts,
     histogram_quantiles,
     kmv_estimate,
     kmv_merge,
@@ -181,6 +183,9 @@ from py_gtfs_duckdb_spark.operators.ann_index import (  # noqa: F401
 from py_gtfs_duckdb_spark.streaming.ingest import (  # noqa: F401
     NearDupIngestGate,
     run_ingest_stream,
+)
+from py_gtfs_duckdb_spark.streaming.stats import (  # noqa: F401
+    HistogramStatsRecorder,
 )
 from py_gtfs_duckdb_spark.streaming.stateful import (  # noqa: F401
     exact_dedup_stream,

@@ -1076,9 +1076,32 @@ def histogram_drift(
     grid is groups × n_bins rows; per-group state in the final
     aggregation is the n_bins-sized sorted (bin, cg, cr) array. No
     window over data rows, no per-group value buffers, no driver state."""
+    counts = histogram_counts(df, value_col, by, n_bins=n_bins, lo=lo, hi=hi)
+    return histogram_drift_from_counts(
+        counts, by, n_bins=n_bins, smooth=smooth
+    )
+
+
+def histogram_counts(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    n_bins: int = 32,
+    lo: float = 0.0,
+    hi: float = 256.0,
+) -> DataFrame:
+    """(by, bin, cnt): the fixed-grid histogram — the MERGEABLE
+    monitoring artifact behind :func:`histogram_drift` and the streaming
+    stats recorder: because the bin grid is fixed, per-shard/per-day
+    count tables union and re-aggregate LOSSLESSLY (sum of counts ==
+    counts of union — the KMV property for distributions), so a lake of
+    per-batch histograms answers any time-range drift or quantile
+    question from bin-count sums without rescanning the corpus. One
+    map-side-combinable count; nulls excluded; out-of-range values clamp
+    to the edge bins."""
     w = (hi - lo) / n_bins
     v = F.col(value_col).cast("double")
-    binned = (
+    return (
         df.filter(v.isNotNull())
         .select(
             F.col(by),
@@ -1088,10 +1111,34 @@ def histogram_drift(
                     F.lit(0),
                 ),
                 F.lit(n_bins - 1),
-            ).alias("__bin"),
+            ).alias("bin"),
+        )
+        .groupBy(by, "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def histogram_drift_from_counts(
+    counts: DataFrame,
+    by: str,
+    n_bins: int = 32,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """:func:`histogram_drift` starting from a PRE-AGGREGATED (by, bin,
+    cnt) table — the persisted-artifact path: feed it the folded union
+    of per-batch :func:`histogram_counts` segments (the streaming
+    recorder's lake table) and get the identical statistics without
+    touching a single corpus row. Duplicate (by, bin) rows (unioned
+    shards) collapse in one tiny re-aggregation first, so the input may
+    be raw segment concatenation."""
+    binned = (
+        counts.select(
+            F.col(by),
+            F.col("bin").cast("bigint").alias("__bin"),
+            F.col("cnt").cast("bigint").alias("__cg"),
         )
         .groupBy(by, "__bin")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__cg"))
+        .agg(F.sum("__cg").cast("bigint").alias("__cg"))
     )
     binned = shared(binned)
     gtot = binned.groupBy(by).agg(F.sum("__cg").cast("bigint").alias("n_g"))
