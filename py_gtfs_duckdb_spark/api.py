@@ -140,6 +140,7 @@ from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
     histogram_drift,
     histogram_drift_from_counts,
     histogram_quantiles,
+    histogram_quantiles_from_counts,
     kmv_estimate,
     kmv_merge,
     kmv_sketch,

@@ -795,22 +795,34 @@ def histogram_quantiles(
     (<= groups × n_bins rows shuffled) -> per-group sorted bin array
     (bounded collect_list) -> per-prob expression folds. No window over
     data rows, no per-group value buffers."""
+    counts = histogram_counts(df, value_col, by, n_bins=n_bins, lo=lo, hi=hi)
+    return histogram_quantiles_from_counts(
+        counts, by, probs=probs, n_bins=n_bins, lo=lo, hi=hi
+    )
+
+
+def histogram_quantiles_from_counts(
+    counts: DataFrame,
+    by: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    n_bins: int = 32,
+    lo: float = 0.0,
+    hi: float = 256.0,
+) -> DataFrame:
+    """:func:`histogram_quantiles` starting from a PRE-AGGREGATED
+    (by, bin, cnt) table — the persisted-artifact path (the streaming
+    stats recorder's lake table; see histogram_drift_from_counts).
+    Raw segment concatenation is accepted: duplicate (by, bin) rows
+    collapse in one tiny re-aggregation."""
     w = (hi - lo) / n_bins
-    v = F.col(value_col).cast("double")
     binned = (
-        df.filter(v.isNotNull())
-        .select(
+        counts.select(
             F.col(by),
-            F.least(
-                F.greatest(
-                    F.floor((v - F.lit(lo)) / F.lit(w)).cast("bigint"),
-                    F.lit(0),
-                ),
-                F.lit(n_bins - 1),
-            ).alias("__bin"),
+            F.col("bin").cast("bigint").alias("__bin"),
+            F.col("cnt").cast("bigint").alias("__cnt"),
         )
         .groupBy(by, "__bin")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .agg(F.sum("__cnt").alias("__cnt"))
     )
     g = binned.groupBy(by).agg(
         F.sort_array(

@@ -23,6 +23,7 @@ from py_gtfs_duckdb_spark.lake import GtfsLake
 from py_gtfs_duckdb_spark.operators.pipeline import (
     histogram_counts,
     histogram_drift_from_counts,
+    histogram_quantiles_from_counts,
 )
 
 
@@ -93,4 +94,14 @@ class HistogramStatsRecorder:
         purely from persisted bin counts."""
         return histogram_drift_from_counts(
             self.counts(), self.by, n_bins=self.n_bins, smooth=smooth
+        )
+
+    def quantiles(
+        self, probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
+    ) -> DataFrame:
+        """Per-group quantile estimates over everything recorded so far —
+        bin-width-bounded error, zero document rescans."""
+        return histogram_quantiles_from_counts(
+            self.counts(), self.by, probs=probs,
+            n_bins=self.n_bins, lo=self.lo, hi=self.hi,
         )

@@ -95,3 +95,23 @@ def test_recorder_fold_bounds_segments(spark, tmp_path):
     # after folding, counts still correct
     total = rec.counts().agg(F.sum("cnt")).first()[0]
     assert total == 2 * (len(B1) + len(B2))
+
+
+def test_recorder_quantiles_equal_direct(spark, tmp_path):
+    from py_gtfs_duckdb_spark.operators.pipeline import histogram_quantiles
+
+    rec = _recorder(spark, tmp_path)
+    rec.process_batch(_batch(spark, B1), 0)
+    rec.process_batch(_batch(spark, B2), 1)
+    got = {
+        r["source"]: (r["n"], r["p25"], r["p50"], r["p75"], r["p95"])
+        for r in rec.quantiles().collect()
+    }
+    want = {
+        r["source"]: (r["n"], r["p25"], r["p50"], r["p75"], r["p95"])
+        for r in histogram_quantiles(
+            _batch(spark, B1 + B2), "n_tokens", "source",
+            n_bins=32, lo=0.0, hi=128.0,
+        ).collect()
+    }
+    assert got == want
