@@ -119,6 +119,7 @@ EXTRA = [
     "q_ann_recall_curve",
     "q_mix_temperature",
     "q_profile_table",
+    "q_skew_report",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

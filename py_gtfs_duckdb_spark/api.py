@@ -149,6 +149,7 @@ from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
     pack_sequences,
     profile_table,
     rescue_leaked_eval,
+    skew_report,
     source_report,
     split_assign,
     split_leakage,

@@ -861,6 +861,45 @@ def histogram_quantiles_from_counts(
     return g.select(*cols)
 
 
+def skew_report(
+    df: DataFrame, keys: str | list[str], top_n: int = 10
+) -> DataFrame:
+    """(keys..., cnt, frac, rank): the ``top_n`` heaviest key groups —
+    the pre-join diagnostic this repo's own skew playbook starts from
+    (SCALING.md §6): before shuffling a 100 TB join on ``keys``, read
+    the head of its key distribution; a top key holding >1% of rows is
+    the salting/AQE-skew-join trigger.
+
+    Windowless top-k: one map-side-combinable key count, then
+    ``orderBy(cnt desc, keys).limit`` — TakeOrderedAndProject merges
+    k-sized per-partition heaps, no global sort; the rank window runs
+    over the already-limited top_n rows (the bm25 post-limit pattern).
+    Ties break on the key columns, so the report is engine-exact."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    per = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    total = per.agg(F.sum("cnt").cast("bigint").alias("__total"))
+    top = (
+        per.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("cnt"), *[F.col(k) for k in keys])
+        .limit(int(top_n))
+    )
+    from pyspark.sql import Window
+
+    rank = (
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), *[F.col(k) for k in keys]))
+        .cast("bigint")
+    )
+    return top.select(
+        *keys,
+        "cnt",
+        pround(F.col("cnt").cast("double") / F.col("__total"), 6).alias(
+            "frac"
+        ),
+        rank.alias("rank"),
+    )
+
+
 def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """(col_name, kind, n_rows, n_nulls, n_distinct, min_int, max_int,
     min_num, max_num, min_str, max_str): one audit row per column — the

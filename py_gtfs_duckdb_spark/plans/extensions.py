@@ -3821,3 +3821,38 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan for all six columns."""
     o = t(spark, sf_dir, "orders")
     return P.profile_table(o)
+
+
+@query(
+    "q_skew_report",
+    # the oracle may window over the full key table (single-node
+    # reference); the Spark side is TakeOrderedAndProject + a post-limit
+    # rank window over top_n rows
+    oracle="""
+    WITH per AS (
+        SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM per),
+    r AS (
+        SELECT l_suppkey, cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, l_suppkey)
+                    AS BIGINT) AS rank
+        FROM per
+    )
+    SELECT l_suppkey, cnt,
+           floor(CAST(cnt AS DOUBLE) / total * 1000000.0 + 0.5) / 1000000.0
+               AS frac,
+           rank
+    FROM r CROSS JOIN tot WHERE rank <= 10
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (operators/pipeline.py:skew_report): the
+    10 heaviest l_suppkey groups of lineitem with their row fractions —
+    what an operator reads before shuffling a big join on that key
+    (SCALING.md par.6's playbook trigger). Combinable count +
+    TakeOrderedAndProject; the only window runs over the 10 surviving
+    rows."""
+    li = t(spark, sf_dir, "lineitem")
+    return P.skew_report(li, "l_suppkey", top_n=10)

@@ -1102,3 +1102,24 @@ def test_profile_table_mixed_types_and_nulls(spark):
     assert [r["col_name"] for r in only] == ["k"]
     with _pytest.raises(ValueError):
         profile_table(df, cols=["nope"])
+
+
+def test_skew_report_planted_hot_key(spark):
+    """A planted 50%-heavy key ranks first with the exact fraction;
+    composite keys and count ties (broken by key) stay deterministic;
+    top_n truncates."""
+    from py_gtfs_duckdb_spark.operators.pipeline import skew_report
+
+    rows = [(i, "hot", "x") for i in range(50)] + [
+        (100 + i, f"k{i % 5}", "y") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, s string")
+    rep = skew_report(df, "k", top_n=3).collect()
+    assert [r["k"] for r in rep] == ["hot", "k0", "k1"]
+    assert rep[0]["cnt"] == 50 and rep[0]["frac"] == 0.5
+    assert rep[0]["rank"] == 1 and rep[2]["rank"] == 3
+    # ties (k0..k4 all cnt=10) break on the key string ascending
+    assert rep[1]["cnt"] == rep[2]["cnt"] == 10
+
+    comp = skew_report(df, ["k", "s"], top_n=1).collect()
+    assert (comp[0]["k"], comp[0]["s"], comp[0]["cnt"]) == ("hot", "x", 50)
