@@ -120,6 +120,7 @@ EXTRA = [
     "q_mix_temperature",
     "q_profile_table",
     "q_skew_report",
+    "q_ann_recall_lsh",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

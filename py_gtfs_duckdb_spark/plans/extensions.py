@@ -3856,3 +3856,84 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows."""
     li = t(spark, sf_dir, "lineitem")
     return P.skew_report(li, "l_suppkey", top_n=10)
+
+
+def _lsh_recall_oracle_sql(n_planes: int = 6, dim: int = 64, k: int = 5) -> str:
+    """Recall of the quantized-LSH family vs brute force — reuses the
+    ann_oracles shared head and the SAME seeded hyperplane constants the
+    Spark operator ships (shared reference data, not duplicated logic)."""
+    planes = AO.annq.lsh_planes(n_planes, dim)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> qv[i] * {AO._plane_literal(planes[p])}[i])) > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    flips = ", ".join(str(1 << p) for p in range(n_planes))
+    return f"""
+    WITH {AO._VECS_CTE},
+    b AS (
+        SELECT vec_id, v, nrm, ({bucket_terms}) AS bucket FROM vecs
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qf, nrm AS qn,
+               xor(bucket, flip) AS bucket
+        FROM b, (SELECT unnest(list_value(0, {flips})) AS flip) f
+        WHERE vec_id < 10
+    ),
+    approx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, vec_id
+                   ) AS rnk
+            FROM (
+                SELECT DISTINCT p.query_id, c.vec_id,
+                       floor((list_dot_product(p.qf, c.v) / (p.qn * c.nrm))
+                             * 10000.0 + 0.5) / 10000.0 AS cosine
+                FROM probes p JOIN b c ON c.bucket = p.bucket
+                                      AND c.vec_id <> p.query_id
+            )
+        ) WHERE rnk <= {k}
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY floor((list_dot_product(q.v, e.v)
+                                       / (q.nrm * e.nrm))
+                                      * 10000.0 + 0.5) / 10000.0 DESC,
+                                e.vec_id
+                   ) AS rn
+            FROM vecs e CROSS JOIN (SELECT * FROM vecs WHERE vec_id < 10) q
+            WHERE e.vec_id <> q.vec_id
+        ) WHERE rn <= {k}
+    ),
+    hits AS (
+        SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM approx a
+        JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        GROUP BY 1
+    )
+    SELECT q.vec_id AS query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           floor((CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                  / CAST({k}.0 AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+               AS recall
+    FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10) q
+    LEFT JOIN hits h ON h.query_id = q.vec_id
+    """
+
+
+@query("q_ann_recall_lsh", oracle=_lsh_recall_oracle_sql())
+def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall harness generalized to a second index family
+    (operators/similarity.py:ann_recall over annq.lsh_topk_q):
+    recall@5 of the quantized multiprobe-LSH index vs brute force, per
+    query — same semi-join + combinable-count recall math, different
+    approximate pipeline plugged in."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    approx = AQ.lsh_topk_q(e, q, k=5, n_planes=6)
+    return S.ann_recall(approx, S.cosine_topk(e, q, k=5), 5)
