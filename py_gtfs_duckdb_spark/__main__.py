@@ -2,7 +2,10 @@
 (``src/gtfsduckdb/__main__.py:1-121``): load / remove / drop / export /
 sql / show / realtime, plus ``csvload`` (the generic ``csvddb`` loader CLI,
 csvddb.py:71-91) and ``vacuum``. The positional ``database`` argument is a
-lake root directory instead of a ``.ddb`` file.
+lake root directory instead of a ``.ddb`` file. Corpus verbs beyond the
+reference (parquet-in/parquet-out, no lake argument): curate / search /
+despan / mix (explicit weights or ``--alpha`` temperature) / score /
+sample / audit / profile — see MIGRATION.md's CLI table.
 
 Usage: ``python -m py_gtfs_duckdb_spark <command> <lake_root> [options]``
 """
