@@ -121,6 +121,7 @@ EXTRA = [
     "q_profile_table",
     "q_skew_report",
     "q_ann_recall_lsh",
+    "q_ann_recall_pq",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

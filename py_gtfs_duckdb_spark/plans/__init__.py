@@ -104,6 +104,7 @@ _PRIORITY = [
     "q_profile_table",  # NEW in round 10 (deterministic SUMMARIZE)
     "q_skew_report",  # NEW in round 10 (pre-join key-skew diagnostic)
     "q_ann_recall_lsh",  # NEW in round 10 (recall harness, LSH family)
+    "q_ann_recall_pq",  # NEW in round 10 (recall harness, PQ family)
     "q_interval_join",
     "q_window_trailing_chunked",
     "q_bpe_tokenize_large",
@@ -138,16 +139,16 @@ _PRIORITY = [
     "q_join_asof_tol",
     "q_range_join",
     "q_export_shards",
-    # oldest 3 of the 45 r8-evidence queries fill the window to 50
-    # (ten slots went to the late-round-10 additions: q_fuzzy_pairs,
+    # oldest 2 of the 45 r8-evidence queries fill the window to 50
+    # (eleven slots went to the late-round-10 additions: q_fuzzy_pairs,
     # q_tfidf_keywords, q_dist_drift, q_dedup_containment,
     # q_dedup_containment_inc, q_ann_recall_curve, q_mix_temperature,
-    # q_profile_table, q_skew_report, q_ann_recall_lsh), so round 11
-    # owes the remaining 42
+    # q_profile_table, q_skew_report, q_ann_recall_lsh,
+    # q_ann_recall_pq), so round 11 owes the remaining 43
     "q_unigram_nll",
     "q_doc_scorecard",
-    "q_quantile_tokens",
     # --- window boundary: 50 entries above this line ---
+    "q_quantile_tokens",
     "q_semantic_dedup",
     "q_dedup_cluster_sizes",
     "q_dedup_simhash",
@@ -314,6 +315,7 @@ WINDOW_PARTITION_ALLOWLIST: dict[str, set[tuple[str, ...]]] = {
     # math itself is window-free (semi-join + combinable count)
     "q_ann_recall_curve": {("query_id",)},
     "q_ann_recall_lsh": {("query_id",)},
+    "q_ann_recall_pq": {("query_id",)},
     "q_bm25_topk": {()},
     # skew_report ranks the top_n rows TakeOrderedAndProject already
     # reduced — the same post-limit global-window argument as bm25

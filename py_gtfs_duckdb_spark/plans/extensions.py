@@ -3937,3 +3937,89 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10)
     approx = AQ.lsh_topk_q(e, q, k=5, n_planes=6)
     return S.ann_recall(approx, S.cosine_topk(e, q, k=5), 5)
+
+
+def _pq_recall_oracle_sql(
+    m: int = 8, ksub: int = 16, n_iter: int = 2, k: int = 5,
+    shortlist_mult: int = 5,
+) -> str:
+    """Recall of the PQ-ADC family vs brute force — composes the shared
+    pq training/encode CTEs (ann_oracles._pq_train_encode_ctes) with the
+    brute-force ground truth and the per-query recall grid."""
+    train, _cb = AO._pq_train_encode_ctes(m, ksub, n_iter, 2048, 64)
+    return f"""
+    WITH {AO._VECS_CTE},{train},
+    adc AS (
+        SELECT l.query_id, e.vec_id, CAST(SUM(l.ld) AS BIGINT) AS dist
+        FROM enc e JOIN lut l ON l.s = e.s AND l.cidx = e.code
+        WHERE e.vec_id <> l.query_id
+        GROUP BY l.query_id, e.vec_id
+    ),
+    short AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY dist ASC, vec_id ASC
+                   ) AS rn
+            FROM adc
+        ) WHERE rn <= {k * shortlist_mult}
+    ),
+    approx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT s.query_id, s.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.query_id
+                       ORDER BY floor((list_dot_product(q.v, c.v)
+                                       / (q.nrm * c.nrm))
+                                      * 10000.0 + 0.5) / 10000.0 DESC,
+                                s.vec_id
+                   ) AS rnk
+            FROM short s
+            JOIN vecs q ON q.vec_id = s.query_id
+            JOIN vecs c ON c.vec_id = s.vec_id
+        ) WHERE rnk <= {k}
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY floor((list_dot_product(q.v, e.v)
+                                       / (q.nrm * e.nrm))
+                                      * 10000.0 + 0.5) / 10000.0 DESC,
+                                e.vec_id
+                   ) AS rn
+            FROM vecs e CROSS JOIN (SELECT * FROM vecs WHERE vec_id < 10) q
+            WHERE e.vec_id <> q.vec_id
+        ) WHERE rn <= {k}
+    ),
+    hits AS (
+        SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM approx a
+        JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        GROUP BY 1
+    )
+    SELECT q.vec_id AS query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           floor((CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                  / CAST({k}.0 AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+               AS recall
+    FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10) q
+    LEFT JOIN hits h ON h.query_id = q.vec_id
+    """
+
+
+@query("q_ann_recall_pq", oracle=_pq_recall_oracle_sql())
+def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall harness over the third index family: recall@5 of the
+    PQ-ADC + exact-re-rank pipeline (annq.pq_topk_rerank_q, cached
+    codebook) vs brute force — IVF curve, LSH instance, and PQ instance
+    now cover every compressed-domain family the repo ships."""
+    e = t(spark, sf_dir, "embeddings")
+    if sf_dir not in _PQ_CB:
+        _PQ_CB[sf_dir] = AQ.pq_train_q(e, m=8, ksub=16, n_iter=2)
+    cb = _PQ_CB[sf_dir]
+    codes = AQ.pq_encode_q(e, cb)
+    q = e.filter(F.col("vec_id") < 10)
+    approx = AQ.pq_topk_rerank_q(codes, e, q, cb, k=5)
+    return S.ann_recall(approx, S.cosine_topk(e, q, k=5), 5)
