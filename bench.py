@@ -122,6 +122,7 @@ EXTRA = [
     "q_skew_report",
     "q_ann_recall_lsh",
     "q_ann_recall_pq",
+    "q_golden_records",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

@@ -27,6 +27,7 @@ from py_gtfs_duckdb_spark.operators.dedup import (  # noqa: F401
     containment_pairs,
     containment_pairs_incremental,
     exact_jaccard,
+    golden_records,
     keep_canonical,
     keep_top_k,
     lsh_bands,

@@ -797,6 +797,69 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame
     )
 
 
+def golden_records(
+    rows: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    rules: dict[str, str] | None = None,
+) -> DataFrame:
+    """(cluster_id, n_members, canonical_id, <field per rule>): the
+    FIELD-LEVEL survivorship merge of entity resolution — after fuzzy
+    matching (:func:`containment_pairs`, linkage.fuzzy_pairs, MinHash)
+    and :func:`~py_gtfs_duckdb_spark.operators.graph.connected_components`
+    resolve which rows are one entity, the "golden record" takes each
+    FIELD from the best row FOR THAT FIELD (the MDM survivorship step):
+    unlike :func:`keep_canonical`, which keeps one whole row, the merged
+    record may combine fields from different members.
+
+    ``rules`` maps field → one of:
+
+    - ``min`` / ``max``: plain extremum (ids, timestamps, counters);
+    - ``longest`` / ``shortest``: the value from the member whose FIELD
+      string is longest/shortest — "most complete value wins", the
+      standard completeness rule; ties break on the member id, null
+      fields never win (an all-null field stays null).
+
+    Every rule is a COMBINABLE aggregation (min/max/max_by with a
+    (length, id) struct key), so per-cluster state is one candidate per
+    field regardless of cluster size — the boilerplate mega-cluster that
+    bans cluster-keyed windows (SCALING.md §6) costs nothing here.
+    ``clusters`` is the (id, cluster_id) frame from connected
+    components; ``canonical_id`` (min member id) and ``n_members`` are
+    always emitted."""
+    rules = rules or {}
+    j = rows.join(
+        clusters.select(F.col("id").alias(id_col), "cluster_id"), id_col
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min(id_col).alias("canonical_id"),
+    ]
+    for field, how in rules.items():
+        c = F.col(field)
+        if how == "min":
+            aggs.append(F.min(c).alias(field))
+        elif how == "max":
+            aggs.append(F.max(c).alias(field))
+        elif how in ("longest", "shortest"):
+            # null-keyed rows are ignored by max_by/min_by, so a null
+            # field never outranks a present one
+            key = F.when(
+                c.isNotNull(),
+                F.struct(
+                    F.length(c.cast("string")).alias("l"),
+                    F.col(id_col).alias("i"),
+                ),
+            )
+            agg = F.max_by(c, key) if how == "longest" else F.min_by(c, key)
+            aggs.append(agg.alias(field))
+        else:
+            raise ValueError(
+                f"golden_records: unknown rule {how!r} for field {field!r}"
+            )
+    return j.groupBy("cluster_id").agg(*aggs)
+
+
 _INTEGRAL_TYPES = {"boolean", "tinyint", "smallint", "int", "bigint"}
 
 

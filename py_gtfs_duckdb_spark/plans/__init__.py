@@ -105,6 +105,7 @@ _PRIORITY = [
     "q_skew_report",  # NEW in round 10 (pre-join key-skew diagnostic)
     "q_ann_recall_lsh",  # NEW in round 10 (recall harness, LSH family)
     "q_ann_recall_pq",  # NEW in round 10 (recall harness, PQ family)
+    "q_golden_records",  # NEW in round 10 (field-level survivorship)
     "q_interval_join",
     "q_window_trailing_chunked",
     "q_bpe_tokenize_large",
@@ -139,15 +140,15 @@ _PRIORITY = [
     "q_join_asof_tol",
     "q_range_join",
     "q_export_shards",
-    # oldest 2 of the 45 r8-evidence queries fill the window to 50
-    # (eleven slots went to the late-round-10 additions: q_fuzzy_pairs,
+    # the oldest r8-evidence query fills the window to 50 (twelve slots
+    # went to the late-round-10 additions: q_fuzzy_pairs,
     # q_tfidf_keywords, q_dist_drift, q_dedup_containment,
     # q_dedup_containment_inc, q_ann_recall_curve, q_mix_temperature,
-    # q_profile_table, q_skew_report, q_ann_recall_lsh,
-    # q_ann_recall_pq), so round 11 owes the remaining 43
+    # q_profile_table, q_skew_report, q_ann_recall_lsh, q_ann_recall_pq,
+    # q_golden_records), so round 11 owes the remaining 44
     "q_unigram_nll",
-    "q_doc_scorecard",
     # --- window boundary: 50 entries above this line ---
+    "q_doc_scorecard",
     "q_quantile_tokens",
     "q_semantic_dedup",
     "q_dedup_cluster_sizes",

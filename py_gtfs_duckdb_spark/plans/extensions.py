@@ -4023,3 +4023,42 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10)
     approx = AQ.pq_topk_rerank_q(codes, e, q, cb, k=5)
     return S.ann_recall(approx, S.cosine_topk(e, q, k=5), 5)
+
+
+@query(
+    "q_golden_records",
+    # same recursive-closure cluster CTEs as q_dedup_clusters; the
+    # field-level survivorship replays with arg_max over a fixed-width
+    # printf-encoded (length, id) key — lexicographic == numeric for
+    # the non-negative components, and the id component makes the key
+    # unique, so arg_max is deterministic on both engines
+    oracle=f"""
+    WITH RECURSIVE {_clusters_oracle_ctes()}
+    SELECT c.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(d.doc_id) AS BIGINT) AS canonical_id,
+           arg_max(d.text, printf('%020d', length(d.text))
+                           || printf('%020d', d.doc_id)) AS text,
+           MIN(d.source) AS source,
+           CAST(MAX(d.n_chars) AS BIGINT) AS n_chars
+    FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    GROUP BY 1
+    """,
+)
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level survivorship merge
+    (operators/dedup.py:golden_records): each MinHash near-dup cluster
+    collapses to ONE merged record taking the LONGEST text (most
+    complete content), the minimum source label, and the maximum
+    n_chars — fields may come from different members, the step
+    keep_canonical's whole-row pick cannot express. Every rule is a
+    combinable aggregation: the mega-cluster costs one candidate per
+    field per partition, never a sort."""
+    d = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(d, "text", "doc_id", k=3, threshold=0.7)
+    cc = G.connected_components(pairs, "id_a", "id_b")
+    clusters = cc.select("id", F.col("component").alias("cluster_id"))
+    return D.golden_records(
+        d, clusters, "doc_id",
+        rules={"text": "longest", "source": "min", "n_chars": "max"},
+    )

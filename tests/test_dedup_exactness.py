@@ -314,3 +314,64 @@ def test_containment_incremental_flags_only_new_vs_corpus(spark):
     )
     got = sorted((r["id_a"], r["id_b"], r["containment"]) for r in inc)
     assert got == want
+
+
+def test_golden_records_field_level_survivorship(spark):
+    """The merged record may combine fields from DIFFERENT members
+    (longest text from one row, max score from another); null fields
+    never win 'longest'; min/max rules apply; unknown rules raise."""
+    from py_gtfs_duckdb_spark.operators.dedup import golden_records
+
+    rows = spark.createDataFrame(
+        [
+            # cluster 1: longest text on id 11, max score on id 12,
+            # min id 10; id 13 has a NULL text that must not win
+            (10, "short", 5, "src_b"),
+            (11, "the longest text of all", 1, "src_c"),
+            (12, "mid length", 9, "src_a"),
+            (13, None, 7, "src_d"),
+            # cluster 2: tie on text length -> larger id wins 'longest'
+            (20, "aaaa", 2, "s"),
+            (21, "bbbb", 2, "s"),
+            # not clustered: must not appear
+            (99, "zz", 0, "x"),
+        ],
+        "doc_id long, text string, score long, source string",
+    )
+    clusters = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (13, 1), (20, 2), (21, 2)],
+        "id long, cluster_id long",
+    )
+    got = {
+        r["cluster_id"]: r
+        for r in golden_records(
+            rows, clusters, "doc_id",
+            rules={"text": "longest", "score": "max", "source": "min"},
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    c1 = got[1]
+    assert (c1["n_members"], c1["canonical_id"]) == (4, 10)
+    assert c1["text"] == "the longest text of all"
+    assert c1["score"] == 9 and c1["source"] == "src_a"
+    c2 = got[2]
+    assert c2["text"] == "bbbb", "length tie breaks to the larger id"
+
+    # all-null field stays null; 'shortest' picks the other extreme
+    rows2 = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, text string"
+    )
+    cl2 = spark.createDataFrame([(1, 7), (2, 7)], "id long, cluster_id long")
+    out = golden_records(rows2, cl2, "doc_id", rules={"text": "longest"}).collect()
+    assert out[0]["text"] is None
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown rule"):
+        golden_records(rows, clusters, "doc_id", rules={"text": "median"})
+
+    short = golden_records(
+        rows, clusters, "doc_id", rules={"text": "shortest"}
+    ).collect()
+    by_c = {r["cluster_id"]: r["text"] for r in short}
+    assert by_c[1] == "short" and by_c[2] == "aaaa"
