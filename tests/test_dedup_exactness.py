@@ -375,3 +375,68 @@ def test_golden_records_field_level_survivorship(spark):
     ).collect()
     by_c = {r["cluster_id"]: r["text"] for r in short}
     assert by_c[1] == "short" and by_c[2] == "aaaa"
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        members=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),  # cluster
+                st.one_of(st.none(), st.text(alphabet="ab", max_size=5)),
+                st.integers(min_value=-5, max_value=5),
+            ),
+            min_size=1,
+            max_size=16,
+        )
+    )
+    def test_golden_records_matches_python_model(spark, members):
+        """Distributed survivorship == sequential reference on random
+        clusters with null texts, ties, and negative scores."""
+        from py_gtfs_duckdb_spark.operators.dedup import golden_records
+
+        rows = [
+            (i, c, t, s) for i, (c, t, s) in enumerate(members)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, cl long, text string, score long"
+        )
+        clusters = spark.createDataFrame(
+            [(i, c) for i, (c, _, _) in enumerate(members)],
+            "id long, cluster_id long",
+        )
+        got = {
+            r["cluster_id"]: (
+                r["n_members"], r["canonical_id"], r["text"], r["score"]
+            )
+            for r in golden_records(
+                df, clusters, "doc_id",
+                rules={"text": "longest", "score": "min"},
+            ).collect()
+        }
+        want = {}
+        for cid in {c for c, _, _ in members}:
+            ms = [(i, t, s) for i, (c, t, s) in enumerate(members) if c == cid]
+            texts = [(len(t), i, t) for i, t, _ in ms if t is not None]
+            longest = max(texts)[2] if texts else None
+            want[cid] = (
+                len(ms),
+                min(i for i, _, _ in ms),
+                longest,
+                min(s for _, _, s in ms),
+            )
+        assert got == want
