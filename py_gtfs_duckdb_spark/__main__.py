@@ -5,7 +5,7 @@ csvddb.py:71-91) and ``vacuum``. The positional ``database`` argument is a
 lake root directory instead of a ``.ddb`` file. Corpus verbs beyond the
 reference (parquet-in/parquet-out, no lake argument): curate / search /
 despan / mix (explicit weights or ``--alpha`` temperature) / score /
-sample / audit / profile — see MIGRATION.md's CLI table.
+sample / audit / profile / drift — see MIGRATION.md's CLI table.
 
 Usage: ``python -m py_gtfs_duckdb_spark <command> <lake_root> [options]``
 """
@@ -451,6 +451,35 @@ def cmd_profile(args) -> None:
     print(json.dumps(out, sort_keys=True))
 
 
+def cmd_drift(args) -> None:
+    """Per-group distribution drift of a documents parquet: token-count
+    KS + PSI per group vs the rest (operators/pipeline.py:
+    histogram_drift), one JSON line keyed by group — the pre-mixing
+    check ("did src7's length profile shift?")."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from py_gtfs_duckdb_spark.operators.pipeline import histogram_drift
+    from py_gtfs_duckdb_spark.operators.text import token_count
+    from py_gtfs_duckdb_spark.session import get_spark
+
+    spark = get_spark("gtfs-cli")
+    docs = spark.read.parquet(args.input)
+    tk = docs.select(
+        F.col(args.by),
+        token_count(F.col("text")).alias("__v"),
+    )
+    out = {
+        r[args.by]: {"n": r["n"], "ks": r["ks"], "psi": r["psi"]}
+        for r in histogram_drift(
+            tk, "__v", args.by,
+            n_bins=args.bins, lo=0.0, hi=float(args.hi),
+        ).collect()
+    }
+    print(json.dumps(out, sort_keys=True))
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="py_gtfs_duckdb_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -579,6 +608,17 @@ def main(argv: list[str] | None = None) -> int:
         help="sample k per source instead of k global",
     )
     sp.set_defaults(fn=cmd_sample)
+
+    sp = sub.add_parser(
+        "drift",
+        help="per-group token-length drift (KS + PSI) of a documents parquet",
+    )
+    sp.add_argument("--input", "-i", required=True, help="documents parquet path")
+    sp.add_argument("--by", default="source", help="grouping column")
+    sp.add_argument("--bins", type=int, default=32)
+    sp.add_argument("--hi", type=int, default=256,
+                    help="histogram upper bound (token count)")
+    sp.set_defaults(fn=cmd_drift)
 
     sp = sub.add_parser(
         "profile",

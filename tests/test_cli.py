@@ -323,3 +323,27 @@ def test_cli_profile_end_to_end(spark, tmp_path, capsys):
     assert main(["profile", "-i", src, "-c", "k", "s"]) == 0
     prof2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(prof2) == {"k", "s"}
+
+
+def test_cli_drift_end_to_end(spark, tmp_path, capsys):
+    """drift prints per-group KS/PSI; a group concentrated far from the
+    rest scores near the KS ceiling."""
+    import json
+
+    from py_gtfs_duckdb_spark.__main__ import main
+
+    docs = spark.createDataFrame(
+        [(i, "low", "tok " * 5) for i in range(20)]
+        + [(100 + i, "high", "tok " * 120) for i in range(20)]
+        + [(200 + i, "low2", "tok " * 5) for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+
+    assert main(["drift", "-i", src, "--hi", "128"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out) == {"low", "high", "low2"}
+    assert out["high"]["ks"] > 0.9, out
+    assert out["high"]["n"] == 20
+    assert out["low"]["ks"] < out["high"]["ks"]
