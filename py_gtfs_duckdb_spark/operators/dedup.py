@@ -453,7 +453,13 @@ def ngram_jaccard_pairs(
     if freq_order:
         sets = frequency_ordered_sets(sets)
     sets = shared(sets)
-    prefix_len = (F.col("sz") - F.ceil(F.col("sz") * threshold) + 1).cast("int")
+    # slacked ceil, matching o_min below: an unslacked ceil(sz*t) can round
+    # up past an exact integer and shorten the prefix by one element,
+    # silently dropping a true pair whose only shared prefix shingle sits
+    # at the boundary position (same fix as _containment_join).
+    prefix_len = (
+        F.col("sz") - F.ceil(F.col("sz") * threshold - F.lit(1e-9)) + 1
+    ).cast("int")
     prefixes = sets.select(
         "id",
         "sz",
@@ -475,8 +481,8 @@ def ngram_jaccard_pairs(
         b,
         (F.col("a.h") == F.col("b.h"))
         & (F.col("a.id") < F.col("b.id"))
-        & (F.col("a.sz") >= F.col("b.sz") * threshold)
-        & (F.col("b.sz") >= F.col("a.sz") * threshold)
+        & (F.col("a.sz") >= F.col("b.sz") * threshold - F.lit(1e-9))
+        & (F.col("b.sz") >= F.col("a.sz") * threshold - F.lit(1e-9))
         & (overlap_ub >= o_min),
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     # Duplicate candidates (pairs sharing several prefix tokens, ~4% on
@@ -578,9 +584,15 @@ def _containment_join(
     (sets_a is sets_b, same-id pairs excluded) and
     :func:`containment_pairs_incremental` (disjoint id spaces)."""
     # slack so float rounding can only ADMIT a borderline candidate
-    # (verified exactly later), never prune a true pair
+    # (verified exactly later), never prune a true pair. The prefix length
+    # must use the SAME slacked ceil as o_min: when sz*t rounds up past an
+    # exact integer in IEEE doubles (t=0.55, 0.67, 0.81, ... at many sizes)
+    # an unslacked ceil shortens the prefix by one and a true pair whose
+    # first shared shingle sits at the boundary position is dropped.
     o_min_a = F.ceil(F.col("a.sz") * threshold - F.lit(1e-9))
-    prefix_len = (F.col("sz") - F.ceil(F.col("sz") * threshold) + 1).cast("int")
+    prefix_len = (
+        F.col("sz") - F.ceil(F.col("sz") * threshold - F.lit(1e-9)) + 1
+    ).cast("int")
     a = sets_a.select(
         "id",
         "sz",
@@ -610,9 +622,18 @@ def _containment_join(
     )
     sb = sets_b.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     n_inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    # verify on the INTEGER overlap (n_inter >= ceil(sz_a*t - slack)) — the
+    # same predicate the candidate prunes enforce — so prune and verify
+    # cannot disagree; pround is display-only. Filtering on the rounded
+    # ratio instead would pass pairs whose true ratio sits in [t-5e-5, t)
+    # at large sz_a, pairs the prunes may already have dropped.
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
+        .filter(
+            n_inter.cast("bigint")
+            >= F.ceil(F.col("sz_a") * threshold - F.lit(1e-9))
+        )
         .select(
             "id_a",
             "id_b",
@@ -620,7 +641,6 @@ def _containment_join(
                 "containment"
             ),
         )
-        .filter(F.col("containment") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
 

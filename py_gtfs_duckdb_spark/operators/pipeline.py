@@ -906,8 +906,8 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     DuckDB-``SUMMARIZE`` equivalent, restricted to DETERMINISTIC
     statistics so the oracle replays every cell bit-for-bit: counts and
     exact distincts (BIGINT), min/max for integers (exact), timestamps
-    (epoch millis — engine-portable integers), floats (comparison only,
-    no summation) and strings (lexicographic). A float MEAN is
+    (epoch millis — engine-portable integers), dates (epoch days), floats
+    (comparison only, no summation) and strings (lexicographic). A float MEAN is
     deliberately absent: a distributed double sum is
     partition-order-dependent, the one statistic class this repo's
     determinism contract excludes (quantize-to-integer first if you need
@@ -969,6 +969,15 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
                 F.unix_millis(F.max(c).cast("timestamp"))
                 .cast("bigint")
                 .alias(f"__mxi_{i}"),
+            ]
+            mn_i, mx_i = F.col(f"__mni_{i}"), F.col(f"__mxi_{i}")
+        elif kind == "date":
+            # epoch DAYS — the date sibling of the timestamp epoch-millis
+            # convention (engine-portable integers, no calendar strings)
+            epoch = F.lit("1970-01-01").cast("date")
+            aggs += [
+                F.datediff(F.min(c), epoch).cast("bigint").alias(f"__mni_{i}"),
+                F.datediff(F.max(c), epoch).cast("bigint").alias(f"__mxi_{i}"),
             ]
             mn_i, mx_i = F.col(f"__mni_{i}"), F.col(f"__mxi_{i}")
         elif kind == "float":

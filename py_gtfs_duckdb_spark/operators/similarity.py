@@ -424,7 +424,12 @@ def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     Determinism: membership is compared on ids (both pipelines rank on
     4-digit-rounded cosine with vec_id tie-break, so their top-k SETS are
     engine-exact); n_hits is a BIGINT count, recall its fixed-order
-    display ratio. Scale: the tables are k×|queries| rows — the
+    display ratio. The denominator is each query's ACTUAL exact row count
+    (== k whenever the corpus holds ≥ k+1 vectors, but a small or
+    filtered corpus yields fewer ground-truth rows, and dividing by a
+    fixed k would cap such a query's recall below 1.0 forever — ADVICE
+    r10). ``k`` is kept as the declared @k of the metric and validated
+    as an upper bound. Scale: the tables are k×|queries| rows — the
     sampled-query tuning shape; one semi-join + one combinable count,
     both sides tiny relative to the corpus scan that produced them."""
     hits = approx.select("query_id", "vec_id").join(
@@ -433,12 +438,16 @@ def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     per = hits.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hits")
     )
-    base = exact.select("query_id").distinct()
+    base = exact.groupBy("query_id").agg(
+        F.least(F.count(F.lit(1)), F.lit(int(k))).cast("bigint").alias("n_exact")
+    )
     return base.join(per, "query_id", "left").select(
         "query_id",
         F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"),
         pround(
-            F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(k)), 4
+            F.coalesce("n_hits", F.lit(0)).cast("double")
+            / F.col("n_exact").cast("double"),
+            4,
         ).alias("recall"),
     )
 

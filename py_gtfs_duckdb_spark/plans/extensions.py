@@ -3551,7 +3551,7 @@ def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((CAST(o AS DOUBLE) / za.sz) * 10000.0 + 0.5) / 10000.0
                AS containment
     FROM inter JOIN sets za ON za.id = inter.id_a
-    WHERE floor((CAST(o AS DOUBLE) / za.sz) * 10000.0 + 0.5) / 10000.0 >= 0.6
+    WHERE o >= ceil(za.sz * 0.6 - 1e-9)
     """,
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3595,7 +3595,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((CAST(o AS DOUBLE) / za.sz) * 10000.0 + 0.5) / 10000.0
                AS containment
     FROM inter JOIN sets za ON za.id = inter.id_a
-    WHERE floor((CAST(o AS DOUBLE) / za.sz) * 10000.0 + 0.5) / 10000.0 >= 0.6
+    WHERE o >= ceil(za.sz * 0.6 - 1e-9)
     """,
 )
 def q_dedup_containment_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3676,15 +3676,19 @@ def _ann_recall_oracle_sql(nprobes=(1, 2, 4), k=5) -> str:
         FROM approx a
         JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
         GROUP BY 1, 2
+    ), ex_n AS (
+        SELECT query_id,
+               CAST(LEAST(COUNT(*), {k}) AS BIGINT) AS n_exact
+        FROM exact GROUP BY 1
     ), grid AS (
-        SELECT np.nprobe, q.vec_id AS query_id
-        FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10) q
+        SELECT np.nprobe, x.query_id, x.n_exact
+        FROM ex_n x
         CROSS JOIN (SELECT UNNEST([{np_list}]) AS nprobe) np
     )
     SELECT g.nprobe, g.query_id,
            CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
            floor((CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
-                  / CAST({k}.0 AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+                  / CAST(g.n_exact AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
                AS recall
     FROM grid g
     LEFT JOIN hits h ON h.nprobe = g.nprobe AND h.query_id = g.query_id
@@ -3767,7 +3771,7 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.temperature_budgets(d, alpha=0.5, token_budget=50_000)
 
 
-def _profile_col_sql(name: str, kind: str) -> str:
+def _profile_col_sql(name: str, kind: str, from_sql: str = "orders") -> str:
     mn_i = mx_i = "CAST(NULL AS BIGINT)"
     mn_d = mx_d = "CAST(NULL AS DOUBLE)"
     mn_s = mx_s = "CAST(NULL AS VARCHAR)"
@@ -3777,6 +3781,12 @@ def _profile_col_sql(name: str, kind: str) -> str:
         mn_i, mx_i = (
             f"CAST(epoch_ms(MIN({name})) AS BIGINT)",
             f"CAST(epoch_ms(MAX({name})) AS BIGINT)",
+        )
+    elif kind == "date":
+        # epoch days, matching profile_table's date branch
+        mn_i, mx_i = (
+            f"CAST(MIN({name}) - DATE '1970-01-01' AS BIGINT)",
+            f"CAST(MAX({name}) - DATE '1970-01-01' AS BIGINT)",
         )
     elif kind == "float":
         mn_d, mx_d = f"CAST(MIN({name}) AS DOUBLE)", f"CAST(MAX({name}) AS DOUBLE)"
@@ -3791,7 +3801,7 @@ def _profile_col_sql(name: str, kind: str) -> str:
            {mn_i} AS min_int, {mx_i} AS max_int,
            {mn_d} AS min_num, {mx_d} AS max_num,
            {mn_s} AS min_str, {mx_s} AS max_str
-    FROM orders"""
+    FROM {from_sql}"""
 
 
 _PROFILE_COLS = [
@@ -3821,6 +3831,31 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan for all six columns."""
     o = t(spark, sf_dir, "orders")
     return P.profile_table(o)
+
+
+_PROFILE_DATES_FROM = (
+    "(SELECT CAST(o_orderdate AS DATE) AS o_date, o_orderkey FROM orders)"
+)
+
+
+@query(
+    "q_profile_dates",
+    # the DATE branch of the profiler, oracle-replayed as epoch days
+    oracle="\n    UNION ALL\n".join(
+        _profile_col_sql(n, k, from_sql=_PROFILE_DATES_FROM)
+        for n, k in [("o_date", "date"), ("o_orderkey", "int")]
+    ),
+)
+def q_profile_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile_table's DATE branch (ADVICE r10: date columns used to be
+    labeled kind=date but emit all-null min/max): min/max as epoch DAYS —
+    the date sibling of the timestamp epoch-millis convention — over
+    ``orders`` with o_orderdate cast to DATE."""
+    o = t(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_orderdate").cast("date").alias("o_date"), "o_orderkey"
+    )
+    return P.profile_table(d)
 
 
 @query(
@@ -3916,13 +3951,14 @@ def _lsh_recall_oracle_sql(n_planes: int = 6, dim: int = 64, k: int = 5) -> str:
         JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
         GROUP BY 1
     )
-    SELECT q.vec_id AS query_id,
+    SELECT x.query_id,
            CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
            floor((CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
-                  / CAST({k}.0 AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+                  / CAST(x.n_exact AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
                AS recall
-    FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10) q
-    LEFT JOIN hits h ON h.query_id = q.vec_id
+    FROM (SELECT query_id, CAST(LEAST(COUNT(*), {k}) AS BIGINT) AS n_exact
+          FROM exact GROUP BY 1) x
+    LEFT JOIN hits h ON h.query_id = x.query_id
     """
 
 
@@ -3999,13 +4035,14 @@ def _pq_recall_oracle_sql(
         JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
         GROUP BY 1
     )
-    SELECT q.vec_id AS query_id,
+    SELECT x.query_id,
            CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
            floor((CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
-                  / CAST({k}.0 AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+                  / CAST(x.n_exact AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
                AS recall
-    FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10) q
-    LEFT JOIN hits h ON h.query_id = q.vec_id
+    FROM (SELECT query_id, CAST(LEAST(COUNT(*), {k}) AS BIGINT) AS n_exact
+          FROM exact GROUP BY 1) x
+    LEFT JOIN hits h ON h.query_id = x.query_id
     """
 
 

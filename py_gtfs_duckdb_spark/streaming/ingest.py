@@ -39,6 +39,93 @@ from py_gtfs_duckdb_spark.operators.dedup import (
 )
 
 
+def _containment_policy_rejects(edges: list[tuple]) -> set:
+    """Resolve the batch-internal containment policy exactly over the
+    (contained_id, container_id) pair list: reject a doc iff it is
+    contained in a doc that SURVIVES, so content is never lost — a
+    one-way containment cycle (a⊂b, b⊂c, c⊂a, possible at thresholds
+    < 1) keeps exactly its min-id member instead of rejecting all three,
+    and a doc whose only containers were themselves rejected is kept.
+
+    Semantics via SCC condensation of the digraph contained→container:
+    an SCC survives iff none of its successor SCCs survives (evaluated
+    sinks-first — Tarjan emits SCCs in that order); a surviving
+    multi-member SCC (mutual/cyclic containment ≈ near-identical set)
+    keeps its min id, matching the Jaccard burst-collapse convention.
+    Driver-side on the batch-bounded pair list (micro-batch pairs, not
+    corpus pairs — the corpus tier never reaches this code)."""
+    graph: dict = {}
+    for contained, container in edges:
+        graph.setdefault(contained, set()).add(container)
+        graph.setdefault(container, set())
+
+    # iterative Tarjan — SCCs emitted successors-first
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    sccs: list[list] = []
+    counter = [0]
+    for root in graph:
+        if root in index:
+            continue
+        work = [(root, iter(graph[root]))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            node, it = work[-1]
+            advanced = False
+            for nxt in it:
+                if nxt not in index:
+                    index[nxt] = low[nxt] = counter[0]
+                    counter[0] += 1
+                    stack.append(nxt)
+                    on_stack.add(nxt)
+                    work.append((nxt, iter(graph[nxt])))
+                    advanced = True
+                    break
+                if nxt in on_stack:
+                    low[node] = min(low[node], index[nxt])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[node])
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == node:
+                        break
+                sccs.append(comp)
+
+    comp_of = {}
+    for ci, comp in enumerate(sccs):
+        for node in comp:
+            comp_of[node] = ci
+    kept: dict[int, bool] = {}
+    rejects: set = set()
+    for ci, comp in enumerate(sccs):  # Tarjan order: successors decided
+        succ_kept = any(
+            kept[comp_of[nxt]]
+            for node in comp
+            for nxt in graph[node]
+            if comp_of[nxt] != ci
+        )
+        kept[ci] = not succ_kept
+        if not kept[ci]:
+            rejects.update(comp)
+        elif len(comp) > 1:
+            rejects.update(comp)
+            rejects.discard(min(comp))
+    return rejects
+
+
 class NearDupIngestGate:
     """``foreachBatch`` target: accept only documents with no near-dup in
     the already-accepted corpus (exact-Jaccard >= threshold after LSH +
@@ -71,12 +158,12 @@ class NearDupIngestGate:
         # the Jaccard tier structurally misses (its length filter caps
         # the container at |A|/t). None = off. The corpus check reuses
         # the stored sigs rows' shingle arrays (no extra artifact);
-        # batch-internal policy: the CONTAINED doc is rejected (its
-        # content survives inside the container), mutual containment
-        # keeps the smaller id — a pairwise-one-way containment CYCLE
-        # (theoretically possible at thresholds < 1, requires near-equal
-        # non-mutual sets) would over-reject; the corpus tier is
-        # unaffected by that edge.
+        # batch-internal policy: a doc is rejected only when a container
+        # of it SURVIVES (content preserved inside the container);
+        # mutual/cyclic containment keeps the smallest id — resolved
+        # exactly over the batch-bounded pair list by
+        # _containment_policy_rejects, so one-way cycles and chains of
+        # containment can never lose every member.
         self.containment_threshold = containment_threshold
         # fold (rewrite-as-one-segment) every N batches so per-batch
         # files don't accumulate into a small-files problem. None = never
@@ -176,29 +263,24 @@ class NearDupIngestGate:
         )
         survivors = survivors.join(internal_dups, "id", "left_anti")
         if self.containment_threshold is not None:
-            # batch-internal containment: reject the CONTAINED doc (its
-            # content lives on inside the container); mutual containment
-            # (near-identical pair, both directions fire) keeps the
-            # smaller id — the same min-id convention as the Jaccard
-            # burst collapse.
+            # batch-internal containment: reject a doc ONLY when a
+            # container of it survives (content preserved by the
+            # container); cycles/mutual containment keep the min id. The
+            # pair list is micro-batch-bounded, so the policy resolves
+            # exactly on the driver (_containment_policy_rejects) instead
+            # of approximating it with joins — the join formulation
+            # over-rejected one-way cycles (every member lost) and
+            # chained containment (contained-in-a-rejected-doc lost).
             cpairs = _containment_join(
                 survivors, survivors,
                 self.containment_threshold, exclude_same_id=True,
             ).select("id_a", "id_b")
-            rev = cpairs.select(
-                F.col("id_b").alias("id_a"),
-                F.col("id_a").alias("id_b"),
-                F.lit(True).alias("__rev"),
-            )
-            contained_ids = (
-                cpairs.join(rev, ["id_a", "id_b"], "left")
-                .filter(
-                    F.col("__rev").isNull() | (F.col("id_a") > F.col("id_b"))
+            edges = [(r["id_a"], r["id_b"]) for r in cpairs.collect()]
+            rejects = _containment_policy_rejects(edges)
+            if rejects:
+                survivors = survivors.filter(
+                    ~F.col("id").isin(list(rejects))
                 )
-                .select(F.col("id_a").alias("id"))
-                .distinct()
-            )
-            survivors = survivors.join(contained_ids, "id", "left_anti")
 
         # persist the final survivor set: three appends below are three
         # actions — without this the whole LSH/verify lineage re-executes

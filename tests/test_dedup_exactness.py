@@ -46,14 +46,22 @@ def _brute_force(spark, docs_df, threshold: float):
     return exact_jaccard(all_pairs, sets).filter(F.col("jaccard") >= threshold)
 
 
-@pytest.mark.parametrize("seed", [7, 21, 1999])
-def test_prefix_filter_join_equals_brute_force(spark, seed):
+@pytest.mark.parametrize(
+    ("seed", "threshold"),
+    # 0.55 / 0.67 / 0.81 are IEEE boundary thresholds: sz*t rounds up past
+    # an exact integer at many set sizes, so an unslacked ceil in the
+    # prefix length silently drops a true boundary pair (ADVICE r10)
+    [(7, 0.7), (21, 0.7), (1999, 0.7), (7, 0.55), (21, 0.67), (1999, 0.81)],
+)
+def test_prefix_filter_join_equals_brute_force(spark, seed, threshold):
     from py_gtfs_duckdb_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = spark.createDataFrame(_corpus(seed), "doc_id string, text string")
-    threshold = 0.7
     got = sorted(
-        tuple(r) for r in ngram_jaccard_pairs(docs, "text", "doc_id").collect()
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=threshold
+        ).collect()
     )
     want = sorted(tuple(r) for r in _brute_force(spark, docs, threshold).collect())
     assert got == want
@@ -194,6 +202,13 @@ def _brute_force_containment(spark, docs_df, threshold: float):
     return (
         sa.crossJoin(sb)
         .filter(F.col("id_a") != F.col("id_b"))
+        # integer-overlap predicate — the same one _containment_join's
+        # prunes AND verify enforce, so the reference is exact, not
+        # rounded-ratio-approximate
+        .filter(
+            n_inter.cast("bigint")
+            >= F.ceil(F.col("sz_a") * threshold - F.lit(1e-9))
+        )
         .select(
             "id_a",
             "id_b",
@@ -201,12 +216,15 @@ def _brute_force_containment(spark, docs_df, threshold: float):
                 "containment"
             ),
         )
-        .filter(F.col("containment") >= threshold)
     )
 
 
-@pytest.mark.parametrize("seed", [5, 33, 2024])
-def test_containment_join_equals_brute_force(spark, seed):
+@pytest.mark.parametrize(
+    ("seed", "threshold"),
+    # boundary thresholds 0.55/0.67/0.81 exercise the slacked prefix ceil
+    [(5, 0.8), (33, 0.8), (2024, 0.8), (5, 0.55), (33, 0.67), (2024, 0.81)],
+)
+def test_containment_join_equals_brute_force(spark, seed, threshold):
     """The A-prefix/B-full-index candidate generation (and the size +
     positional prunes) must be LOSSLESS for containment — checked against
     an unpruned all-ordered-pairs join on corpora with planted quote
@@ -216,7 +234,6 @@ def test_containment_join_equals_brute_force(spark, seed):
     docs = spark.createDataFrame(
         _containment_corpus(seed), "doc_id string, text string"
     )
-    threshold = 0.8
     got = sorted(
         tuple(r)
         for r in containment_pairs(

@@ -337,3 +337,50 @@ def test_gate_containment_tier_redelivery_is_idempotent(spark, tmp_path):
     gate.process_batch(batch, 0)  # redelivery
     docs = [r["doc_id"] for r in lake.table("corpus_docs").collect()]
     assert sorted(docs) == [1, 2], "no duplicates, no self-rejection"
+
+
+def test_containment_policy_cycle_keeps_min_id():
+    """A one-way containment cycle (a⊂b, b⊂c, c⊂a — possible at
+    thresholds < 1) must keep exactly one member, not reject all three
+    (ADVICE r10: the old pairwise join formulation lost the content)."""
+    from py_gtfs_duckdb_spark.streaming.ingest import (
+        _containment_policy_rejects,
+    )
+
+    assert _containment_policy_rejects([(1, 2), (2, 3), (3, 1)]) == {2, 3}
+    # chain: only the doc with a SURVIVING container goes; the head of
+    # the chain is re-admitted because its sole container was rejected
+    assert _containment_policy_rejects([(1, 2), (2, 3)]) == {2}
+    # simple quote→host: contained goes
+    assert _containment_policy_rejects([(1, 2)]) == {1}
+    # mutual (near-identical): min id survives
+    assert _containment_policy_rejects([(1, 2), (2, 1)]) == {2}
+    # diamond with a direct edge: 1⊂2⊂3 and 1⊂3 — 3 survives, both
+    # others have a surviving container
+    assert _containment_policy_rejects([(1, 2), (2, 3), (1, 3)]) == {1, 2}
+    # two independent components resolve independently
+    assert _containment_policy_rejects(
+        [(1, 2), (10, 11), (11, 10)]
+    ) == {1, 11}
+    assert _containment_policy_rejects([]) == set()
+
+
+def test_gate_containment_chain_readmits_head(spark, tmp_path):
+    """a⊂b and b⊂c but a⊄c in ONE batch: c survives (sink), b goes
+    (container c survives), and a is RE-ADMITTED — its only container b
+    was rejected, so dropping a would lose its content (the 10% of a
+    that never made it into c)."""
+    p_blk = " ".join(f"p{i}" for i in range(50))
+    q_blk = " ".join(f"q{i}" for i in range(12))
+    q_head = " ".join(f"q{i}" for i in range(4))
+    r_blk = " ".join(f"r{i}" for i in range(100))
+    s_blk = " ".join(f"s{i}" for i in range(80))
+    doc_a = f"{p_blk} {q_blk}"
+    doc_b = f"{p_blk} {q_blk} {r_blk}"
+    doc_c = f"{p_blk} {q_head} {r_blk} {s_blk}"
+
+    lake = GtfsLake(spark, str(tmp_path / "lake"))
+    gate = NearDupIngestGate(lake, containment_threshold=0.9)
+    gate.process_batch(_docs(spark, [(1, doc_a), (2, doc_b), (3, doc_c)]), 0)
+    accepted = {r["doc_id"] for r in lake.table("corpus_docs").collect()}
+    assert accepted == {1, 3}, "chain head re-admitted, middle rejected"

@@ -454,3 +454,24 @@ def test_ann_recall_report_matches_python_and_is_monotone(spark, embeddings):
 
     self_rows = ann_recall(exact_df, exact_df, 5).collect()
     assert all(r["recall"] == 1.0 and r["n_hits"] == 5 for r in self_rows)
+
+
+def test_ann_recall_small_corpus_denominator(spark):
+    """A query whose ground truth holds FEWER than k rows (corpus smaller
+    than k+1 after self-exclusion) must be able to reach recall 1.0: the
+    denominator is the per-query exact row count, not the fixed k
+    (ADVICE r10)."""
+    from py_gtfs_duckdb_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+    )
+
+    rows = [(i, [float(i + 1), 1.0, 0.5]) for i in range(4)]  # corpus of 4
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 2)
+    exact = cosine_topk(emb, q, k=5)  # only 3 neighbors exist per query
+    got = {r["query_id"]: r for r in ann_recall(exact, exact, 5).collect()}
+    assert set(got) == {0, 1}
+    for r in got.values():
+        assert r["n_hits"] == 3
+        assert r["recall"] == 1.0, "perfect index must score 1.0, not 3/5"
