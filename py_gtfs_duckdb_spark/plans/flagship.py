@@ -48,10 +48,20 @@ def q_flagship_nominal_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar resolution (range+weekday scan OR exception-add) minus
     exception-removes via broadcast left-anti, then a semi-join into the
     trip/stop fact chain — no collect-and-isin plan barrier."""
-    orders = t(spark, sf_dir, "orders")
-    lineitem = t(spark, sf_dir, "lineitem")
-    customer = t(spark, sf_dir, "customer")
+    return flagship_plan(
+        t(spark, sf_dir, "orders"),
+        t(spark, sf_dir, "lineitem"),
+        t(spark, sf_dir, "customer"),
+    )
 
+
+def flagship_plan(
+    orders: DataFrame, lineitem: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """The flagship logical plan over caller-supplied frames — so the same
+    plan runs against the raw parquet (the battery) OR the bucketed lake
+    layout (tests/test_scale_helpers.py proves the fact⋈fact Exchange pair
+    disappears when both facts are bucketed on the order key)."""
     # (ids_a UNION ids_b) == one OR-filtered scan + distinct: same set, one
     # fewer pass over the fact table. EXCEPT == left_anti against the
     # (distinct) left side, with the small removed set broadcast — saves

@@ -297,7 +297,8 @@ def test_train_distributed_matches_sampled_on_corpus(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     sampled = bpe_train(docs, n_merges=30, sample_size=10**6)
     dist = bpe_train_distributed(docs, n_merges=30)
-    assert sampled == dist
+    assert sampled["merges"] == dist["merges"]
+    assert dist["rounds"] == [1] * len(dist["merges"])
 
 
 def test_train_distributed_min_pair_freq_stop(spark):
@@ -336,3 +337,137 @@ def test_train_distributed_feeds_encode_dispatch(spark):
     stats = bpe_encode_stats(docs, merges=[tuple(m) for m in model["merges"]])
     r = stats.first()
     assert r["n_words"] == 10 and r["n_bpe_tokens"] == row["n_bpe_tokens"]
+
+
+def test_train_distributed_batched_matches_sequential(spark, sf_dir):
+    """batch_merges > 1 must learn the SAME merge list as sequential
+    training: the non-interfering-prefix batch rule is exact w.r.t.
+    greedy BPE (see _select_merge_batch), so per round the batched
+    trainer's merges equal the next len(round) sequential merges as a
+    SET (ties inside one count level may reorder within a round)."""
+    from py_gtfs_duckdb_spark.operators.bpe import bpe_train_distributed
+    from py_gtfs_duckdb_spark.plans._tables import t
+
+    docs = t(spark, sf_dir, "documents")
+    seq = bpe_train_distributed(docs, n_merges=40, min_pair_freq=1)
+    for k in (4, 16):
+        bat = bpe_train_distributed(
+            docs, n_merges=40, min_pair_freq=1, batch_merges=k
+        )
+        assert len(bat["merges"]) == len(seq["merges"])
+        assert sum(bat["rounds"]) == len(bat["merges"])
+        assert len(bat["rounds"]) < len(seq["rounds"]), (
+            "batching must commit >1 merge in at least one round"
+        )
+        pos = 0
+        for n in bat["rounds"]:
+            want = {tuple(m) for m in seq["merges"][pos : pos + n]}
+            got = {tuple(m) for m in bat["merges"][pos : pos + n]}
+            assert got == want, f"round at offset {pos} diverged (k={k})"
+            pos += n
+
+
+def test_select_merge_batch_prefix_stop():
+    """The batch rule keeps a maximal non-interfering PREFIX: it stops at
+    the first interfering pair instead of skipping past it (skipping
+    would let a partially-reduced high-count pair outrank a kept one),
+    and the merged symbol's string participates in the check."""
+    from py_gtfs_duckdb_spark.operators.bpe import _select_merge_batch
+
+    rows = [
+        {"l": "a", "r": "b", "cnt": 9},
+        {"l": "c", "r": "d", "cnt": 8},
+        {"l": "c", "r": "e", "cnt": 7},  # shares c -> stop here
+        {"l": "x", "r": "y", "cnt": 6},  # NOT picked despite no overlap
+    ]
+    kept = _select_merge_batch(rows, 8, all_visible=True)
+    assert [(r["l"], r["r"]) for r in kept] == [("a", "b"), ("c", "d")]
+    # merged-symbol collision: "ab" as a pair member interferes with the
+    # (a, b) merge even though neither 'a' nor 'b' appears literally
+    rows = [
+        {"l": "a", "r": "b", "cnt": 9},
+        {"l": "ab", "r": "z", "cnt": 8},
+    ]
+    assert len(_select_merge_batch(rows, 8, all_visible=True)) == 1
+    assert _select_merge_batch([], 8, all_visible=True) == []
+
+
+def test_select_merge_batch_boundary_tie_guard():
+    """The chaining-tie corner (the observed (c,o)->(co,lu) jump): a
+    visible non-kept row at the batch's lowest count level that shares a
+    symbol with a kept pair truncates the batch to the strictly-above
+    levels — and an INVISIBLE boundary level (collection cut off mid-
+    level) is treated as unsafe too."""
+    from py_gtfs_duckdb_spark.operators.bpe import _select_merge_batch
+
+    rows = [
+        {"l": "s", "r": "t", "cnt": 9},
+        {"l": "c", "r": "o", "cnt": 5},
+        {"l": "lu", "r": "m", "cnt": 5},
+        {"l": "o", "r": "lu", "cnt": 5},  # interferes with (c,o) at c=5
+    ]
+    kept = _select_merge_batch(rows, 3, all_visible=True)
+    assert [(r["l"], r["r"]) for r in kept] == [("s", "t")]
+    # same ranking but the interfering row sits at a LOWER level: safe
+    rows[3]["cnt"] = 4
+    kept = _select_merge_batch(rows, 3, all_visible=True)
+    assert [(r["l"], r["r"]) for r in kept] == [
+        ("s", "t"), ("c", "o"), ("lu", "m"),
+    ]
+    # boundary level not fully visible: conservative truncation
+    rows2 = [
+        {"l": "s", "r": "t", "cnt": 9},
+        {"l": "c", "r": "o", "cnt": 5},
+        {"l": "lu", "r": "m", "cnt": 5},
+    ]
+    kept = _select_merge_batch(rows2, 3, all_visible=False)
+    assert [(r["l"], r["r"]) for r in kept] == [("s", "t")]
+    # whole batch tied at one unsafe level: the single top pair survives
+    rows3 = [
+        {"l": "c", "r": "o", "cnt": 5},
+        {"l": "lu", "r": "m", "cnt": 5},
+        {"l": "o", "r": "lu", "cnt": 5},
+    ]
+    kept = _select_merge_batch(rows3, 3, all_visible=True)
+    assert [(r["l"], r["r"]) for r in kept] == [("c", "o")]
+
+
+def test_train_distributed_fast_strategy_same_compression(spark, sf_dir):
+    """strategy="fast" (skip-and-continue batching, the 32k-vocab scale
+    path) trades exact greedy adaptivity for ~k× fewer scheduler rounds.
+    The trade's measured shape: a small mid-training compression LAG at a
+    truncated merge budget (merges 2..k of a round are picked from a
+    stale snapshot — ≈5% more tokens at 150/~800 merges on the stress
+    corpus) that vanishes near the fixpoint (0.00% at sf0.1 / 1000
+    merges, re-measured per round by bench.py's bpe_train_1k_fast line).
+    This test pins the cheap half: materially fewer rounds, and the
+    mid-training lag bounded at 6%."""
+    from pyspark.sql import functions as F
+
+    from py_gtfs_duckdb_spark.operators.bpe import (
+        bpe_train_distributed,
+        wide_vocab_corpus,
+    )
+    from py_gtfs_duckdb_spark.plans._tables import t
+
+    wide = wide_vocab_corpus(t(spark, sf_dir, "documents")).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    wide = wide.localCheckpoint(eager=True)
+    seq = bpe_train_distributed(wide, n_merges=150, min_pair_freq=1)
+    fast = bpe_train_distributed(
+        wide, n_merges=150, min_pair_freq=1, batch_merges=32, strategy="fast"
+    )
+    assert len(fast["rounds"]) < len(seq["rounds"]) / 2, (
+        len(fast["rounds"]), len(seq["rounds"]),
+    )
+
+    def total_tokens(model):
+        return (
+            bpe_tokenize(wide, model, id_col="doc_id")
+            .agg(F.sum("n_bpe_tokens"))
+            .collect()[0][0]
+        )
+
+    tt_seq, tt_fast = total_tokens(seq), total_tokens(fast)
+    assert abs(tt_fast - tt_seq) <= 0.06 * tt_seq, (tt_seq, tt_fast)

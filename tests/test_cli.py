@@ -347,3 +347,15 @@ def test_cli_drift_end_to_end(spark, tmp_path, capsys):
     assert out["high"]["ks"] > 0.9, out
     assert out["high"]["n"] == 20
     assert out["low"]["ks"] < out["high"]["ks"]
+
+
+def test_cli_version(capsys):
+    """``version`` (reference __main__.py:24-26): prints the package
+    version plus the Spark build, needs no lake and no session."""
+    import pyspark
+
+    from py_gtfs_duckdb_spark import __version__
+
+    assert main(["version"]) == 0
+    out = capsys.readouterr().out
+    assert __version__ in out and pyspark.__version__ in out

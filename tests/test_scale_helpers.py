@@ -452,3 +452,134 @@ def test_keep_top_k_2m_cluster_shuffles_o_clusters(spark, giga_cluster):
     assert [r["doc_id"] for r in mega] == want
     assert [r["rank"] for r in mega] == [1, 2, 3]
     assert all(r["n_members"] == n_mega for r in mega)
+
+
+def test_flagship_join_family_bucketed_drops_exchange(spark, tmp_path, no_broadcast):
+    """VERDICT r10 Next #4: the flagship fact⋈fact join (orders⋈lineitem
+    on the order key — the trips⋈stop_times shape) must lose BOTH its
+    Exchanges on the bucketed layout, and the full flagship plan must
+    drop from its unbucketed shuffle count to that count minus the fact
+    pair. SCALING.md §2's hash-layout argument, proven on the plan."""
+    from py_gtfs_duckdb_spark.lake import GtfsLake
+    from py_gtfs_duckdb_spark.plans._tables import t
+    from py_gtfs_duckdb_spark.plans.flagship import flagship_plan
+
+    sf = "/root/testdata/sf0.001"
+    lake = GtfsLake(spark, str(tmp_path / "lake"))
+    orders = t(spark, sf, "orders")
+    lineitem = t(spark, sf, "lineitem")
+    customer = t(spark, sf, "customer")
+    lake.write_bucketed("orders", orders, keys=["o_orderkey"], num_buckets=8)
+    lake.write_bucketed(
+        "lineitem", lineitem, keys=["l_orderkey"], num_buckets=8
+    )
+    b_orders = lake.bucketed_table("orders")
+    b_lineitem = lake.bucketed_table("lineitem")
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("+- Exchange") + plan.count(":- Exchange")
+
+    # bare fact join (q_join_inner shape): 2 Exchanges -> 0
+    def fact_join(o, li):
+        first = li.filter(F.col("l_linenumber") == 1)
+        return o.join(first, first.l_orderkey == o.o_orderkey).select(
+            "o_orderkey", "l_quantity"
+        )
+
+    plain = fact_join(orders, lineitem)
+    bucketed = fact_join(b_orders, b_lineitem)
+    assert n_exchanges(plain) == 2, "expected a two-sided shuffle join"
+    assert n_exchanges(bucketed) == 0, "bucketed join must be shuffle-free"
+    assert plain.count() == bucketed.count() > 0
+
+    # full flagship plan: the fact-pair Exchanges disappear; the id-set
+    # resolution (distinct) keeps its small-side shuffles
+    full_plain = flagship_plan(orders, lineitem, customer)
+    full_bucketed = flagship_plan(b_orders, b_lineitem, customer)
+    saved = n_exchanges(full_plain) - n_exchanges(full_bucketed)
+    assert saved >= 2, (
+        f"flagship on bucketed facts saved {saved} Exchanges "
+        f"({n_exchanges(full_plain)} -> {n_exchanges(full_bucketed)})"
+    )
+    assert (
+        sorted(map(tuple, full_plain.collect()))
+        == sorted(map(tuple, full_bucketed.collect()))
+    )
+
+
+# -- synthetic sf1 probe (VERDICT r10 Next #8) -------------------------------
+
+
+@pytest.fixture(scope="module")
+def sf1_documents_dir(spark, tmp_path_factory):
+    """sf0.1's documents replicated 10x with re-keyed ids — a synthetic
+    sf1. Each replica interleaves a replica token every 4th word so
+    cross-replica texts stop being near-dups (every 3-shingle window
+    within two words of an insertion changes): the corpus grows 10x with
+    the SAME within-replica duplicate structure, like a real 10x crawl,
+    instead of planting 45 exact copies of every document."""
+    from py_gtfs_duckdb_spark.plans._tables import t
+
+    base = t(spark, "/root/testdata/sf0.1", "documents")
+    shift = base.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = []
+    for k in range(10):
+        words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+        salted = F.array_join(
+            F.transform(
+                words,
+                lambda w, i: F.when(
+                    i % 4 == 0, F.concat(F.lit(f"rep{k}x "), w)
+                ).otherwise(w),
+            ),
+            " ",
+        )
+        reps.append(
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(k * shift))
+            .withColumn("text", salted)
+        )
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    d = tmp_path_factory.mktemp("sf1")
+    out.coalesce(8).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "qname", ["q_dedup_minhash_lsh", "q_golden_records", "q_curate_rules"]
+)
+def test_sf1_probe_scales_linearly(spark, sf1_documents_dir, qname):
+    """The three heaviest extension plans at synthetic sf1: runtime and
+    shuffle volume must scale ~linearly with the 10x input (pairs-
+    quadratic behavior would show ~100x shuffle rows). Ratios get 2-2.5x
+    slack for fixed per-job overhead and sandbox noise; the point is
+    distinguishing 10x from 100x, not benchmarking."""
+    import time as _time
+
+    from py_gtfs_duckdb_spark.plans import QUERIES
+
+    def run(sf_dir):
+        df = QUERIES[qname](spark, sf_dir)
+        t0 = _time.perf_counter()
+        rows = _execution_shuffle_rows(spark, df)
+        dt = _time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return dt, sum(rows)
+
+    run("/root/testdata/sf0.1")  # warm codegen/page cache (uncounted)
+    t_small, sh_small = run("/root/testdata/sf0.1")
+    t_big, sh_big = run(sf1_documents_dir)
+    assert sh_small > 0, "probe must observe shuffles at sf0.1"
+    assert sh_big <= 20 * sh_small, (
+        f"{qname}: shuffle rows {sh_small} -> {sh_big} "
+        f"({sh_big / sh_small:.1f}x for 10x input — superlinear)"
+    )
+    assert t_big <= 25 * max(t_small, 0.2), (
+        f"{qname}: runtime {t_small:.2f}s -> {t_big:.2f}s "
+        f"({t_big / max(t_small, 1e-9):.1f}x for 10x input)"
+    )
