@@ -173,6 +173,54 @@ def main() -> None:
         spark.catalog.clearCache()  # operators may persist() internally
         return elapsed, n
 
+    # Extras get N_EXTRA_SAMPLES measured runs each; any extra whose
+    # median lands above HEAVY_THRESHOLD_S is promoted to the full
+    # N_SAMPLES regime on the spot (VERDICT r6 Next #5: a 2x blip on a
+    # single-sample entry like the r6 q_join_asof_tol one is
+    # undiagnosable), and per-sample arrays + IQR are persisted for every
+    # extra so next round can separate noise from regression.
+    extra: dict[str, float] = {}
+    extra_samples: dict[str, list[float]] = {}
+    extra_iqr: dict[str, float] = {}
+
+    def run_extras() -> None:
+        for name in EXTRA if N_EXTRA_SAMPLES > 0 else []:
+            runs = []
+            for i in range(N_EXTRA_SAMPLES + 1):
+                elapsed, n = run_once(name)
+                if i > 0:  # first run is warmup (codegen / codebook training)
+                    runs.append(elapsed)
+            # decide promotion ONCE on the initial sample — re-checking
+            # each iteration would let a near-threshold entry stop early
+            # with a small mixed sample, the exact undiagnosable-blip
+            # problem the promotion exists to fix
+            if statistics.median(runs) > HEAVY_THRESHOLD_S:
+                while len(runs) < N_SAMPLES:
+                    elapsed, n = run_once(name)
+                    runs.append(elapsed)
+            extra[name] = round(statistics.median(runs), 3)
+            extra_samples[name] = [round(r, 4) for r in runs]
+            if len(runs) >= 2:
+                quartiles = statistics.quantiles(runs, n=4)
+                extra_iqr[name] = round(quartiles[2] - quartiles[0], 3)
+            else:
+                extra_iqr[name] = 0.0
+            print(
+                f"# extra {name}: {extra[name]:.3f}s median, IQR "
+                f"{extra_iqr[name]:.3f}s over {[round(r, 3) for r in runs]} "
+                f"({n} rows)",
+                file=sys.stderr,
+            )
+
+    # Ordering experiment knob (VERDICT r10 Next #1): the default keeps
+    # the headline battery FIRST in the process (extras can't pollute the
+    # JVM/page cache before it); EXTRAS_FIRST=1 deliberately reverses the
+    # order so the contamination hypothesis is testable — SCALING.md §16
+    # records both orderings measured back-to-back at sf0.1.
+    extras_first = os.environ.get("SPARK_GRAFT_BENCH_EXTRAS_FIRST") == "1"
+    if extras_first:
+        run_extras()
+
     # Warmup passes: per-query-shape codegen/compile happens once on a
     # long-lived cluster, and the JVM's C2 JIT needs a few thousand
     # invocations to reach steady state — one pass is not enough (measured:
@@ -240,42 +288,8 @@ def main() -> None:
     )
     print(f"# curate rules-on delta: {rules_delta:.3f}s", file=sys.stderr)
 
-    # Extras get N_EXTRA_SAMPLES measured runs each; any extra whose
-    # median lands above HEAVY_THRESHOLD_S is promoted to the full
-    # N_SAMPLES regime on the spot (VERDICT r6 Next #5: a 2x blip on a
-    # single-sample entry like the r6 q_join_asof_tol one is
-    # undiagnosable), and per-sample arrays + IQR are persisted for every
-    # extra so next round can separate noise from regression.
-    extra: dict[str, float] = {}
-    extra_samples: dict[str, list[float]] = {}
-    extra_iqr: dict[str, float] = {}
-    for name in EXTRA if N_EXTRA_SAMPLES > 0 else []:
-        runs = []
-        for i in range(N_EXTRA_SAMPLES + 1):
-            elapsed, n = run_once(name)
-            if i > 0:  # first run is warmup (codegen / codebook training)
-                runs.append(elapsed)
-        # decide promotion ONCE on the initial sample — re-checking each
-        # iteration would let a near-threshold entry stop early with a
-        # small mixed sample, the exact undiagnosable-blip problem the
-        # promotion exists to fix
-        if statistics.median(runs) > HEAVY_THRESHOLD_S:
-            while len(runs) < N_SAMPLES:
-                elapsed, n = run_once(name)
-                runs.append(elapsed)
-        extra[name] = round(statistics.median(runs), 3)
-        extra_samples[name] = [round(r, 4) for r in runs]
-        if len(runs) >= 2:
-            quartiles = statistics.quantiles(runs, n=4)
-            extra_iqr[name] = round(quartiles[2] - quartiles[0], 3)
-        else:
-            extra_iqr[name] = 0.0
-        print(
-            f"# extra {name}: {extra[name]:.3f}s median, IQR "
-            f"{extra_iqr[name]:.3f}s over {[round(r, 3) for r in runs]} "
-            f"({n} rows)",
-            file=sys.stderr,
-        )
+    if not extras_first:
+        run_extras()
 
     # Non-battery operator benchmarks: training jobs whose output is a
     # model dict, not a DataFrame (no oracle — the battery can't carry

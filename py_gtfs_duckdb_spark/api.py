@@ -115,6 +115,7 @@ from py_gtfs_duckdb_spark.operators.bpe import (  # noqa: F401
     bpe_train,
     bpe_train_distributed,
     bpe_vocab_spectrum,
+    wide_vocab_corpus,
 )
 
 # temporal joins and sessionization (the *_chunked forms trade one

@@ -384,3 +384,70 @@ def test_gate_containment_chain_readmits_head(spark, tmp_path):
     gate.process_batch(_docs(spark, [(1, doc_a), (2, doc_b), (3, doc_c)]), 0)
     accepted = {r["doc_id"] for r in lake.table("corpus_docs").collect()}
     assert accepted == {1, 3}, "chain head re-admitted, middle rejected"
+
+
+def test_containment_policy_properties():
+    """Property check over random digraphs (no Spark): the resolved
+    policy must never lose a weakly-connected component entirely (the
+    r10 cycle bug), must reject a doc only when it has a surviving
+    container or loses a kept-SCC min-id tie, and must keep every doc
+    with no container at all."""
+    import random
+
+    from py_gtfs_duckdb_spark.streaming.ingest import (
+        _containment_policy_rejects,
+    )
+
+    for seed in range(200):
+        rng = random.Random(seed)
+        n = rng.randint(2, 12)
+        nodes = list(range(n))
+        edges = []
+        for _ in range(rng.randint(1, n * 2)):
+            a, b = rng.sample(nodes, 2)
+            edges.append((a, b))
+        edges = sorted(set(edges))
+        rejects = _containment_policy_rejects(edges)
+        touched = {x for e in edges for x in e}
+        kept = touched - rejects
+        assert rejects <= touched, "policy must only judge docs in pairs"
+
+        # per weakly-connected component: at least one survivor
+        parent = {x: x for x in touched}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comps = {}
+        for x in touched:
+            comps.setdefault(find(x), set()).add(x)
+        for comp in comps.values():
+            assert comp & kept, f"component fully rejected: {comp} (seed {seed})"
+
+        containers = {}
+        for a, b in edges:
+            containers.setdefault(a, set()).add(b)
+        # a doc with no container is always kept
+        for x in touched:
+            if x not in containers:
+                assert x in kept, (seed, x)
+        # every rejected doc either has a kept container, or sits in a
+        # cycle with a kept (smaller-id) member reachable through
+        # rejected containers — i.e. content is preserved transitively
+        for x in rejects:
+            frontier, seen, ok = list(containers.get(x, ())), set(), False
+            while frontier:
+                c = frontier.pop()
+                if c in seen:
+                    continue
+                seen.add(c)
+                if c in kept:
+                    ok = True
+                    break
+                frontier.extend(containers.get(c, ()))
+            assert ok, f"rejected {x} has no kept transitive container (seed {seed})"
