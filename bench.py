@@ -116,6 +116,8 @@ EXTRA = [
     "q_dist_drift",
     "q_dedup_containment",
     "q_dedup_containment_inc",
+    # round-11 addition: embedding-tier benchmark decontamination
+    "q_decontaminate_semantic",
     "q_ann_recall_curve",
     "q_mix_temperature",
     "q_profile_table",

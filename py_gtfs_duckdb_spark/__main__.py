@@ -4,7 +4,8 @@ export / sql / show / realtime, plus ``csvload`` (the generic ``csvddb`` loader 
 csvddb.py:71-91) and ``vacuum``. The positional ``database`` argument is a
 lake root directory instead of a ``.ddb`` file. Corpus verbs beyond the
 reference (parquet-in/parquet-out, no lake argument): curate / search /
-despan / mix (explicit weights or ``--alpha`` temperature) / score /
+despan / dedup (single-tier: exact / minhash / ngram / containment) /
+mix (explicit weights or ``--alpha`` temperature) / score /
 sample / audit / profile / drift — see MIGRATION.md's CLI table.
 
 Usage: ``python -m py_gtfs_duckdb_spark <command> <lake_root> [options]``
@@ -245,6 +246,70 @@ def cmd_curate(args) -> None:
     with open(os.path.join(args.output, "report.json"), "w") as fh:
         json.dump(report, fh, indent=2, sort_keys=True)
     print(json.dumps(report, sort_keys=True))
+
+
+def cmd_dedup(args) -> None:
+    """Standalone dedup verb over a documents parquet (extension surface):
+    pick a tier (exact digest / MinHash-LSH / exact n-gram Jaccard /
+    asymmetric containment), write the SURVIVORS (min id per duplicate
+    relation, containers win the containment tier) and optionally the
+    pair evidence; prints a JSON summary. The curate verb composes the
+    exact+minhash tiers into the full pipeline; this verb is the
+    single-tier tool an auditor reaches for."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from py_gtfs_duckdb_spark.operators import dedup as D
+    from py_gtfs_duckdb_spark.session import get_spark
+
+    spark = get_spark("gtfs-cli")
+    docs = spark.read.parquet(args.input)
+    method, thr = args.method, args.threshold
+    if method == "exact":
+        # hash-groupBy keeper (min id per content digest): shuffles
+        # 16-byte digests, never bodies (the q_dedup_exact shape)
+        keep = (
+            docs.select(F.md5("text").alias("__h"), "doc_id")
+            .groupBy("__h")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        survivors = docs.join(keep, "doc_id", "left_semi")
+    else:
+        if method == "minhash":
+            pairs = D.minhash_lsh_dedup(docs, "text", "doc_id", threshold=thr)
+        elif method == "ngram":
+            pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=thr)
+        elif method == "containment":
+            pairs = D.containment_pairs(docs, "text", "doc_id", threshold=thr)
+        else:
+            raise SystemExit(f"unknown dedup method: {method}")
+        if method == "containment":
+            # contained doc goes, container survives (directional pairs)
+            drop = pairs.select(F.col("id_a").alias("doc_id")).distinct()
+        else:
+            # symmetric near-dup: min id per pair survives
+            drop = pairs.select(
+                F.greatest("id_a", "id_b").alias("doc_id")
+            ).distinct()
+        survivors = docs.join(drop, "doc_id", "left_anti")
+        if args.pairs_out:
+            pairs.write.mode("overwrite").parquet(args.pairs_out)
+    survivors.write.mode("overwrite").parquet(args.output)
+    n_in, n_out = docs.count(), survivors.count()
+    print(
+        json.dumps(
+            {
+                "method": method,
+                "threshold": None if method == "exact" else thr,
+                "docs_in": n_in,
+                "docs_out": n_out,
+                "dropped": n_in - n_out,
+            },
+            sort_keys=True,
+        )
+    )
 
 
 def cmd_search(args) -> None:
@@ -583,6 +648,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--min-df", type=int, default=3)
     sp.set_defaults(fn=cmd_despan)
+
+    sp = sub.add_parser(
+        "dedup", help="single-tier dedup over a documents parquet"
+    )
+    sp.add_argument("--input", "-i", required=True, help="documents parquet path")
+    sp.add_argument("--output", "-o", required=True, help="survivors parquet path")
+    sp.add_argument(
+        "--method", "-m", default="minhash",
+        choices=["exact", "minhash", "ngram", "containment"],
+    )
+    sp.add_argument("--threshold", "-t", type=float, default=0.7)
+    sp.add_argument(
+        "--pairs-out", default=None,
+        help="also write the duplicate-pair evidence parquet",
+    )
+    sp.set_defaults(fn=cmd_dedup)
 
     sp = sub.add_parser(
         "score", help="unigram-LM NLL quality scoring over a documents parquet"

@@ -59,6 +59,7 @@ from py_gtfs_duckdb_spark.operators.similarity import (  # noqa: F401
     pq_topk_rerank,
     pq_train,
     random_projection,
+    semantic_decontaminate,
 )
 
 # ... and the quantized verification tier (integer-exact, SQL-replayable

@@ -692,6 +692,10 @@ def bpe_train_distributed(
     Returns ``{"merges": [[l, r], ...], "rounds": [n1, n2, ...]}`` —
     ``rounds`` records how many merges each round committed (all 1s when
     sequential), so differential tests can compare per-round SETS."""
+    if strategy not in ("exact", "fast"):
+        raise ValueError(
+            f"strategy must be 'exact' or 'fast', got {strategy!r}"
+        )
     state = (
         docs.select(
             F.explode(

@@ -452,6 +452,74 @@ def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocked: bool = False,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: corpus rows whose vector
+    is ≥ ``threshold`` cosine to ANY benchmark vector — the semantic
+    sibling of the n-gram tier (operators/text.py decontaminate /
+    q_decontaminate), catching paraphrased or re-templated eval items
+    that share no 8-gram with the benchmark. Returns one row per
+    contaminated corpus doc: (vec_id, bench_id, cosine) with its
+    highest-cosine benchmark match (ties to the smaller bench_id) —
+    the evidence row an auditor reads before dropping the doc.
+
+    Plan shape (exact mode): the benchmark side is benchmark-sized by
+    definition (eval suites are thousands of rows, not billions) →
+    broadcast; the corpus is scanned ONCE, never shuffled; scoring is the
+    shared vectorized kernel (:func:`batch_cosine_scores`, narrow); only
+    rows that clear the threshold — contamination is rare by construction
+    — reach the per-doc max aggregation, which is combinable (min of
+    (-cosine, bench_id) structs). At 100 TB the cost is one corpus pass
+    of m·n dot products per executor, embarrassingly parallel.
+
+    ``blocked=True`` is the scale path when the benchmark itself is too
+    big to cross every corpus row (multi-million-item benchmark unions):
+    both sides assign to the same seeded IVF cells (:func:`ivf_centroids`
+    / :func:`_assign_cells`, corpus 1 cell, benchmark ``nprobe`` cells)
+    and only same-cell pairs score — the q_ann_ivf contract: approximate
+    (a cross-cell pair is missed), recall-tested on planted duplicates
+    rather than oracle-replayed."""
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"), F.col(vec_col).alias("b_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    if blocked:
+        cent = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+        cells = _assign_cells(corpus, cent, id_col, vec_col, "vec_id", "c_vec", 1)
+        probes = _assign_cells(
+            benchmark, cent, id_col, vec_col, "bench_id", "b_vec", nprobe
+        )
+        pairs = cells.join(F.broadcast(probes), "cell").select(
+            "vec_id", "c_vec", "bench_id", "b_vec"
+        )
+    else:
+        pairs = c.join(F.broadcast(b))
+    scored = batch_cosine_scores(pairs, "b_vec", "c_vec", ["vec_id", "bench_id"])
+    hits = scored.filter(F.col("cosine") >= threshold)
+    best = F.min(
+        F.struct(
+            (-F.col("cosine")).alias("neg_cos"), F.col("bench_id").alias("b")
+        )
+    ).alias("best")
+    return (
+        hits.groupBy("vec_id")
+        .agg(best)
+        .select(
+            "vec_id",
+            F.col("best.b").alias("bench_id"),
+            (-F.col("best.neg_cos")).alias("cosine"),
+        )
+    )
+
+
 # -- approximate path --------------------------------------------------------
 
 N_PLANES = 12  # 4096 buckets

@@ -91,11 +91,15 @@ from py_gtfs_duckdb_spark.plans import flagship  # noqa: E402,F401
 # boundary thresholds are pytest-fuzzed in test_dedup_exactness.
 _PRIORITY = [
     "q_profile_dates",
+    "q_decontaminate_semantic",  # NEW in round 11 (embedding-tier decon)
     "q_dedup_containment",
     "q_dedup_containment_inc",
     "q_ann_recall_curve",
     "q_ann_recall_lsh",
-    "q_ann_recall_pq",
+    # q_ann_recall_pq cedes its window slot to q_decontaminate_semantic:
+    # its r11 change is the shared ann_recall denominator + oracle form,
+    # already window-covered twice via recall_curve/recall_lsh and
+    # sf0.01-parity-tested locally; it sits first past the boundary.
     # --- the 44 r8-evidence queries (oldest cohort) ---
     "q_doc_scorecard",
     "q_quantile_tokens",
@@ -142,6 +146,7 @@ _PRIORITY = [
     "q_join_chain_left",
     "q_match_trip_candidates",
     # --- window boundary: 50 entries above this line ---
+    "q_ann_recall_pq",
     # round-10 greens (freshest evidence after this round: r10)
     "q_flagship_nominal_trips",
     "q_histogram_quantiles",

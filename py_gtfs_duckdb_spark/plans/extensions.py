@@ -945,6 +945,51 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_decontaminate_semantic",
+    # brute-force replay: corpus x benchmark rounded cosines, threshold,
+    # then the per-doc argmax with the (cosine DESC, bench_id ASC)
+    # tie-break the Spark aggregation encodes as min((-cos, bench_id))
+    oracle=f"""
+    WITH {AO._VECS_CTE},
+    bench AS (
+        SELECT vec_id AS bench_id, v, nrm FROM vecs WHERE vec_id % 50 = 0
+    ),
+    corp AS (
+        SELECT vec_id, v, nrm FROM vecs WHERE vec_id % 50 <> 0
+    ),
+    hits AS (
+        SELECT c.vec_id, b.bench_id,
+               floor((list_dot_product(c.v, b.v) / (c.nrm * b.nrm))
+                     * 10000.0 + 0.5) / 10000.0 AS cosine
+        FROM corp c CROSS JOIN bench b
+    )
+    SELECT vec_id, bench_id, cosine FROM (
+        SELECT vec_id, bench_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY cosine DESC, bench_id ASC
+               ) AS rn
+        FROM hits WHERE cosine >= 0.35
+    ) WHERE rn = 1
+    """,
+)
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination
+    (operators/similarity.py:semantic_decontaminate): corpus vectors
+    within 0.35 cosine of any held-out 'benchmark' vector (vec_id % 50),
+    each with its best-matching benchmark id as audit evidence — the
+    semantic tier the n-gram q_decontaminate misses (paraphrased or
+    re-templated eval items share no 8-gram). Benchmark broadcast,
+    corpus scanned once, only above-threshold rows reach the combinable
+    per-doc argmax."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.semantic_decontaminate(
+        e.filter(F.col("vec_id") % 50 != 0),
+        e.filter(F.col("vec_id") % 50 == 0),
+        threshold=0.35,
+    )
+
+
+@query(
     "q_pack_sequences",
     oracle=r"""
     WITH tk AS (

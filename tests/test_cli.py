@@ -359,3 +359,51 @@ def test_cli_version(capsys):
     assert main(["version"]) == 0
     out = capsys.readouterr().out
     assert __version__ in out and pyspark.__version__ in out
+
+
+def test_cli_dedup_verb(spark, tmp_path, capsys):
+    """Single-tier dedup verb: minhash near-dups collapse (min id kept),
+    containment drops the quoted subset, exact drops byte-copies; pair
+    evidence lands when asked for."""
+    import json
+
+    base = " ".join(f"w{i}" for i in range(40))
+    host = "pre0 pre1 pre2 " + base + " post0 post1 post2"
+    rows = [
+        (1, base),                 # near-dup group with 2 (min id kept)
+        (2, base + " tail"),
+        (3, "x " * 39 + "x"),      # byte-copy pair with 4
+        (4, "x " * 39 + "x"),
+        (5, "totally different words " * 10),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    out = str(tmp_path / "minhash_out")
+    pairs_out = str(tmp_path / "pairs")
+    assert main([
+        "dedup", "-i", src, "-o", out, "-m", "minhash", "-t", "0.7",
+        "--pairs-out", pairs_out,
+    ]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 1 in kept and 2 not in kept
+    assert summary["docs_in"] == 5 and summary["docs_out"] == len(kept)
+    assert spark.read.parquet(pairs_out).count() >= 1
+
+    out2 = str(tmp_path / "exact_out")
+    assert main(["dedup", "-i", src, "-o", out2, "-m", "exact"]) == 0
+    kept2 = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
+    assert 3 in kept2 and 4 not in kept2 and {1, 2, 5} <= kept2
+
+    src3 = str(tmp_path / "docs3.parquet")
+    spark.createDataFrame(
+        [(10, base), (11, host), (12, "unrelated stuff " * 12)],
+        "doc_id long, text string",
+    ).write.parquet(src3)
+    out3 = str(tmp_path / "cont_out")
+    assert main([
+        "dedup", "-i", src3, "-o", out3, "-m", "containment", "-t", "0.9",
+    ]) == 0
+    kept3 = {r["doc_id"] for r in spark.read.parquet(out3).collect()}
+    assert kept3 == {11, 12}, "quoted subset dropped, container kept"

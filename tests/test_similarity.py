@@ -514,3 +514,80 @@ def test_ann_recall_floors_per_family(spark):
         assert pq >= 0.30, f"PQ recall@10 collapsed: {pq}"
     finally:
         exact.unpersist()
+
+
+def test_semantic_decontaminate_exact_matches_reference(spark):
+    """Exact mode equals the sequential numpy reference: every corpus
+    vector within threshold of any benchmark vector is flagged exactly
+    once, with its max-cosine benchmark (ties to smaller bench_id), and
+    nothing else is flagged."""
+    import math
+    import random
+
+    from py_gtfs_duckdb_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    rng = random.Random(11)
+    dim = 8
+    bench = [(100 + i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(4)]
+    corpus = []
+    for i in range(40):
+        if i % 5 == 0:  # contaminated: near-copy of a benchmark vector
+            src = bench[i % len(bench)][1]
+            v = [x + rng.gauss(0, 0.01) for x in src]
+        else:
+            v = [rng.gauss(0, 1) for _ in range(dim)]
+        corpus.append((i, v))
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    bdf = spark.createDataFrame(bench, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["bench_id"], r["cosine"])
+        for r in semantic_decontaminate(cdf, bdf, threshold=0.9).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        n = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return math.floor(d / n * 10000.0 + 0.5) / 10000.0
+
+    want = {}
+    for cid, cv in corpus:
+        scored = sorted(
+            ((cos(cv, bv), bid) for bid, bv in bench),
+            key=lambda t: (-t[0], t[1]),
+        )
+        top_cos, top_id = scored[0]
+        if top_cos >= 0.9:
+            want[cid] = (top_id, top_cos)
+    assert set(got) == set(want) == {i for i in range(40) if i % 5 == 0}
+    for cid, (bid, c) in want.items():
+        assert got[cid][0] == bid
+        assert abs(got[cid][1] - c) < 1e-9
+
+
+def test_semantic_decontaminate_blocked_recalls_planted_dups(spark, embeddings):
+    """blocked=True (IVF-cell co-assignment) must still flag planted
+    exact duplicates: a benchmark built by COPYING corpus vectors lands
+    in the same cell as its source (identical vector, identical
+    assignment), so recall on exact contamination is 1.0 even though
+    cross-cell near-misses may drop — the documented IVF trade."""
+    from py_gtfs_duckdb_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    bench = (
+        embeddings.filter(F.col("vec_id") % 25 == 0)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    corpus = embeddings
+    flagged = {
+        r["vec_id"]
+        for r in semantic_decontaminate(
+            corpus, bench, threshold=0.999, blocked=True
+        ).collect()
+    }
+    planted = {
+        r["vec_id"] for r in embeddings.filter(F.col("vec_id") % 25 == 0).collect()
+    }
+    assert planted <= flagged, planted - flagged
