@@ -286,14 +286,29 @@ def cmd_dedup(args) -> None:
         else:
             raise SystemExit(f"unknown dedup method: {method}")
         if method == "containment":
-            # contained doc goes, container survives (directional pairs)
-            drop = pairs.select(F.col("id_a").alias("doc_id")).distinct()
+            # contained doc goes only when a CONTAINER SURVIVES; mutual/
+            # cyclic containment keeps the min id — the ingest gate's
+            # exact policy, resolved driver-side over the pair list
+            # (pair volume ≈ contamination rate × corpus, not corpus²;
+            # the evidence list an auditor reads anyway)
+            from py_gtfs_duckdb_spark.streaming.ingest import (
+                _containment_policy_rejects,
+            )
+
+            rejects = _containment_policy_rejects(
+                [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+            )
+            survivors = (
+                docs.filter(~F.col("doc_id").isin(list(rejects)))
+                if rejects
+                else docs
+            )
         else:
             # symmetric near-dup: min id per pair survives
             drop = pairs.select(
                 F.greatest("id_a", "id_b").alias("doc_id")
             ).distinct()
-        survivors = docs.join(drop, "doc_id", "left_anti")
+            survivors = docs.join(drop, "doc_id", "left_anti")
         if args.pairs_out:
             pairs.write.mode("overwrite").parquet(args.pairs_out)
     survivors.write.mode("overwrite").parquet(args.output)

@@ -397,8 +397,15 @@ def test_cli_dedup_verb(spark, tmp_path, capsys):
     assert 3 in kept2 and 4 not in kept2 and {1, 2, 5} <= kept2
 
     src3 = str(tmp_path / "docs3.parquet")
+    base2 = " ".join(f"z{i}" for i in range(40))
     spark.createDataFrame(
-        [(10, base), (11, host), (12, "unrelated stuff " * 12)],
+        [
+            (10, base),                      # quoted inside 11
+            (11, host),
+            (12, "unrelated stuff " * 12),
+            (13, base2 + " ya"),             # mutual-containment pair with
+            (14, base2 + " yb"),             # 13 at t=0.9: min id survives
+        ],
         "doc_id long, text string",
     ).write.parquet(src3)
     out3 = str(tmp_path / "cont_out")
@@ -406,4 +413,6 @@ def test_cli_dedup_verb(spark, tmp_path, capsys):
         "dedup", "-i", src3, "-o", out3, "-m", "containment", "-t", "0.9",
     ]) == 0
     kept3 = {r["doc_id"] for r in spark.read.parquet(out3).collect()}
-    assert kept3 == {11, 12}, "quoted subset dropped, container kept"
+    assert kept3 == {11, 12, 13}, (
+        "quoted subset dropped, container kept, mutual pair keeps min id"
+    )

@@ -372,3 +372,18 @@ def test_bpe_vocab_topk_no_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan[:800]
     assert sum(1 for l in plan.splitlines() if ") Sort" in l) == 0, plan[:800]
     assert "windowspecdefinition(" not in plan, plan[:800]
+
+
+def test_semantic_decontaminate_plan_shape(spark, sf_dir):
+    """q_decontaminate_semantic: the benchmark side must BROADCAST (no
+    corpus-side shuffle to meet it — benchmark-sized by definition), and
+    the only Exchange is the per-doc argmax aggregation over the
+    above-threshold rows (contamination-sized, not corpus-sized)."""
+    plan = _plan(spark, sf_dir, "q_decontaminate_semantic")
+    assert "BroadcastExchange" in plan, plan
+    shuffles = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l or "Exchange rangepartitioning" in l
+    ]
+    assert len(shuffles) <= 1, shuffles
+    assert "CartesianProduct" not in plan

@@ -62,6 +62,14 @@ AUDITED = [
         " shuffle.",
     ),
     (
+        "q_decontaminate_semantic",
+        "Embedding-tier decontamination: benchmark side BroadcastExchange"
+        " (benchmark-sized by definition), corpus scanned once and never"
+        " shuffled before scoring; the single hash Exchange carries only"
+        " the above-threshold (id, id, cosine) rows into the combinable"
+        " per-doc argmax.",
+    ),
+    (
         "q_ann_ivf",
         "IVF: centroid matrix ships in the task closure, so cell"
         " assignment is one narrow vectorized Arrow pass (no shuffle);"
