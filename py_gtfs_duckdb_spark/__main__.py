@@ -19,6 +19,27 @@ import sys
 import time
 
 
+def _read_corpus(spark, path: str):
+    """Corpus input dispatch for the parquet-in/parquet-out verbs: a
+    ``.jsonl`` / ``.ndjson`` / ``.json`` path (optionally ``.gz``) parses
+    through the explicit-schema JSONL source with malformed lines counted
+    to stderr and quarantined out (sources/jsonl.py); anything else reads
+    as parquet. Missing doc_ids get deterministic text-hash ids."""
+    base = path.rstrip("/").removesuffix(".gz")
+    if base.endswith((".jsonl", ".ndjson", ".json")):
+        from py_gtfs_duckdb_spark.sources.jsonl import read_documents_jsonl
+
+        clean, bad = read_documents_jsonl(spark, path, assign_ids=True)
+        n_bad = bad.count()
+        if n_bad:
+            print(
+                f"# quarantined {n_bad} malformed jsonl line(s)",
+                file=sys.stderr,
+            )
+        return clean
+    return spark.read.parquet(path)
+
+
 def _lake(args):
     from py_gtfs_duckdb_spark.lake import GtfsLake
     from py_gtfs_duckdb_spark.session import get_spark
@@ -233,7 +254,7 @@ def cmd_curate(args) -> None:
     from py_gtfs_duckdb_spark.session import get_spark
 
     spark = get_spark("gtfs-cli")
-    docs = spark.read.parquet(args.input)
+    docs = _read_corpus(spark, args.input)
     curated, report = curate_corpus(
         docs,
         near_dup_threshold=args.near_dup_threshold,
@@ -264,7 +285,7 @@ def cmd_dedup(args) -> None:
     from py_gtfs_duckdb_spark.session import get_spark
 
     spark = get_spark("gtfs-cli")
-    docs = spark.read.parquet(args.input)
+    docs = _read_corpus(spark, args.input)
     method, thr = args.method, args.threshold
     if method == "exact":
         # hash-groupBy keeper (min id per content digest): shuffles
@@ -336,7 +357,7 @@ def cmd_search(args) -> None:
     from py_gtfs_duckdb_spark.session import get_spark
 
     spark = get_spark("gtfs-cli")
-    docs = spark.read.parquet(args.input)
+    docs = _read_corpus(spark, args.input)
     hits = bm25_topk(docs, args.terms, k=args.k)
     for r in sorted(hits.collect(), key=lambda r: r["rank"]):
         print(json.dumps(
@@ -355,7 +376,7 @@ def cmd_despan(args) -> None:
     from py_gtfs_duckdb_spark.session import get_spark
 
     spark = get_spark("gtfs-cli")
-    docs = spark.read.parquet(args.input)
+    docs = _read_corpus(spark, args.input)
     unit_words = args.unit_words if args.unit_words > 0 else None
     out = dedup_spans(docs, unit_words=unit_words, min_df=args.min_df)
     out.write.mode("overwrite").parquet(args.output)
@@ -381,7 +402,7 @@ def cmd_score(args) -> None:
     from py_gtfs_duckdb_spark.session import get_spark
 
     spark = get_spark("gtfs-cli")
-    docs = spark.read.parquet(args.input)
+    docs = _read_corpus(spark, args.input)
     model = None
     if args.model:
         model = unigram_model(spark.read.parquet(args.model))
@@ -423,7 +444,7 @@ def cmd_mix(args) -> None:
         raise SystemExit("pass exactly one of --weights or --alpha")
 
     spark = get_spark("gtfs-cli")
-    docs = spark.read.parquet(args.input)
+    docs = _read_corpus(spark, args.input)
     if args.alpha is not None:
         weights = temperature_weights(docs, alpha=args.alpha)
     else:
@@ -461,7 +482,7 @@ def cmd_sample(args) -> None:
     from py_gtfs_duckdb_spark.session import get_spark
 
     spark = get_spark("gtfs-cli")
-    docs = spark.read.parquet(args.input)
+    docs = _read_corpus(spark, args.input)
     weighted = docs.withColumn(
         "__w", token_count(F.col("text")).cast("double")
     )
@@ -497,7 +518,7 @@ def cmd_audit(args) -> None:
     from py_gtfs_duckdb_spark.session import get_spark
 
     spark = get_spark("gtfs-cli")
-    docs = spark.read.parquet(args.input)
+    docs = _read_corpus(spark, args.input)
     card = audit_scorecard(docs, ngram=args.ngram)
     card.write.mode("overwrite").parquet(args.output)
     leak = {
@@ -533,7 +554,7 @@ def cmd_profile(args) -> None:
     from py_gtfs_duckdb_spark.session import get_spark
 
     spark = get_spark("gtfs-cli")
-    df = spark.read.parquet(args.input)
+    df = _read_corpus(spark, args.input)
     cols = args.columns if args.columns else None
     out = {}
     for r in profile_table(df, cols=cols).collect():
@@ -557,7 +578,7 @@ def cmd_drift(args) -> None:
     from py_gtfs_duckdb_spark.session import get_spark
 
     spark = get_spark("gtfs-cli")
-    docs = spark.read.parquet(args.input)
+    docs = _read_corpus(spark, args.input)
     tk = docs.select(
         F.col(args.by),
         token_count(F.col("text")).alias("__v"),

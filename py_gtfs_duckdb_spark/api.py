@@ -43,6 +43,10 @@ from py_gtfs_duckdb_spark.operators.dedup import (  # noqa: F401
     simhash_signatures,
 )
 from py_gtfs_duckdb_spark.operators.graph import connected_components  # noqa: F401
+from py_gtfs_duckdb_spark.sources.jsonl import (  # noqa: F401
+    read_documents_jsonl,
+    write_documents_jsonl,
+)
 
 # similarity / ANN — float production tier ...
 from py_gtfs_duckdb_spark.operators.similarity import (  # noqa: F401

@@ -12,6 +12,10 @@ from py_gtfs_duckdb_spark.sources.gtfs import (
     load_static_zip,
     project_to_schema,
 )
+from py_gtfs_duckdb_spark.sources.jsonl import (
+    read_documents_jsonl,
+    write_documents_jsonl,
+)
 from py_gtfs_duckdb_spark.sources.mapping import load_mapping_csv, map_id_column
 
 __all__ = [
@@ -23,4 +27,6 @@ __all__ = [
     "project_to_schema",
     "load_mapping_csv",
     "map_id_column",
+    "read_documents_jsonl",
+    "write_documents_jsonl",
 ]
