@@ -66,16 +66,18 @@ from py_gtfs_duckdb_spark.plans import flagship  # noqa: E402,F401
 # 50-slot window carries the queries whose driver evidence matters most.
 #
 # Rotation ledger (latest driver evidence per group, entering round 11 —
-# 139 registered queries; CORRECTNESS_r10 was 50/50 green, zero err,
+# 140 registered queries; CORRECTNESS_r10 was 50/50 green, zero err,
 # zero hash-fail; distribution after r10: 50@r10 / 44@r8 / 45@r9).
 # This window carries:
 #   changed impl ..... the 6 queries round 11 touched or added
-#                      (q_profile_dates is NEW — the profiler's date
-#                      branch; the containment pair queries got the
-#                      slacked prefix ceil + integer-overlap verify; the
-#                      three recall queries divide by the per-query
-#                      exact count instead of fixed k — all three keep
-#                      identical sf0.01 output, re-checked anyway).
+#                      (q_profile_dates and q_decontaminate_semantic are
+#                      NEW — the profiler's date branch and the
+#                      embedding-tier decontamination; the containment
+#                      pair queries got the slacked prefix ceil +
+#                      integer-overlap verify; recall_curve/recall_lsh
+#                      divide by the per-query exact count instead of
+#                      fixed k — identical sf0.01 output, re-checked
+#                      anyway).
 #   r8 block ......... ALL 44 remaining r8-evidence queries — the oldest
 #                      cohort, owed by the <=2-round staleness invariant
 #                      (VERDICT r10 Next #2). 6 + 44 fills the window
