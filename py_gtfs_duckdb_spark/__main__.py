@@ -5,6 +5,7 @@ csvddb.py:71-91) and ``vacuum``. The positional ``database`` argument is a
 lake root directory instead of a ``.ddb`` file. Corpus verbs beyond the
 reference (parquet-in/parquet-out, no lake argument): curate / search /
 despan / dedup (single-tier: exact / minhash / ngram / containment) /
+ingest (streaming near-dup gate over a JSONL spool) /
 mix (explicit weights or ``--alpha`` temperature) / score /
 sample / audit / profile / drift — see MIGRATION.md's CLI table.
 
@@ -348,6 +349,49 @@ def cmd_dedup(args) -> None:
     )
 
 
+def cmd_ingest(args) -> None:
+    """Streaming corpus ingest (extension surface): drive the near-dup
+    ingest gate (streaming/ingest.py NearDupIngestGate) over a JSONL
+    source directory — each arriving document is checked against the
+    ACCEPTED corpus via the persisted MinHash artifacts (plus the
+    optional asymmetric containment tier), survivors append as O(batch)
+    segments. ``--drain`` (default) processes the files present and
+    stops (availableNow) — the batch-replay mode; ``--follow`` keeps the
+    stream running for a live spool. The checkpoint directory makes
+    redelivery idempotent across restarts; reuse the SAME checkpoint for
+    the same gate tables."""
+    import json
+
+    from py_gtfs_duckdb_spark.streaming.ingest import (
+        NearDupIngestGate,
+        run_ingest_stream,
+    )
+
+    lake = _lake(args)
+    gate = NearDupIngestGate(
+        lake,
+        table=args.table,
+        threshold=args.threshold,
+        containment_threshold=args.containment,
+        fold_every=args.fold_every,
+    )
+    q = run_ingest_stream(
+        lake.spark,
+        gate,
+        args.source,
+        "doc_id long, text string, lang string, source string, n_chars long",
+        available_now=not args.follow,
+        checkpoint_dir=args.checkpoint,
+    )
+    if args.follow:
+        print(f"ingest stream running over {args.source}; ctrl-c to stop")
+        q.awaitTermination()
+        return
+    q.awaitTermination(600)
+    n = lake.table(args.table).count() if lake.exists(args.table) else 0
+    print(json.dumps({"table": args.table, "accepted_docs": n}, sort_keys=True))
+
+
 def cmd_search(args) -> None:
     """BM25 lexical top-k over a documents parquet (extension surface):
     prints one JSON line per hit, best first."""
@@ -684,6 +728,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--min-df", type=int, default=3)
     sp.set_defaults(fn=cmd_despan)
+
+    sp = cmd(
+        "ingest", cmd_ingest,
+        help="stream a JSONL source dir through the near-dup ingest gate",
+    )
+    sp.add_argument("--source", required=True, help="JSONL spool directory")
+    sp.add_argument("--table", default="corpus_docs")
+    sp.add_argument("--threshold", "-t", type=float, default=0.7)
+    sp.add_argument(
+        "--containment", type=float, default=None,
+        help="also reject docs this contained in an accepted doc",
+    )
+    sp.add_argument("--fold-every", type=int, default=None)
+    sp.add_argument("--checkpoint", default=None)
+    sp.add_argument(
+        "--follow", action="store_true",
+        help="keep the stream running (default drains existing files and stops)",
+    )
 
     sp = sub.add_parser(
         "dedup", help="single-tier dedup over a documents parquet"

@@ -416,3 +416,39 @@ def test_cli_dedup_verb(spark, tmp_path, capsys):
     assert kept3 == {11, 12, 13}, (
         "quoted subset dropped, container kept, mutual pair keeps min id"
     )
+
+
+def test_cli_ingest_verb(spark, tmp_path, capsys):
+    """Streaming gate verb, drain mode: first drain accepts the seed
+    docs; after a near-dup and a fresh doc land in the spool, a second
+    drain with the SAME checkpoint admits only the fresh one."""
+    import json
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"oth{i}" for i in range(40))
+    fresh = " ".join(f"frs{i}" for i in range(40))
+    lake_root = str(tmp_path / "ingestlake")
+    src = tmp_path / "spool"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    with open(src / "b1.jsonl", "w") as fh:
+        for i, text in [(1, base), (2, other)]:
+            fh.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+    args = ["ingest", lake_root, "--source", str(src), "--checkpoint", ckpt]
+    assert main(args) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1 == {"accepted_docs": 2, "table": "corpus_docs"}
+
+    with open(src / "b2.jsonl", "w") as fh:
+        for i, text in [(10, base + " tail"), (11, fresh)]:
+            fh.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+    assert main(args) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["accepted_docs"] == 3, "near-dup rejected, fresh accepted"
+
+    from py_gtfs_duckdb_spark.lake import GtfsLake
+
+    lake = GtfsLake(spark, lake_root)
+    assert {r["doc_id"] for r in lake.table("corpus_docs").collect()} == {
+        1, 2, 11,
+    }
