@@ -22,11 +22,15 @@ import time
 
 def _read_corpus(spark, path: str):
     """Corpus input dispatch for the parquet-in/parquet-out verbs: a
-    ``.jsonl`` / ``.ndjson`` / ``.json`` path (optionally ``.gz``) parses
-    through the explicit-schema JSONL source with malformed lines counted
-    to stderr and quarantined out (sources/jsonl.py); anything else reads
-    as parquet. Missing doc_ids get deterministic text-hash ids."""
-    base = path.rstrip("/").removesuffix(".gz")
+    ``.jsonl`` / ``.ndjson`` / ``.json`` path (optionally compressed —
+    any codec suffix Spark's text reader handles: .gz/.zst/.bz2/...)
+    parses through the explicit-schema JSONL source with malformed lines
+    counted to stderr and quarantined out (sources/jsonl.py); anything
+    else reads as parquet. Missing doc_ids get deterministic text-hash
+    ids."""
+    base = path.rstrip("/")
+    for codec in (".gz", ".zst", ".bz2", ".lz4", ".snappy", ".deflate"):
+        base = base.removesuffix(codec)
     if base.endswith((".jsonl", ".ndjson", ".json")):
         from py_gtfs_duckdb_spark.sources.jsonl import read_documents_jsonl
 
@@ -298,6 +302,20 @@ def cmd_dedup(args) -> None:
             .select("doc_id")
         )
         survivors = docs.join(keep, "doc_id", "left_semi")
+        if args.pairs_out:
+            # evidence for the exact tier: one row per duplicated digest
+            # (digest -> sorted member ids) — the analogue of the pair
+            # list the fuzzy tiers write
+            groups = (
+                docs.select(F.md5("text").alias("digest"), "doc_id")
+                .groupBy("digest")
+                .agg(
+                    F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+                    F.count(F.lit(1)).alias("n_docs"),
+                )
+                .filter(F.col("n_docs") >= 2)
+            )
+            groups.write.mode("overwrite").parquet(args.pairs_out)
     else:
         if method == "minhash":
             pairs = D.minhash_lsh_dedup(docs, "text", "doc_id", threshold=thr)
@@ -387,7 +405,12 @@ def cmd_ingest(args) -> None:
         print(f"ingest stream running over {args.source}; ctrl-c to stop")
         q.awaitTermination()
         return
-    q.awaitTermination(600)
+    # drain mode: availableNow guarantees the query terminates once the
+    # files present at start are processed, so wait WITHOUT a timeout —
+    # a timed wait that expires would print a partial accepted_docs count
+    # as if the drain completed, and process exit could kill an in-flight
+    # micro-batch (non-idempotent when --checkpoint is unset).
+    q.awaitTermination()
     n = lake.table(args.table).count() if lake.exists(args.table) else 0
     print(json.dumps({"table": args.table, "accepted_docs": n}, sort_keys=True))
 

@@ -392,9 +392,17 @@ def test_cli_dedup_verb(spark, tmp_path, capsys):
     assert spark.read.parquet(pairs_out).count() >= 1
 
     out2 = str(tmp_path / "exact_out")
-    assert main(["dedup", "-i", src, "-o", out2, "-m", "exact"]) == 0
+    pairs_out2 = str(tmp_path / "exact_groups")
+    assert main([
+        "dedup", "-i", src, "-o", out2, "-m", "exact",
+        "--pairs-out", pairs_out2,
+    ]) == 0
     kept2 = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
     assert 3 in kept2 and 4 not in kept2 and {1, 2, 5} <= kept2
+    # exact-tier evidence: one group row per duplicated digest
+    # (ADVICE r11: --pairs-out used to be silently ignored with -m exact)
+    groups = spark.read.parquet(pairs_out2).collect()
+    assert len(groups) == 1 and groups[0]["doc_ids"] == [3, 4]
 
     src3 = str(tmp_path / "docs3.parquet")
     base2 = " ".join(f"z{i}" for i in range(40))

@@ -75,6 +75,35 @@ def test_jsonl_gzip_input(spark, tmp_path):
     assert clean.count() == 2 and bad.count() == 0
 
 
+def test_read_corpus_strips_any_codec_suffix(spark, tmp_path):
+    """ADVICE r11: a ``file.jsonl.zst`` input used to fall through to
+    spark.read.parquet because only ``.gz`` was stripped before the
+    extension check. Every known codec suffix must route through the
+    JSONL reader; bz2 (pure-Java Hadoop codec, always available) proves
+    the read end-to-end."""
+    import bz2
+
+    from py_gtfs_duckdb_spark.__main__ import _read_corpus
+
+    p = tmp_path / "docs.jsonl.bz2"
+    with bz2.open(p, "wt") as fh:
+        for r in GOOD:
+            fh.write(json.dumps(r) + "\n")
+    assert _read_corpus(spark, str(p)).count() == 2
+
+    # dispatch-only check for the remaining suffixes: the jsonl reader
+    # raises Spark's codec error (or reads), never a parquet footer error
+    for suffix in ("zst", "lz4"):
+        q = tmp_path / f"docs.jsonl.{suffix}"
+        q.write_bytes(b"\x00\x01")
+        try:
+            _read_corpus(spark, str(q)).count()
+        except Exception as exc:  # noqa: BLE001 — asserting on the class of error
+            assert "parquet" not in str(exc).lower(), (
+                f".jsonl.{suffix} fell through to the parquet reader"
+            )
+
+
 def test_cli_corpus_verbs_accept_jsonl(spark, tmp_path, capsys):
     """The parquet-in verbs dispatch .jsonl inputs through the quarantine
     reader: profile and dedup run end-to-end off a jsonl corpus."""
