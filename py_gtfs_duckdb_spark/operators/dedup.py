@@ -298,29 +298,45 @@ def estimate_filter_pairs(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
     )
 
 
-def exact_jaccard(pairs: DataFrame, sets: DataFrame) -> DataFrame:
+def exact_jaccard(
+    pairs: DataFrame, sets: DataFrame, min_threshold: float | None = None
+) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard:
     |A∩B| / (|A|+|B|-|A∩B|), computed as array_intersect over each
     document's sorted shingle-hash array (from :func:`shingle_sets`).
     Set-per-row beats an exploded shingle equi-join by ~|shingles| in
     shuffle volume once the pair list is bounded (post
     estimate_filter_pairs). Join strategy left to AQE (see
-    estimate_filter_pairs)."""
+    estimate_filter_pairs).
+
+    ``min_threshold`` applies the EXACT integer threshold predicate
+    J ≥ t ⟺ n_inter·(1+t) ≥ t·(|A|+|B|) ⟺ n_inter ≥
+    ⌈t·(|A|+|B|)/(1+t)⌉ (1e-9 slack so float rounding never excludes a
+    true pair) — NOT a filter on the display-rounded ``jaccard`` column,
+    whose 4-digit rounding would admit pairs with true J ∈ [t−5e-5, t)
+    only when the caller's prunes happened to emit them (ADVICE r11:
+    prune-dependent boundary membership). The rounded ``jaccard`` stays
+    in the output as a display column."""
     sa = sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b"))
     n_inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            pround(
-                n_inter.cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - n_inter),
-                4,
-            ).alias("jaccard"),
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    if min_threshold is not None:
+        o_min = F.ceil(
+            F.lit(min_threshold)
+            / (1 + min_threshold)
+            * (F.col("sz_a") + F.col("sz_b"))
+            - F.lit(1e-9)
         )
+        joined = joined.filter(n_inter >= o_min)
+    return joined.select(
+        "id_a",
+        "id_b",
+        pround(
+            n_inter.cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - n_inter),
+            4,
+        ).alias("jaccard"),
     )
 
 
@@ -490,11 +506,11 @@ def ngram_jaccard_pairs(
     # broadcast (sets is small relative to executors) so dupes only add
     # narrow work, and dropping duplicates early would shuffle the whole
     # candidate set just to save it. Jaccard is identical per pair, so
-    # late dedup changes nothing.
-    return (
-        exact_jaccard(pairs, sets)
-        .filter(F.col("jaccard") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
+    # late dedup changes nothing. Verification is the exact INTEGER
+    # predicate (min_threshold) — the module's exactness contract holds
+    # at the boundary, independent of which prunes emitted the pair.
+    return exact_jaccard(pairs, sets, min_threshold=threshold).dropDuplicates(
+        ["id_a", "id_b"]
     )
 
 

@@ -224,7 +224,7 @@ def _ngram_jaccard_oracle_sql(threshold: float = 0.7) -> str:
         SELECT id, list_sort(list(h)) AS hs, COUNT(*) AS sz FROM sh GROUP BY id
     ), prefixes AS (
         SELECT id, unnest(list_slice(hs, 1,
-                   CAST(sz - ceil(sz * {threshold}) + 1 AS INT))) AS h
+                   CAST(sz - ceil(sz * {threshold} - 1e-9) + 1 AS INT))) AS h
         FROM sets
     ), cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -237,9 +237,12 @@ def _ngram_jaccard_oracle_sql(threshold: float = 0.7) -> str:
     FROM cand c
     JOIN sets za ON za.id = c.id_a
     JOIN sets zb ON zb.id = c.id_b
-    WHERE floor((CAST(len(list_intersect(za.hs, zb.hs)) AS DOUBLE)
-                 / (za.sz + zb.sz - len(list_intersect(za.hs, zb.hs))))
-                * 10000.0 + 0.5) / 10000.0 >= {threshold}
+    -- exact integer threshold predicate: J >= t iff
+    -- n_inter >= ceil(t*(|A|+|B|)/(1+t)); jaccard above is display-only
+    -- (a rounded-value filter would make boundary membership depend on
+    -- which prunes emitted the candidate — ADVICE r11)
+    WHERE len(list_intersect(za.hs, zb.hs))
+          >= ceil({threshold} / (1 + {threshold}) * (za.sz + zb.sz) - 1e-9)
     """
 
 

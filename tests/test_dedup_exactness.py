@@ -43,7 +43,10 @@ def _brute_force(spark, docs_df, threshold: float):
     a = sets.select(F.col("id").alias("id_a"))
     b = sets.select(F.col("id").alias("id_b"))
     all_pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    return exact_jaccard(all_pairs, sets).filter(F.col("jaccard") >= threshold)
+    # same exact integer predicate as the pruned join's verify — the
+    # differential test pins the TRUE J >= t membership, not the
+    # display-rounded one
+    return exact_jaccard(all_pairs, sets, min_threshold=threshold)
 
 
 @pytest.mark.parametrize(
@@ -66,6 +69,50 @@ def test_prefix_filter_join_equals_brute_force(spark, seed, threshold):
     want = sorted(tuple(r) for r in _brute_force(spark, docs, threshold).collect())
     assert got == want
     assert want, "corpus must actually contain near-duplicate pairs"
+
+
+def test_verify_integer_predicate_at_rounding_boundary(spark):
+    """ADVICE r11: verification must decide J >= t on the exact integer
+    predicate n_inter >= ceil(t*(|A|+|B|)/(1+t)), not on the 4-digit
+    display rounding. A pair with true J = 13999/20000 = 0.69995 < 0.7
+    ROUNDS to 0.7000 — under the old rounded-value filter its membership
+    depended on whether the prunes emitted it; now it is always excluded.
+    A pair at exactly J = 14000/20000 = 0.7 is always included."""
+    from pyspark.sql import types as T
+
+    from py_gtfs_duckdb_spark.operators.dedup import exact_jaccard
+
+    a = list(range(17000))                      # |A| = 17000
+    b_under = list(range(13999)) + list(range(100000, 103000))  # |B|=16999
+    # inter=13999, union=20000 -> J=0.69995 (rounds to 0.7, truly < 0.7)
+    c = list(range(14000)) + list(range(100000, 103000))        # |C|=17000
+    # A∩C=14000, union=20000 -> J=0.7 exactly
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("hs", T.ArrayType(T.LongType())),
+            T.StructField("sz", T.LongType()),
+        ]
+    )
+    sets = spark.createDataFrame(
+        [("A", a, len(a)), ("B", b_under, len(b_under)), ("C", c, len(c))],
+        schema,
+    )
+    pairs = spark.createDataFrame(
+        [("A", "B"), ("A", "C")], "id_a string, id_b string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in exact_jaccard(pairs, sets, min_threshold=0.7).collect()
+    }
+    assert ("A", "B") not in got, "0.69995 rounds to 0.7 but is below t"
+    assert got[("A", "C")] == 0.7, "exact-boundary pair included"
+    # without the predicate both pairs survive a rounded->=t filter
+    rounded = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in exact_jaccard(pairs, sets).collect()
+    }
+    assert rounded[("A", "B")] == 0.7, "display rounding masks the band"
 
 
 def test_freq_order_variant_equals_default(spark):
