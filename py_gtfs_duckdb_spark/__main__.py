@@ -328,21 +328,20 @@ def cmd_dedup(args) -> None:
         if method == "containment":
             # contained doc goes only when a CONTAINER SURVIVES; mutual/
             # cyclic containment keeps the min id — the ingest gate's
-            # exact policy, resolved driver-side over the pair list
-            # (pair volume ≈ contamination rate × corpus, not corpus²;
-            # the evidence list an auditor reads anyway)
+            # exact policy. Pair volume is contamination-rate x corpus,
+            # so at corpus scale it can be billions of edges: the
+            # dispatch resolves driver-side (Tarjan) only up to
+            # --policy-cap pairs and falls back to the distributed SCC
+            # condensation above it; rejects always apply as a
+            # left_anti join, never an IN-list.
             from py_gtfs_duckdb_spark.streaming.ingest import (
-                _containment_policy_rejects,
+                containment_policy_rejects_frame,
             )
 
-            rejects = _containment_policy_rejects(
-                [(r["id_a"], r["id_b"]) for r in pairs.collect()]
-            )
-            survivors = (
-                docs.filter(~F.col("doc_id").isin(list(rejects)))
-                if rejects
-                else docs
-            )
+            rejects = containment_policy_rejects_frame(
+                pairs, max_driver_pairs=args.policy_cap
+            ).withColumnRenamed("id", "doc_id")
+            survivors = docs.join(rejects, "doc_id", "left_anti")
         else:
             # symmetric near-dup: min id per pair survives
             drop = pairs.select(
@@ -783,6 +782,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "--pairs-out", default=None,
         help="also write the duplicate-pair evidence parquet",
+    )
+    sp.add_argument(
+        "--policy-cap", type=int, default=2_000_000,
+        help="containment keep-policy: max pair count resolved on the "
+        "driver (exact Tarjan); above it the policy resolves "
+        "distributedly via SCC condensation (0 = always distributed)",
     )
     sp.set_defaults(fn=cmd_dedup)
 

@@ -210,3 +210,235 @@ def _label_propagation(
         if changed == 0:
             break
     return labels.select(F.col("u").alias("id"), F.col("l").alias("component"))
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 500,
+) -> DataFrame:
+    """(id, scc) for every node in the DIRECTED edge set; scc = min node
+    id of the strongly connected component (matching the union-find /
+    Tarjan convention elsewhere in this module). Self-loops are dropped
+    (a node is trivially mutually reachable with itself).
+
+    Algorithm — trim + min-pivot peel, all DataFrame joins:
+
+    1. TRIM: a node with no outgoing or no incoming edge cannot sit on a
+       cycle, so it is its own SCC; settle and remove it. Repeated
+       trimming dissolves the acyclic bulk (containment pair graphs are
+       almost entirely stars and short chains) in rounds bounded by the
+       longest chain.
+    2. PEEL (when a trim pass settles nothing, i.e. every remaining node
+       has in- and out-degree >= 1): compute f(v) = min id forward-
+       reachable from v (O(diameter) min-label rounds). Every label
+       value p is a self-pivot (f(p) = p), and any node v with f(v) = p
+       that p reaches back is mutually reachable with p — and every
+       p->..->v path then lies INSIDE that SCC (each intermediate node w
+       has p reachable from w and w from p) — so flooding marks from the
+       pivots along same-f edges settles exactly the SCCs that contain
+       their own minimum-reachable node. Settle, remove, loop back to 1.
+
+    Rounds: each peel settles at least the component of the remaining
+    global min, and trim rounds are bounded by the longest acyclic
+    chain, so total rounds track the containment-chain depth — the same
+    bound the downstream keep-policy evaluation pays anyway. For the
+    near-dup workloads this serves (cycles only among near-identical
+    documents) almost all nodes settle in the trim phase.
+    ``localCheckpoint`` truncates lineage each round (swap for reliable
+    ``checkpoint`` on a real cluster)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .na.drop()
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    settled: list[DataFrame] = []
+
+    def remove(nodes_df: DataFrame, edges_df: DataFrame, gone: DataFrame):
+        nodes_df = nodes_df.join(gone, "id", "left_anti").localCheckpoint()
+        edges_df = (
+            edges_df.join(gone.select(F.col("id").alias("u")), "u", "left_anti")
+            .join(gone.select(F.col("id").alias("v")), "v", "left_anti")
+            .localCheckpoint()
+        )
+        return nodes_df, edges_df
+
+    for _ in range(max_iter):
+        if nodes.isEmpty():
+            break
+        trivial = (
+            nodes.join(e.select(F.col("u").alias("id")), "id", "left_anti")
+            .unionByName(
+                nodes.join(e.select(F.col("v").alias("id")), "id", "left_anti")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        if not trivial.isEmpty():
+            settled.append(trivial.select("id", F.col("id").alias("scc")))
+            nodes, e = remove(nodes, e, trivial)
+            continue
+
+        # peel: f(v) = min forward-reachable id (incl. self)
+        lbl = nodes.select("id", F.col("id").alias("f")).localCheckpoint()
+        for _ in range(max_iter):
+            succ_min = (
+                e.join(lbl.select(F.col("id").alias("v"), "f"), "v")
+                .groupBy("u")
+                .agg(F.min("f").alias("sf"))
+            )
+            new = (
+                lbl.join(succ_min.withColumnRenamed("u", "id"), "id", "left")
+                .select("id", F.least("f", "sf").alias("f"), F.col("f").alias("old"))
+                .localCheckpoint()
+            )
+            changed = new.where(F.col("f") != F.col("old")).limit(1).count()
+            lbl = new.select("id", "f").localCheckpoint()
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"scc forward labels did not converge in {max_iter} rounds"
+            )
+
+        # flood marks from self-pivots along same-class edges
+        class_edges = (
+            e.join(lbl.select(F.col("id").alias("u"), F.col("f").alias("fu")), "u")
+            .join(lbl.select(F.col("id").alias("v"), F.col("f").alias("fv")), "v")
+            .where(F.col("fu") == F.col("fv"))
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        marks = lbl.where(F.col("f") == F.col("id")).select("id").localCheckpoint()
+        for _ in range(max_iter):
+            fresh = (
+                class_edges.join(
+                    marks.select(F.col("id").alias("u")), "u", "left_semi"
+                )
+                .select(F.col("v").alias("id"))
+                .distinct()
+                .join(marks, "id", "left_anti")
+                .localCheckpoint()
+            )
+            if fresh.isEmpty():
+                break
+            marks = marks.unionByName(fresh).localCheckpoint()
+        else:
+            raise RuntimeError(
+                f"scc pivot flood did not converge in {max_iter} rounds"
+            )
+
+        done = marks.join(lbl, "id").select("id", F.col("f").alias("scc"))
+        settled.append(done.localCheckpoint())
+        nodes, e = remove(nodes, e, done.select("id"))
+    else:
+        raise RuntimeError(
+            f"strongly_connected_components did not settle in {max_iter} rounds"
+        )
+
+    if not settled:
+        spark = edges.sparkSession
+        id_type = nodes.schema["id"].dataType
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [T.StructField("id", id_type), T.StructField("scc", id_type)]
+            ),
+        )
+    out = settled[0]
+    for frame in settled[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
+def containment_rejects(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 500,
+) -> DataFrame:
+    """DISTRIBUTED twin of streaming/ingest._containment_policy_rejects:
+    rejected doc ids (single column ``id``) for a (contained, container)
+    pair frame, under the keep-policy "reject a doc iff a container of
+    it survives; a surviving mutual-containment SCC keeps its min id".
+    Identical output to the driver-side Tarjan resolution
+    (property-tested over the same 200-random-digraph fuzz in
+    tests/test_ingest_gate.py) with no driver collect — the fallback the
+    batch CLI uses above its pair-count cap, where contamination-rate x
+    corpus pair lists would OOM the driver (VERDICT r11 Next #3).
+
+    Shape: SCC condensation (:func:`strongly_connected_components`),
+    then sinks-first determination over the condensed DAG — per round, an
+    undetermined SCC with an edge to a KEPT SCC is rejected, and one
+    whose successors are all already-rejected is kept. Rounds are
+    bounded by the longest containment chain."""
+    labels = strongly_connected_components(edges, src, dst, max_iter)
+    labels = labels.localCheckpoint()
+    cedges = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .na.drop()
+        .join(labels.select(F.col("id").alias("a"), F.col("scc").alias("cu")), "a")
+        .join(labels.select(F.col("id").alias("b"), F.col("scc").alias("cv")), "b")
+        .where(F.col("cu") != F.col("cv"))
+        .select("cu", "cv")
+        .distinct()
+        .localCheckpoint()
+    )
+    und = labels.select(F.col("scc").alias("c")).distinct().localCheckpoint()
+    kept = und.limit(0).localCheckpoint()
+    rejected = und.limit(0).localCheckpoint()
+    for _ in range(max_iter):
+        if und.isEmpty():
+            break
+        # blocker: an edge to a not-yet-rejected successor (kept OR
+        # undetermined) keeps a node undetermined-or-rejected
+        blockers = (
+            cedges.join(rejected.select(F.col("c").alias("cv")), "cv", "left_anti")
+            .select(F.col("cu").alias("c"))
+            .distinct()
+        )
+        kept_new = und.join(blockers, "c", "left_anti").localCheckpoint()
+        to_kept = (
+            cedges.join(kept.select(F.col("c").alias("cv")), "cv", "left_semi")
+            .select(F.col("cu").alias("c"))
+            .distinct()
+        )
+        rejected_new = und.join(to_kept, "c", "left_semi").localCheckpoint()
+        n_progress = kept_new.count() + rejected_new.count()
+        if n_progress == 0:
+            raise RuntimeError(
+                "containment policy made no progress — edge set is not a "
+                "DAG after condensation (impossible unless SCC labels are "
+                "wrong)"
+            )
+        kept = kept.unionByName(kept_new).localCheckpoint()
+        rejected = rejected.unionByName(rejected_new).localCheckpoint()
+        und = (
+            und.join(kept_new, "c", "left_anti")
+            .join(rejected_new, "c", "left_anti")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"containment policy did not converge in {max_iter} rounds"
+        )
+    in_rejected_scc = labels.join(
+        rejected.select(F.col("c").alias("scc")), "scc", "left_semi"
+    ).select("id")
+    kept_scc_losers = (
+        labels.where(F.col("id") != F.col("scc"))
+        .join(kept.select(F.col("c").alias("scc")), "scc", "left_semi")
+        .select("id")
+    )
+    return in_rejected_scc.unionByName(kept_scc_losers)

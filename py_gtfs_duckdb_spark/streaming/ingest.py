@@ -126,6 +126,48 @@ def _containment_policy_rejects(edges: list[tuple]) -> set:
     return rejects
 
 
+def containment_policy_rejects_frame(
+    cpairs: DataFrame, max_driver_pairs: int = 2_000_000
+) -> DataFrame:
+    """Resolve the containment keep-policy over a (id_a=contained,
+    id_b=container) pair frame; returns the REJECTED ids as a single-
+    column (``id``) DataFrame, ready for a ``left_anti`` join — never an
+    IN-list (a giant ``isin`` re-parses the reject set into the plan and
+    becomes a literal-size bomb at corpus scale; VERDICT r11 Next #3).
+
+    Dispatch: at or below ``max_driver_pairs`` the policy resolves
+    exactly on the driver (:func:`_containment_policy_rejects`, Tarjan —
+    right for micro-batch pair lists, and the frame comes back
+    broadcast-hinted since it is cap-bounded); above the cap it resolves
+    distributedly (operators/graph.containment_rejects — SCC condensation
+    + sinks-first DAG rounds, no driver collect), identical survivors by
+    the shared 200-digraph property fuzz. The pair frame is
+    localCheckpoint-ed so the count probe and the resolve don't recompute
+    the containment join."""
+    cpairs = cpairs.select("id_a", "id_b").localCheckpoint()
+    n_pairs = cpairs.count()
+    if n_pairs == 0:
+        return F.broadcast(cpairs.select(F.col("id_a").alias("id")).limit(0))
+    if n_pairs <= max_driver_pairs:
+        edges = [(r["id_a"], r["id_b"]) for r in cpairs.collect()]
+        rejects = _containment_policy_rejects(edges)
+        spark = cpairs.sparkSession
+        id_field = cpairs.schema["id_a"]
+        from pyspark.sql import types as T
+
+        frame = spark.createDataFrame(
+            [(x,) for x in sorted(rejects)],
+            T.StructType([T.StructField("id", id_field.dataType)]),
+        )
+        return F.broadcast(frame)
+    from py_gtfs_duckdb_spark.operators.graph import containment_rejects
+
+    # no broadcast hint here: the distributed path exists precisely
+    # because the reject set may be too big for one executor — AQE
+    # still broadcasts it when it turns out small
+    return containment_rejects(cpairs, "id_a", "id_b")
+
+
 class NearDupIngestGate:
     """``foreachBatch`` target: accept only documents with no near-dup in
     the already-accepted corpus (exact-Jaccard >= threshold after LSH +
@@ -265,22 +307,17 @@ class NearDupIngestGate:
         if self.containment_threshold is not None:
             # batch-internal containment: reject a doc ONLY when a
             # container of it survives (content preserved by the
-            # container); cycles/mutual containment keep the min id. The
-            # pair list is micro-batch-bounded, so the policy resolves
-            # exactly on the driver (_containment_policy_rejects) instead
-            # of approximating it with joins — the join formulation
-            # over-rejected one-way cycles (every member lost) and
-            # chained containment (contained-in-a-rejected-doc lost).
+            # container); cycles/mutual containment keep the min id.
+            # Micro-batch pair lists sit under the dispatch cap, so this
+            # resolves exactly on the driver (Tarjan) and applies as a
+            # broadcast left_anti; an oversized batch falls back to the
+            # distributed SCC resolution automatically.
             cpairs = _containment_join(
                 survivors, survivors,
                 self.containment_threshold, exclude_same_id=True,
             ).select("id_a", "id_b")
-            edges = [(r["id_a"], r["id_b"]) for r in cpairs.collect()]
-            rejects = _containment_policy_rejects(edges)
-            if rejects:
-                survivors = survivors.filter(
-                    ~F.col("id").isin(list(rejects))
-                )
+            rejects = containment_policy_rejects_frame(cpairs)
+            survivors = survivors.join(rejects, "id", "left_anti")
 
         # persist the final survivor set: three appends below are three
         # actions — without this the whole LSH/verify lineage re-executes

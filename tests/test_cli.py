@@ -425,6 +425,16 @@ def test_cli_dedup_verb(spark, tmp_path, capsys):
         "quoted subset dropped, container kept, mutual pair keeps min id"
     )
 
+    # --policy-cap 0 forces the DISTRIBUTED keep-policy (SCC condensation,
+    # no driver collect) through the same verb: identical survivors
+    out4 = str(tmp_path / "cont_out_dist")
+    assert main([
+        "dedup", "-i", src3, "-o", out4, "-m", "containment", "-t", "0.9",
+        "--policy-cap", "0",
+    ]) == 0
+    kept4 = {r["doc_id"] for r in spark.read.parquet(out4).collect()}
+    assert kept4 == kept3
+
 
 def test_cli_ingest_verb(spark, tmp_path, capsys):
     """Streaming gate verb, drain mode: first drain accepts the seed

@@ -116,3 +116,58 @@ def test_star_matches_label_propagation_on_random_graphs(spark):
         only_label = set(label) - set(star)
         assert all(label[i] == i for i in only_label)
         assert {i: c for i, c in label.items() if i in star} == star
+
+
+def test_scc_hand_cases(spark):
+    """Trim-only (DAG), pure cycle, cycle+tail, two components."""
+    from py_gtfs_duckdb_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    def scc(edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        rows = strongly_connected_components(df).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r["scc"], set()).add(r["id"])
+        assert sorted(x for s in out.values() for x in s) == sorted(
+            {n for e in edges for n in e}
+        ), "every node labeled exactly once"
+        return set(frozenset(s) for s in out.values())
+
+    # DAG chain: all singletons (settled by trimming alone)
+    assert scc([(1, 2), (2, 3)]) == {
+        frozenset({1}), frozenset({2}), frozenset({3})
+    }
+    # 3-cycle
+    assert scc([(1, 2), (2, 3), (3, 1)]) == {frozenset({1, 2, 3})}
+    # cycle with a tail in and a tail out
+    assert scc([(0, 1), (1, 2), (2, 3), (3, 1), (3, 4)]) == {
+        frozenset({0}), frozenset({1, 2, 3}), frozenset({4})
+    }
+    # two cycles sharing nothing + a bridge edge (still two SCCs)
+    assert scc([(1, 2), (2, 1), (5, 6), (6, 5), (2, 5)]) == {
+        frozenset({1, 2}), frozenset({5, 6})
+    }
+    # decreasing-id chain: the adversarial trim case (no node settles
+    # via the peel's pivot in round one except by trimming)
+    assert scc([(5, 4), (4, 3), (3, 2), (2, 1)]) == {
+        frozenset({n}) for n in (1, 2, 3, 4, 5)
+    }
+
+
+def test_scc_nested_cycles_need_multiple_peels(spark):
+    """Two cycles where the smaller-id cycle's F-label is owned by the
+    OTHER cycle: {10,11} points into {1,2}, so f(10)=f(11)=1 but 1 never
+    reaches them — they must wait for the second peel."""
+    from py_gtfs_duckdb_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = [(1, 2), (2, 1), (10, 11), (11, 10), (10, 1)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = strongly_connected_components(df).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["scc"], set()).add(r["id"])
+    assert got == {1: {1, 2}, 10: {10, 11}}

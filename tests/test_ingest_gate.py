@@ -451,3 +451,87 @@ def test_containment_policy_properties():
                     break
                 frontier.extend(containers.get(c, ()))
             assert ok, f"rejected {x} has no kept transitive container (seed {seed})"
+
+
+def test_distributed_policy_matches_driver_on_fuzz(spark):
+    """VERDICT r11 Next #3 gate: the distributed SCC/DAG resolution
+    (operators/graph.containment_rejects) must produce IDENTICAL rejects
+    to the driver-side Tarjan policy on the same 200-random-digraph fuzz.
+    All 200 graphs ride in ONE edge frame (node ids offset per seed —
+    disjoint components resolve independently), so the distributed path
+    is exercised once with trims, peels, cycles and chains all present,
+    instead of 200 slow separate fixpoints."""
+    import random
+
+    from py_gtfs_duckdb_spark.streaming.ingest import (
+        _containment_policy_rejects,
+        containment_policy_rejects_frame,
+    )
+
+    all_edges: list[tuple[int, int]] = []
+    want_rejects: set[int] = set()
+    for seed in range(200):
+        rng = random.Random(seed)
+        n = rng.randint(2, 12)
+        nodes = list(range(n))
+        edges = []
+        for _ in range(rng.randint(1, n * 2)):
+            a, b = rng.sample(nodes, 2)
+            edges.append((a, b))
+        edges = sorted(set(edges))
+        off = seed * 1000
+        all_edges.extend((a + off, b + off) for a, b in edges)
+        want_rejects.update(x + off for x in _containment_policy_rejects(edges))
+
+    cpairs = spark.createDataFrame(all_edges, "id_a long, id_b long")
+    # max_driver_pairs=0 forces the distributed path through the same
+    # dispatch the CLI and the gate use
+    got = {
+        r["id"]
+        for r in containment_policy_rejects_frame(
+            cpairs, max_driver_pairs=0
+        ).collect()
+    }
+    assert got == want_rejects
+
+
+def test_policy_dispatch_driver_path_is_broadcast_anti_join(spark):
+    """Below the cap the rejects come back as a broadcast-hinted frame and
+    apply as a left_anti join — the plan must contain no IN-list (the
+    r11 anti-pattern: ~F.col(id).isin(huge python list))."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from py_gtfs_duckdb_spark.streaming.ingest import (
+        containment_policy_rejects_frame,
+    )
+
+    cpairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (7, 8)], "id_a long, id_b long"
+    )
+    rejects = containment_policy_rejects_frame(cpairs)  # driver path
+    assert {r["id"] for r in rejects.collect()} == {2, 3, 7}
+    docs = spark.range(0, 20).select(F.col("id"))
+    survivors = docs.join(rejects, "id", "left_anti")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        survivors.explain("formatted")
+    plan = buf.getvalue()
+    assert " IN " not in plan and "isin" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert survivors.count() == 17
+
+
+def test_policy_dispatch_empty_pairs(spark):
+    from py_gtfs_duckdb_spark.streaming.ingest import (
+        containment_policy_rejects_frame,
+    )
+
+    cpairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert containment_policy_rejects_frame(cpairs).count() == 0
+    assert (
+        containment_policy_rejects_frame(cpairs, max_driver_pairs=0).count()
+        == 0
+    )
