@@ -53,6 +53,35 @@ HEADLINE = [
 
 N_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "8"))
 
+# Frozen per-query anchors from BENCH_r01.json (the BASELINE.md reference
+# run: sf0.1, local[32], median of 3). The §16 bench-reading rule
+# (SCALING.md): judge a regression on per-query MIN vs anchor, because
+# medians on this host carry ±13-30% ambient drift that moves ALL queries
+# together — vs_baseline_min_ratio and ambient_factor below make that
+# reading mechanical instead of a by-hand reconstruction from BENCH_FULL.
+BASELINE_ANCHORS = {
+    "q_flagship_nominal_trips": 1.209,
+    "q_join_chain_left": 1.238,
+    "q_filter_isin": 0.403,
+    "q_agg_collect_list": 0.54,
+    "q_set_union_except": 0.591,
+    "q_match_trip_candidates": 0.633,
+    "q_topk_per_group": 0.482,
+    "q_window_tumbling": 0.31,
+    "q_window_session": 0.494,
+    "q_stream_dedup_latest": 0.387,
+    "q_dedup_exact": 0.245,
+    "q_dedup_minhash_lsh": 1.946,
+    "q_dedup_ngram_jaccard": 1.173,
+    "q_dedup_embedding": 0.571,
+    "q_text_stats": 0.192,
+    "q_lang_id": 0.202,
+    "q_knn_cosine": 0.919,
+    "q_agg_collect_list_salted": 0.421,
+    "q_doc_winnow": 0.802,
+    "q_ann_ivf": 0.766,
+}
+
 # Round-4 operators, timed separately so the headline total stays
 # comparable across rounds/baseline. Fewer samples: these inform, they
 # don't gate.
@@ -240,6 +269,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     iqr: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    min_ratio: dict[str, float] = {}
+    ambient_ratios: list[float] = []
     total = 0.0
     for name in HEADLINE:
         med = statistics.median(samples[name])
@@ -250,12 +282,24 @@ def main() -> None:
             q1 = q3 = med
         timings[name] = round(med, 3)
         iqr[name] = round(q3 - q1, 3)
+        mins[name] = round(min(samples[name]), 3)
+        anchor = BASELINE_ANCHORS.get(name)
+        if anchor:
+            min_ratio[name] = round(mins[name] / anchor, 3)
+            ambient_ratios.append(med / anchor)
         total += med
         print(
             f"# {name}: {med:.3f}s median, IQR {q3 - q1:.3f}s over "
             f"{[round(r, 3) for r in samples[name]]} ({rowcounts[name]} rows)",
             file=sys.stderr,
         )
+    # run-level ambient-load estimate: the median of per-query
+    # median/anchor ratios. When ALL queries move together this tracks
+    # host slowness, not code — a single query whose min_ratio exceeds
+    # both the 2x bar AND ambient_factor is the real regression signal.
+    ambient_factor = (
+        round(statistics.median(ambient_ratios), 3) if ambient_ratios else None
+    )
 
     # curate pair: warmup once each, then N_CURATE_SAMPLES round-robin passes
     for name in CURATE:
@@ -373,6 +417,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_samples": N_SAMPLES,
         "iqr": iqr,
+        "min": mins,
+        "vs_baseline_min_ratio": min_ratio,
+        "ambient_factor": ambient_factor,
         "samples": {k: [round(v, 4) for v in vs] for k, vs in samples.items()},
         # environment-noise evidence: if some PASSES are uniformly
         # slow across all queries, the drift is ambient load, not a
@@ -426,6 +473,8 @@ def main() -> None:
             "sum_of_mins",
             "noise_ratio",
             "curate_rules_delta",
+            "vs_baseline_min_ratio",
+            "ambient_factor",
         )
     }
     compact["curate"] = {n: curate[n]["median"] for n in CURATE}
@@ -435,7 +484,12 @@ def main() -> None:
     compact["detail"] = "BENCH_FULL.json"
     line = json.dumps(compact)
     if len(line) > 1900:  # never regress past the recorder's tail budget
+        # medians drop first: the min-ratio dict is the §16 decision
+        # input, the medians are reconstructable from BENCH_FULL.json
         del compact["queries"]
+        line = json.dumps(compact)
+    if len(line) > 1900:
+        del compact["vs_baseline_min_ratio"]
         line = json.dumps(compact)
     print(line)
 
