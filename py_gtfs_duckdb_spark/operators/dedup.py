@@ -431,6 +431,53 @@ def frequency_ordered_sets(sets: DataFrame) -> DataFrame:
     )
 
 
+def _prefix_filter_candidates(
+    sets: DataFrame, threshold: float, prefix_slack: float = 1e-9
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs for the symmetric Jaccard join via
+    prefix filtering over a (id, hs, sz) sets frame — the candidate stage
+    of :func:`ngram_jaccard_pairs`, factored out so the A/B bench
+    harness can count candidates per prune form.
+
+    ``prefix_slack`` is the exactness slack on the prefix ceil: an
+    unslacked ceil(sz*t) can round up past an exact integer and shorten
+    the prefix by one element, silently dropping a true pair whose only
+    shared prefix shingle sits at the boundary position (same fix as
+    _containment_join). ``prefix_slack=0.0`` reproduces the pre-r11
+    unslacked form — A/B instrumentation only, never correct for
+    production use at integer-boundary thresholds."""
+    prefix_len = (
+        F.col("sz")
+        - F.ceil(F.col("sz") * threshold - F.lit(prefix_slack))
+        + 1
+    ).cast("int")
+    prefixes = sets.select(
+        "id",
+        "sz",
+        F.posexplode(F.slice(F.col("hs"), F.lit(1), prefix_len)).alias("pos", "h"),
+    )
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    # Minimum overlap for J >= t, with a 1e-9 slack so float rounding can
+    # only ADMIT a borderline candidate (verified exactly later), never
+    # prune a true pair.
+    o_min = F.ceil(
+        F.lit(threshold) / (1 + threshold) * (F.col("a.sz") + F.col("b.sz"))
+        - F.lit(1e-9)
+    )
+    overlap_ub = 1 + F.least(
+        F.col("a.sz") - F.col("a.pos") - 1, F.col("b.sz") - F.col("b.pos") - 1
+    )
+    return a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.col("a.sz") >= F.col("b.sz") * threshold - F.lit(1e-9))
+        & (F.col("b.sz") >= F.col("a.sz") * threshold - F.lit(1e-9))
+        & (overlap_ub >= o_min),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -469,38 +516,7 @@ def ngram_jaccard_pairs(
     if freq_order:
         sets = frequency_ordered_sets(sets)
     sets = shared(sets)
-    # slacked ceil, matching o_min below: an unslacked ceil(sz*t) can round
-    # up past an exact integer and shorten the prefix by one element,
-    # silently dropping a true pair whose only shared prefix shingle sits
-    # at the boundary position (same fix as _containment_join).
-    prefix_len = (
-        F.col("sz") - F.ceil(F.col("sz") * threshold - F.lit(1e-9)) + 1
-    ).cast("int")
-    prefixes = sets.select(
-        "id",
-        "sz",
-        F.posexplode(F.slice(F.col("hs"), F.lit(1), prefix_len)).alias("pos", "h"),
-    )
-    a = prefixes.alias("a")
-    b = prefixes.alias("b")
-    # Minimum overlap for J >= t, with a 1e-9 slack so float rounding can
-    # only ADMIT a borderline candidate (verified exactly later), never
-    # prune a true pair.
-    o_min = F.ceil(
-        F.lit(threshold) / (1 + threshold) * (F.col("a.sz") + F.col("b.sz"))
-        - F.lit(1e-9)
-    )
-    overlap_ub = 1 + F.least(
-        F.col("a.sz") - F.col("a.pos") - 1, F.col("b.sz") - F.col("b.pos") - 1
-    )
-    pairs = a.join(
-        b,
-        (F.col("a.h") == F.col("b.h"))
-        & (F.col("a.id") < F.col("b.id"))
-        & (F.col("a.sz") >= F.col("b.sz") * threshold - F.lit(1e-9))
-        & (F.col("b.sz") >= F.col("a.sz") * threshold - F.lit(1e-9))
-        & (overlap_ub >= o_min),
-    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    pairs = _prefix_filter_candidates(sets, threshold)
     # Duplicate candidates (pairs sharing several prefix tokens, ~4% on
     # this corpus) are collapsed AFTER verification: the verify joins are
     # broadcast (sets is small relative to executors) so dupes only add
