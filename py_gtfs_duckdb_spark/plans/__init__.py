@@ -65,137 +65,35 @@ from py_gtfs_duckdb_spark.plans import flagship  # noqa: E402,F401
 # order with a bounded budget (the first 50 names each round), so the
 # 50-slot window carries the queries whose driver evidence matters most.
 #
-# Rotation ledger (latest driver evidence per group, entering round 11 —
-# 140 registered queries; CORRECTNESS_r10 was 50/50 green, zero err,
-# zero hash-fail; distribution after r10: 50@r10 / 44@r8 / 45@r9).
-# This window carries:
-#   changed impl ..... the 6 queries round 11 touched or added
-#                      (q_profile_dates and q_decontaminate_semantic are
-#                      NEW — the profiler's date branch and the
-#                      embedding-tier decontamination; the containment
-#                      pair queries got the slacked prefix ceil +
-#                      integer-overlap verify; recall_curve/recall_lsh
-#                      divide by the per-query exact count instead of
-#                      fixed k — identical sf0.01 output, re-checked
-#                      anyway).
-#   r8 block ......... ALL 44 remaining r8-evidence queries — the oldest
+# Rotation ledger (latest driver evidence per group, entering round 12 —
+# 140 registered queries; CORRECTNESS_r11 was 50/50 green, zero err,
+# zero hash-fail; distribution after r11: 50@r11 / 45@r10 / 44@r9 +
+# q_ann_recall_pq@r10). This window pays the r12 debt the r11 ledger
+# promised:
+#   q_ann_recall_pq .. first slot — its r11 denominator/oracle change has
+#                      never been driver-checked (it sat first past the
+#                      boundary last round).
+#   r9 block ......... ALL 44 remaining r9-evidence queries — the oldest
 #                      cohort, owed by the <=2-round staleness invariant
-#                      (VERDICT r10 Next #2). 6 + 44 fills the window
-#                      exactly; q_flagship_nominal_trips sits out one
-#                      round on fresh r10 evidence.
-#   r10 greens ....... last round's window at the back of the midfield.
-#   r9 greens ........ due for rotation in round 12.
+#                      (VERDICT r11 Next #2). Includes
+#                      q_dedup_ngram_jaccard, whose verify + oracle moved
+#                      to the exact integer threshold predicate this
+#                      round (ADVICE r11) — re-check is mandatory, and
+#                      q_dedup_minhash_lsh, whose shared exact_jaccard
+#                      helper gained the optional predicate (its own
+#                      call sites unchanged).
+#   5 builder picks .. q_dedup_incremental (ingest-gate adjacency: the
+#                      containment keep-policy now dispatches to a
+#                      distributed SCC resolution and applies rejects as
+#                      left_anti — same module), q_flagship_nominal_trips
+#                      (flagship stays fresh), q_decontaminate,
+#                      q_golden_records, q_source_overlap (r10 evidence,
+#                      shrinking the r13 debt to 40).
 # After this window lands, no registered query's driver evidence will be
-# older than round 9 (= 2 rounds), for the fifth consecutive round.
-# q_dedup_ngram_jaccard (r9 evidence, prefix-ceil touched, output
-# provably unchanged at t=0.7 — 0.7 rounds DOWN in IEEE, the bug needs a
-# round-UP threshold) rotates with its r9 cohort next round; the
-# boundary thresholds are pytest-fuzzed in test_dedup_exactness.
+# older than round 10 (= 2 rounds), for the sixth consecutive round.
+# Round-13 owes the remaining 40 r10-evidence queries.
 _PRIORITY = [
-    "q_profile_dates",
-    "q_decontaminate_semantic",  # NEW in round 11 (embedding-tier decon)
-    "q_dedup_containment",
-    "q_dedup_containment_inc",
-    "q_ann_recall_curve",
-    "q_ann_recall_lsh",
-    # q_ann_recall_pq cedes its window slot to q_decontaminate_semantic:
-    # its r11 change is the shared ann_recall denominator + oracle form,
-    # already window-covered twice via recall_curve/recall_lsh and
-    # sf0.01-parity-tested locally; it sits first past the boundary.
-    # --- the 44 r8-evidence queries (oldest cohort) ---
-    "q_doc_scorecard",
-    "q_quantile_tokens",
-    "q_semantic_dedup",
-    "q_dedup_cluster_sizes",
-    "q_dedup_simhash",
-    "q_embed_project",
-    "q_multimodal_frames",
-    "q_dedup_clusters",
-    "q_text_top_tokens",
-    "q_dedup_spans",
-    "q_bm25_topk",
-    "q_audio_features",
-    "q_video_frames",
-    "q_rollup_tokens",
-    "q_pivot",
-    "q_window_tumbling",
-    "q_window_session",
-    "q_text_quality",
-    "q_doc_winnow",
-    "q_knn_cosine",
-    "q_ann_ivf",
-    "q_multimodal_bytes",
-    "q_mix_sources",
-    "q_ann_lsh",
-    "q_ann_pq",
-    "q_ann_ivfpq",
-    "q_ann_ivf_lloyd",
-    "q_multimodal_features",
-    "q_multimodal_resize",
-    "q_image_resize",
-    "q_corpus_diff",
-    "q_vocab_spectrum",
-    "q_ivf_cell_profile",
-    "q_length_buckets",
-    "q_embedding_audit",
-    "q_window_sliding",
-    "q_agg_approx_distinct",
-    "q_fn_json",
-    "q_text_stats",
-    "q_lang_id",
-    "q_doc_fingerprint",
-    "q_embed_norm",
-    "q_join_chain_left",
-    "q_match_trip_candidates",
-    # --- window boundary: 50 entries above this line ---
     "q_ann_recall_pq",
-    # round-10 greens (freshest evidence after this round: r10)
-    "q_flagship_nominal_trips",
-    "q_histogram_quantiles",
-    "q_weighted_sample",
-    "q_kmv_distinct",
-    "q_doc_chunks",
-    "q_fuzzy_pairs",
-    "q_tfidf_keywords",
-    "q_dist_drift",
-    "q_mix_temperature",
-    "q_profile_table",
-    "q_skew_report",
-    "q_golden_records",
-    "q_interval_join",
-    "q_window_trailing_chunked",
-    "q_bpe_tokenize_large",
-    "q_bpe_encode",
-    "q_bpe_fertility",
-    "q_scan_star",
-    "q_scan_csv_projection",
-    "q_sql_passthrough",
-    "q_project_cols",
-    "q_filter_eq",
-    "q_filter_like",
-    "q_agg_distinct",
-    "q_agg_min",
-    "q_agg_count",
-    "q_sort_concat",
-    "q_limit",
-    "q_fn_dateformat",
-    "q_source_overlap",
-    "q_dedup_incremental",
-    "q_sample_stratified",
-    "q_decontaminate",
-    "q_pack_sequences",
-    "q_repetition_stats",
-    "q_quality_rules",
-    "q_pii_scrub",
-    "q_split_assign",
-    "q_token_histogram",
-    "q_source_report",
-    "q_join_asof",
-    "q_join_asof_tol",
-    "q_range_join",
-    "q_export_shards",
-    "q_unigram_nll",
-    # round-9 greens: first in line for round 12
     "q_stream_dedup_latest",
     "q_dedup_keep_canonical",
     "q_dedup_keep_topk",
@@ -240,6 +138,103 @@ _PRIORITY = [
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
     "q_dedup_embedding",
+    "q_dedup_incremental",
+    "q_flagship_nominal_trips",
+    "q_decontaminate",
+    "q_golden_records",
+    "q_source_overlap",
+    # --- window boundary: 50 entries above this line ---
+    # remaining r10 greens (owed round 13), then the r11 cohort
+    "q_histogram_quantiles",
+    "q_weighted_sample",
+    "q_kmv_distinct",
+    "q_doc_chunks",
+    "q_fuzzy_pairs",
+    "q_tfidf_keywords",
+    "q_dist_drift",
+    "q_mix_temperature",
+    "q_profile_table",
+    "q_skew_report",
+    "q_interval_join",
+    "q_window_trailing_chunked",
+    "q_bpe_tokenize_large",
+    "q_bpe_encode",
+    "q_bpe_fertility",
+    "q_scan_star",
+    "q_scan_csv_projection",
+    "q_sql_passthrough",
+    "q_project_cols",
+    "q_filter_eq",
+    "q_filter_like",
+    "q_agg_distinct",
+    "q_agg_min",
+    "q_agg_count",
+    "q_sort_concat",
+    "q_limit",
+    "q_fn_dateformat",
+    "q_sample_stratified",
+    "q_pack_sequences",
+    "q_repetition_stats",
+    "q_quality_rules",
+    "q_pii_scrub",
+    "q_split_assign",
+    "q_token_histogram",
+    "q_source_report",
+    "q_join_asof",
+    "q_join_asof_tol",
+    "q_range_join",
+    "q_export_shards",
+    "q_unigram_nll",
+    "q_profile_dates",
+    "q_decontaminate_semantic",
+    "q_dedup_containment",
+    "q_dedup_containment_inc",
+    "q_ann_recall_curve",
+    "q_ann_recall_lsh",
+    "q_doc_scorecard",
+    "q_quantile_tokens",
+    "q_semantic_dedup",
+    "q_dedup_cluster_sizes",
+    "q_dedup_simhash",
+    "q_embed_project",
+    "q_multimodal_frames",
+    "q_dedup_clusters",
+    "q_text_top_tokens",
+    "q_dedup_spans",
+    "q_bm25_topk",
+    "q_audio_features",
+    "q_video_frames",
+    "q_rollup_tokens",
+    "q_pivot",
+    "q_window_tumbling",
+    "q_window_session",
+    "q_text_quality",
+    "q_doc_winnow",
+    "q_knn_cosine",
+    "q_ann_ivf",
+    "q_multimodal_bytes",
+    "q_mix_sources",
+    "q_ann_lsh",
+    "q_ann_pq",
+    "q_ann_ivfpq",
+    "q_ann_ivf_lloyd",
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    "q_image_resize",
+    "q_corpus_diff",
+    "q_vocab_spectrum",
+    "q_ivf_cell_profile",
+    "q_length_buckets",
+    "q_embedding_audit",
+    "q_window_sliding",
+    "q_agg_approx_distinct",
+    "q_fn_json",
+    "q_text_stats",
+    "q_lang_id",
+    "q_doc_fingerprint",
+    "q_embed_norm",
+    "q_join_chain_left",
+    "q_match_trip_candidates",
 ]
 
 # Window-partition allowlist — the systematic form of the per-query
