@@ -51,3 +51,61 @@ class ResponseCache:
             value = render()
             self.set(key, value, ttl_seconds)
         return value
+
+
+class MemcachedResponseCache:
+    """The reference's actual S14 backend: rendered responses memoized in
+    memcached with per-endpoint TTLs (reference realtime.py:104-108,
+    296-303). Same get-or-render contract as :class:`ResponseCache`;
+    ``client`` is any object with memcached's ``get(key)`` /
+    ``set(key, value, expire=seconds)`` surface — pymemcache's
+    ``Client`` (public PyPI package), or a fake in tests. Values are
+    (body, content_type) tuples, so a real client needs a pickling
+    serde (:func:`make_response_cache` configures one)."""
+
+    def __init__(self, client):
+        self._client = client
+
+    def get(self, key: str):
+        return self._client.get(key)
+
+    def set(self, key: str, value, ttl_seconds: float) -> None:
+        # memcached TTLs are integer seconds; 0 means "never expire",
+        # so clamp up to 1s rather than accidentally pinning an entry
+        self._client.set(key, value, expire=max(1, int(round(ttl_seconds))))
+
+    def get_or_render(
+        self, key: str, ttl_seconds: float, render: Callable[[], object]
+    ):
+        value = self.get(key)
+        if value is None:
+            value = render()
+            self.set(key, value, ttl_seconds)
+        return value
+
+
+def make_response_cache(config: dict):
+    """Cache selection from the reference's own config keys
+    (config.py:25-29): a non-empty ``caching.caching_server_endpoint``
+    plus an importable ``pymemcache`` yields the memcached-backed cache
+    against the first endpoint ("host:port" string or (host, port));
+    otherwise the in-process TTL cache — same contract, so serving code
+    never branches. Callers gate on ``app.caching_enabled`` themselves
+    (the reference's realtime.py:104 does the same)."""
+    endpoints = (config.get("caching") or {}).get("caching_server_endpoint") or []
+    if endpoints:
+        try:
+            from pymemcache import serde  # type: ignore[import-not-found]
+            from pymemcache.client.base import (  # type: ignore[import-not-found]
+                Client,
+            )
+        except ImportError:
+            return ResponseCache()
+        ep = endpoints[0] if isinstance(endpoints, (list, tuple)) else endpoints
+        if isinstance(ep, str) and ":" in ep:
+            host, port = ep.rsplit(":", 1)
+            ep = (host, int(port))
+        return MemcachedResponseCache(
+            Client(ep, serde=serde.pickle_serde)
+        )
+    return ResponseCache()

@@ -22,7 +22,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from py_gtfs_duckdb_spark import serving
-from py_gtfs_duckdb_spark.cache import ResponseCache
+from py_gtfs_duckdb_spark.cache import make_response_cache
 from py_gtfs_duckdb_spark.config import load_config
 from py_gtfs_duckdb_spark.lake import GtfsLake
 
@@ -43,7 +43,11 @@ class RealtimeHttpServer:
         self.lake = lake
         self.cfg = config or load_config()
         self.host, self._port = host, port
-        self.cache = ResponseCache() if self.cfg["app"]["caching_enabled"] else None
+        self.cache = (
+            make_response_cache(self.cfg)
+            if self.cfg["app"]["caching_enabled"]
+            else None
+        )
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 

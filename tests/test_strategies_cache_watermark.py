@@ -101,3 +101,120 @@ def test_streaming_watermark_tumbling_window(spark, tmp_path):
         for r in spark.sql("SELECT * FROM windowed_counts").collect()
     )
     assert [(k, n) for _, k, n in by_kind_window] == [("a", 2), ("a", 1), ("b", 1)]
+
+
+def test_memcached_cache_contract_with_fake_client():
+    """MemcachedResponseCache keeps the exact get-or-render contract over
+    a memcached-shaped client (get(key) / set(key, value, expire=s)) —
+    the drop-in the reference's S14 uses (realtime.py:104-108)."""
+    from py_gtfs_duckdb_spark.cache import MemcachedResponseCache
+
+    class FakeClient:
+        def __init__(self):
+            self.store = {}
+            self.expires = {}
+
+        def get(self, key):
+            return self.store.get(key)
+
+        def set(self, key, value, expire=0):
+            self.store[key] = value
+            self.expires[key] = expire
+
+    client = FakeClient()
+    cache = MemcachedResponseCache(client)
+    calls = []
+
+    def render():
+        calls.append(1)
+        return (b"body", "application/x-protobuf")
+
+    assert cache.get_or_render("/tu-pbf", 30, render) == (
+        b"body",
+        "application/x-protobuf",
+    )
+    assert cache.get_or_render("/tu-pbf", 30, render)[0] == b"body"
+    assert len(calls) == 1, "second hit must come from the client"
+    assert client.expires["/tu-pbf"] == 30, "endpoint TTL forwarded"
+    # memcached expire=0 means never-expire: sub-second TTLs clamp to 1
+    cache.set("/x", 1, 0.2)
+    assert client.expires["/x"] == 1
+
+
+def test_make_response_cache_dispatch():
+    """Config-keyed selection: no endpoint (the default config) or a
+    missing pymemcache -> in-process cache; the conformance-tested
+    config keys are untouched either way."""
+    from py_gtfs_duckdb_spark.cache import (
+        MemcachedResponseCache,
+        ResponseCache,
+        make_response_cache,
+    )
+    from py_gtfs_duckdb_spark.config import load_config
+
+    cfg = load_config()
+    assert isinstance(make_response_cache(cfg), ResponseCache)
+
+    cfg_ep = {"caching": {"caching_server_endpoint": ["127.0.0.1:11211"]}}
+    # this container has no pymemcache: endpoint set -> graceful fallback
+    try:
+        import pymemcache  # noqa: F401
+
+        has_pymemcache = True
+    except ImportError:
+        has_pymemcache = False
+    got = make_response_cache(cfg_ep)
+    if has_pymemcache:
+        assert isinstance(got, MemcachedResponseCache)
+    else:
+        assert isinstance(got, ResponseCache)
+
+    # simulate an installed pymemcache via a stub module: the factory
+    # must build the memcached cache against the parsed (host, port)
+    import sys
+    import types
+
+    base = types.ModuleType("pymemcache.client.base")
+    built = {}
+
+    class Client:
+        def __init__(self, server, serde=None):
+            built["server"] = server
+            built["serde"] = serde
+
+    base.Client = Client
+    client_pkg = types.ModuleType("pymemcache.client")
+    client_pkg.base = base
+    serde_mod = types.ModuleType("pymemcache.serde")
+    serde_mod.pickle_serde = object()
+    pkg = types.ModuleType("pymemcache")
+    pkg.client = client_pkg
+    pkg.serde = serde_mod
+    saved = {
+        k: sys.modules.get(k)
+        for k in (
+            "pymemcache",
+            "pymemcache.client",
+            "pymemcache.client.base",
+            "pymemcache.serde",
+        )
+    }
+    sys.modules.update(
+        {
+            "pymemcache": pkg,
+            "pymemcache.client": client_pkg,
+            "pymemcache.client.base": base,
+            "pymemcache.serde": serde_mod,
+        }
+    )
+    try:
+        got = make_response_cache(cfg_ep)
+        assert isinstance(got, MemcachedResponseCache)
+        assert built["server"] == ("127.0.0.1", 11211)
+        assert built["serde"] is serde_mod.pickle_serde
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
