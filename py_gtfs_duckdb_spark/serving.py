@@ -273,11 +273,21 @@ def to_protobuf(feed: dict) -> bytes:
     return gtfsrt_wire.encode(feed, "FeedMessage")
 
 
+def _cdata(text: str) -> str:
+    """CDATA framing for RSS description bodies, wire-compatible with the
+    reference (realtime.py:603 wraps descriptions in ``<![CDATA[...]]>``;
+    dict2xml.py:80-94 emits them as lxml CDATA nodes). A literal ``]]>``
+    inside the body would close the section early, so it is split across
+    two sections — the standard escape the reference's lxml path does not
+    handle (lxml raises on it)."""
+    return "<![CDATA[" + text.replace("]]>", "]]]]><![CDATA[>") + "]]>"
+
+
 def alerts_rss(lake: GtfsLake, base_url: str = "") -> str:
     """S11: service alerts as RSS 2.0 (realtime.py:560-621 + dict2xml.py).
     pubDate = earliest active-period start, RFC822-formatted (F9,
-    realtime.py:590-592); stdlib escaping replaces the reference's lxml
-    CDATA blocks."""
+    realtime.py:590-592); description bodies are CDATA-framed like the
+    reference, the remaining fields use stdlib escaping."""
     items = []
     for row in alerts_with_children(lake).collect():
         earliest = row["earliest_start"]
@@ -292,7 +302,7 @@ def alerts_rss(lake: GtfsLake, base_url: str = "") -> str:
             "<item>"
             f"<guid>{escape(row['service_alert_id'] or '')}</guid>"
             f"<title>{escape(row['header_text'] or '')}</title>"
-            f"<description>{escape(row['description_text'] or '')}</description>"
+            f"<description>{_cdata(row['description_text'] or '')}</description>"
             f"<pubDate>{escape(pub)}</pubDate>"
             "</item>"
         )

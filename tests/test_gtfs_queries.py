@@ -196,6 +196,41 @@ def test_rss_and_html_render(spark, lake):
     assert "t_extra" in page and "green" in page
 
 
+def test_rss_description_cdata_golden_bytes(spark, lake):
+    """Wire parity with the reference's RSS framing (realtime.py:603 +
+    dict2xml.py:80-94): the description body rides in a CDATA section —
+    markup and ampersands stay RAW bytes, not entity-escaped — and a
+    literal ']]>' splits across two sections instead of closing the
+    CDATA early (the one case the reference's lxml path can't emit)."""
+    import datetime as dt
+
+    alert = _alert("a_cdata")
+    alert["entity"]["alert"]["description_text"] = [
+        {"text": "Zug fällt aus <b>heute & morgen</b> x]]>y", "language": "de"}
+    ]
+    _ingest(spark, lake, [alert])
+    rss = serving.alerts_rss(lake)
+    pub = dt.datetime.fromtimestamp(NOW - 50, tz=dt.timezone.utc).strftime(
+        "%a, %d %b %Y %H:%M:%S %z"
+    )
+    golden_item = (
+        "<item>"
+        "<guid>a_cdata</guid>"
+        "<title>Alert a_cdata</title>"
+        "<description><![CDATA[Zug fällt aus <b>heute & morgen</b> "
+        "x]]]]><![CDATA[>y]]></description>"
+        f"<pubDate>{pub}</pubDate>"
+        "</item>"
+    )
+    assert golden_item in rss, rss
+    # well-formed end-to-end despite raw markup in the body
+    import xml.etree.ElementTree as ET
+
+    parsed = ET.fromstring(rss)
+    desc = parsed.find("./channel/item/description").text
+    assert desc == "Zug fällt aus <b>heute & morgen</b> x]]>y"
+
+
 def test_sql_passthrough_file(q, lake, tmp_path):
     p = tmp_path / "query.sql"
     p.write_text("SELECT COUNT(*) AS n FROM trips")
