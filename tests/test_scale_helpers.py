@@ -546,15 +546,44 @@ def sf1_documents_dir(spark, tmp_path_factory):
     out.coalesce(8).write.mode("overwrite").parquet(
         str(d / "documents.parquet")
     )
+    # embeddings replicated 10x with re-keyed vec_ids (vectors unchanged:
+    # replication grows every IVF cell / benchmark residue class 10x,
+    # which is exactly the load shape the cell-blocked plans must absorb)
+    e = t(spark, "/root/testdata/sf0.1", "embeddings")
+    eshift = e.agg(F.max("vec_id")).collect()[0][0] + 1
+    ereps = [
+        e.withColumn("vec_id", F.col("vec_id") + F.lit(k * eshift))
+        for k in range(10)
+    ]
+    eout = ereps[0]
+    for r in ereps[1:]:
+        eout = eout.unionByName(r)
+    eout.coalesce(8).write.mode("overwrite").parquet(
+        str(d / "embeddings.parquet")
+    )
     return str(d)
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "qname", ["q_dedup_minhash_lsh", "q_golden_records", "q_curate_rules"]
+    "qname",
+    [
+        "q_dedup_minhash_lsh",
+        "q_golden_records",
+        "q_curate_rules",
+        # round-12 additions (VERDICT r11 Next #4): the containment
+        # family and the embedding-tier decontamination — new/hot in
+        # r11, absent from the probe until now. Measured at baking time:
+        # shuffle rows exactly 10.0x for all three at 10x input
+        # (SCALING.md §17a); the containment prefix explode dominates
+        # shuffle volume, candidates stay within-replica.
+        "q_dedup_containment",
+        "q_dedup_containment_inc",
+        "q_decontaminate_semantic",
+    ],
 )
 def test_sf1_probe_scales_linearly(spark, sf1_documents_dir, qname):
-    """The three heaviest extension plans at synthetic sf1: runtime and
+    """The heaviest extension plans at synthetic sf1: runtime and
     shuffle volume must scale ~linearly with the 10x input (pairs-
     quadratic behavior would show ~100x shuffle rows). Ratios get 2-2.5x
     slack for fixed per-job overhead and sandbox noise; the point is
