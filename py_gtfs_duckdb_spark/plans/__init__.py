@@ -87,8 +87,12 @@ from py_gtfs_duckdb_spark.plans import flagship  # noqa: E402,F401
 #                      distributed SCC resolution and applies rejects as
 #                      left_anti — same module), q_flagship_nominal_trips
 #                      (flagship stays fresh), q_decontaminate,
-#                      q_golden_records, q_source_overlap (r10 evidence,
-#                      shrinking the r13 debt to 40).
+#                      q_golden_records (r10 evidence, shrinking the r13
+#                      debt), and q_dedup_policy — NEW this round: the
+#                      distributed containment keep-policy (cap=0 forces
+#                      the SCC path) against an independent recursive-CTE
+#                      oracle. q_source_overlap sits first past the
+#                      boundary (141 registered queries after this round).
 # After this window lands, no registered query's driver evidence will be
 # older than round 10 (= 2 rounds), for the sixth consecutive round.
 # Round-13 owes the remaining 40 r10-evidence queries.
@@ -142,8 +146,9 @@ _PRIORITY = [
     "q_flagship_nominal_trips",
     "q_decontaminate",
     "q_golden_records",
-    "q_source_overlap",
+    "q_dedup_policy",  # NEW in round 12: distributed keep-policy, cap=0
     # --- window boundary: 50 entries above this line ---
+    "q_source_overlap",
     # remaining r10 greens (owed round 13), then the r11 cohort
     "q_histogram_quantiles",
     "q_weighted_sample",

@@ -3614,6 +3614,109 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(d, "text", "doc_id", k=3, threshold=0.6)
 
 
+def _containment_policy_oracle_sql(threshold: float = 0.6, levels: int = 8) -> str:
+    """Independent SQL resolution of the containment keep-policy over the
+    brute-force pair list: transitive closure via a recursive CTE →
+    SCC labels (mutual reachability, min-id representative) → sinks-first
+    keep/reject unrolled ``levels`` deep over the condensed DAG. The
+    unroll bound must exceed the longest containment chain (measured ≤4
+    at both oracle SFs; 8 here) — a deeper graph leaves SCCs undetermined
+    and surfaces as a loud hash mismatch, never a silent agreement,
+    because the Spark side iterates to the true fixpoint.
+
+    The multi-referenced CTEs are MATERIALIZED: without the hint DuckDB
+    re-inlines the brute-force shingle self-join into every unrolled
+    level and the recursive closure (measured 149 s → 0.2 s at sf0.01)."""
+    base = f"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id AS id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
+        FROM (
+            SELECT DISTINCT id,
+                   unnest([coalesce(array_to_string(ws[i : i + 2], ' '), '')
+                           for i in range(1, greatest(len(ws) - 2, 1) + 1)]) AS s
+            FROM w
+        )
+    ), zsets AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+    inter AS MATERIALIZED (
+        SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS o
+        FROM sh a JOIN sh b ON a.h = b.h AND a.id <> b.id
+        GROUP BY 1, 2
+    ), cpairs AS MATERIALIZED (
+        SELECT id_a, id_b
+        FROM inter JOIN zsets za ON za.id = inter.id_a
+        WHERE o >= ceil(za.sz * {threshold} - 1e-9)
+    ), pnodes AS (
+        SELECT DISTINCT id_a AS n FROM cpairs
+        UNION SELECT DISTINCT id_b FROM cpairs
+    ), reach(a, b) AS (
+        SELECT id_a, id_b FROM cpairs
+        UNION
+        SELECT r.a, p.id_b FROM reach r JOIN cpairs p ON p.id_a = r.b
+    ), sccl AS MATERIALIZED (
+        SELECT n.n AS id,
+               least(
+                   n.n,
+                   coalesce(
+                       (SELECT min(r1.b) FROM reach r1
+                        JOIN reach r2 ON r2.a = r1.b AND r2.b = n.n
+                        WHERE r1.a = n.n),
+                       n.n
+                   )
+               ) AS scc
+        FROM pnodes n
+    ), cedges AS MATERIALIZED (
+        SELECT DISTINCT sa.scc AS cu, sb.scc AS cv
+        FROM cpairs p
+        JOIN sccl sa ON sa.id = p.id_a
+        JOIN sccl sb ON sb.id = p.id_b
+        WHERE sa.scc <> sb.scc
+    ), sccs AS MATERIALIZED (SELECT DISTINCT scc AS c FROM sccl
+    ), k0 AS (SELECT c FROM sccs WHERE c NOT IN (SELECT cu FROM cedges))"""
+    lv = ""
+    for i in range(1, levels + 1):
+        prev_k = f"k{i - 1}"
+        lv += f""",
+    r{i} AS (
+        SELECT DISTINCT cu AS c FROM cedges
+        WHERE cv IN (SELECT c FROM {prev_k})
+    ), k{i} AS (
+        SELECT c FROM sccs WHERE c NOT IN (
+            SELECT cu FROM cedges
+            WHERE cv NOT IN (SELECT c FROM r{i})
+        )
+    )"""
+    final = f"""
+    SELECT s.id AS doc_id FROM sccl s
+    WHERE s.scc IN (SELECT c FROM r{levels})
+    UNION
+    SELECT s.id FROM sccl s
+    WHERE s.id <> s.scc AND s.scc IN (SELECT c FROM k{levels})
+    """
+    return base + lv + final
+
+
+@query("q_dedup_policy", oracle=_containment_policy_oracle_sql())
+def q_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment keep-policy rejects over the q_dedup_containment pair
+    list, resolved through the DISTRIBUTED path (cap=0 forces the SCC
+    condensation + sinks-first DAG rounds of operators/graph.py, never a
+    driver collect) — the driver-checked face of VERDICT r11 Next #3.
+    Output: the doc_ids the policy rejects (every one has a surviving
+    container, or loses a kept-SCC min-id tie)."""
+    from py_gtfs_duckdb_spark.streaming.ingest import (
+        containment_policy_rejects_frame,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    pairs = D.containment_pairs(d, "text", "doc_id", k=3, threshold=0.6)
+    rejects = containment_policy_rejects_frame(pairs, max_driver_pairs=0)
+    return rejects.select(F.col("id").alias("doc_id"))
+
+
 @query(
     "q_dedup_containment_inc",
     # the q_dedup_containment brute-force oracle restricted to the
