@@ -325,6 +325,11 @@ def cmd_dedup(args) -> None:
             pairs = D.containment_pairs(docs, "text", "doc_id", threshold=thr)
         else:
             raise SystemExit(f"unknown dedup method: {method}")
+        if args.pairs_out:
+            # the pair list feeds both the evidence write and the
+            # survivor resolution — materialize once instead of
+            # re-running the similarity join per consumer
+            pairs = pairs.localCheckpoint()
         if method == "containment":
             # contained doc goes only when a CONTAINER SURVIVES; mutual/
             # cyclic containment keeps the min id — the ingest gate's
@@ -351,7 +356,10 @@ def cmd_dedup(args) -> None:
         if args.pairs_out:
             pairs.write.mode("overwrite").parquet(args.pairs_out)
     survivors.write.mode("overwrite").parquet(args.output)
-    n_in, n_out = docs.count(), survivors.count()
+    # count the WRITTEN parquet: counting the survivors frame would
+    # re-run the whole dedup lineage a second time
+    n_in = docs.count()
+    n_out = spark.read.parquet(args.output).count()
     print(
         json.dumps(
             {
@@ -446,6 +454,9 @@ def cmd_despan(args) -> None:
     unit_words = args.unit_words if args.unit_words > 0 else None
     out = dedup_spans(docs, unit_words=unit_words, min_df=args.min_df)
     out.write.mode("overwrite").parquet(args.output)
+    # summarize from the written parquet — aggregating the lazy frame
+    # would re-run the span-dedup lineage for a second action
+    out = spark.read.parquet(args.output)
     summary = out.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_units").alias("units"),
@@ -524,6 +535,9 @@ def cmd_mix(args) -> None:
             weights[source] = float(w)
     out = mix_sources(docs, weights, args.token_budget)
     out.write.mode("overwrite").parquet(args.output)
+    # account from the written parquet, not the lazy mix plan (the
+    # prefix-sum mix would otherwise re-run for the summary action)
+    out = spark.read.parquet(args.output)
     per = {
         r["source"]: {"docs": r["docs"], "tokens": int(r["tokens"])}
         for r in out.groupBy("source")
@@ -587,6 +601,9 @@ def cmd_audit(args) -> None:
     docs = _read_corpus(spark, args.input)
     card = audit_scorecard(docs, ngram=args.ngram)
     card.write.mode("overwrite").parquet(args.output)
+    # the scorecard summary reads the written parquet (winnow + shingle
+    # lineage runs once); leakage/waste are separate small plans
+    card = spark.read.parquet(args.output)
     leak = {
         f"{r['split_a']}|{r['split_b']}": r["jaccard"]
         for r in split_leakage(docs, n=args.ngram).collect()
