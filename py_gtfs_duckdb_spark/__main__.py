@@ -6,7 +6,7 @@ lake root directory instead of a ``.ddb`` file. Corpus verbs beyond the
 reference (parquet-in/parquet-out, no lake argument): curate / search /
 despan / dedup (single-tier: exact / minhash / ngram / containment) /
 ingest (streaming near-dup gate over a JSONL spool) /
-mix (explicit weights or ``--alpha`` temperature) / score /
+mix (explicit weights or ``--alpha`` temperature) / score / tokenize /
 sample / audit / profile / drift — see MIGRATION.md's CLI table.
 
 Usage: ``python -m py_gtfs_duckdb_spark <command> <lake_root> [options]``
@@ -500,6 +500,63 @@ def cmd_score(args) -> None:
     ))
 
 
+def cmd_tokenize(args) -> None:
+    """BPE tokenization over a documents parquet (extension surface):
+    train a merge table distributedly on the input (batched 'fast'
+    rounds — operators/bpe.py:bpe_train_distributed) or load one from a
+    --model JSON, write (doc_id, tokens, n_bpe_tokens), optionally save
+    the model, and print corpus fertility as one JSON line."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from py_gtfs_duckdb_spark.operators.bpe import (
+        bpe_tokenize,
+        bpe_train_distributed,
+    )
+    from py_gtfs_duckdb_spark.session import get_spark
+
+    spark = get_spark("gtfs-cli")
+    docs = _read_corpus(spark, args.input)
+    if args.model:
+        with open(args.model) as fh:
+            model = {"merges": [tuple(m) for m in json.load(fh)["merges"]]}
+    else:
+        model = bpe_train_distributed(
+            docs,
+            n_merges=args.merges,
+            batch_merges=args.batch_merges,
+            strategy="fast" if args.batch_merges > 1 else "exact",
+        )
+    if args.save_model:
+        with open(args.save_model, "w") as fh:
+            json.dump({"merges": [list(m) for m in model["merges"]]}, fh)
+    bpe_tokenize(docs, model).withColumnRenamed("id", "doc_id").write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    back = spark.read.parquet(args.output)
+    stats = back.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_bpe_tokens").alias("bpe_tokens"),
+    ).first()
+    words = docs.select(
+        F.sum(
+            F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+        ).alias("w")
+    ).first()["w"]
+    n_tok = int(stats["bpe_tokens"] or 0)
+    print(json.dumps(
+        {
+            "docs": stats["docs"],
+            "bpe_tokens": n_tok,
+            "words": int(words or 0),
+            "fertility": round(n_tok / max(int(words or 0), 1), 4),
+            "n_merges": len(model["merges"]),
+        },
+        sort_keys=True,
+    ))
+
+
 def cmd_mix(args) -> None:
     """Token-budgeted domain mixing over a documents parquet: keep each
     source's hash-ordered prefix until its share of the budget is spent,
@@ -818,6 +875,30 @@ def main(argv: list[str] | None = None) -> int:
         help="reference documents parquet to train the LM on (default: input)",
     )
     sp.set_defaults(fn=cmd_score)
+
+    sp = sub.add_parser(
+        "tokenize", help="BPE tokenization over a documents parquet"
+    )
+    sp.add_argument("--input", "-i", required=True, help="documents parquet path")
+    sp.add_argument("--output", "-o", required=True)
+    sp.add_argument(
+        "--model", "-m", default=None,
+        help="merge-table JSON to apply (default: train on the input)",
+    )
+    sp.add_argument(
+        "--merges", type=int, default=200,
+        help="merge budget when training (default 200)",
+    )
+    sp.add_argument(
+        "--batch-merges", type=int, default=32,
+        help="merges learned per scheduler round when training "
+        "(>1 uses the batched 'fast' strategy; 1 = exact sequential)",
+    )
+    sp.add_argument(
+        "--save-model", default=None,
+        help="write the learned merge table as JSON",
+    )
+    sp.set_defaults(fn=cmd_tokenize)
 
     sp = sub.add_parser(
         "mix", help="token-budgeted domain mixing over a documents parquet"

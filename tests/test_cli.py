@@ -470,3 +470,41 @@ def test_cli_ingest_verb(spark, tmp_path, capsys):
     assert {r["doc_id"] for r in lake.table("corpus_docs").collect()} == {
         1, 2, 11,
     }
+
+
+def test_cli_tokenize_verb(spark, tmp_path, capsys):
+    """tokenize: train-on-input writes tokenized docs + a model JSON; a
+    second run LOADING that model reproduces the same tokenization."""
+    import json
+
+    rows = [
+        (1, "low lower lowest " * 8),
+        (2, "new newer newest " * 8),
+        (3, "low new low new " * 8),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    out1 = str(tmp_path / "tok1")
+    model_path = str(tmp_path / "model.json")
+    assert main([
+        "tokenize", "-i", src, "-o", out1,
+        "--merges", "20", "--save-model", model_path,
+    ]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs"] == 3 and summary["bpe_tokens"] > 0
+    assert summary["fertility"] > 0 and summary["n_merges"] > 0
+    model = json.load(open(model_path))
+    assert model["merges"] and all(len(m) == 2 for m in model["merges"])
+
+    out2 = str(tmp_path / "tok2")
+    assert main(["tokenize", "-i", src, "-o", out2, "-m", model_path]) == 0
+    got1 = sorted(
+        (r["doc_id"], tuple(r["tokens"]), r["n_bpe_tokens"])
+        for r in spark.read.parquet(out1).collect()
+    )
+    got2 = sorted(
+        (r["doc_id"], tuple(r["tokens"]), r["n_bpe_tokens"])
+        for r in spark.read.parquet(out2).collect()
+    )
+    assert got1 == got2, "loaded model must reproduce the training run"
