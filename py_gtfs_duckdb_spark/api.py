@@ -42,7 +42,14 @@ from py_gtfs_duckdb_spark.operators.dedup import (  # noqa: F401
     simhash_near_pairs,
     simhash_signatures,
 )
-from py_gtfs_duckdb_spark.operators.graph import connected_components  # noqa: F401
+from py_gtfs_duckdb_spark.operators.graph import (  # noqa: F401
+    connected_components,
+    containment_rejects,
+    strongly_connected_components,
+)
+from py_gtfs_duckdb_spark.streaming.ingest import (  # noqa: F401
+    containment_policy_rejects_frame,
+)
 from py_gtfs_duckdb_spark.sources.jsonl import (  # noqa: F401
     read_documents_jsonl,
     write_documents_jsonl,
