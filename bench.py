@@ -147,6 +147,10 @@ EXTRA = [
     "q_dedup_containment_inc",
     # round-11 addition: embedding-tier benchmark decontamination
     "q_decontaminate_semantic",
+    # round-12 addition: distributed containment keep-policy (cap=0 —
+    # dominated by fixed SCC/DAG scheduler rounds at this scale, which
+    # is the point: rounds track chain depth, not corpus size)
+    "q_dedup_policy",
     "q_ann_recall_curve",
     "q_mix_temperature",
     "q_profile_table",

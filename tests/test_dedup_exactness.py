@@ -504,3 +504,48 @@ if HAVE_HYPOTHESIS:
                 min(s for _, _, s in ms),
             )
         assert got == want
+
+
+def test_integer_predicate_equals_fraction_arithmetic(spark):
+    """Hypothesis-style property (deterministic examples drawn wide): the
+    float form of the verify predicate n >= ceil(t*(sa+sb)/(1+t) - 1e-9)
+    must agree with exact Fraction arithmetic n/(sa+sb-n) >= t for every
+    reachable (n, sa, sb, t) — the 1e-9 slack may never flip a decision
+    at representable thresholds."""
+    import math
+    import random
+    from fractions import Fraction
+
+    rng = random.Random(1234)
+    thresholds = [
+        Fraction(7, 10), Fraction(6, 10), Fraction(1, 2), Fraction(55, 100),
+        Fraction(67, 100), Fraction(81, 100), Fraction(9, 10), Fraction(1, 3),
+    ]
+    checked = 0
+    for t_frac in thresholds:
+        t = float(t_frac.numerator) / float(t_frac.denominator)
+        for _ in range(4000):
+            sa = rng.randint(1, 100_000)
+            sb = rng.randint(max(1, int(sa * t) - 2), int(sa / t) + 2)
+            n = rng.randint(0, min(sa, sb))
+            want = Fraction(n, sa + sb - n) >= t_frac if sa + sb - n else True
+            got = n >= math.ceil(t / (1 + t) * (sa + sb) - 1e-9)
+            assert got == want, (n, sa, sb, t_frac)
+            checked += 1
+    # boundary-exact cases: n exactly at the integer threshold
+    for t_frac in thresholds:
+        t = float(t_frac.numerator) / float(t_frac.denominator)
+        for s in range(2, 4000):
+            n_min = -(-(t_frac * s).numerator // (t_frac * s).denominator
+                      ) if (t_frac * s).denominator > 1 else int(t_frac * s)
+            # exact minimal n for J >= t at sa+sb = s: ceil(t*s/(1+t))
+            exact = Fraction(t_frac * s, 1 + t_frac)
+            n_exact = -(-exact.numerator // exact.denominator)
+            for n in (n_exact - 1, n_exact):
+                if not 0 <= n <= s:
+                    continue
+                want = Fraction(n, s - n) >= t_frac if s - n else True
+                got = n >= math.ceil(t / (1 + t) * s - 1e-9)
+                assert got == want, (n, s, t_frac)
+                checked += 1
+    assert checked > 40_000

@@ -5,6 +5,7 @@ and the real readStream → foreachBatch wiring."""
 from __future__ import annotations
 
 import json
+import pytest
 import os
 
 from py_gtfs_duckdb_spark.lake import GtfsLake
@@ -535,3 +536,42 @@ def test_policy_dispatch_empty_pairs(spark):
         containment_policy_rejects_frame(cpairs, max_driver_pairs=0).count()
         == 0
     )
+
+
+@pytest.mark.slow
+def test_distributed_policy_matches_driver_on_one_big_digraph(spark):
+    """One connected-ish 250-node digraph with planted cycles of length
+    2/3/5 and random chains — unlike the combined small-graph fuzz, min-
+    label propagation here needs multiple rounds and the peel loop runs
+    more than once (nested cycles whose f-label is owned by another
+    SCC)."""
+    import random
+
+    from py_gtfs_duckdb_spark.streaming.ingest import (
+        _containment_policy_rejects,
+        containment_policy_rejects_frame,
+    )
+
+    rng = random.Random(99)
+    n = 250
+    edges = set()
+    # random chains
+    for _ in range(500):
+        a, b = rng.sample(range(n), 2)
+        edges.add((a, b))
+    # planted cycles (some sharing nodes with the chains)
+    for ln in (2, 3, 5):
+        for _ in range(15):
+            cyc = rng.sample(range(n), ln)
+            for i in range(ln):
+                edges.add((cyc[i], cyc[(i + 1) % ln]))
+    edges = sorted(edges)
+    want = _containment_policy_rejects(list(edges))
+    cpairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]
+        for r in containment_policy_rejects_frame(
+            cpairs, max_driver_pairs=0
+        ).collect()
+    }
+    assert got == want
