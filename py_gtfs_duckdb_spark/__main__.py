@@ -4,7 +4,7 @@ export / sql / show / realtime, plus ``csvload`` (the generic ``csvddb`` loader 
 csvddb.py:71-91) and ``vacuum``. The positional ``database`` argument is a
 lake root directory instead of a ``.ddb`` file. Corpus verbs beyond the
 reference (parquet-in/parquet-out, no lake argument): curate / search /
-despan / dedup (single-tier: exact / minhash / ngram / containment) /
+despan / dedup (single-tier: exact / minhash / ngram / containment / simhash) /
 ingest (streaming near-dup gate over a JSONL spool) /
 mix (explicit weights or ``--alpha`` temperature) / score / tokenize /
 sample / audit / profile / drift — see MIGRATION.md's CLI table.
@@ -277,7 +277,7 @@ def cmd_curate(args) -> None:
 def cmd_dedup(args) -> None:
     """Standalone dedup verb over a documents parquet (extension surface):
     pick a tier (exact digest / MinHash-LSH / exact n-gram Jaccard /
-    asymmetric containment), write the SURVIVORS (min id per duplicate
+    asymmetric containment / SimHash Hamming bands), write the SURVIVORS (min id per duplicate
     relation, containers win the containment tier) and optionally the
     pair evidence; prints a JSON summary. The curate verb composes the
     exact+minhash tiers into the full pipeline; this verb is the
@@ -323,6 +323,9 @@ def cmd_dedup(args) -> None:
             pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=thr)
         elif method == "containment":
             pairs = D.containment_pairs(docs, "text", "doc_id", threshold=thr)
+        elif method == "simhash":
+            sig = D.simhash_signatures(docs, "text", "doc_id")
+            pairs = D.simhash_near_pairs(sig, max_hamming=args.hamming)
         else:
             raise SystemExit(f"unknown dedup method: {method}")
         if args.pairs_out:
@@ -364,7 +367,10 @@ def cmd_dedup(args) -> None:
         json.dumps(
             {
                 "method": method,
-                "threshold": None if method == "exact" else thr,
+                "threshold": (
+                    None if method in ("exact", "simhash") else thr
+                ),
+                "hamming": args.hamming if method == "simhash" else None,
                 "docs_in": n_in,
                 "docs_out": n_out,
                 "dropped": n_in - n_out,
@@ -850,9 +856,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--output", "-o", required=True, help="survivors parquet path")
     sp.add_argument(
         "--method", "-m", default="minhash",
-        choices=["exact", "minhash", "ngram", "containment"],
+        choices=["exact", "minhash", "ngram", "containment", "simhash"],
     )
     sp.add_argument("--threshold", "-t", type=float, default=0.7)
+    sp.add_argument(
+        "--hamming", type=int, default=3,
+        help="max Hamming distance for -m simhash (default 3)",
+    )
     sp.add_argument(
         "--pairs-out", default=None,
         help="also write the duplicate-pair evidence parquet",

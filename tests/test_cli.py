@@ -508,3 +508,28 @@ def test_cli_tokenize_verb(spark, tmp_path, capsys):
         for r in spark.read.parquet(out2).collect()
     )
     assert got1 == got2, "loaded model must reproduce the training run"
+
+
+def test_cli_dedup_simhash_tier(spark, tmp_path, capsys):
+    """-m simhash: Hamming-banded near-dup pairs drive the symmetric
+    min-id-survives rule; --hamming widens/narrows the band."""
+    import json
+
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, base),
+        # repeats an existing token: the DISTINCT token set is unchanged,
+        # so the signature is identical (Hamming 0) — deterministic hit
+        (2, base + " w0"),
+        (3, "completely different content " * 10),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "sh_out")
+    assert main([
+        "dedup", "-i", src, "-o", out, "-m", "simhash", "--hamming", "3",
+    ]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert summary["threshold"] is None and summary["hamming"] == 3
+    assert 3 in kept and 1 in kept and 2 not in kept, kept
