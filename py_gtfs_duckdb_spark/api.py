@@ -176,8 +176,13 @@ from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
 )
 
 # multimodal
+from py_gtfs_duckdb_spark.operators.codecs import (  # noqa: F401
+    decode_png,
+    encode_png,
+)
 from py_gtfs_duckdb_spark.operators.multimodal import (  # noqa: F401
     audio_features,
+    decode_image,
     decode_ppm,
     decode_wav,
     decode_y4m,

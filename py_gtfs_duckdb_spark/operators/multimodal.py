@@ -12,8 +12,11 @@ stdlib ``wave`` + numpy (``decode_wav`` / ``audio_features`` — bytes →
 PCM → signal features), P6 PPM IMAGES via plain numpy (``decode_ppm`` /
 ``resize_images`` — bytes → pixel array → 2-D block-average resize), and
 Y4M VIDEO via plain numpy (``decode_y4m`` / ``video_frame_features`` —
-bytes → frame planes → per-frame features). Compressed codecs
-(JPEG/h264/MP3) stay behind the stub.
+bytes → frame planes → per-frame features). PNG (a COMPRESSED
+container — DEFLATE over filtered scanlines) also decodes for real via
+the stdlib-zlib codec in operators/codecs.py (``decode_image``
+dispatches on magic bytes). Codecs that genuinely need external
+libraries (h264, MP3) stay behind the stub.
 
 Scale notes: media rows are wide (payloads dominate); keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so a partition
@@ -298,9 +301,9 @@ def documents_as_audio(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def synth_ppm(seed: int, width: int = 16, height: int = 12) -> bytes:
-    """Deterministic P6 PPM: a seeded RGB gradient — real binary image
-    container, reproducible everywhere, no image library involved."""
+def _synth_gradient(seed: int, width: int, height: int):
+    """The shared deterministic RGB gradient every image synthesizer and
+    every image oracle replays (R = x-ramp, G = y-ramp, B = seed%256)."""
     import numpy as np
 
     x = np.arange(width, dtype=np.uint16)
@@ -312,8 +315,39 @@ def synth_ppm(seed: int, width: int = 16, height: int = 12) -> bytes:
         (1, width), dtype=np.uint8
     )
     b = np.full((height, width), seed % 256, dtype=np.uint8)
-    img = np.stack([r, g, b], axis=-1)
+    return np.stack([r, g, b], axis=-1)
+
+
+def synth_ppm(seed: int, width: int = 16, height: int = 12) -> bytes:
+    """Deterministic P6 PPM: a seeded RGB gradient — real binary image
+    container, reproducible everywhere, no image library involved."""
+    img = _synth_gradient(seed, width, height)
     return f"P6\n{width} {height}\n255\n".encode() + img.tobytes()
+
+
+def synth_png(seed: int, width: int = 16, height: int = 12) -> bytes:
+    """The SAME gradient as synth_ppm in a real compressed container —
+    zlib-DEFLATE PNG (operators/codecs.py). Pixel-identical to the PPM
+    twin by construction, so the PPM oracle replays this too."""
+    from py_gtfs_duckdb_spark.operators.codecs import encode_png
+
+    return encode_png(_synth_gradient(seed, width, height))
+
+
+def decode_image(payload: bytes):
+    """Container dispatch for the REAL image decode path: P6 PPM (raw
+    raster) and PNG (DEFLATE-compressed, operators/codecs.py) both decode
+    with stdlib+numpy; other magics raise the codec stub's error."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(b"\x89PNG"):
+        from py_gtfs_duckdb_spark.operators.codecs import decode_png
+
+        return decode_png(payload)
+    raise NotImplementedError(
+        "unrecognized image container (supported without external "
+        "libraries: P6 PPM, 8-bit non-interlaced PNG)"
+    )
 
 
 def decode_ppm(payload: bytes):
@@ -344,17 +378,19 @@ def decode_ppm(payload: bytes):
     return np.frombuffer(raw[:n], dtype=np.uint8).reshape(h, w, 3)
 
 
-def documents_as_images(docs: DataFrame) -> DataFrame:
-    """Media table with REAL P6 PPM payloads synthesized per doc_id,
+def documents_as_images(docs: DataFrame, container: str = "ppm") -> DataFrame:
+    """Media table with REAL image payloads synthesized per doc_id,
     executor-side in Arrow batches — the image twin of
-    documents_as_audio."""
+    documents_as_audio. ``container`` picks the wire format ("ppm" raw
+    raster, "png" DEFLATE-compressed); pixels are identical either way."""
     base = docs.select(F.col("doc_id").alias("media_id"))
+    synth = {"ppm": synth_ppm, "png": synth_png}[container]
 
     def run(batches):
         import pandas as pd
 
         for pdf in batches:
-            payloads = [synth_ppm(int(m)) for m in pdf["media_id"]]
+            payloads = [synth(int(m)) for m in pdf["media_id"]]
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
@@ -380,7 +416,9 @@ def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 3) -> DataFrame
                 if p is None:
                     out.append(None)
                     continue
-                img = decode_ppm(bytes(p)).astype(np.float64).mean(axis=-1)
+                img = decode_image(bytes(p)).astype(np.float64)
+                if img.ndim == 3:
+                    img = img.mean(axis=-1)
                 h, w = img.shape
                 # block-average via split in both axes (ragged-safe)
                 rows = np.array_split(img, out_h, axis=0)

@@ -240,6 +240,12 @@ _PRIORITY = [
     "q_embed_norm",
     "q_join_chain_left",
     "q_match_trip_candidates",
+    # NEW in round 12, registered past the window (owed to the r13
+    # rotation along with the r10 cohort): PNG-container twin of
+    # q_image_resize — same analytic oracle, isolates the stdlib-zlib
+    # PNG codec (operators/codecs.py); sf0.001+sf0.01 parity-tested
+    # locally at registration.
+    "q_image_resize_png",
 ]
 
 # Window-partition allowlist — the systematic form of the per-query

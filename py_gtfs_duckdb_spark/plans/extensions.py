@@ -2830,6 +2830,35 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_image_resize_png", oracle=_image_resize_oracle_sql())
+def q_image_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_image_resize pipeline over a COMPRESSED container: the same
+    seeded gradient wrapped as real PNG (DEFLATE over filtered
+    scanlines, operators/codecs.py), decoded by the pure stdlib+numpy
+    PNG decoder and block-average resized. Pixels are identical to the
+    PPM twin by construction, so the SAME analytic oracle replays both —
+    a hash mismatch here is a PNG codec bug, isolated from the resize
+    math the PPM query already pins."""
+    from py_gtfs_duckdb_spark.functions import pround
+
+    media = M.documents_as_images(
+        t(spark, sf_dir, "documents"), container="png"
+    )
+    out = M.resize_images(media, out_w=4, out_h=3)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.posexplode("pixels").alias("px_idx", "px_raw"),
+    ).select(
+        "media_id",
+        "width",
+        "height",
+        "px_idx",
+        pround(F.col("px_raw"), 4).alias("px_value"),
+    )
+
+
 @query(
     "q_video_frames",
     # Every row is decode-verified integer arithmetic: frame count =
