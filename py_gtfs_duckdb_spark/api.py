@@ -177,7 +177,9 @@ from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
 
 # multimodal
 from py_gtfs_duckdb_spark.operators.codecs import (  # noqa: F401
+    decode_jpeg,
     decode_png,
+    encode_jpeg,
     encode_png,
 )
 from py_gtfs_duckdb_spark.operators.multimodal import (  # noqa: F401

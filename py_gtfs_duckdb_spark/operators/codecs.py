@@ -167,3 +167,484 @@ def decode_png(payload: bytes):
         out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
     img = out.reshape(h, w, channels)
     return img[:, :, 0] if channels == 1 else img
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81, public spec; JFIF color model). Pure
+# numpy+stdlib: 2-D DCT as an 8x8 orthonormal matrix product, Annex-K
+# quantization tables scaled by the IJG quality curve, canonical Huffman
+# entropy coding. The DECODER is the engine contract (any baseline
+# SOF0 stream: 1 or 3 components, sampling factors 1-2, restart
+# intervals, tables read from the stream); the ENCODER exists to
+# synthesize deterministic test payloads and emits the simplest valid
+# form (4:4:4, fixed-length canonical Huffman tables declared in DHT —
+# suboptimal compression, trivially correct). Progressive (SOF2),
+# arithmetic coding, 12-bit precision and hierarchical modes reject
+# loudly. Cross-validated against the JVM's javax.imageio in
+# tests/test_codecs.py (both directions), so self-consistent-but-
+# non-standard bugs (e.g. a mirrored zigzag in both paths) cannot hide.
+# ---------------------------------------------------------------------------
+
+_QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+
+def _zigzag_order():
+    """The standard zigzag permutation, generated (not transcribed):
+    anti-diagonals of the 8x8 grid, alternating direction."""
+    order = []
+    for d in range(15):
+        cells = [(y, d - y) for y in range(max(0, d - 7), min(7, d) + 1)]
+        if d % 2 == 0:
+            cells.reverse()  # even diagonals run bottom-left -> top-right
+        order.extend(cells)
+    return [y * 8 + x for y, x in order]
+
+
+_ZIGZAG = _zigzag_order()
+_UNZIGZAG = [0] * 64
+for _i, _z in enumerate(_ZIGZAG):
+    _UNZIGZAG[_z] = _i
+
+
+def _dct_matrix():
+    import numpy as np
+
+    t = np.zeros((8, 8))
+    for u in range(8):
+        c = (0.5 / (2**0.5)) if u == 0 else 0.5
+        for x in range(8):
+            t[u, x] = c * float(
+                np.cos((2 * x + 1) * u * np.pi / 16.0)
+            )
+    return t
+
+
+def _quality_tables(quality: int):
+    import numpy as np
+
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (_QUANT_LUMA, _QUANT_CHROMA):
+        q = (np.array(base, dtype=np.int64) * scale + 50) // 100
+        out.append(np.clip(q, 1, 255).astype(np.int32))
+    return out  # flat, natural (row-major) order
+
+
+def _canonical_codes(bits: list[int], values: list[int]):
+    """(length, code) per symbol from a DHT-style BITS/HUFFVAL pair —
+    the canonical assignment of T.81 Annex C."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+# Encoder tables: fixed-length canonical Huffman (all DC codes 4 bits for
+# the 12 categories; all AC codes 9 bits for the 162 run/size symbols —
+# 162 > 256/2 would make 8 bits leave no slack before the forbidden
+# all-ones code, 9 bits leaves plenty). Valid prefix codes, declared in
+# DHT, so ANY conformant decoder reads them.
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_BITS = [0] * 8 + [162] + [0] * 7
+_ENC_AC_VALS = sorted(
+    [0x00, 0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        while self.nbits:  # pad the last byte with 1-bits (T.81 F.1.2.3)
+            self.write(1, 1)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def encode_jpeg(img, quality: int = 90, restart_interval: int = 0) -> bytes:
+    """8-bit numpy array -> baseline JFIF bytes. (h, w) grey or
+    (h, w, 3) RGB; 4:4:4 (no chroma subsampling), quality 1-100.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
+    that many MCUs (resilience feature real encoders use; also exercises
+    the decoder's restart path)."""
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc == 3:
+        rgb = arr.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2] + 128.0
+        cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2] + 128.0
+        planes = [y, cb, cr]
+    elif nc == 1:
+        planes = [arr[:, :, 0].astype(np.float64)]
+    else:
+        raise ValueError(f"unsupported image shape {arr.shape}")
+
+    qluma, qchroma = _quality_tables(quality)
+    qtabs = [qluma] + ([qchroma] if nc == 3 else [])
+    tmat = _dct_matrix()
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    bh, bwidth = -(-h // 8), -(-w // 8)
+    mcu_count = 0
+    for by in range(bh):
+        for bx in range(bwidth):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()  # byte-align before the marker
+                bw.out += bytes(
+                    [0xFF, 0xD0 + ((mcu_count // restart_interval - 1) % 8)]
+                )
+                preds = [0] * len(planes)
+            mcu_count += 1
+            for ci, plane in enumerate(planes):
+                block = np.full((8, 8), float(plane[-1, -1]))
+                ys, xs = min(8, h - by * 8), min(8, w - bx * 8)
+                block[:ys, :xs] = plane[
+                    by * 8 : by * 8 + ys, bx * 8 : bx * 8 + xs
+                ]
+                # edge replication beats zero-pad ringing
+                if ys < 8:
+                    block[ys:, :xs] = block[ys - 1, :xs]
+                if xs < 8:
+                    block[:, xs:] = block[:, xs - 1 : xs]
+                coef = tmat @ (block - 128.0) @ tmat.T
+                q = qtabs[min(ci, 1)].reshape(8, 8)
+                quant = np.round(coef / q).astype(np.int64).reshape(-1)
+                zz = [int(quant[_ZIGZAG[i]]) for i in range(64)]
+                diff = zz[0] - preds[ci]
+                preds[ci] = zz[0]
+                s = _category(diff)
+                length, code = dc_codes[s]
+                bw.write(code, length)
+                if s:
+                    bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+                run = 0
+                last_nz = max(
+                    (i for i in range(1, 64) if zz[i]), default=0
+                )
+                for i in range(1, last_nz + 1):
+                    if zz[i] == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        length, code = ac_codes[0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                    s = _category(zz[i])
+                    length, code = ac_codes[(run << 4) | s]
+                    bw.write(code, length)
+                    v = zz[i]
+                    bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    length, code = ac_codes[0x00]  # EOB
+                    bw.write(code, length)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in enumerate(qtabs):
+        zz_q = bytes(int(q[_ZIGZAG[i]]) for i in range(64))
+        out += seg(0xDB, bytes([tid]) + zz_q)
+    comps = b""
+    for ci in range(len(planes)):
+        comps += bytes([ci + 1, 0x11, min(ci, 1)])  # h=v=1, qtab id
+    out += seg(
+        0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([len(planes)]) + comps
+    )
+    for tclass_tid, bits, vals in (
+        (0x00, _ENC_DC_BITS, _ENC_DC_VALS),
+        (0x10, _ENC_AC_BITS, _ENC_AC_VALS),
+        (0x01, _ENC_DC_BITS, _ENC_DC_VALS),
+        (0x11, _ENC_AC_BITS, _ENC_AC_VALS),
+    )[: 4 if len(planes) == 3 else 2]:
+        out += seg(0xC4, bytes([tclass_tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    scomps = b""
+    for ci in range(len(planes)):
+        tid = min(ci, 1)
+        scomps += bytes([ci + 1, (tid << 4) | tid])
+    out += seg(0xDA, bytes([len(planes)]) + scomps + b"\x00\x3f\x00")
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    unstuffing; stops at any real marker and exposes restart handling."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        if self.marker is not None:
+            return False
+        if self.pos >= len(self.data):
+            return False
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                self.marker = nxt
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            return 0  # T.81 F.2.2.5: missing bits past a marker read as 0
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        if self.marker is None:
+            # scan forward to the marker (encoder padded with 1s)
+            while self.pos + 1 < len(self.data):
+                if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
+                    self.marker = self.data[self.pos + 1]
+                    break
+                self.pos += 1
+        if self.marker is None or not (0xD0 <= self.marker <= 0xD7):
+            raise ValueError(f"expected JPEG restart marker, got {self.marker}")
+        self.pos += 2
+        self.marker = None
+
+
+def _extend(v: int, s: int) -> int:
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    length, code = 0, 0
+    while length < 17:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline JFIF/JPEG bytes -> uint8 numpy array ((h, w) for one
+    component, (h, w, 3) RGB otherwise). Supports SOF0 with sampling
+    factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), multiple DQT/DHT segments,
+    restart intervals; rejects progressive/arithmetic/12-bit loudly."""
+    import numpy as np
+
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                prec_id = body[i]
+                if prec_id >> 4 != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                qtabs[prec_id & 0xF] = [
+                    body[i + 1 + _UNZIGZAG[k]] for k in range(64)
+                ]
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc_th = body[i]
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                codes = _canonical_codes(bits, vals)
+                htabs[(tc_th >> 4, tc_th & 0xF)] = {
+                    (ln, code): sym for sym, (ln, code) in codes.items()
+                }
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h, w = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG frame type 0xFF{marker:02X} "
+                "(progressive/arithmetic/hierarchical — baseline only)"
+            )
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = {}
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c : 3 + 2 * c]
+                scan[cs] = (tdta >> 4, tdta & 0xF)
+            br = _BitReader(payload, pos + 2 + length)
+            img = _decode_scan(frame, scan, qtabs, htabs, br, restart_interval)
+            return img
+        pos += 2 + length
+    raise ValueError("JPEG stream ended before SOS")
+
+
+def _decode_scan(frame, scan, qtabs, htabs, br, restart_interval):
+    import numpy as np
+
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise ValueError("sampling factors beyond 2 not supported")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    tmat = _dct_matrix()
+    planes = [
+        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c in comps
+    ]
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.restart()
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                tdc, tac = scan[c["id"]]
+                dc_tab = htabs[(0, tdc)]
+                ac_tab = htabs[(1, tac)]
+                q = np.array(qtabs[c["tq"]], dtype=np.float64).reshape(8, 8)
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = [0] * 64
+                        s = _huff_decode(br, dc_tab)
+                        diff = _extend(br.receive(s), s)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(br, ac_tab)
+                            if sym == 0x00:
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad JPEG AC symbol")
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _extend(br.receive(size), size)
+                            k += 1
+                        coef = np.zeros(64)
+                        for i in range(64):
+                            coef[_ZIGZAG[i]] = zz[i]
+                        block = tmat.T @ (coef.reshape(8, 8) * q) @ tmat + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+    full = []
+    for ci, c in enumerate(comps):
+        p = np.repeat(
+            np.repeat(planes[ci], vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0], 0, 255).astype(np.uint8)
+    if len(full) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(full)}")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)

@@ -12,11 +12,12 @@ stdlib ``wave`` + numpy (``decode_wav`` / ``audio_features`` — bytes →
 PCM → signal features), P6 PPM IMAGES via plain numpy (``decode_ppm`` /
 ``resize_images`` — bytes → pixel array → 2-D block-average resize), and
 Y4M VIDEO via plain numpy (``decode_y4m`` / ``video_frame_features`` —
-bytes → frame planes → per-frame features). PNG (a COMPRESSED
-container — DEFLATE over filtered scanlines) also decodes for real via
-the stdlib-zlib codec in operators/codecs.py (``decode_image``
-dispatches on magic bytes). Codecs that genuinely need external
-libraries (h264, MP3) stay behind the stub.
+bytes → frame planes → per-frame features). COMPRESSED images also
+decode for real via operators/codecs.py (``decode_image`` dispatches on
+magic bytes): PNG (stdlib-zlib DEFLATE over filtered scanlines) and
+baseline JPEG (numpy DCT + canonical Huffman, cross-validated against
+the JVM's javax.imageio). Codecs that genuinely need external libraries
+(h264, MP3) stay behind the stub.
 
 Scale notes: media rows are wide (payloads dominate); keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so a partition
@@ -294,10 +295,12 @@ def documents_as_audio(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL image path (round 5): PPM (P6) needs no image library — the header
-# is ASCII, the payload is raw RGB bytes — so like audio, the image branch
-# can run genuine decode/resize for this format. PIL/ffmpeg formats stay
-# behind the fake=True stub.
+# REAL image path (round 5, widened round 12): PPM (P6) needs no image
+# library — ASCII header, raw RGB payload — and the COMPRESSED containers
+# PNG and baseline JPEG decode via the pure stdlib+numpy codecs in
+# operators/codecs.py; decode_image dispatches on magic bytes. Only
+# formats that genuinely need external libraries stay behind the
+# fake=True stub.
 # ---------------------------------------------------------------------------
 
 
@@ -344,9 +347,13 @@ def decode_image(payload: bytes):
         from py_gtfs_duckdb_spark.operators.codecs import decode_png
 
         return decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from py_gtfs_duckdb_spark.operators.codecs import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         "unrecognized image container (supported without external "
-        "libraries: P6 PPM, 8-bit non-interlaced PNG)"
+        "libraries: P6 PPM, 8-bit non-interlaced PNG, baseline JPEG)"
     )
 
 

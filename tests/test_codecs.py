@@ -141,5 +141,137 @@ def test_decode_image_dispatch(spark):
         a = decode_image(synth_ppm(seed))
         b = decode_image(synth_png(seed))
         assert (a == b).all() and a.shape == (12, 16, 3)
+    # unknown magic -> honest stub error; malformed KNOWN magic -> the
+    # codec's own loud parse error, never silent wrong pixels
     with pytest.raises(NotImplementedError, match="image container"):
-        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+        decode_image(b"GIF89a not supported")
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 truncated jpeg")
+
+
+# --- baseline JPEG ---------------------------------------------------------
+
+
+from py_gtfs_duckdb_spark.operators.codecs import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+@pytest.mark.parametrize(
+    ("shape", "quality", "max_err"),
+    [
+        ((12, 16, 3), 90, 6),
+        ((24, 24, 3), 75, 14),
+        ((17, 24), 95, 4),    # grayscale, non-multiple-of-8 height
+        ((9, 13, 3), 92, 8),  # both dims ragged
+        ((8, 8, 3), 50, 24),
+    ],
+)
+def test_jpeg_roundtrip_smooth(shape, quality, max_err):
+    """Encode->decode of a smooth gradient stays within the quantization
+    error budget for the quality level (JPEG is lossy by design; the
+    budget shrinks as quality rises)."""
+    from py_gtfs_duckdb_spark.operators.multimodal import _synth_gradient
+
+    if len(shape) == 3:
+        img = _synth_gradient(7, shape[1], shape[0])
+    else:
+        img = np.tile(
+            (np.arange(shape[1], dtype=np.uint16) * 255 // (shape[1] - 1)).astype(
+                np.uint8
+            ),
+            (shape[0], 1),
+        )
+    dec = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= max_err, (err.mean(), err.max())
+
+
+def test_jpeg_restart_intervals():
+    """DRI + RSTn markers decode with predictor resets; pixels match the
+    no-restart encoding of the same image."""
+    from py_gtfs_duckdb_spark.operators.multimodal import _synth_gradient
+
+    img = _synth_gradient(9, 40, 24)
+    plain = decode_jpeg(encode_jpeg(img, quality=92))
+    with_rst = encode_jpeg(img, quality=92, restart_interval=3)
+    assert b"\xff\xdd" in with_rst and b"\xff\xd0" in with_rst
+    assert (decode_jpeg(with_rst) == plain).all()
+
+
+def test_jpeg_rejections():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"P6 1 1 255 ")
+    # progressive frame header (SOF2) rejects loudly
+    sof2 = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + struct.pack(">H", 11)
+        + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="baseline only"):
+        decode_jpeg(sof2)
+    # 12-bit precision rejects
+    sof12 = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", 11)
+        + bytes([12]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_jpeg(sof12)
+
+
+def test_jpeg_cross_validates_with_javax_imageio(spark):
+    """Standard-compliance gate: the JVM's javax.imageio (an independent
+    public implementation) must read THIS encoder's output, and this
+    decoder must read ImageIO's output (Annex-K Huffman tables + its
+    default chroma subsampling) — so a self-consistent-but-non-standard
+    bug (e.g. a mirrored zigzag used by both halves) cannot hide."""
+    from py_gtfs_duckdb_spark.operators.multimodal import _synth_gradient
+
+    jvm = spark._jvm
+    img = _synth_gradient(5, 32, 24)
+    h, w = img.shape[:2]
+
+    bais = jvm.java.io.ByteArrayInputStream(
+        bytearray(encode_jpeg(img, quality=90))
+    )
+    bi = jvm.javax.imageio.ImageIO.read(bais)
+    assert bi is not None and (bi.getWidth(), bi.getHeight()) == (w, h)
+    dec = np.zeros((h, w, 3), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            rgb = bi.getRGB(x, y)
+            dec[y, x] = [(rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF]
+    err = np.abs(dec - img.astype(np.int64))
+    assert err.max() <= 8, (err.mean(), err.max())
+
+    bi2 = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in img[y, x])
+            bi2.setRGB(x, y, (r << 16) | (g << 8) | b)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bi2, "jpg", baos)
+    back = decode_jpeg(bytes(baos.toByteArray()))
+    err2 = np.abs(back.astype(np.int64) - img.astype(np.int64))
+    # ImageIO default quality ~0.75 with chroma subsampling: looser budget
+    assert back.shape == img.shape and err2.max() <= 32, (
+        err2.mean(),
+        err2.max(),
+    )
+
+
+def test_decode_image_dispatches_jpeg():
+    from py_gtfs_duckdb_spark.operators.multimodal import (
+        _synth_gradient,
+        decode_image,
+    )
+
+    img = _synth_gradient(3, 16, 12)
+    got = decode_image(encode_jpeg(img, quality=90))
+    assert got.shape == (12, 16, 3)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 6
