@@ -177,14 +177,19 @@ from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
 
 # multimodal
 from py_gtfs_duckdb_spark.operators.codecs import (  # noqa: F401
+    decode_avi_mjpeg,
     decode_jpeg,
     decode_png,
+    encode_avi_mjpeg,
     encode_jpeg,
     encode_png,
+    encode_wav_g711,
+    parse_wav,
 )
 from py_gtfs_duckdb_spark.operators.multimodal import (  # noqa: F401
     audio_features,
     decode_image,
+    decode_video,
     decode_ppm,
     decode_wav,
     decode_y4m,

@@ -648,3 +648,209 @@ def _decode_scan(frame, scan, qtabs, htabs, br, restart_interval):
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded audio (ITU-T G.711, public spec): µ-law and A-law are
+# the classic 8-bit-per-sample compressed WAV formats (format codes 7 and
+# 6). Decode is a 256-entry table (the public-domain g711.c expansion
+# formulas); the encoder quantizes to the nearest decodable level via the
+# same table, so fixtures are valid without transcribing the segmented
+# compression formula. Known anchors pin the tables in tests
+# (µ-law 0xFF→0, 0x80→+32124 after complement; A-law 0x55→−8, max 32256)
+# and javax.sound.sampled cross-validates full streams.
+# ---------------------------------------------------------------------------
+
+
+def ulaw_decode_table():
+    """int16 linear value for each µ-law code 0..255 (g711.c
+    ulaw2linear: complement, expand mantissa with the 0x84 bias,
+    shift by segment)."""
+    import numpy as np
+
+    codes = np.arange(256, dtype=np.int64)
+    u = (~codes) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where((u & 0x80) != 0, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def alaw_decode_table():
+    """int16 linear value for each A-law code 0..255 (g711.c
+    alaw2linear: XOR 0x55, segment 0/1 special cases, sign bit SET means
+    positive)."""
+    import numpy as np
+
+    codes = np.arange(256, dtype=np.int64)
+    a = codes ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108, 0))
+    big = ((codes ^ 0x55) & 0x0F) * 16 + 0x108
+    t = np.where(seg >= 2, big << np.maximum(seg - 1, 0), t)
+    return np.where((a & 0x80) != 0, t, -t).astype(np.int16)
+
+
+def g711_encode(samples_i16, law: str = "ulaw"):
+    """Nearest-level quantization onto the decode table — valid G.711
+    codes without transcribing the segmented encoder."""
+    import numpy as np
+
+    table = ulaw_decode_table() if law == "ulaw" else alaw_decode_table()
+    order = np.argsort(table, kind="stable")
+    levels = table[order].astype(np.int64)
+    s = np.asarray(samples_i16, dtype=np.int64)
+    idx = np.searchsorted(levels, s)
+    idx = np.clip(idx, 1, len(levels) - 1)
+    left = levels[idx - 1]
+    right = levels[idx]
+    pick = np.where(np.abs(s - left) <= np.abs(s - right), idx - 1, idx)
+    return order[pick].astype(np.uint8)
+
+
+def parse_wav(payload: bytes):
+    """RIFF/WAVE parser for the formats a training corpus actually
+    carries: (sample_rate, n_channels, format_code, int16 samples).
+    Format 1 = PCM16, 6 = A-law, 7 = µ-law (G.711 expanded to linear
+    int16); anything else (ADPCM, float, extensible sub-formats beyond
+    these) rejects loudly."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            code, n_ch, sr = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            fmt = (code, n_ch, sr, bits)
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    code, n_ch, sr, bits = fmt
+    if code == 1:
+        if bits != 16:
+            raise ValueError(f"only 16-bit PCM supported, got {bits}")
+        samples = np.frombuffer(
+            data[: len(data) // 2 * 2], dtype="<i2"
+        ).astype(np.int16)
+    elif code in (6, 7):
+        if bits != 8:
+            raise ValueError(f"G.711 must be 8-bit, got {bits}")
+        table = alaw_decode_table() if code == 6 else ulaw_decode_table()
+        samples = table[np.frombuffer(data, dtype=np.uint8)]
+    else:
+        raise ValueError(
+            f"unsupported WAV format code {code} "
+            "(supported: 1=PCM16, 6=A-law, 7=µ-law)"
+        )
+    return sr, n_ch, code, samples
+
+
+def encode_wav_g711(samples_i16, sample_rate: int, law: str = "ulaw") -> bytes:
+    """Mono int16 samples -> a G.711-compressed WAV (format 7 µ-law or
+    6 A-law, 8 bits/sample — half the bytes of PCM16)."""
+    codes = g711_encode(samples_i16, law)
+    code = 7 if law == "ulaw" else 6
+    n = len(codes)
+    fmt = struct.pack("<HHIIHH", code, 1, sample_rate, sample_rate, 1, 8)
+    out = b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", n) + bytes(codes)
+    if n & 1:
+        out += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI video (Microsoft RIFF/AVI container, public format): each
+# frame is an ordinary baseline JPEG in a '00dc' chunk, so the
+# already-cross-validated decode_jpeg carries the whole video path — the
+# compressed-video twin of the raw Y4M branch. The encoder writes the
+# minimal standard layout (hdrl: avih + one 'vids'/'MJPG' stream; movi:
+# one chunk per frame); the decoder walks RIFF LIST nesting linearly and
+# tolerates index chunks and padding.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(frames, fps: int = 25) -> bytes:
+    """List of uint8 arrays ((h, w, 3) RGB or (h, w) grey) -> AVI bytes
+    with one baseline-JPEG '00dc' chunk per frame."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = np.asarray(frames[0]).shape[:2]
+    payloads = [encode_jpeg(f, quality=92) for f in frames]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0, w, h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_mjpeg(payload: bytes):
+    """AVI bytes -> (width, height, [frames]) with each frame decoded by
+    decode_jpeg. Only the MJPG/'00dc' video stream is consumed; other
+    codecs reject loudly (they need external libraries)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = None
+    handler = None
+    frames = []
+    stack = [(12, 8 + struct.unpack_from("<I", payload, 4)[0])]
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            tag = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            if tag == b"LIST":
+                stack.append((body_start + 4, body_start + size))
+            elif tag == b"avih":
+                w, h = struct.unpack_from("<II", payload, body_start + 32)
+            elif tag == b"strh":
+                fcc_type = payload[body_start : body_start + 4]
+                if fcc_type == b"vids":
+                    handler = payload[body_start + 4 : body_start + 8]
+            elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
+                frames.append(payload[body_start : body_start + size])
+            pos = body_start + size + (size & 1)
+    if w is None:
+        raise ValueError("AVI missing avih header")
+    if handler is not None and handler not in (b"MJPG", b"mjpg", b"\x00\x00\x00\x00"):
+        raise ValueError(
+            f"unsupported AVI video codec {handler!r} (MJPG only — other "
+            "codecs need external libraries)"
+        )
+    decoded = [decode_jpeg(f) for f in frames]
+    return int(w), int(h), decoded

@@ -180,10 +180,10 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4
 
 
 # ---------------------------------------------------------------------------
-# REAL audio path (round 5): WAV decode needs only the stdlib `wave`
-# module + numpy, both present — so unlike image/video (still stubbed
-# behind fake=True), the audio branch runs genuine decode + feature
-# extraction end-to-end: bytes -> PCM samples -> signal features.
+# REAL audio path (round 5, widened round 12): WAV decode needs only a
+# RIFF parse + numpy — PCM16 plus the COMPRESSED G.711 formats (µ-law /
+# A-law, operators/codecs.py) — so the audio branch runs genuine decode
+# + feature extraction end-to-end: bytes -> PCM samples -> features.
 # ---------------------------------------------------------------------------
 
 
@@ -212,20 +212,16 @@ def synth_wav(seed: int, sample_rate: int = 8000, n_samples: int = 800) -> bytes
 
 def decode_wav(payload: bytes):
     """(sample_rate, samples float64 in [-1, 1]) from WAV bytes — the real
-    decoder (stdlib wave + numpy; mono or first channel of interleaved)."""
-    import io
-    import wave
-
+    decoder (RIFF parse + numpy; mono or first channel of interleaved).
+    PCM16 and the G.711 COMPRESSED formats (µ-law code 7 / A-law code 6,
+    8 bits per sample) all decode — operators/codecs.py:parse_wav, whose
+    expansion tables are bit-exact against javax.sound.sampled."""
     import numpy as np
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        sr = w.getframerate()
-        n_ch = w.getnchannels()
-        width = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
-    if width != 2:
-        raise ValueError(f"only 16-bit PCM supported, got sampwidth={width}")
-    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    from py_gtfs_duckdb_spark.operators.codecs import parse_wav
+
+    sr, n_ch, _code, samples = parse_wav(payload)
+    samples = samples.astype(np.float64) / 32768.0
     if n_ch > 1:
         samples = samples[::n_ch]
     return sr, samples
@@ -513,6 +509,40 @@ def decode_y4m(payload: bytes):
     return w, h, frames
 
 
+def decode_video(payload: bytes):
+    """Container dispatch for the REAL video decode path: (width, height,
+    [luma frames as (h, w) uint8]). Y4M (raw planar) parses directly;
+    MJPEG-in-AVI decodes each '00dc' frame through the cross-validated
+    baseline-JPEG codec (operators/codecs.py) and converts to JFIF luma —
+    so both raw and COMPRESSED video run genuine decode paths. Other
+    codecs (h264 etc.) reject loudly."""
+    import numpy as np
+
+    if payload.startswith(b"YUV4MPEG2"):
+        return decode_y4m(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from py_gtfs_duckdb_spark.operators.codecs import decode_avi_mjpeg
+
+        w, h, frames = decode_avi_mjpeg(payload)
+        lumas = []
+        for f in frames:
+            if f.ndim == 2:
+                lumas.append(f)
+            else:
+                rgb = f.astype(np.float64)
+                y = (
+                    0.299 * rgb[:, :, 0]
+                    + 0.587 * rgb[:, :, 1]
+                    + 0.114 * rgb[:, :, 2]
+                )
+                lumas.append(np.clip(np.round(y), 0, 255).astype(np.uint8))
+        return w, h, lumas
+    raise NotImplementedError(
+        "unrecognized video container (supported without external "
+        "libraries: YUV4MPEG2, MJPEG-in-AVI)"
+    )
+
+
 def documents_as_videos(docs: DataFrame) -> DataFrame:
     """Media table with REAL Y4M payloads synthesized per doc_id,
     executor-side in Arrow batches."""
@@ -532,8 +562,9 @@ def documents_as_videos(docs: DataFrame) -> DataFrame:
 
 def video_frame_features(media: DataFrame) -> DataFrame:
     """(media_id, frame_idx, width, height, mean_luma): REAL frame
-    sampling — decode the Y4M container, emit one row per frame with the
-    frame's mean luma. The row-explosion shape of video frame sampling
+    sampling — decode the container (Y4M raw or MJPEG-AVI compressed,
+    via decode_video), emit one row per frame with the frame's mean
+    luma. The row-explosion shape of video frame sampling
     (one wide payload in, several narrow rows out) with an actual decoder
     in the body; mean_luma is exact integer arithmetic on the synthesized
     gradient, so the battery oracle can verify every frame."""
@@ -550,7 +581,7 @@ def video_frame_features(media: DataFrame) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if p is None:
                     continue
-                w, h, frames = decode_y4m(bytes(p))
+                w, h, frames = decode_video(bytes(p))
                 for f_idx, plane in enumerate(frames):
                     rows.append(
                         (

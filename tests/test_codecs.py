@@ -275,3 +275,127 @@ def test_decode_image_dispatches_jpeg():
     got = decode_image(encode_jpeg(img, quality=90))
     assert got.shape == (12, 16, 3)
     assert np.abs(got.astype(int) - img.astype(int)).max() <= 6
+
+
+# --- G.711 audio + MJPEG-AVI video ------------------------------------------
+
+
+def test_g711_tables_match_published_anchors():
+    from py_gtfs_duckdb_spark.operators.codecs import (
+        alaw_decode_table,
+        ulaw_decode_table,
+    )
+
+    u, a = ulaw_decode_table(), alaw_decode_table()
+    # published G.711 extremes: µ-law max ±32124, zero codes 0xFF/0x7F;
+    # A-law 0x55 = −8 (its defining anchor), max magnitude 32256
+    assert u[0xFF] == 0 and u[0x7F] == 0
+    assert u[0x80] == 32124 and u[0x00] == -32124
+    assert a[0x55] == -8 and a[0xD5] == 8
+    assert a[0x2A] == -32256 and a[0xAA] == 32256
+
+
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_g711_wav_roundtrip_and_decode_wav(law):
+    from py_gtfs_duckdb_spark.operators.codecs import (
+        alaw_decode_table,
+        encode_wav_g711,
+        g711_encode,
+        parse_wav,
+        ulaw_decode_table,
+    )
+    from py_gtfs_duckdb_spark.operators.multimodal import decode_wav
+
+    x = (np.sin(np.arange(640) / 9.0) * 15000).astype(np.int16)
+    wav = encode_wav_g711(x, 8000, law)
+    sr, n_ch, code, samples = parse_wav(wav)
+    assert (sr, n_ch, code) == (8000, 1, 7 if law == "ulaw" else 6)
+    table = ulaw_decode_table() if law == "ulaw" else alaw_decode_table()
+    assert (samples == table[g711_encode(x, law)]).all()
+    # companding error is bounded by the top-segment step size
+    assert np.abs(samples.astype(int) - x.astype(int)).max() <= 1024
+    # the multimodal audio path consumes it transparently
+    sr2, f = decode_wav(wav)
+    assert sr2 == 8000 and len(f) == len(x) and np.abs(f).max() <= 1.0
+
+
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_g711_bit_exact_vs_javax_sound(spark, law):
+    """javax.sound.sampled's ULAW/ALAW -> PCM conversion (an independent
+    public implementation) must agree SAMPLE-FOR-SAMPLE with the numpy
+    expansion tables."""
+    from py_gtfs_duckdb_spark.operators.codecs import (
+        encode_wav_g711,
+        parse_wav,
+    )
+
+    jvm = spark._jvm
+    x = (np.sin(np.arange(800) / 10.0) * 12000).astype(np.int16)
+    wav = encode_wav_g711(x, 8000, law)
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(wav))
+    ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(bais)
+    fmt = ais.getFormat()
+    assert str(fmt.getEncoding()) == ("ULAW" if law == "ulaw" else "ALAW")
+    pcmfmt = jvm.javax.sound.sampled.AudioFormat(
+        fmt.getSampleRate(), 16, 1, True, False
+    )
+    pcm = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(pcmfmt, ais)
+    java = np.frombuffer(bytes(pcm.readAllBytes()), dtype="<i2").astype(int)
+    _, _, _, mine = parse_wav(wav)
+    n = min(len(java), len(mine))
+    assert n == len(x)
+    assert (java[:n] == mine[:n].astype(int)).all()
+
+
+def test_parse_wav_rejections():
+    from py_gtfs_duckdb_spark.operators.codecs import parse_wav
+
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        parse_wav(b"not a wav")
+    # ADPCM (format 0x11) rejects loudly
+    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4000, 1, 4)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="format code 17"):
+        parse_wav(wav)
+
+
+def test_mjpeg_avi_roundtrip_and_frame_features():
+    from py_gtfs_duckdb_spark.operators.codecs import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from py_gtfs_duckdb_spark.operators.multimodal import (
+        _synth_gradient,
+        decode_video,
+        decode_y4m,
+        synth_y4m,
+    )
+
+    frames = [_synth_gradient(s, 16, 12) for s in (1, 2, 3)]
+    avi = encode_avi_mjpeg(frames)
+    w, h, out = decode_avi_mjpeg(avi)
+    assert (w, h, len(out)) == (16, 12, 3)
+    for f, o in zip(frames, out):
+        assert np.abs(f.astype(int) - o.astype(int)).max() <= 6
+
+    # decode_video dispatch: Y4M still exact; AVI luma close to the
+    # frame's analytic luma
+    wy, hy, y4m_frames = decode_video(synth_y4m(5))
+    assert (wy, hy, len(y4m_frames)) == decode_y4m(synth_y4m(5))[:2] + (
+        len(decode_y4m(synth_y4m(5))[2]),
+    )
+    w2, h2, lumas = decode_video(avi)
+    assert (w2, h2) == (16, 12) and len(lumas) == 3
+    for f, l in zip(frames, lumas):
+        rgb = f.astype(np.float64)
+        want = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        assert np.abs(l.astype(float) - want).max() <= 8
+
+    with pytest.raises(NotImplementedError, match="video container"):
+        decode_video(b"mkv nope")
+    # non-MJPG AVI rejects loudly
+    bad = avi.replace(b"vidsMJPG", b"vidsH264")
+    with pytest.raises(ValueError, match="MJPG only"):
+        decode_avi_mjpeg(bad)
