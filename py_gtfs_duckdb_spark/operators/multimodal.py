@@ -227,6 +227,74 @@ def decode_wav(payload: bytes):
     return sr, samples
 
 
+def documents_as_g711(docs: DataFrame, n_samples: int = 400) -> DataFrame:
+    """Media table with REAL µ-law WAV payloads whose G.711 code stream
+    is a deterministic function of doc_id (code[i] = (doc_id*31 + i*7)
+    mod 256) — so an oracle can replay the decoded PCM by indexing the
+    expansion table, no lossy-encoder replay needed."""
+    base = docs.select(F.col("doc_id").alias("media_id"))
+
+    def run(batches):
+        import struct as _struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for m in pdf["media_id"]:
+                i = np.arange(n_samples, dtype=np.int64)
+                codes = ((int(m) * 31 + i * 7) % 256).astype(np.uint8)
+                fmt = _struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+                body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                data = bytes(codes)
+                body += b"data" + _struct.pack("<I", len(data)) + data
+                payloads.append(
+                    b"RIFF" + _struct.pack("<I", len(body)) + body
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return base.mapInPandas(run, schema="media_id long, payload binary")
+
+
+def g711_pcm_stats(media: DataFrame) -> DataFrame:
+    """(media_id, n_samples, sum_pcm, min_pcm, max_pcm): decode G.711
+    WAV payloads through the real expansion path (parse_wav) and emit
+    integer-exact PCM statistics — the oracle-checkable face of the
+    compressed-audio decoder."""
+    schema = (
+        "media_id long, n_samples long, sum_pcm long, "
+        "min_pcm long, max_pcm long"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from py_gtfs_duckdb_spark.operators.codecs import parse_wav
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                _sr, _nch, _code, samples = parse_wav(bytes(p))
+                s = samples.astype(np.int64)
+                rows.append(
+                    (int(mid), len(s), int(s.sum()), int(s.min()), int(s.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "sum_pcm", "min_pcm", "max_pcm"
+                ],
+            )
+
+    return media.mapInPandas(run, schema=schema)
+
+
 def audio_features(media: DataFrame) -> DataFrame:
     """(media_id, sample_rate, n_samples, duration_ms, rms, zcr, peak):
     REAL signal features over WAV payloads via mapInPandas — Arrow batches

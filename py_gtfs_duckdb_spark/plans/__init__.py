@@ -246,6 +246,7 @@ _PRIORITY = [
     # PNG codec (operators/codecs.py); sf0.001+sf0.01 parity-tested
     # locally at registration.
     "q_image_resize_png",
+    "q_audio_g711",  # NEW in round 12: compressed-audio decode, table-lookup oracle
 ]
 
 # Window-partition allowlist — the systematic form of the per-query

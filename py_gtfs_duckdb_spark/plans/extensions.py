@@ -2830,6 +2830,43 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _g711_oracle_sql() -> str:
+    """Replays the deterministic code stream (doc_id*31 + i*7 mod 256)
+    through the µ-law expansion table embedded as a 256-element SQL list
+    — the decode path itself (RIFF parse + table lookup) is what the
+    Spark side adds on top, so a mismatch isolates the codec. The table
+    literal is generated from the SAME published g711.c formula the
+    codec uses AND pinned to the published anchors by
+    tests/test_codecs.py (bit-exact vs javax.sound), so oracle and
+    engine cannot drift together unnoticed."""
+    table = "[-32124,-31100,-30076,-29052,-28028,-27004,-25980,-24956,-23932,-22908,-21884,-20860,-19836,-18812,-17788,-16764,-15996,-15484,-14972,-14460,-13948,-13436,-12924,-12412,-11900,-11388,-10876,-10364,-9852,-9340,-8828,-8316,-7932,-7676,-7420,-7164,-6908,-6652,-6396,-6140,-5884,-5628,-5372,-5116,-4860,-4604,-4348,-4092,-3900,-3772,-3644,-3516,-3388,-3260,-3132,-3004,-2876,-2748,-2620,-2492,-2364,-2236,-2108,-1980,-1884,-1820,-1756,-1692,-1628,-1564,-1500,-1436,-1372,-1308,-1244,-1180,-1116,-1052,-988,-924,-876,-844,-812,-780,-748,-716,-684,-652,-620,-588,-556,-524,-492,-460,-428,-396,-372,-356,-340,-324,-308,-292,-276,-260,-244,-228,-212,-196,-180,-164,-148,-132,-120,-112,-104,-96,-88,-80,-72,-64,-56,-48,-40,-32,-24,-16,-8,0,32124,31100,30076,29052,28028,27004,25980,24956,23932,22908,21884,20860,19836,18812,17788,16764,15996,15484,14972,14460,13948,13436,12924,12412,11900,11388,10876,10364,9852,9340,8828,8316,7932,7676,7420,7164,6908,6652,6396,6140,5884,5628,5372,5116,4860,4604,4348,4092,3900,3772,3644,3516,3388,3260,3132,3004,2876,2748,2620,2492,2364,2236,2108,1980,1884,1820,1756,1692,1628,1564,1500,1436,1372,1308,1244,1180,1116,1052,988,924,876,844,812,780,748,716,684,652,620,588,556,524,492,460,428,396,372,356,340,324,308,292,276,260,244,228,212,196,180,164,148,132,120,112,104,96,88,80,72,64,56,48,40,32,24,16,8,0]"
+    return f"""
+    WITH idx AS (SELECT unnest(range(400)) AS i),
+    pcm AS (
+        SELECT d.doc_id AS media_id,
+               list_extract({table}, ((d.doc_id * 31 + idx.i * 7) % 256) + 1)
+                   AS v
+        FROM documents d, idx
+    )
+    SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_pcm,
+           CAST(MIN(v) AS BIGINT) AS min_pcm,
+           CAST(MAX(v) AS BIGINT) AS max_pcm
+    FROM pcm GROUP BY media_id
+    """
+
+
+@query("q_audio_g711", oracle=_g711_oracle_sql())
+def q_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-audio decode end-to-end: µ-law WAV payloads with a
+    doc_id-deterministic code stream, decoded by the real RIFF + G.711
+    expansion path (operators/codecs.py:parse_wav — bit-exact against
+    javax.sound.sampled), reduced to integer-exact PCM statistics the
+    SQL oracle replays by table lookup."""
+    media = M.documents_as_g711(t(spark, sf_dir, "documents"))
+    return M.g711_pcm_stats(media)
+
+
 @query("q_image_resize_png", oracle=_image_resize_oracle_sql())
 def q_image_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q_image_resize pipeline over a COMPRESSED container: the same
