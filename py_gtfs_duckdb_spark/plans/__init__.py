@@ -65,38 +65,138 @@ from py_gtfs_duckdb_spark.plans import flagship  # noqa: E402,F401
 # order with a bounded budget (the first 50 names each round), so the
 # 50-slot window carries the queries whose driver evidence matters most.
 #
-# Rotation ledger (latest driver evidence per group, entering round 12 —
-# 140 registered queries; CORRECTNESS_r11 was 50/50 green, zero err,
-# zero hash-fail; distribution after r11: 50@r11 / 45@r10 / 44@r9 +
-# q_ann_recall_pq@r10). This window pays the r12 debt the r11 ledger
-# promised:
-#   q_ann_recall_pq .. first slot — its r11 denominator/oracle change has
-#                      never been driver-checked (it sat first past the
-#                      boundary last round).
-#   r9 block ......... ALL 44 remaining r9-evidence queries — the oldest
+# Rotation ledger (latest driver evidence per group, entering round 13 —
+# 143 registered queries; CORRECTNESS_r12 was 50/50 green, zero err,
+# zero hash-fail; distribution after r12: 50@r12 / 50@r11 / 41@r10 +
+# the two never-driver-checked r12 codec registrations). This window
+# pays the full r13 debt the r12 ledger promised:
+#   slots 1-2 ........ q_image_resize_png / q_audio_g711 — registered in
+#                      r12 past the boundary; zero driver evidence until
+#                      this round (VERDICT r12 watch item #1).
+#   r10 block ........ ALL 41 remaining r10-evidence queries — the oldest
 #                      cohort, owed by the <=2-round staleness invariant
-#                      (VERDICT r11 Next #2). Includes
-#                      q_dedup_ngram_jaccard, whose verify + oracle moved
-#                      to the exact integer threshold predicate this
-#                      round (ADVICE r11) — re-check is mandatory, and
-#                      q_dedup_minhash_lsh, whose shared exact_jaccard
-#                      helper gained the optional predicate (its own
-#                      call sites unchanged).
-#   5 builder picks .. q_dedup_incremental (ingest-gate adjacency: the
-#                      containment keep-policy now dispatches to a
-#                      distributed SCC resolution and applies rejects as
-#                      left_anti — same module), q_flagship_nominal_trips
-#                      (flagship stays fresh), q_decontaminate,
-#                      q_golden_records (r10 evidence, shrinking the r13
-#                      debt), and q_dedup_policy — NEW this round: the
-#                      distributed containment keep-policy (cap=0 forces
-#                      the SCC path) against an independent recursive-CTE
-#                      oracle. q_source_overlap sits first past the
-#                      boundary (141 registered queries after this round).
+#                      (VERDICT r12 Next #1).
+#   7 builder picks .. modules changed in r12/r13 (see inline comments).
 # After this window lands, no registered query's driver evidence will be
-# older than round 10 (= 2 rounds), for the sixth consecutive round.
-# Round-13 owes the remaining 40 r10-evidence queries.
+# older than round 11 (= 2 rounds), for the eighth consecutive round.
+# Round-14 owes the 47 r11-evidence queries listed first past the
+# boundary.
 _PRIORITY = [
+    # --- round-13 window (50 slots) ---
+    # Slots 1-2: the round-12 codec additions, registered past the
+    # boundary last round — their ONLY evidence so far is builder-local
+    # parity (VERDICT r12 watch item #1); first driver check here.
+    "q_image_resize_png",
+    "q_audio_g711",
+    # Slots 3-43: the full r10-evidence cohort (41 queries), owed by the
+    # <=2-round staleness invariant (VERDICT r12 Next #1).
+    "q_source_overlap",
+    "q_histogram_quantiles",
+    "q_weighted_sample",
+    "q_kmv_distinct",
+    "q_doc_chunks",
+    "q_fuzzy_pairs",
+    "q_tfidf_keywords",
+    "q_dist_drift",
+    "q_mix_temperature",
+    "q_profile_table",
+    "q_skew_report",
+    "q_interval_join",
+    "q_window_trailing_chunked",
+    "q_bpe_tokenize_large",
+    "q_bpe_encode",
+    "q_bpe_fertility",
+    "q_scan_star",
+    "q_scan_csv_projection",
+    "q_sql_passthrough",
+    "q_project_cols",
+    "q_filter_eq",
+    "q_filter_like",
+    "q_agg_distinct",
+    "q_agg_min",
+    "q_agg_count",
+    "q_sort_concat",
+    "q_limit",
+    "q_fn_dateformat",
+    "q_sample_stratified",
+    "q_pack_sequences",
+    "q_repetition_stats",
+    "q_quality_rules",
+    "q_pii_scrub",
+    "q_split_assign",
+    "q_token_histogram",
+    "q_source_report",
+    "q_join_asof",
+    "q_join_asof_tol",
+    "q_range_join",
+    "q_export_shards",
+    "q_unigram_nll",
+    # Slots 44-50: builder picks — modules changed in r12/r13.
+    # q_dedup_ngram_jaccard + q_dedup_minhash_lsh: the shared
+    # exact-Jaccard integer predicate gained a size-scaled slack this
+    # round (ADVICE r12 #1). q_dedup_incremental + q_dedup_policy: the
+    # distributed SCC keep-policy gained the deep-chain oracle guard and
+    # sf1 probe this round. q_doc_winnow: perf adjudication (VERDICT
+    # Next #4). q_image_resize + q_audio_features: their decode path
+    # now dispatches through the pluggable codec registry (Next #2).
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_dedup_incremental",
+    "q_dedup_policy",
+    "q_doc_winnow",
+    "q_image_resize",
+    "q_audio_features",
+    # --- window boundary: 50 entries above this line ---
+    # r11-evidence cohort (47 after picks) — owed to the round-14 window
+    # by the staleness invariant; listed first past the boundary.
+    "q_profile_dates",
+    "q_decontaminate_semantic",
+    "q_dedup_containment",
+    "q_dedup_containment_inc",
+    "q_ann_recall_curve",
+    "q_ann_recall_lsh",
+    "q_doc_scorecard",
+    "q_quantile_tokens",
+    "q_semantic_dedup",
+    "q_dedup_cluster_sizes",
+    "q_dedup_simhash",
+    "q_embed_project",
+    "q_multimodal_frames",
+    "q_dedup_clusters",
+    "q_text_top_tokens",
+    "q_dedup_spans",
+    "q_bm25_topk",
+    "q_video_frames",
+    "q_rollup_tokens",
+    "q_pivot",
+    "q_window_tumbling",
+    "q_window_session",
+    "q_text_quality",
+    "q_knn_cosine",
+    "q_ann_ivf",
+    "q_multimodal_bytes",
+    "q_mix_sources",
+    "q_ann_lsh",
+    "q_ann_pq",
+    "q_ann_ivfpq",
+    "q_ann_ivf_lloyd",
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    "q_corpus_diff",
+    "q_vocab_spectrum",
+    "q_ivf_cell_profile",
+    "q_length_buckets",
+    "q_embedding_audit",
+    "q_window_sliding",
+    "q_agg_approx_distinct",
+    "q_fn_json",
+    "q_text_stats",
+    "q_lang_id",
+    "q_doc_fingerprint",
+    "q_embed_norm",
+    "q_join_chain_left",
+    "q_match_trip_candidates",
+    # r12-evidence cohort (46 after picks) — fresh, owed round 15.
     "q_ann_recall_pq",
     "q_stream_dedup_latest",
     "q_dedup_keep_canonical",
@@ -139,114 +239,10 @@ _PRIORITY = [
     "q_unpivot",
     "q_dedup_exact",
     "q_dedup_bow",
-    "q_dedup_minhash_lsh",
-    "q_dedup_ngram_jaccard",
     "q_dedup_embedding",
-    "q_dedup_incremental",
     "q_flagship_nominal_trips",
     "q_decontaminate",
     "q_golden_records",
-    "q_dedup_policy",  # NEW in round 12: distributed keep-policy, cap=0
-    # --- window boundary: 50 entries above this line ---
-    "q_source_overlap",
-    # remaining r10 greens (owed round 13), then the r11 cohort
-    "q_histogram_quantiles",
-    "q_weighted_sample",
-    "q_kmv_distinct",
-    "q_doc_chunks",
-    "q_fuzzy_pairs",
-    "q_tfidf_keywords",
-    "q_dist_drift",
-    "q_mix_temperature",
-    "q_profile_table",
-    "q_skew_report",
-    "q_interval_join",
-    "q_window_trailing_chunked",
-    "q_bpe_tokenize_large",
-    "q_bpe_encode",
-    "q_bpe_fertility",
-    "q_scan_star",
-    "q_scan_csv_projection",
-    "q_sql_passthrough",
-    "q_project_cols",
-    "q_filter_eq",
-    "q_filter_like",
-    "q_agg_distinct",
-    "q_agg_min",
-    "q_agg_count",
-    "q_sort_concat",
-    "q_limit",
-    "q_fn_dateformat",
-    "q_sample_stratified",
-    "q_pack_sequences",
-    "q_repetition_stats",
-    "q_quality_rules",
-    "q_pii_scrub",
-    "q_split_assign",
-    "q_token_histogram",
-    "q_source_report",
-    "q_join_asof",
-    "q_join_asof_tol",
-    "q_range_join",
-    "q_export_shards",
-    "q_unigram_nll",
-    "q_profile_dates",
-    "q_decontaminate_semantic",
-    "q_dedup_containment",
-    "q_dedup_containment_inc",
-    "q_ann_recall_curve",
-    "q_ann_recall_lsh",
-    "q_doc_scorecard",
-    "q_quantile_tokens",
-    "q_semantic_dedup",
-    "q_dedup_cluster_sizes",
-    "q_dedup_simhash",
-    "q_embed_project",
-    "q_multimodal_frames",
-    "q_dedup_clusters",
-    "q_text_top_tokens",
-    "q_dedup_spans",
-    "q_bm25_topk",
-    "q_audio_features",
-    "q_video_frames",
-    "q_rollup_tokens",
-    "q_pivot",
-    "q_window_tumbling",
-    "q_window_session",
-    "q_text_quality",
-    "q_doc_winnow",
-    "q_knn_cosine",
-    "q_ann_ivf",
-    "q_multimodal_bytes",
-    "q_mix_sources",
-    "q_ann_lsh",
-    "q_ann_pq",
-    "q_ann_ivfpq",
-    "q_ann_ivf_lloyd",
-    "q_multimodal_features",
-    "q_multimodal_resize",
-    "q_image_resize",
-    "q_corpus_diff",
-    "q_vocab_spectrum",
-    "q_ivf_cell_profile",
-    "q_length_buckets",
-    "q_embedding_audit",
-    "q_window_sliding",
-    "q_agg_approx_distinct",
-    "q_fn_json",
-    "q_text_stats",
-    "q_lang_id",
-    "q_doc_fingerprint",
-    "q_embed_norm",
-    "q_join_chain_left",
-    "q_match_trip_candidates",
-    # NEW in round 12, registered past the window (owed to the r13
-    # rotation along with the r10 cohort): PNG-container twin of
-    # q_image_resize — same analytic oracle, isolates the stdlib-zlib
-    # PNG codec (operators/codecs.py); sf0.001+sf0.01 parity-tested
-    # locally at registration.
-    "q_image_resize_png",
-    "q_audio_g711",  # NEW in round 12: compressed-audio decode, table-lookup oracle
 ]
 
 # Window-partition allowlist — the systematic form of the per-query
