@@ -298,6 +298,38 @@ def estimate_filter_pairs(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
     )
 
 
+# Exactness slack for the integer threshold predicates (exact Jaccard /
+# containment verify and their prefix prunes). ceil(x - slack) where x is
+# t*size arithmetic in doubles: rounding error in x grows like
+# 2^-52 * size (~2.2e-16*size), so a FIXED 1e-9 slack stops dominating it
+# once combined set sizes pass ~5e6 shingles (ADVICE r12) — a boundary
+# decision could then flip at 100 TB document sizes the small-SF tests
+# never reach. The per-unit term keeps the slack ~4 orders of magnitude
+# above IEEE rounding error at every size, while staying far below the
+# 1/(p+q) fractional quantum of any rational threshold p/q with q <= 1e4
+# for sizes < ~1e8 — so the slack can only ADMIT a borderline candidate
+# for exact verification (prunes) or admit the exact boundary itself
+# (verify), never exclude a true pair or flip a representable decision.
+# tests/test_dedup_exactness.py proves predicate == Fraction arithmetic
+# across sizes up to 5e7. The DuckDB oracles embed the same form via
+# sql_slacked_ceil().
+SLACK_ABS = 1e-9
+SLACK_PER_UNIT = 1e-12
+
+
+def slacked_ceil(value: Column, size: Column) -> Column:
+    """``ceil(value - (SLACK_PER_UNIT*size + SLACK_ABS))`` — the one
+    definition of the exactness-slacked integer threshold used by every
+    Jaccard/containment prune AND verify site, so prune and verify can
+    never disagree at a boundary."""
+    return F.ceil(value - (F.lit(SLACK_PER_UNIT) * size + F.lit(SLACK_ABS)))
+
+
+def sql_slacked_ceil(value_sql: str, size_sql: str) -> str:
+    """SQL twin of :func:`slacked_ceil` for the DuckDB oracles."""
+    return f"ceil({value_sql} - (1e-12 * ({size_sql}) + 1e-9))"
+
+
 def exact_jaccard(
     pairs: DataFrame, sets: DataFrame, min_threshold: float | None = None
 ) -> DataFrame:
@@ -311,8 +343,9 @@ def exact_jaccard(
 
     ``min_threshold`` applies the EXACT integer threshold predicate
     J ≥ t ⟺ n_inter·(1+t) ≥ t·(|A|+|B|) ⟺ n_inter ≥
-    ⌈t·(|A|+|B|)/(1+t)⌉ (1e-9 slack so float rounding never excludes a
-    true pair) — NOT a filter on the display-rounded ``jaccard`` column,
+    ⌈t·(|A|+|B|)/(1+t)⌉ (size-scaled slack via :func:`slacked_ceil` so
+    float rounding never excludes a true pair at ANY set size) — NOT a
+    filter on the display-rounded ``jaccard`` column,
     whose 4-digit rounding would admit pairs with true J ∈ [t−5e-5, t)
     only when the caller's prunes happened to emit them (ADVICE r11:
     prune-dependent boundary membership). The rounded ``jaccard`` stays
@@ -322,11 +355,11 @@ def exact_jaccard(
     n_inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     joined = pairs.join(sa, "id_a").join(sb, "id_b")
     if min_threshold is not None:
-        o_min = F.ceil(
+        o_min = slacked_ceil(
             F.lit(min_threshold)
             / (1 + min_threshold)
-            * (F.col("sz_a") + F.col("sz_b"))
-            - F.lit(1e-9)
+            * (F.col("sz_a") + F.col("sz_b")),
+            F.col("sz_a") + F.col("sz_b"),
         )
         joined = joined.filter(n_inter >= o_min)
     return joined.select(
@@ -432,7 +465,7 @@ def frequency_ordered_sets(sets: DataFrame) -> DataFrame:
 
 
 def _prefix_filter_candidates(
-    sets: DataFrame, threshold: float, prefix_slack: float = 1e-9
+    sets: DataFrame, threshold: float, prefix_slack: float | None = None
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs for the symmetric Jaccard join via
     prefix filtering over a (id, hs, sz) sets frame — the candidate stage
@@ -443,14 +476,19 @@ def _prefix_filter_candidates(
     unslacked ceil(sz*t) can round up past an exact integer and shorten
     the prefix by one element, silently dropping a true pair whose only
     shared prefix shingle sits at the boundary position (same fix as
-    _containment_join). ``prefix_slack=0.0`` reproduces the pre-r11
-    unslacked form — A/B instrumentation only, never correct for
-    production use at integer-boundary thresholds."""
-    prefix_len = (
-        F.col("sz")
-        - F.ceil(F.col("sz") * threshold - F.lit(prefix_slack))
-        + 1
-    ).cast("int")
+    _containment_join). The default ``None`` uses the production
+    size-scaled slack (:func:`slacked_ceil`); a float pins a FIXED slack
+    for A/B instrumentation (``0.0`` reproduces the pre-r11 unslacked
+    form) — never correct for production use at integer-boundary
+    thresholds."""
+    if prefix_slack is None:
+        prefix_ceil = slacked_ceil(F.col("sz") * threshold, F.col("sz"))
+    else:
+        # A/B instrumentation: pin ONLY the prefix ceil's slack; o_min and
+        # the ratio prunes below always use the production form so the
+        # experiment isolates the prefix-length decision.
+        prefix_ceil = F.ceil(F.col("sz") * threshold - F.lit(prefix_slack))
+    prefix_len = (F.col("sz") - prefix_ceil + 1).cast("int")
     prefixes = sets.select(
         "id",
         "sz",
@@ -458,12 +496,14 @@ def _prefix_filter_candidates(
     )
     a = prefixes.alias("a")
     b = prefixes.alias("b")
-    # Minimum overlap for J >= t, with a 1e-9 slack so float rounding can
-    # only ADMIT a borderline candidate (verified exactly later), never
-    # prune a true pair.
-    o_min = F.ceil(
-        F.lit(threshold) / (1 + threshold) * (F.col("a.sz") + F.col("b.sz"))
-        - F.lit(1e-9)
+    # Minimum overlap for J >= t, with the size-scaled slack so float
+    # rounding can only ADMIT a borderline candidate (verified exactly
+    # later), never prune a true pair at any set size.
+    o_min = slacked_ceil(
+        F.lit(threshold)
+        / (1 + threshold)
+        * (F.col("a.sz") + F.col("b.sz")),
+        F.col("a.sz") + F.col("b.sz"),
     )
     overlap_ub = 1 + F.least(
         F.col("a.sz") - F.col("a.pos") - 1, F.col("b.sz") - F.col("b.pos") - 1
@@ -472,8 +512,16 @@ def _prefix_filter_candidates(
         b,
         (F.col("a.h") == F.col("b.h"))
         & (F.col("a.id") < F.col("b.id"))
-        & (F.col("a.sz") >= F.col("b.sz") * threshold - F.lit(1e-9))
-        & (F.col("b.sz") >= F.col("a.sz") * threshold - F.lit(1e-9))
+        & (
+            F.col("a.sz")
+            >= F.col("b.sz") * threshold
+            - (F.lit(SLACK_PER_UNIT) * F.col("b.sz") + F.lit(SLACK_ABS))
+        )
+        & (
+            F.col("b.sz")
+            >= F.col("a.sz") * threshold
+            - (F.lit(SLACK_PER_UNIT) * F.col("a.sz") + F.lit(SLACK_ABS))
+        )
         & (overlap_ub >= o_min),
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
 
@@ -615,15 +663,16 @@ def _containment_join(
     sz) frames — the ONE definition behind :func:`containment_pairs`
     (sets_a is sets_b, same-id pairs excluded) and
     :func:`containment_pairs_incremental` (disjoint id spaces)."""
-    # slack so float rounding can only ADMIT a borderline candidate
-    # (verified exactly later), never prune a true pair. The prefix length
-    # must use the SAME slacked ceil as o_min: when sz*t rounds up past an
-    # exact integer in IEEE doubles (t=0.55, 0.67, 0.81, ... at many sizes)
-    # an unslacked ceil shortens the prefix by one and a true pair whose
-    # first shared shingle sits at the boundary position is dropped.
-    o_min_a = F.ceil(F.col("a.sz") * threshold - F.lit(1e-9))
+    # size-scaled slack so float rounding can only ADMIT a borderline
+    # candidate (verified exactly later), never prune a true pair. The
+    # prefix length must use the SAME slacked ceil as o_min: when sz*t
+    # rounds up past an exact integer in IEEE doubles (t=0.55, 0.67,
+    # 0.81, ... at many sizes) an unslacked ceil shortens the prefix by
+    # one and a true pair whose first shared shingle sits at the boundary
+    # position is dropped.
+    o_min_a = slacked_ceil(F.col("a.sz") * threshold, F.col("a.sz"))
     prefix_len = (
-        F.col("sz") - F.ceil(F.col("sz") * threshold - F.lit(1e-9)) + 1
+        F.col("sz") - slacked_ceil(F.col("sz") * threshold, F.col("sz")) + 1
     ).cast("int")
     a = sets_a.select(
         "id",
@@ -664,7 +713,7 @@ def _containment_join(
         .join(sb, "id_b")
         .filter(
             n_inter.cast("bigint")
-            >= F.ceil(F.col("sz_a") * threshold - F.lit(1e-9))
+            >= slacked_ceil(F.col("sz_a") * threshold, F.col("sz_a"))
         )
         .select(
             "id_a",

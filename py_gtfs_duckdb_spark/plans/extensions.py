@@ -224,7 +224,7 @@ def _ngram_jaccard_oracle_sql(threshold: float = 0.7) -> str:
         SELECT id, list_sort(list(h)) AS hs, COUNT(*) AS sz FROM sh GROUP BY id
     ), prefixes AS (
         SELECT id, unnest(list_slice(hs, 1,
-                   CAST(sz - ceil(sz * {threshold} - 1e-9) + 1 AS INT))) AS h
+                   CAST(sz - ceil(sz * {threshold} - (1e-12 * sz + 1e-9)) + 1 AS INT))) AS h
         FROM sets
     ), cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -242,7 +242,8 @@ def _ngram_jaccard_oracle_sql(threshold: float = 0.7) -> str:
     -- (a rounded-value filter would make boundary membership depend on
     -- which prunes emitted the candidate — ADVICE r11)
     WHERE len(list_intersect(za.hs, zb.hs))
-          >= ceil({threshold} / (1 + {threshold}) * (za.sz + zb.sz) - 1e-9)
+          >= ceil({threshold} / (1 + {threshold}) * (za.sz + zb.sz)
+                   - (1e-12 * (za.sz + zb.sz) + 1e-9))
     """
 
 
@@ -3665,7 +3666,7 @@ def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((CAST(o AS DOUBLE) / za.sz) * 10000.0 + 0.5) / 10000.0
                AS containment
     FROM inter JOIN sets za ON za.id = inter.id_a
-    WHERE o >= ceil(za.sz * 0.6 - 1e-9)
+    WHERE o >= ceil(za.sz * 0.6 - (1e-12 * za.sz + 1e-9))
     """,
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3714,7 +3715,7 @@ def _containment_policy_oracle_sql(threshold: float = 0.6, levels: int = 8) -> s
     ), cpairs AS MATERIALIZED (
         SELECT id_a, id_b
         FROM inter JOIN zsets za ON za.id = inter.id_a
-        WHERE o >= ceil(za.sz * {threshold} - 1e-9)
+        WHERE o >= ceil(za.sz * {threshold} - (1e-12 * za.sz + 1e-9))
     ), pnodes AS (
         SELECT DISTINCT id_a AS n FROM cpairs
         UNION SELECT DISTINCT id_b FROM cpairs
@@ -3812,7 +3813,7 @@ def q_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((CAST(o AS DOUBLE) / za.sz) * 10000.0 + 0.5) / 10000.0
                AS containment
     FROM inter JOIN sets za ON za.id = inter.id_a
-    WHERE o >= ceil(za.sz * 0.6 - 1e-9)
+    WHERE o >= ceil(za.sz * 0.6 - (1e-12 * za.sz + 1e-9))
     """,
 )
 def q_dedup_containment_inc(spark: SparkSession, sf_dir: str) -> DataFrame:

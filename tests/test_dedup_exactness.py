@@ -237,7 +237,7 @@ def _containment_corpus(seed: int, n_docs: int = 60) -> list[tuple[str, str]]:
 
 def _brute_force_containment(spark, docs_df, threshold: float):
     from py_gtfs_duckdb_spark.functions import pround
-    from py_gtfs_duckdb_spark.operators.dedup import shingle_sets
+    from py_gtfs_duckdb_spark.operators.dedup import shingle_sets, slacked_ceil
 
     sets = shingle_sets(docs_df, "text", "doc_id")
     sa = sets.select(
@@ -254,7 +254,7 @@ def _brute_force_containment(spark, docs_df, threshold: float):
         # rounded-ratio-approximate
         .filter(
             n_inter.cast("bigint")
-            >= F.ceil(F.col("sz_a") * threshold - F.lit(1e-9))
+            >= slacked_ceil(F.col("sz_a") * threshold, F.col("sz_a"))
         )
         .select(
             "id_a",
@@ -506,13 +506,23 @@ if HAVE_HYPOTHESIS:
         assert got == want
 
 
+def _py_slacked_ceil(value: float, size: int) -> int:
+    """Python twin of operators.dedup.slacked_ceil (same constants)."""
+    import math
+
+    from py_gtfs_duckdb_spark.operators.dedup import SLACK_ABS, SLACK_PER_UNIT
+
+    return math.ceil(value - (SLACK_PER_UNIT * size + SLACK_ABS))
+
+
 def test_integer_predicate_equals_fraction_arithmetic(spark):
     """Hypothesis-style property (deterministic examples drawn wide): the
-    float form of the verify predicate n >= ceil(t*(sa+sb)/(1+t) - 1e-9)
+    float form of the verify predicate n >= slacked_ceil(t*(sa+sb)/(1+t))
     must agree with exact Fraction arithmetic n/(sa+sb-n) >= t for every
-    reachable (n, sa, sb, t) — the 1e-9 slack may never flip a decision
-    at representable thresholds."""
-    import math
+    reachable (n, sa, sb, t) — the size-scaled slack may never flip a
+    decision at representable thresholds, INCLUDING combined sizes in the
+    tens of millions where double rounding error (~2e-16 * size) exceeds
+    the old fixed 1e-9 slack (ADVICE r12)."""
     import random
     from fractions import Fraction
 
@@ -529,15 +539,17 @@ def test_integer_predicate_equals_fraction_arithmetic(spark):
             sb = rng.randint(max(1, int(sa * t) - 2), int(sa / t) + 2)
             n = rng.randint(0, min(sa, sb))
             want = Fraction(n, sa + sb - n) >= t_frac if sa + sb - n else True
-            got = n >= math.ceil(t / (1 + t) * (sa + sb) - 1e-9)
+            got = n >= _py_slacked_ceil(t / (1 + t) * (sa + sb), sa + sb)
             assert got == want, (n, sa, sb, t_frac)
             checked += 1
-    # boundary-exact cases: n exactly at the integer threshold
+    # boundary-exact cases: n exactly at the integer threshold, sweeping
+    # BOTH small sizes and the large-size regime where fixed slack fails
     for t_frac in thresholds:
         t = float(t_frac.numerator) / float(t_frac.denominator)
-        for s in range(2, 4000):
-            n_min = -(-(t_frac * s).numerator // (t_frac * s).denominator
-                      ) if (t_frac * s).denominator > 1 else int(t_frac * s)
+        sizes = list(range(2, 4000)) + [
+            rng.randint(1_000_000, 50_000_000) for _ in range(400)
+        ]
+        for s in sizes:
             # exact minimal n for J >= t at sa+sb = s: ceil(t*s/(1+t))
             exact = Fraction(t_frac * s, 1 + t_frac)
             n_exact = -(-exact.numerator // exact.denominator)
@@ -545,7 +557,34 @@ def test_integer_predicate_equals_fraction_arithmetic(spark):
                 if not 0 <= n <= s:
                     continue
                 want = Fraction(n, s - n) >= t_frac if s - n else True
-                got = n >= math.ceil(t / (1 + t) * s - 1e-9)
+                got = n >= _py_slacked_ceil(t / (1 + t) * s, s)
                 assert got == want, (n, s, t_frac)
                 checked += 1
     assert checked > 40_000
+
+
+def test_scaled_slack_fixes_large_size_boundary_flip():
+    """Pinned witness for ADVICE r12: at t=0.67, sa+sb=41,825,985 the
+    exact boundary overlap n=16,780,485 satisfies J >= t by Fraction
+    arithmetic, the OLD fixed-1e-9 form excludes it (double rounding
+    error ~ 2e-16 * 4.2e7 > 1e-9 crosses the ceil), and the size-scaled
+    form admits it. Found by sweeping exact-integer boundaries s = k *
+    denominator(t/(1+t)) over s <= 6e7."""
+    import math
+    from fractions import Fraction
+
+    t = 0.67
+    s, n = 41_825_985, 16_780_485
+    assert Fraction(n, s - n) >= Fraction(67, 100)
+    old = n >= math.ceil(t / (1 + t) * s - 1e-9)
+    new = n >= _py_slacked_ceil(t / (1 + t) * s, s)
+    assert not old  # the bug this guards against
+    assert new
+
+    # the containment form (n >= ceil(sz_a * t)) at the same scale:
+    # exact-integer boundary sz_a for t=0.67 are multiples of 100
+    for sz_a in (41_825_900, 17_000_000, 4_000_000):
+        m = sz_a * 67 // 100
+        want = Fraction(m, sz_a) >= Fraction(67, 100)
+        got = m >= _py_slacked_ceil(t * sz_a, sz_a)
+        assert got == want, (sz_a, m)

@@ -48,7 +48,7 @@ def main() -> None:
     docs = t(spark, sf_dir, "documents")
     docs.count()  # warm input
 
-    def run_form(prefix_slack: float) -> tuple[float, int]:
+    def run_form(prefix_slack: float | None) -> tuple[float, int]:
         start = time.perf_counter()
         sets = shared(shingle_sets(docs, "text", "doc_id", 3))
         pairs = _prefix_filter_candidates(sets, THRESHOLD, prefix_slack)
@@ -62,7 +62,7 @@ def main() -> None:
         spark.catalog.clearCache()
         return elapsed, n
 
-    def counters(prefix_slack: float) -> dict:
+    def counters(prefix_slack: float | None) -> dict:
         sets = shared(shingle_sets(docs, "text", "doc_id", 3))
         pairs = _prefix_filter_candidates(sets, THRESHOLD, prefix_slack)
         raw = pairs.count()
@@ -82,18 +82,18 @@ def main() -> None:
 
     # candidate counters, once per form
     counts = {
-        "slacked": counters(1e-9),
+        "slacked": counters(None),  # production size-scaled slack
         "unslacked": counters(0.0),
     }
     print(f"# counters: {json.dumps(counts)}", file=sys.stderr)
 
     # warmup both forms (codegen)
-    run_form(1e-9)
+    run_form(None)
     run_form(0.0)
 
     samples = {"slacked": [], "unslacked": []}
     for i in range(n_samples):
-        for label, slack in (("slacked", 1e-9), ("unslacked", 0.0)):
+        for label, slack in (("slacked", None), ("unslacked", 0.0)):
             elapsed, n = run_form(slack)
             samples[label].append(elapsed)
             print(
