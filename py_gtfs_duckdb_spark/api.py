@@ -186,6 +186,12 @@ from py_gtfs_duckdb_spark.operators.codecs import (  # noqa: F401
     encode_wav_g711,
     parse_wav,
 )
+from py_gtfs_duckdb_spark.operators.media_registry import (  # noqa: F401
+    DecoderEntry,
+    register_decoder,
+    registered_names,
+    unregister_decoder,
+)
 from py_gtfs_duckdb_spark.operators.multimodal import (  # noqa: F401
     audio_features,
     decode_image,

@@ -13,11 +13,17 @@ PCM → signal features), P6 PPM IMAGES via plain numpy (``decode_ppm`` /
 ``resize_images`` — bytes → pixel array → 2-D block-average resize), and
 Y4M VIDEO via plain numpy (``decode_y4m`` / ``video_frame_features`` —
 bytes → frame planes → per-frame features). COMPRESSED images also
-decode for real via operators/codecs.py (``decode_image`` dispatches on
-magic bytes): PNG (stdlib-zlib DEFLATE over filtered scanlines) and
-baseline JPEG (numpy DCT + canonical Huffman, cross-validated against
-the JVM's javax.imageio). Codecs that genuinely need external libraries
-(h264, MP3) stay behind the stub.
+decode for real via operators/codecs.py: PNG (stdlib-zlib DEFLATE over
+filtered scanlines) and baseline JPEG (numpy DCT + canonical Huffman,
+cross-validated against the JVM's javax.imageio).
+
+All three ``decode_*`` entry points dispatch through the PLUGGABLE
+decoder registry (operators/media_registry.py): built-ins register at
+import below, and a deployment with real codec libraries (libjpeg-turbo,
+PyAV/ffmpeg, libmp3lame) injects a decoder for formats the built-ins
+reject (h264, MP3, ...) with one ``register_decoder`` call — no engine
+patch. Operator bodies snapshot the registry at plan-build time so
+injected decoders travel inside the serialized closure to executors.
 
 Scale notes: media rows are wide (payloads dominate); keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so a partition
@@ -210,12 +216,12 @@ def synth_wav(seed: int, sample_rate: int = 8000, n_samples: int = 800) -> bytes
     return buf.getvalue()
 
 
-def decode_wav(payload: bytes):
-    """(sample_rate, samples float64 in [-1, 1]) from WAV bytes — the real
-    decoder (RIFF parse + numpy; mono or first channel of interleaved).
+def _decode_wav_riff(payload: bytes):
+    """Built-in RIFF/WAVE audio decoder (registered as ``wav-riff``):
     PCM16 and the G.711 COMPRESSED formats (µ-law code 7 / A-law code 6,
     8 bits per sample) all decode — operators/codecs.py:parse_wav, whose
-    expansion tables are bit-exact against javax.sound.sampled."""
+    expansion tables are bit-exact against javax.sound.sampled. Mono or
+    first channel of interleaved."""
     import numpy as np
 
     from py_gtfs_duckdb_spark.operators.codecs import parse_wav
@@ -225,6 +231,18 @@ def decode_wav(payload: bytes):
     if n_ch > 1:
         samples = samples[::n_ch]
     return sr, samples
+
+
+def decode_wav(payload: bytes):
+    """(sample_rate, samples float64 in [-1, 1]) from audio bytes —
+    dispatches through the pluggable decoder registry
+    (operators/media_registry.py). Built-in: ``wav-riff`` (PCM16 + G.711
+    µ-law/A-law). Formats that need external libraries (MP3, AAC) reject
+    with a message naming ``register_decoder`` — a deployment shipping
+    e.g. libmp3lame plugs in with one call, no engine patch."""
+    from py_gtfs_duckdb_spark.operators import media_registry
+
+    return media_registry.decode("audio", payload)
 
 
 def documents_as_g711(docs: DataFrame, n_samples: int = 400) -> DataFrame:
@@ -306,10 +324,16 @@ def audio_features(media: DataFrame) -> DataFrame:
         "media_id long, sample_rate int, n_samples long, duration_ms long, "
         "rms double, zcr double, peak double"
     )
+    # Plan-build-time registry snapshot — see resize_images.
+    from py_gtfs_duckdb_spark.operators import media_registry
+
+    decoders = media_registry.decoders_snapshot("audio")
 
     def run(batches):
         import numpy as np
         import pandas as pd
+
+        from py_gtfs_duckdb_spark.operators.media_registry import dispatch
 
         for pdf in batches:
             rows = []
@@ -317,7 +341,7 @@ def audio_features(media: DataFrame) -> DataFrame:
                 if p is None:
                     rows.append((int(mid), None, None, None, None, None, None))
                     continue
-                sr, s = decode_wav(bytes(p))
+                sr, s = dispatch(decoders, "audio", bytes(p))
                 n = len(s)
                 rms = float(np.sqrt(np.mean(s * s))) if n else 0.0
                 zcr = (
@@ -402,23 +426,16 @@ def synth_png(seed: int, width: int = 16, height: int = 12) -> bytes:
 
 
 def decode_image(payload: bytes):
-    """Container dispatch for the REAL image decode path: P6 PPM (raw
-    raster) and PNG (DEFLATE-compressed, operators/codecs.py) both decode
-    with stdlib+numpy; other magics raise the codec stub's error."""
-    if payload.startswith(b"P6"):
-        return decode_ppm(payload)
-    if payload.startswith(b"\x89PNG"):
-        from py_gtfs_duckdb_spark.operators.codecs import decode_png
+    """(h, w, 3) uint8 array from image bytes — dispatches through the
+    pluggable decoder registry (operators/media_registry.py). Built-ins:
+    ``ppm-p6`` (raw raster), ``png`` (stdlib-zlib DEFLATE), ``jpeg``
+    (pure-numpy baseline, cross-validated vs javax.imageio). Other
+    containers reject with a message naming ``register_decoder`` — a
+    deployment shipping e.g. libjpeg-turbo/Pillow plugs its decoder in
+    with one call, no engine patch."""
+    from py_gtfs_duckdb_spark.operators import media_registry
 
-        return decode_png(payload)
-    if payload.startswith(b"\xff\xd8"):
-        from py_gtfs_duckdb_spark.operators.codecs import decode_jpeg
-
-        return decode_jpeg(payload)
-    raise NotImplementedError(
-        "unrecognized image container (supported without external "
-        "libraries: P6 PPM, 8-bit non-interlaced PNG, baseline JPEG)"
-    )
+    return media_registry.decode("image", payload)
 
 
 def decode_ppm(payload: bytes):
@@ -476,10 +493,19 @@ def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 3) -> DataFrame
     Same mapInPandas batch contract as resize_media, with an actual
     image decode in the body."""
     schema = "media_id long, width int, height int, pixels array<double>"
+    # Snapshot the registry at plan-build time: the entry tuple rides in
+    # the serialized closure, so decoders registered driver-side (e.g. an
+    # injected library codec) reach executors that never saw the
+    # registration (operators/media_registry.py module docstring).
+    from py_gtfs_duckdb_spark.operators import media_registry
+
+    decoders = media_registry.decoders_snapshot("image")
 
     def run(batches):
         import numpy as np
         import pandas as pd
+
+        from py_gtfs_duckdb_spark.operators.media_registry import dispatch
 
         for pdf in batches:
             out = []
@@ -487,7 +513,7 @@ def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 3) -> DataFrame
                 if p is None:
                     out.append(None)
                     continue
-                img = decode_image(bytes(p)).astype(np.float64)
+                img = dispatch(decoders, "image", bytes(p)).astype(np.float64)
                 if img.ndim == 3:
                     img = img.mean(axis=-1)
                 h, w = img.shape
@@ -577,38 +603,42 @@ def decode_y4m(payload: bytes):
     return w, h, frames
 
 
-def decode_video(payload: bytes):
-    """Container dispatch for the REAL video decode path: (width, height,
-    [luma frames as (h, w) uint8]). Y4M (raw planar) parses directly;
-    MJPEG-in-AVI decodes each '00dc' frame through the cross-validated
-    baseline-JPEG codec (operators/codecs.py) and converts to JFIF luma —
-    so both raw and COMPRESSED video run genuine decode paths. Other
-    codecs (h264 etc.) reject loudly."""
+def _decode_avi_luma(payload: bytes):
+    """Built-in MJPEG-in-AVI video decoder (registered as ``avi-mjpeg``):
+    each 'NNdc' frame decodes through the cross-validated baseline-JPEG
+    codec (operators/codecs.py) and converts to JFIF luma."""
     import numpy as np
 
-    if payload.startswith(b"YUV4MPEG2"):
-        return decode_y4m(payload)
-    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        from py_gtfs_duckdb_spark.operators.codecs import decode_avi_mjpeg
+    from py_gtfs_duckdb_spark.operators.codecs import decode_avi_mjpeg
 
-        w, h, frames = decode_avi_mjpeg(payload)
-        lumas = []
-        for f in frames:
-            if f.ndim == 2:
-                lumas.append(f)
-            else:
-                rgb = f.astype(np.float64)
-                y = (
-                    0.299 * rgb[:, :, 0]
-                    + 0.587 * rgb[:, :, 1]
-                    + 0.114 * rgb[:, :, 2]
-                )
-                lumas.append(np.clip(np.round(y), 0, 255).astype(np.uint8))
-        return w, h, lumas
-    raise NotImplementedError(
-        "unrecognized video container (supported without external "
-        "libraries: YUV4MPEG2, MJPEG-in-AVI)"
-    )
+    w, h, frames = decode_avi_mjpeg(payload)
+    lumas = []
+    for f in frames:
+        if f.ndim == 2:
+            lumas.append(f)
+        else:
+            rgb = f.astype(np.float64)
+            y = (
+                0.299 * rgb[:, :, 0]
+                + 0.587 * rgb[:, :, 1]
+                + 0.114 * rgb[:, :, 2]
+            )
+            lumas.append(np.clip(np.round(y), 0, 255).astype(np.uint8))
+    return w, h, lumas
+
+
+def decode_video(payload: bytes):
+    """(width, height, [luma frames as (h, w) uint8]) from video bytes —
+    dispatches through the pluggable decoder registry
+    (operators/media_registry.py). Built-ins: ``y4m`` (raw planar 4:2:0)
+    and ``avi-mjpeg`` (compressed, per-frame baseline JPEG) — both raw
+    and COMPRESSED video run genuine decode paths. Codecs that need
+    external libraries (h264 etc.) reject with a message naming
+    ``register_decoder`` — a deployment shipping PyAV/ffmpeg plugs its
+    decoder in with one call, no engine patch."""
+    from py_gtfs_duckdb_spark.operators import media_registry
+
+    return media_registry.decode("video", payload)
 
 
 def documents_as_videos(docs: DataFrame) -> DataFrame:
@@ -639,17 +669,23 @@ def video_frame_features(media: DataFrame) -> DataFrame:
     schema = (
         "media_id long, frame_idx long, width int, height int, mean_luma long"
     )
+    # Plan-build-time registry snapshot — see resize_images.
+    from py_gtfs_duckdb_spark.operators import media_registry
+
+    decoders = media_registry.decoders_snapshot("video")
 
     def run(batches):
         import numpy as np
         import pandas as pd
+
+        from py_gtfs_duckdb_spark.operators.media_registry import dispatch
 
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if p is None:
                     continue
-                w, h, frames = decode_video(bytes(p))
+                w, h, frames = dispatch(decoders, "video", bytes(p))
                 for f_idx, plane in enumerate(frames):
                     rows.append(
                         (
@@ -666,3 +702,43 @@ def video_frame_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Built-in decoder registrations. Everything above dispatches through the
+# pluggable registry (operators/media_registry.py); these calls are how the
+# built-ins themselves get in — a deployment's plug-in uses the exact same
+# hook (prepend=True by default, so an injected libjpeg-turbo/ffmpeg decoder
+# shadows the pure-numpy built-in whose matcher also claims the payload).
+# register_decoder replaces by name, so re-import stays idempotent.
+# ---------------------------------------------------------------------------
+from py_gtfs_duckdb_spark.operators import media_registry as _media_registry
+from py_gtfs_duckdb_spark.operators.codecs import decode_jpeg as _codec_jpeg
+from py_gtfs_duckdb_spark.operators.codecs import decode_png as _codec_png
+
+_media_registry.register_decoder(
+    "image", "ppm-p6", lambda p: p.startswith(b"P6"), decode_ppm,
+    prepend=False,
+)
+_media_registry.register_decoder(
+    "image", "png", lambda p: p.startswith(b"\x89PNG"), _codec_png,
+    prepend=False,
+)
+_media_registry.register_decoder(
+    "image", "jpeg", lambda p: p.startswith(b"\xff\xd8"), _codec_jpeg,
+    prepend=False,
+)
+_media_registry.register_decoder(
+    "audio", "wav-riff",
+    lambda p: p[:4] == b"RIFF" and p[8:12] == b"WAVE", _decode_wav_riff,
+    prepend=False,
+)
+_media_registry.register_decoder(
+    "video", "y4m", lambda p: p.startswith(b"YUV4MPEG2"), decode_y4m,
+    prepend=False,
+)
+_media_registry.register_decoder(
+    "video", "avi-mjpeg",
+    lambda p: p[:4] == b"RIFF" and p[8:12] == b"AVI ", _decode_avi_luma,
+    prepend=False,
+)
