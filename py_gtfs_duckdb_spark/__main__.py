@@ -419,11 +419,37 @@ def cmd_ingest(args) -> None:
         q.awaitTermination()
         return
     # drain mode: availableNow guarantees the query terminates once the
-    # files present at start are processed, so wait WITHOUT a timeout —
-    # a timed wait that expires would print a partial accepted_docs count
-    # as if the drain completed, and process exit could kill an in-flight
-    # micro-batch (non-idempotent when --checkpoint is unset).
-    q.awaitTermination()
+    # files present at start are processed, so the default waits with NO
+    # deadline — a timed wait that expires would print a partial
+    # accepted_docs count as if the drain completed, and process exit
+    # could kill an in-flight micro-batch (non-idempotent when
+    # --checkpoint is unset). But a hung micro-batch (pathological
+    # payload, executor stall) must not block silently forever (ADVICE
+    # r12): heartbeat progress to stderr every 30 s, and an optional
+    # --drain-timeout fails LOUDLY (exit 3, never a partial count).
+    import sys
+    import time as _time
+
+    start = _time.monotonic()
+    while not q.awaitTermination(30):
+        waited = _time.monotonic() - start
+        lp = q.lastProgress or {}
+        print(
+            f"# ingest drain in progress after {waited:.0f}s: "
+            f"batch={lp.get('batchId')} "
+            f"rows/s={lp.get('processedRowsPerSecond')}",
+            file=sys.stderr,
+        )
+        if args.drain_timeout is not None and waited >= args.drain_timeout:
+            q.stop()
+            print(
+                f"ingest drain did NOT finish within --drain-timeout="
+                f"{args.drain_timeout}s; no partial count printed "
+                "(table state is whatever completed micro-batches "
+                "committed)",
+                file=sys.stderr,
+            )
+            raise SystemExit(3)
     n = lake.table(args.table).count() if lake.exists(args.table) else 0
     print(json.dumps({"table": args.table, "accepted_docs": n}, sort_keys=True))
 
@@ -847,6 +873,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "--follow", action="store_true",
         help="keep the stream running (default drains existing files and stops)",
+    )
+    sp.add_argument(
+        "--drain-timeout", type=float, default=None,
+        help="drain mode only: fail loudly (exit 3, no partial count) if "
+        "the drain has not finished after this many seconds; default "
+        "waits forever with a progress heartbeat",
     )
 
     sp = sub.add_parser(

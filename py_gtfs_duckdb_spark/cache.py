@@ -100,6 +100,18 @@ def make_response_cache(config: dict):
                 Client,
             )
         except ImportError:
+            # Loud, once: an operator who configured memcached would
+            # otherwise silently get per-process caching (ADVICE r12) —
+            # cache hit rates collapse across workers with no signal.
+            import sys
+
+            print(
+                "py_gtfs_duckdb_spark: caching_server_endpoint is "
+                f"configured ({endpoints!r}) but pymemcache is not "
+                "importable — falling back to the in-process TTL cache "
+                "(per-process, not shared)",
+                file=sys.stderr,
+            )
             return ResponseCache()
         ep = endpoints[0] if isinstance(endpoints, (list, tuple)) else endpoints
         if isinstance(ep, str) and ":" in ep:

@@ -513,11 +513,25 @@ def decode_jpeg(payload: bytes):
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — consume the run so `marker` is the byte after the
+        # LAST 0xFF (ADVICE r12: a padded stream misparsed the length).
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone length-less markers (T.81 B.1.1.3)
+            # — legal between segments, nothing to parse.
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
             break
         (length,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + length]
@@ -820,13 +834,17 @@ def encode_avi_mjpeg(frames, fps: int = 25) -> bytes:
 
 def decode_avi_mjpeg(payload: bytes):
     """AVI bytes -> (width, height, [frames]) with each frame decoded by
-    decode_jpeg. Only the MJPG/'00dc' video stream is consumed; other
-    codecs reject loudly (they need external libraries)."""
+    decode_jpeg. Only the first 'vids' stream's 'NNdc'/'NNdb' chunks are
+    consumed — AVI stream numbers are the 0-based order of 'strh' headers
+    in the file, so a multi-stream AVI (video + audio, or two video
+    streams) no longer interleaves foreign chunks into the frame sequence
+    (ADVICE r12). Non-MJPG video codecs reject loudly (they need external
+    libraries)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     w = h = None
-    handler = None
-    frames = []
+    strhs: list[tuple[int, bytes, bytes]] = []  # (file_pos, fccType, handler)
+    chunks: list[tuple[int, int, bytes]] = []  # (file_pos, stream_no, jpeg)
     stack = [(12, 8 + struct.unpack_from("<I", payload, 4)[0])]
     while stack:
         pos, end = stack.pop()
@@ -839,18 +857,42 @@ def decode_avi_mjpeg(payload: bytes):
             elif tag == b"avih":
                 w, h = struct.unpack_from("<II", payload, body_start + 32)
             elif tag == b"strh":
-                fcc_type = payload[body_start : body_start + 4]
-                if fcc_type == b"vids":
-                    handler = payload[body_start + 4 : body_start + 8]
+                strhs.append(
+                    (
+                        pos,
+                        payload[body_start : body_start + 4],
+                        payload[body_start + 4 : body_start + 8],
+                    )
+                )
             elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
-                frames.append(payload[body_start : body_start + size])
+                chunks.append(
+                    (pos, int(tag[:2]), payload[body_start : body_start + size])
+                )
             pos = body_start + size + (size & 1)
     if w is None:
         raise ValueError("AVI missing avih header")
+    # Stream numbers = 0-based strh order IN THE FILE (the LIST walk above
+    # is a stack, so sort by position before counting).
+    strhs.sort()
+    vids_no = handler = None
+    for i, (_, fcc_type, hd) in enumerate(strhs):
+        if fcc_type == b"vids":
+            vids_no, handler = i, hd
+            break
+    if strhs and vids_no is None:
+        raise ValueError("AVI has stream headers but no 'vids' stream")
     if handler is not None and handler not in (b"MJPG", b"mjpg", b"\x00\x00\x00\x00"):
         raise ValueError(
             f"unsupported AVI video codec {handler!r} (MJPG only — other "
             "codecs need external libraries)"
         )
+    # Frames in file order; headerless minimal writers (no strh at all)
+    # keep the legacy accept-everything behavior.
+    chunks.sort()
+    frames = [
+        body
+        for _, stream_no, body in chunks
+        if vids_no is None or stream_no == vids_no
+    ]
     decoded = [decode_jpeg(f) for f in frames]
     return int(w), int(h), decoded

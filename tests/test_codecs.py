@@ -399,3 +399,107 @@ def test_mjpeg_avi_roundtrip_and_frame_features():
     bad = avi.replace(b"vidsMJPG", b"vidsH264")
     with pytest.raises(ValueError, match="MJPG only"):
         decode_avi_mjpeg(bad)
+
+
+def test_jpeg_header_tolerates_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2-3 (ADVICE r12): any number of 0xFF fill bytes may
+    precede a marker, and TEM (0x01) / RSTn (0xD0-0xD7) are standalone
+    length-less markers — a conforming stream padded with either must
+    decode identically to the clean stream."""
+    from py_gtfs_duckdb_spark.operators.codecs import decode_jpeg, encode_jpeg
+    from py_gtfs_duckdb_spark.operators.multimodal import _synth_gradient
+
+    img = _synth_gradient(9, 16, 12)
+    clean = encode_jpeg(img, quality=90)
+    want = decode_jpeg(clean)
+    # after SOI: a TEM marker, then two fill bytes glued onto the next
+    # segment's own 0xFF (making a run of three)
+    padded = clean[:2] + b"\xff\x01" + b"\xff\xff" + clean[2:]
+    got = decode_jpeg(padded)
+    assert np.array_equal(got, want)
+    # an RST marker between header segments is equally standalone
+    padded_rst = clean[:2] + b"\xff\xd3" + clean[2:]
+    assert np.array_equal(decode_jpeg(padded_rst), want)
+
+
+def _multi_stream_avi(stream_defs, movi_chunks):
+    """Hand-build an AVI with several strl lists (stream_defs: list of
+    (fccType, handler)) and an explicit movi chunk sequence (tag, body)."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I", 40_000, 0, 0, 0x10, 3, 0, len(stream_defs), 0,
+        16, 12, 0, 0, 0, 0,
+    )
+    strls = b""
+    for fcc_type, handler in stream_defs:
+        strh = (
+            fcc_type + handler
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, 3, 0, 0, 0xFFFFFFFF)
+            + struct.pack("<4H", 0, 0, 16, 12)
+        )
+        strf = struct.pack(
+            "<IiiHH4sIiiII", 40, 16, 12, 1, 24, handler, 16 * 12 * 3, 0, 0, 0, 0
+        )
+        strls += lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
+    movi = lst(b"movi", b"".join(chunk(t, b) for t, b in movi_chunks))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def test_avi_multi_stream_selects_the_vids_stream():
+    """ADVICE r12: a multi-stream AVI must yield ONLY the first 'vids'
+    stream's frames — no interleaving of chunks from other streams."""
+    from py_gtfs_duckdb_spark.operators.codecs import (
+        decode_avi_mjpeg,
+        encode_jpeg,
+    )
+    from py_gtfs_duckdb_spark.operators.multimodal import _synth_gradient
+
+    good = [encode_jpeg(_synth_gradient(s, 16, 12), quality=92) for s in (1, 2)]
+    other = [encode_jpeg(_synth_gradient(s, 16, 12), quality=92) for s in (7, 8)]
+
+    # audio stream first: the vids stream is stream 1, its chunks '01dc'
+    avi = _multi_stream_avi(
+        [(b"auds", b"\x00\x00\x00\x00"), (b"vids", b"MJPG")],
+        [
+            (b"00wb", b"\x01\x02\x03\x04"),
+            (b"01dc", good[0]),
+            (b"00wb", b"\x05\x06\x07\x08"),
+            (b"01dc", good[1]),
+        ],
+    )
+    w, h, frames = decode_avi_mjpeg(avi)
+    assert (w, h, len(frames)) == (16, 12, 2)
+
+    # TWO video streams interleaved: only stream 0 (the first 'vids')
+    # may contribute — the pre-fix decoder returned all four frames
+    avi2 = _multi_stream_avi(
+        [(b"vids", b"MJPG"), (b"vids", b"MJPG")],
+        [
+            (b"00dc", good[0]),
+            (b"01dc", other[0]),
+            (b"00dc", good[1]),
+            (b"01dc", other[1]),
+        ],
+    )
+    w2, h2, frames2 = decode_avi_mjpeg(avi2)
+    assert (w2, h2, len(frames2)) == (16, 12, 2)
+    from py_gtfs_duckdb_spark.operators.codecs import decode_jpeg
+
+    for got, payload in zip(frames2, good):
+        assert np.array_equal(got, decode_jpeg(payload))
+
+    # stream headers present but none 'vids' -> loud rejection
+    avi3 = _multi_stream_avi(
+        [(b"auds", b"\x00\x00\x00\x00")], [(b"00wb", b"\x00\x00")]
+    )
+    with pytest.raises(ValueError, match="no 'vids' stream"):
+        decode_avi_mjpeg(avi3)

@@ -218,3 +218,36 @@ def test_make_response_cache_dispatch():
                 sys.modules.pop(k, None)
             else:
                 sys.modules[k] = v
+
+
+def test_make_response_cache_warns_on_missing_pymemcache(capsys):
+    """ADVICE r12: a configured memcached endpoint with no importable
+    pymemcache must fall back to the in-process cache WITH a one-line
+    stderr signal, not silently."""
+    import sys
+
+    from py_gtfs_duckdb_spark.cache import ResponseCache, make_response_cache
+
+    cfg_ep = {"caching": {"caching_server_endpoint": ["127.0.0.1:11211"]}}
+    saved = {
+        k: sys.modules.pop(k, None)
+        for k in (
+            "pymemcache",
+            "pymemcache.client",
+            "pymemcache.client.base",
+            "pymemcache.serde",
+        )
+    }
+    sys.modules["pymemcache"] = None  # forces ImportError on import
+    try:
+        got = make_response_cache(cfg_ep)
+        assert isinstance(got, ResponseCache)
+        err = capsys.readouterr().err
+        assert "pymemcache is not importable" in err
+        assert "in-process" in err
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
