@@ -185,6 +185,71 @@ N_CURATE_SAMPLES = int(
 )
 
 
+def _codec_throughput() -> dict:
+    """Per-codec decode throughput (VERDICT r12 Next #3): the pure-
+    Python/numpy codecs are the one hot path battery timings hide (they
+    run inside mapInPandas task time), so a 10x parsing regression would
+    otherwise be invisible. Fixed synthetic fixtures, single-threaded
+    driver-side decode loop repeated to >=0.4 s, payload MB/s.
+
+    Anchors measured at r13 on this sandbox (ambient ~1.0) — a future
+    round reading BENCH_r{N}.ops.codec_throughput compares against:
+      ppm ~2900 MB/s and wav-pcm ~3700 (memcpy-bound), y4m ~1900,
+      wav-g711 ~150 (table lookup), png ~48 (stdlib DEFLATE + numpy
+      filter rows), jpeg ~0.22 and avi-mjpeg ~0.23 (bit-serial Python
+      Huffman — the known-slow tier the plugin registry exists for;
+      SCALING.md documents the deploy-a-library escape hatch).
+    """
+    import numpy as np
+
+    from py_gtfs_duckdb_spark.operators import codecs as C
+    from py_gtfs_duckdb_spark.operators import multimodal as M
+
+    rng_imgs = [M._synth_gradient(s, 64, 48) for s in range(6)]
+    i = np.arange(8000, dtype=np.int64)
+    pcm16 = (((i * 2_654_435_761) % 65536) - 32768).astype("<i2")
+    fixtures = {
+        "ppm": ([M.synth_ppm(s, 64, 48) for s in range(6)], M.decode_ppm),
+        "png": ([M.synth_png(s, 64, 48) for s in range(6)], C.decode_png),
+        "jpeg": (
+            [C.encode_jpeg(im, quality=90) for im in rng_imgs],
+            C.decode_jpeg,
+        ),
+        "wav-pcm": ([M.synth_wav(s, 8000, 8000) for s in range(4)], C.parse_wav),
+        "wav-g711": (
+            [C.encode_wav_g711(pcm16, 8000, law) for law in ("ulaw", "alaw")],
+            C.parse_wav,
+        ),
+        "y4m": ([M.synth_y4m(s, 64, 48) for s in range(4)], M.decode_y4m),
+        "avi-mjpeg": ([C.encode_avi_mjpeg(rng_imgs[:3])], C.decode_avi_mjpeg),
+    }
+    out: dict[str, dict] = {}
+    for name, (payloads, decode) in fixtures.items():
+        total_b = sum(len(p) for p in payloads)
+        reps = 0
+        t0 = time.perf_counter()
+        while True:
+            for p in payloads:
+                decode(p)
+            reps += 1
+            elapsed = time.perf_counter() - t0
+            if elapsed >= 0.4 or reps >= 400:
+                break
+        mb_s = total_b * reps / elapsed / 1e6
+        out[name] = {
+            "payload_bytes": total_b,
+            "reps": reps,
+            "sec": round(elapsed, 3),
+            "mb_per_s": round(mb_s, 2),
+        }
+        print(
+            f"# codec {name}: {mb_s:.2f} MB/s "
+            f"({total_b} B x {reps} reps in {elapsed:.3f}s)",
+            file=sys.stderr,
+        )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -412,6 +477,9 @@ def main() -> None:
             f"{n_tok} corpus tokens after)",
             file=sys.stderr,
         )
+
+    if N_EXTRA_SAMPLES > 0:
+        ops["codec_throughput"] = _codec_throughput()
 
     full = {
         "metric": "headline_batch_total",
