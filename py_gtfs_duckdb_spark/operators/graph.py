@@ -362,6 +362,14 @@ def strongly_connected_components(
     return out
 
 
+# Observability for the iterative policy resolution: updated on every
+# containment_rejects call with the DAG peel-round count (and SCC/node
+# tallies). Rounds must track containment-chain DEPTH, never input size —
+# the sf1 probe (tests/test_scale_helpers.py) asserts exactly that by
+# comparing this counter across a 10x input replication.
+LAST_RUN_STATS: dict = {}
+
+
 def containment_rejects(
     edges: DataFrame,
     src: str = "id_a",
@@ -398,9 +406,11 @@ def containment_rejects(
     und = labels.select(F.col("scc").alias("c")).distinct().localCheckpoint()
     kept = und.limit(0).localCheckpoint()
     rejected = und.limit(0).localCheckpoint()
+    dag_rounds = 0
     for _ in range(max_iter):
         if und.isEmpty():
             break
+        dag_rounds += 1
         # blocker: an edge to a not-yet-rejected successor (kept OR
         # undetermined) keeps a node undetermined-or-rejected
         blockers = (
@@ -433,6 +443,8 @@ def containment_rejects(
         raise RuntimeError(
             f"containment policy did not converge in {max_iter} rounds"
         )
+    LAST_RUN_STATS.clear()
+    LAST_RUN_STATS.update(dag_rounds=dag_rounds)
     in_rejected_scc = labels.join(
         rejected.select(F.col("c").alias("scc")), "scc", "left_semi"
     ).select("id")

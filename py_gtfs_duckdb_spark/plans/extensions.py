@@ -3685,11 +3685,16 @@ def _containment_policy_oracle_sql(threshold: float = 0.6, levels: int = 8) -> s
     """Independent SQL resolution of the containment keep-policy over the
     brute-force pair list: transitive closure via a recursive CTE →
     SCC labels (mutual reachability, min-id representative) → sinks-first
-    keep/reject unrolled ``levels`` deep over the condensed DAG. The
-    unroll bound must exceed the longest containment chain (measured ≤4
-    at both oracle SFs; 8 here) — a deeper graph leaves SCCs undetermined
-    and surfaces as a loud hash mismatch, never a silent agreement,
-    because the Spark side iterates to the true fixpoint.
+    keep/reject unrolled ``levels`` deep over the condensed DAG. Each
+    unrolled level determines one reject AND one keep (two chain
+    positions), so ``levels=8`` fully determines chains up to ~17 deep
+    (measured peel depth ≤4 at both oracle SFs, guarded by
+    tests/test_policy_deep_chain.py) — a deeper graph leaves late-chain
+    SCCs out of ``r{levels}`` and surfaces as a loud hash mismatch,
+    never a silent agreement, because the Spark side iterates to the
+    true fixpoint (proven on a depth-19 synthetic chain in the same test
+    file: levels=8 yields a strict subset of the rejects, levels=12
+    exact).
 
     The multi-referenced CTEs are MATERIALIZED: without the hint DuckDB
     re-inlines the brute-force shingle self-join into every unrolled

@@ -308,8 +308,18 @@ def test_rank_key_timestamp_ntz_is_timezone_independent(spark):
 
 def _execution_shuffle_rows(spark, df) -> list[int]:
     """Run ``df.collect()`` and return every exchange's 'shuffle records
-    written' for the triggered SQL execution(s), via the same
-    SQLAppStatusStore the Spark UI reads."""
+    written' for the triggered SQL execution(s)."""
+    return _shuffle_rows_during(spark, df.collect)
+
+
+def _shuffle_rows_during(spark, action) -> list[int]:
+    """Run ``action()`` and return every exchange's 'shuffle records
+    written' across ALL SQL executions it triggered, via the same
+    SQLAppStatusStore the Spark UI reads. Needed (instead of metering one
+    frame's collect) for operators that iterate EAGERLY at build time —
+    q_dedup_policy's SCC/DAG rounds run localCheckpoint jobs while the
+    plan is being constructed, so metering only the final frame would
+    miss nearly all of the work."""
     import time
 
     def as_list(seq):
@@ -320,7 +330,7 @@ def _execution_shuffle_rows(spark, df) -> list[int]:
 
     store = spark._jsparkSession.sharedState().statusStore()
     before = {e.executionId() for e in as_list(store.executionsList())}
-    df.collect()
+    action()
     execs = []
     for _ in range(100):  # the status store updates asynchronously
         execs = [
@@ -611,4 +621,54 @@ def test_sf1_probe_scales_linearly(spark, sf1_documents_dir, qname):
     assert t_big <= 25 * max(t_small, 0.2), (
         f"{qname}: runtime {t_small:.2f}s -> {t_big:.2f}s "
         f"({t_big / max(t_small, 1e-9):.1f}x for 10x input)"
+    )
+
+
+@pytest.mark.slow
+def test_sf1_policy_rounds_track_chain_depth_not_input(
+    spark, sf1_documents_dir
+):
+    """q_dedup_policy at synthetic sf1 (VERDICT r12 Next #7): the
+    distributed keep-policy is ITERATIVE, so on top of the linear-shuffle
+    gate it must hold the stronger invariant — DAG peel rounds are
+    bounded by containment-chain DEPTH, which 10x replication does not
+    deepen (replicas are salted copies with identical internal pair
+    structure), never by input size. The shuffle meter wraps the whole
+    build+collect because the rounds run eager localCheckpoint jobs at
+    plan-build time."""
+    import time as _time
+
+    from py_gtfs_duckdb_spark.operators import graph as G
+    from py_gtfs_duckdb_spark.plans import QUERIES
+
+    def run(sf_dir):
+        t0 = _time.perf_counter()
+        rows = _shuffle_rows_during(
+            spark, lambda: QUERIES["q_dedup_policy"](spark, sf_dir).collect()
+        )
+        dt = _time.perf_counter() - t0
+        rounds = G.LAST_RUN_STATS.get("dag_rounds")
+        spark.catalog.clearCache()
+        return dt, sum(rows), rounds
+
+    run("/root/testdata/sf0.1")  # warm (uncounted)
+    t_small, sh_small, r_small = run("/root/testdata/sf0.1")
+    t_big, sh_big, r_big = run(sf1_documents_dir)
+    assert r_small is not None and r_big is not None, (
+        "distributed path did not run — cap=0 dispatch broken?"
+    )
+    # rounds track chain depth: 10x input may not add rounds beyond the
+    # salting-induced wobble of +-1; input-driven scaling would read ~10x
+    assert r_big <= r_small + 1, (
+        f"policy rounds {r_small} -> {r_big} at 10x input — rounds are "
+        "scaling with input, not chain depth"
+    )
+    assert r_big <= 8, f"peel depth {r_big} exceeds the oracle's unroll"
+    assert sh_small > 0
+    assert sh_big <= 20 * sh_small, (
+        f"policy shuffle rows {sh_small} -> {sh_big} "
+        f"({sh_big / sh_small:.1f}x for 10x input — superlinear)"
+    )
+    assert t_big <= 25 * max(t_small, 0.2), (
+        f"policy runtime {t_small:.2f}s -> {t_big:.2f}s for 10x input"
     )
