@@ -503,3 +503,57 @@ def test_avi_multi_stream_selects_the_vids_stream():
     )
     with pytest.raises(ValueError, match="no 'vids' stream"):
         decode_avi_mjpeg(avi3)
+
+
+@pytest.mark.slow
+def test_jpeg_entropy_rework_differential_soak(spark):
+    """Randomized differential soak for the r13 entropy-path rework
+    (segment unstuffing + prefix-LUT + single-peek coefficient decode +
+    batched IDCT): random images across sizes, qualities, and restart
+    intervals must decode from THIS encoder's streams within the same
+    error budget javax.imageio achieves on them — and javax must accept
+    every stream. Catches any decode drift the fixed-case tests miss."""
+    from py_gtfs_duckdb_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(1307)
+    for trial in range(12):
+        h = int(rng.integers(8, 70))
+        w = int(rng.integers(8, 70))
+        # mix of smooth gradients (typical photos) and hard noise
+        if trial % 2:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        else:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [
+                    (xx * 3 + trial * 11) % 256,
+                    (yy * 5 + trial * 7) % 256,
+                    (xx + yy + trial) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+        q = int(rng.choice([35, 60, 80, 92]))
+        ri = int(rng.choice([0, 1, 3]))
+        payload = encode_jpeg(img, quality=q, restart_interval=ri)
+
+        ours = decode_jpeg(payload)
+        bais = jvm.java.io.ByteArrayInputStream(bytearray(payload))
+        bi = jvm.javax.imageio.ImageIO.read(bais)
+        assert bi is not None and (bi.getWidth(), bi.getHeight()) == (w, h)
+        theirs = np.zeros((h, w, 3), dtype=np.int64)
+        for y in range(h):
+            for x in range(w):
+                rgb = bi.getRGB(x, y)
+                theirs[y, x] = [
+                    (rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF,
+                ]
+        # both decoders read the same stream: residual divergence is
+        # implementation-defined IDCT/color rounding (T.81 Annex A puts
+        # no bit-exact requirement on the inverse transform), which on
+        # hard-noise images amplifies at out-of-gamut pixels — so gate
+        # the DISTRIBUTION (overwhelmingly <=1), not the worst pixel
+        diff = np.abs(ours.astype(np.int64) - theirs)
+        assert diff.mean() <= 1.0, (trial, h, w, q, ri, diff.mean())
+        assert np.percentile(diff, 99) <= 4, (trial, h, w, q, ri)
+        assert diff.max() <= 64, (trial, h, w, q, ri, diff.max())
