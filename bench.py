@@ -195,12 +195,12 @@ def _codec_throughput() -> dict:
     Anchors measured at r13 on this sandbox (ambient ~1.0) — a future
     round reading BENCH_r{N}.ops.codec_throughput compares against:
       ppm ~2900 MB/s and wav-pcm ~3700 (memcpy-bound), y4m ~2000,
-      wav-g711 ~150 (table lookup), png ~47 (stdlib DEFLATE + numpy
-      filter rows), jpeg ~1.0 and avi-mjpeg ~1.05 (entropy decode —
-      r13 rework: unstuffed segments + 10-bit prefix LUT + one 32-bit
-      peek per coefficient + batched IDCT took it from 0.22; still the
-      slow tier the plugin registry's libjpeg-turbo escape hatch is
-      for).
+      wav-g711 ~150 (table lookup), png ~105 (zlib-bound after the r13
+      all-filter-0 vectorized fast path; ~47 with per-row unfiltering),
+      jpeg ~1.0 and avi-mjpeg ~1.05 (entropy decode — r13 rework:
+      unstuffed segments + 10-bit prefix LUT + one 32-bit peek per
+      coefficient + batched IDCT took it from 0.22; still the slow tier
+      the plugin registry's libjpeg-turbo escape hatch is for).
     """
     import numpy as np
 

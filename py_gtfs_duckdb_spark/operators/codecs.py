@@ -134,6 +134,13 @@ def decode_png(payload: bytes):
             f"PNG raster size mismatch: got {len(raw)}, "
             f"want {h * (stride + 1)}"
         )
+    rast = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    if not rast[:, 0].any():
+        # every scanline filter 0 (this encoder's output and the most
+        # common shape in the wild): unfiltering is one slice — no
+        # per-row Python loop
+        img = np.ascontiguousarray(rast[:, 1:]).reshape(h, w, channels)
+        return img[:, :, 0] if channels == 1 else img
     out = np.zeros((h, stride), dtype=np.uint8)
     bpp = channels  # bytes per pixel at depth 8
     for y in range(h):
