@@ -158,6 +158,8 @@ EXTRA = [
     "q_ann_recall_lsh",
     "q_ann_recall_pq",
     "q_golden_records",
+    # round-13 addition: bigram-LM NLL (perplexity-filter score)
+    "q_bigram_nll",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

@@ -107,6 +107,7 @@ from py_gtfs_duckdb_spark.operators.text import (  # noqa: F401
 
 # lexical search
 from py_gtfs_duckdb_spark.operators.lexical import (  # noqa: F401
+    bigram_nll,
     bm25_topk,
     dsir_weights,
     tfidf_keywords,

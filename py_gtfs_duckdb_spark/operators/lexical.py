@@ -229,6 +229,82 @@ def unigram_nll(
     )
 
 
+def bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, dl2, nll): mean negative log-probability of each
+    document's word BIGRAMS under the corpus bigram LM — the next model
+    order up from :func:`unigram_nll` (perplexity-style filtering uses
+    exactly this score: a doc whose word transitions are improbable
+    under the corpus is gibberish even when its unigram mix looks fine;
+    a doc with unusually probable transitions is boilerplate).
+    NLL per bigram occurrence = ln c(w1 .) - ln c(w1 w2), with c(w1 .)
+    the CONTEXT count (bigrams starting with w1), so the per-position
+    conditionals P(w2|w1) normalize exactly. Documents with fewer than
+    two words have no bigram and emit no row.
+
+    Determinism: the same integer micro-nat scheme as unigram_nll —
+    both logs quantize to BIGINT micro-nats, the model frame carries
+    dq = q_ctx - q_bigram per bigram TYPE, and the per-doc aggregation
+    is a BIGINT sum; the only float math is the fixed-order epilogue
+    (pround to 4 digits), so the DuckDB oracle replays bit-for-bit
+    (same libm caveat as unigram_nll).
+
+    Scale: the bigram stream is a narrow per-row array transform (NO
+    token shuffle to form pairs — adjacency is resolved inside the
+    staged words array, the ngram_hash_col pattern); the model is two
+    map-side-combined groupBys (bigram types, context types) joined
+    once into a single (b, dq) frame, vocab-sized, broadcast while it
+    fits (AQE falls back beyond); per-doc sums are one groupBy(doc).
+    No windows, no driver state."""
+    arr_col = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    staged = df.select(F.col(id_col), arr_col.alias("ws"))
+    n = F.size(F.col("ws"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("ws"), i).alias("w1"),
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("ws"), i),
+                F.element_at(F.col("ws"), i + 1),
+            ).alias("b"),
+        ),
+    )
+    toks = (
+        staged.where(n >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.b").alias("b"))
+    )
+    c2 = toks.groupBy("b", "w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    q = lambda col: F.floor(F.log(col) * F.lit(_NLL_SCALE) + F.lit(0.5)).cast(  # noqa: E731
+        "bigint"
+    )
+    model = c2.join(c1, "w1").select(
+        "b", (q(F.col("c1")) - q(F.col("c2"))).alias("dq")
+    )
+    return (
+        toks.join(model, "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("dq").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("dl2"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("dl2"),
+            pround(
+                F.col("s") / F.lit(_NLL_SCALE) / F.col("dl2"), 4
+            ).alias("nll"),
+        )
+    )
+
+
 def tfidf_keywords(
     df: DataFrame,
     k: int = 5,

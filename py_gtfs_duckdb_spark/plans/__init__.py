@@ -243,6 +243,11 @@ _PRIORITY = [
     "q_flagship_nominal_trips",
     "q_decontaminate",
     "q_golden_records",
+    # NEW in round 13, registered past the window (owed to the r14
+    # rotation): bigram-LM NLL, the perplexity-filter score one model
+    # order above q_unigram_nll; sf0.001+sf0.01 parity-tested locally
+    # at registration.
+    "q_bigram_nll",
 ]
 
 # Window-partition allowlist — the systematic form of the per-query

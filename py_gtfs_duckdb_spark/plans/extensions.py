@@ -1579,6 +1579,51 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.unigram_nll(t(spark, sf_dir, "documents"))
 
 
+@query(
+    "q_bigram_nll",
+    # Same integer micro-nat scheme as q_unigram_nll, one model order up:
+    # per-occurrence NLL = ln c(w1 .) - ln c(w1 w2) with context counts as
+    # the denominator, quantized per TYPE, summed in BIGINT per doc.
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), toks AS (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1]
+                       for i in range(1, len(ws))]) AS b
+        FROM w WHERE len(ws) >= 2
+    ), c2 AS (
+        SELECT b, split_part(b, ' ', 1) AS w1, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM toks GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+    ), model AS (
+        SELECT b,
+               CAST(floor(ln(c1) * 1000000.0 + 0.5) AS BIGINT)
+               - CAST(floor(ln(c2) * 1000000.0 + 0.5) AS BIGINT) AS dq
+        FROM c2 JOIN c1 USING (w1)
+    ), sums AS (
+        SELECT doc_id, CAST(SUM(dq) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS dl2
+        FROM toks JOIN model USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id, dl2,
+           floor((s / 1000000.0 / dl2) * 10000.0 + 0.5) / 10000.0 AS nll
+    FROM sums
+    """,
+)
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram negative log-probability per document — the
+    perplexity-filter score one model order above q_unigram_nll: a doc
+    whose word TRANSITIONS are improbable under the corpus is gibberish
+    even when its unigram mix looks normal, and an unusually probable
+    one is boilerplate (operators/lexical.py:bigram_nll; adjacency
+    resolved inside the staged words array, no token shuffle to form
+    pairs)."""
+    return L.bigram_nll(t(spark, sf_dir, "documents"))
+
+
 _PQ_CB: dict[str, dict] = {}
 
 

@@ -349,3 +349,47 @@ def test_dedup_spans_keeps_zero_unit_documents(spark):
     assert got[2] == ("", 0, 0)
     assert got[3] == ("", 0, 0)
     assert got[1] == ("alpha beta gamma", 1, 0)
+
+
+def test_bigram_nll_hand_computed(spark):
+    """Corpus bigrams: doc1 'a b a b' -> (a b), (b a), (a b);
+    doc2 'a b c' -> (a b), (b c).
+    Counts: c2(a b)=3, c2(b a)=1, c2(b c)=1; contexts: c1(a)=3, c1(b)=2.
+    Per-occurrence NLL = ln c1(w1) - ln c2(w1 w2):
+      (a b): ln3 - ln3 = 0          (the only continuation of a)
+      (b a): ln2 - 0   = ln2
+      (b c): ln2 - 0   = ln2
+    doc1: (0 + ln2 + 0)/3 = 0.2310;  doc2: (0 + ln2)/2 = 0.3466."""
+    from py_gtfs_duckdb_spark.operators.lexical import bigram_nll
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["dl2"], r["nll"]) for r in bigram_nll(docs).collect()}
+    assert got[1] == (3, round(math.log(2) / 3, 4))
+    assert got[2] == (2, round(math.log(2) / 2, 4))
+
+
+def test_bigram_nll_short_docs_absent_and_repetition_scores_low(spark):
+    """Docs with <2 words emit no row; a doc repeating the corpus's
+    dominant transition scores strictly lower (more probable) than one
+    whose transitions each occur once out of a shared context.
+    Counts: c2(x a)=3, c2(a x)=2, c2(x b)=c2(x c)=c2(x d)=1,
+    c2(b x)=c2(c x)=1; contexts c1(x)=6, c1(a)=2, c1(b)=c1(c)=1.
+    doc1 = [3·(ln6−ln3) + 2·0]/5 = 3·ln2/5; doc2 = 3·ln6/5."""
+    from py_gtfs_duckdb_spark.operators.lexical import bigram_nll
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x a x a x a"),
+            (2, "x b x c x d"),
+            (3, "single"),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["nll"] for r in bigram_nll(docs).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] == round(3 * math.log(2) / 5, 4)
+    assert got[2] == round(3 * math.log(6) / 5, 4)
+    assert got[1] < got[2]
