@@ -224,7 +224,8 @@ def _ngram_jaccard_oracle_sql(threshold: float = 0.7) -> str:
         SELECT id, list_sort(list(h)) AS hs, COUNT(*) AS sz FROM sh GROUP BY id
     ), prefixes AS (
         SELECT id, unnest(list_slice(hs, 1,
-                   CAST(sz - ceil(sz * {threshold} - (1e-12 * sz + 1e-9)) + 1 AS INT))) AS h
+                   CAST(sz - {D.sql_slacked_ceil(f"sz * {threshold}", "sz")}
+                        + 1 AS INT))) AS h
         FROM sets
     ), cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -242,8 +243,10 @@ def _ngram_jaccard_oracle_sql(threshold: float = 0.7) -> str:
     -- (a rounded-value filter would make boundary membership depend on
     -- which prunes emitted the candidate — ADVICE r11)
     WHERE len(list_intersect(za.hs, zb.hs))
-          >= ceil({threshold} / (1 + {threshold}) * (za.sz + zb.sz)
-                   - (1e-12 * (za.sz + zb.sz) + 1e-9))
+          >= {D.sql_slacked_ceil(
+              f"{threshold} / (1 + {threshold}) * (za.sz + zb.sz)",
+              "za.sz + zb.sz",
+          )}
     """
 
 
@@ -3688,7 +3691,7 @@ def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # positional filter) surfaces as a missing-row hash mismatch, not a
     # silently-agreeing replay. Same md5-48 shingle front-end as every
     # dedup oracle.
-    oracle="""
+    oracle=f"""
     WITH w AS (
         SELECT doc_id AS id,
                list_filter(string_split(text, ' '), x -> x <> '') AS ws
@@ -3711,7 +3714,7 @@ def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((CAST(o AS DOUBLE) / za.sz) * 10000.0 + 0.5) / 10000.0
                AS containment
     FROM inter JOIN sets za ON za.id = inter.id_a
-    WHERE o >= ceil(za.sz * 0.6 - (1e-12 * za.sz + 1e-9))
+    WHERE o >= {D.sql_slacked_ceil("za.sz * 0.6", "za.sz")}
     """,
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3765,7 +3768,7 @@ def _containment_policy_oracle_sql(threshold: float = 0.6, levels: int = 8) -> s
     ), cpairs AS MATERIALIZED (
         SELECT id_a, id_b
         FROM inter JOIN zsets za ON za.id = inter.id_a
-        WHERE o >= ceil(za.sz * {threshold} - (1e-12 * za.sz + 1e-9))
+        WHERE o >= {D.sql_slacked_ceil(f"za.sz * {threshold}", "za.sz")}
     ), pnodes AS (
         SELECT DISTINCT id_a AS n FROM cpairs
         UNION SELECT DISTINCT id_b FROM cpairs
@@ -3839,7 +3842,7 @@ def q_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the q_dedup_containment brute-force oracle restricted to the
     # new-batch x corpus direction (doc_id % 7 = 0 stands in for the
     # batch, as in q_dedup_incremental)
-    oracle="""
+    oracle=f"""
     WITH w AS (
         SELECT doc_id AS id,
                list_filter(string_split(text, ' '), x -> x <> '') AS ws
@@ -3863,7 +3866,7 @@ def q_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((CAST(o AS DOUBLE) / za.sz) * 10000.0 + 0.5) / 10000.0
                AS containment
     FROM inter JOIN sets za ON za.id = inter.id_a
-    WHERE o >= ceil(za.sz * 0.6 - (1e-12 * za.sz + 1e-9))
+    WHERE o >= {D.sql_slacked_ceil("za.sz * 0.6", "za.sz")}
     """,
 )
 def q_dedup_containment_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
