@@ -89,6 +89,7 @@ from py_gtfs_duckdb_spark.operators.annq import (  # noqa: F401
 
 # text analysis
 from py_gtfs_duckdb_spark.operators.text import (  # noqa: F401
+    compression_stats,
     dedup_spans,
     doc_ngram_hashes,
     fingerprint,
