@@ -502,34 +502,61 @@ def cmd_despan(args) -> None:
 
 
 def cmd_score(args) -> None:
-    """Unigram-LM NLL scoring over a documents parquet: writes (doc_id,
-    dl, nll), optionally scoring under a reference corpus's model, and
-    prints distribution quartiles as one JSON line."""
+    """LM-NLL scoring over a documents parquet: writes (doc_id, dl, nll)
+    — unigram by default, bigram with --order 2, plus an optional zlib
+    compression column (--compression) — optionally scoring under a
+    reference corpus's model (unigram only), and prints distribution
+    quartiles as one JSON line."""
     import json
 
-    from py_gtfs_duckdb_spark.operators.lexical import unigram_model, unigram_nll
+    from py_gtfs_duckdb_spark.operators.lexical import (
+        bigram_nll,
+        unigram_model,
+        unigram_nll,
+    )
     from py_gtfs_duckdb_spark.session import get_spark
 
     spark = get_spark("gtfs-cli")
     docs = _read_corpus(spark, args.input)
-    model = None
-    if args.model:
-        model = unigram_model(spark.read.parquet(args.model))
-    out = unigram_nll(docs, model=model)
+    if args.order == 2:
+        if args.model:
+            raise SystemExit(
+                "--model is unigram-only (the bigram LM trains on the "
+                "scored corpus itself)"
+            )
+        out = bigram_nll(docs).withColumnRenamed("dl2", "dl")
+    else:
+        model = None
+        if args.model:
+            model = unigram_model(spark.read.parquet(args.model))
+        out = unigram_nll(docs, model=model)
+    if args.compression:
+        from py_gtfs_duckdb_spark.operators.text import compression_stats
+
+        comp = compression_stats(docs).select("doc_id", "bits_per_byte")
+        out = out.join(comp, "doc_id", "left")
     out.write.mode("overwrite").parquet(args.output)
     # read the quartiles back from the file just written — the scoring
     # plan runs exactly once whichever model path was taken (recomputing
     # from the lazy `out` would re-run the corpus explode+join for this
     # second action when a caller-supplied model skips the scoped persist)
-    q = spark.read.parquet(args.output).selectExpr(
+    exprs = [
         "count(*) AS docs",
         "percentile(nll, array(0.25, 0.5, 0.75)) AS q",
-    ).first()
-    print(json.dumps(
-        {"docs": q["docs"],
-         "nll_quartiles": [round(x, 4) for x in q["q"]]},
-        sort_keys=True,
-    ))
+    ]
+    if args.compression:
+        exprs.append(
+            "percentile(bits_per_byte, array(0.25, 0.5, 0.75)) AS bq"
+        )
+    q = spark.read.parquet(args.output).selectExpr(*exprs).first()
+    summary = {
+        "docs": q["docs"],
+        "order": args.order,
+        "nll_quartiles": [round(x, 4) for x in q["q"]],
+    }
+    if args.compression:
+        summary["bits_per_byte_quartiles"] = [round(x, 4) for x in q["bq"]]
+    print(json.dumps(summary, sort_keys=True))
 
 
 def cmd_tokenize(args) -> None:
@@ -908,13 +935,22 @@ def main(argv: list[str] | None = None) -> int:
     sp.set_defaults(fn=cmd_dedup)
 
     sp = sub.add_parser(
-        "score", help="unigram-LM NLL quality scoring over a documents parquet"
+        "score", help="LM-NLL quality scoring over a documents parquet"
     )
     sp.add_argument("--input", "-i", required=True, help="documents parquet path")
     sp.add_argument("--output", "-o", required=True)
     sp.add_argument(
         "--model", "-m",
-        help="reference documents parquet to train the LM on (default: input)",
+        help="reference documents parquet to train the LM on (default: "
+        "input; unigram only)",
+    )
+    sp.add_argument(
+        "--order", type=int, default=1, choices=[1, 2],
+        help="LM order: 1 = unigram (default), 2 = bigram transitions",
+    )
+    sp.add_argument(
+        "--compression", action="store_true",
+        help="also emit the zlib bits-per-byte column and its quartiles",
     )
     sp.set_defaults(fn=cmd_score)
 

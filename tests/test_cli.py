@@ -533,3 +533,36 @@ def test_cli_dedup_simhash_tier(spark, tmp_path, capsys):
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert summary["threshold"] is None and summary["hamming"] == 3
     assert 3 in kept and 1 in kept and 2 not in kept, kept
+
+
+def test_cli_score_bigram_and_compression(spark, tmp_path, capsys):
+    import json
+    import math
+
+    from py_gtfs_duckdb_spark.__main__ import main
+
+    docs = spark.createDataFrame(
+        [(1, "x a x a x a"), (2, "x b x c x d")], "doc_id long, text string"
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "scored_bg")
+    assert main(
+        ["score", "-i", src, "-o", out, "--order", "2", "--compression"]
+    ) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["order"] == 2 and summary["docs"] == 2
+    assert len(summary["bits_per_byte_quartiles"]) == 3
+    back = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    # hand-computed bigram NLLs (see test_lexical_spans)
+    assert back[1]["nll"] == round(3 * math.log(2) / 5, 4)
+    assert back[2]["nll"] == round(3 * math.log(6) / 5, 4)
+    assert back[1]["dl"] == 5  # dl2 renamed to the shared column name
+    assert back[1]["bits_per_byte"] is not None
+
+    # --model is rejected for the bigram order, loudly
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["score", "-i", src, "-o", out, "--order", "2", "-m", src])
