@@ -160,6 +160,13 @@ EXTRA = [
     "q_golden_records",
     # round-13 addition: bigram-LM NLL (perplexity-filter score)
     "q_bigram_nll",
+    # round-13 additions: event-sequence analytics trio + exact
+    # frequent-items sketch (two corpus passes by design — candidates
+    # map-side, then recount of candidates only)
+    "q_event_funnel",
+    "q_cohort_retention",
+    "q_resample_gapfill",
+    "q_heavy_hitters",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

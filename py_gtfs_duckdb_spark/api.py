@@ -156,6 +156,7 @@ from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
     histogram_drift,
     histogram_drift_from_counts,
     histogram_quantiles,
+    heavy_hitters,
     histogram_quantiles_from_counts,
     kmv_estimate,
     kmv_merge,
@@ -175,6 +176,13 @@ from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
     token_histogram,
     weighted_sample,
     write_shards,
+)
+
+# event-sequence analytics
+from py_gtfs_duckdb_spark.operators.analytics import (  # noqa: F401
+    cohort_retention,
+    funnel,
+    resample_gapfill,
 )
 
 # multimodal

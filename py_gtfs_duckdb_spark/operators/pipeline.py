@@ -1416,6 +1416,73 @@ def kmv_estimate(
     )
 
 
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    m: int = 700,
+) -> DataFrame:
+    """EXACT frequent-items above the 1/m frequency share, found with the
+    two-pass candidates-then-recount pattern — the scalable alternative
+    to a full ``groupBy(item).count()`` when the item universe is huge
+    (n-grams, URLs, shingles) but the answer set is small.
+
+    Pass 1 (map-side only, no shuffle of the stream): each PARTITION
+    counts its own items in an Arrow-batched pandas pass and emits the
+    ones exceeding the local 1/m share plus its local stream length.
+    Pigeonhole guarantee — if an item's global count satisfies
+    ``freq * m > N``, then on at least one partition its local count
+    satisfies ``cnt_p * m > n_p`` (otherwise summing the per-partition
+    inequalities bounds ``freq * m <= N``) — so the union of local
+    candidates is a SUPERSET of every true heavy hitter, whatever the
+    partitioning. Pass 2 recounts ONLY candidate items exactly (a
+    broadcast semi-filter prunes the stream before the shuffle, so the
+    exchange carries candidate occurrences, never the full universe) and
+    applies the global threshold with the cross-multiplied INTEGER
+    predicate ``freq * m > N`` — no float division anywhere, so the
+    DuckDB oracle replays the result set exactly.
+
+    The tiny pass-1 output frame (candidates + per-partition lengths) is
+    ``shared()``-persisted — the item stream itself is NOT: at corpus
+    scale re-deriving a narrow explode twice is far cheaper than
+    caching it.
+
+    Returns one row per heavy hitter: ``item_col``, ``freq`` (BIGINT).
+    """
+    stream = items.select(F.col(item_col).alias("__item"))
+
+    def _local_candidates(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        n_p = 0
+        for pdf in batches:
+            vc = pdf["__item"].value_counts()
+            n_p += int(vc.sum())
+            for k, v in vc.items():
+                counts[k] = counts.get(k, 0) + int(v)
+        cand = [k for k, v in counts.items() if v * m > n_p]
+        yield pd.DataFrame(
+            {
+                "__item": pd.Series(cand + [None], dtype="object"),
+                "__np": pd.Series([None] * len(cand) + [n_p], dtype="Int64"),
+            }
+        )
+
+    local = shared(
+        stream.mapInPandas(_local_candidates, schema="__item string, __np long")
+    )
+    cand = local.filter(F.col("__item").isNotNull()).select("__item").distinct()
+    tot = local.agg(F.sum("__np").alias("__n"))
+    return (
+        stream.join(F.broadcast(cand), "__item")
+        .groupBy("__item")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("freq") * m > F.col("__n"))
+        .select(F.col("__item").alias(item_col), F.col("freq"))
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     max_words: int = 512,

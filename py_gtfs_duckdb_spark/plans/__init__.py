@@ -248,6 +248,15 @@ _PRIORITY = [
     # order above q_unigram_nll; sf0.001+sf0.01 parity-tested locally
     # at registration.
     "q_bigram_nll",
+    # NEW in round 13 (same past-the-window convention): the event-
+    # analytics trio (ordered funnel / cohort retention / gap-filled
+    # resample, operators/analytics.py) and the exact frequent-items
+    # sketch (operators/pipeline.py:heavy_hitters); sf0.001+sf0.01
+    # parity-tested locally at registration.
+    "q_event_funnel",
+    "q_cohort_retention",
+    "q_resample_gapfill",
+    "q_heavy_hitters",
 ]
 
 # Window-partition allowlist — the systematic form of the per-query
@@ -332,6 +341,11 @@ WINDOW_PARTITION_ALLOWLIST: dict[str, set[tuple[str, ...]]] = {
     # reduced — the same post-limit global-window argument as bm25
     "q_skew_report": {()},
     "q_mix_sources": {("source",), ("source", "bkt")},
+    # forward-fill carry over the per-user day spine: partition = one
+    # user's day range (bounded by the calendar span, not event volume
+    # — the daily pre-aggregation collapses raw events before the
+    # window sees them), frame = O(1) running last(ignorenulls)
+    "q_resample_gapfill": {("user_id",)},
 }
 
 _missing = set(QUERIES) - set(_PRIORITY)

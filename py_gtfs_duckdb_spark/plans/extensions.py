@@ -2552,6 +2552,59 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_heavy_hitters",
+    # The oracle is the definition itself: every bigram type whose count
+    # clears the cross-multiplied integer share predicate freq*m > N.
+    # The Spark plan gets the SAME exact set through the two-pass
+    # candidates-then-recount sketch (pigeonhole superset, then exact
+    # recount of candidates only) — the integer predicate keeps both
+    # sides float-free.
+    oracle="""
+    WITH w AS (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), toks AS (
+        SELECT unnest([ws[i] || ' ' || ws[i+1]
+                       for i in range(1, len(ws))]) AS bigram
+        FROM w WHERE len(ws) >= 2
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks
+    ), c AS (
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM toks GROUP BY bigram
+    )
+    SELECT bigram, freq FROM c, tot WHERE freq * 850 > n
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent bigrams above a 1/850 corpus share, EXACTLY, via the
+    two-pass frequent-items sketch (operators/pipeline.py:heavy_hitters):
+    pass 1 finds per-partition candidates map-side (a provable superset
+    of every true heavy hitter — no shuffle of the bigram stream), pass
+    2 recounts only the candidates behind a broadcast semi-filter. The
+    scalable shape when the item universe (n-gram types) dwarfs the
+    answer set: the exchange carries candidate occurrences, never the
+    full vocabulary — where q_text_top_tokens's exact groupBy shuffles
+    every distinct type."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    staged = d.select(ws.alias("__ws")).filter(F.size("__ws") >= 2)
+    bigrams = staged.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__ws") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("__ws"), i),
+                    F.element_at(F.col("__ws"), i + 1),
+                ),
+            )
+        ).alias("bigram")
+    )
+    return P.heavy_hitters(bigrams, "bigram", m=850)
+
+
+@query(
     "q_weighted_sample",
     # ROW_NUMBER is fine in the ORACLE (DuckDB is the single-node
     # reference); the Spark plan is the salted two-phase bounded top-k.

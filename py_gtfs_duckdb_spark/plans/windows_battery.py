@@ -347,3 +347,128 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
         " AS (metric, val)",
     )
+
+
+# ---------------------------------------------------------------------------
+# event-sequence analytics (operators/analytics.py — funnel, cohort
+# retention, gap-filled resample): the classic event-table trio every
+# warehouse layer grows; none exist in the reference (its state is keyed
+# by entity id only, SURVEY §2.8) and Spark has no built-in for any.
+# ---------------------------------------------------------------------------
+
+from py_gtfs_duckdb_spark.operators import analytics as AN  # noqa: E402
+
+
+@query(
+    "q_event_funnel",
+    # step-k CTE chain: each stage is MIN(ts) of that step's events
+    # STRICTLY AFTER the user's previous-stage reach time — the same
+    # deterministic ordering rule the Spark operator applies.
+    oracle="""
+    WITH s0 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), s1 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s0 ON e.user_id = s0.user_id
+        WHERE e.event_type = 'click' AND e.ts > s0.t
+        GROUP BY e.user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s1.t
+        GROUP BY e.user_id
+    )
+    SELECT CAST(0 AS BIGINT) AS step, 'signup' AS event_type,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s0) AS users
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'click',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s1)
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'purchase',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> click -> purchase: users
+    reaching each step strictly after their previous-step reach time
+    (operators/analytics.py:funnel). Per-step state is ONE row per user
+    — the aggregates bound state before any join, so per-user event
+    skew never amplifies; every shuffle keys on user_id and AQE
+    broadcasts the shrinking reached-set as the funnel narrows."""
+    e = t(spark, sf_dir, "events")
+    return AN.funnel(e, ["signup", "click", "purchase"])
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_week AS VARCHAR) AS cohort_week,
+           CAST(date_diff('day', f.cohort_week,
+                          CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: distinct users per (first-event
+    ISO week, week offset) cell (operators/analytics.py:
+    cohort_retention). Two co-partitioned aggregations; the distinct is
+    Spark's partial-aggregating two-phase count, so only the small cell
+    matrix crosses the final exchange. The DATE week formats to its ISO
+    string for the hash (the driver compare's dtype convention)."""
+    e = t(spark, sf_dir, "events")
+    return AN.cohort_retention(e).withColumn(
+        "cohort_week", F.date_format("cohort_week", "yyyy-MM-dd")
+    )
+
+
+@query(
+    "q_resample_gapfill",
+    # 1e-4 fixed-point quantization BEFORE the daily sum (BIGINT,
+    # order-independent) — only the final /10000.0 is float, the same
+    # IEEE op both sides. last_value IGNORE NULLS over the per-user
+    # day spine = Spark's last(ignorenulls) running window.
+    oracle="""
+    WITH b AS (
+        SELECT CAST(MIN(ts) AS DATE) AS mn, CAST(MAX(ts) AS DATE) AS mx
+        FROM events
+    ), u AS (
+        SELECT DISTINCT user_id FROM events
+    ), spine AS (
+        SELECT u.user_id,
+               CAST(unnest(generate_series(b.mn, b.mx, INTERVAL 1 DAY))
+                    AS DATE) AS day
+        FROM u, b
+    ), daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS dv
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.user_id, CAST(s.day AS VARCHAR) AS day,
+           last_value(d.dv IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.day) / 10000.0
+               AS value_ffill
+    FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user resample with forward fill over a dense day spine
+    (operators/analytics.py:resample_gapfill): the gap-fill shape time-
+    series stores call ``time_bucket_gapfill``/``locf``. The spine is
+    built distributedly (broadcast 1-row bounds x distinct users,
+    explode(sequence)); the fill is a running last(ignorenulls) window
+    PARTITIONED BY USER — O(1) frame, partition bounded by one user's
+    day range (allowlisted in plans.WINDOW_PARTITION_ALLOWLIST)."""
+    e = t(spark, sf_dir, "events")
+    return AN.resample_gapfill(e).withColumn(
+        "day", F.date_format("day", "yyyy-MM-dd")
+    )

@@ -1,0 +1,149 @@
+"""Event-sequence analytics (operators/analytics.py) and the exact
+frequent-items sketch (operators/pipeline.py:heavy_hitters):
+hand-computed planted topologies beyond the DuckDB-oracle battery checks
+— the ordering edge cases (equal timestamps, out-of-order steps) and the
+partition-independence guarantee the oracles can't probe."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from py_gtfs_duckdb_spark.operators import analytics as AN
+from py_gtfs_duckdb_spark.operators import pipeline as P
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+_EVENT_SCHEMA = "event_id long, user_id long, ts timestamp, event_type string"
+
+
+def test_funnel_strict_order_and_ties(spark):
+    events = spark.createDataFrame(
+        [
+            # user 1: clean full conversion a(1:00) -> b(2:00) -> c(3:00)
+            (1, 1, _ts(1), "a"),
+            (2, 1, _ts(2), "b"),
+            (3, 1, _ts(3), "c"),
+            # user 2: b BEFORE a only -> stops at step a
+            (4, 2, _ts(1), "b"),
+            (5, 2, _ts(2), "a"),
+            # user 3: b at EXACTLY a's time -> tie does not qualify
+            (6, 3, _ts(1), "a"),
+            (7, 3, _ts(1), "b"),
+            # user 4: reaches b via his SECOND a? No — reach time is the
+            # EARLIEST a (1:00), so the 1:30 b counts even though an
+            # earlier a at 0:30 would too
+            (8, 4, _ts(1), "a"),
+            (9, 4, _ts(1, 30), "b"),
+            # user 5: never does step a at all
+            (10, 5, _ts(1), "c"),
+        ],
+        _EVENT_SCHEMA,
+    )
+    rows = {
+        r["event_type"]: (r["step"], r["users"])
+        for r in AN.funnel(events, ["a", "b", "c"]).collect()
+    }
+    assert rows == {"a": (0, 4), "b": (1, 2), "c": (2, 1)}
+
+
+def test_funnel_single_step_degenerates_to_distinct_users(spark):
+    events = spark.createDataFrame(
+        [(1, 1, _ts(1), "a"), (2, 1, _ts(2), "a"), (3, 2, _ts(1), "a")],
+        _EVENT_SCHEMA,
+    )
+    [row] = AN.funnel(events, ["a"]).collect()
+    assert (row["step"], row["event_type"], row["users"]) == (0, "a", 2)
+
+
+def test_cohort_retention_hand_matrix(spark):
+    # weeks: Mon 2024-01-01, Mon 2024-01-08, Mon 2024-01-15
+    events = spark.createDataFrame(
+        [
+            # user 1: first in wk0, active wk0 + wk1
+            (1, 1, dt.datetime(2024, 1, 2, 9), "x"),
+            (2, 1, dt.datetime(2024, 1, 10, 9), "x"),
+            # user 2: first in wk0 (Sunday), active wk2 only after
+            (3, 2, dt.datetime(2024, 1, 7, 23), "x"),
+            (4, 2, dt.datetime(2024, 1, 16, 1), "x"),
+            # user 3: first in wk1
+            (5, 3, dt.datetime(2024, 1, 8, 0), "x"),
+        ],
+        _EVENT_SCHEMA,
+    )
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): r["users"]
+        for r in AN.cohort_retention(events).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,  # users 1+2 in their cohort week
+        ("2024-01-01", 1): 1,  # user 1 returns week 1
+        ("2024-01-01", 2): 1,  # user 2 returns week 2
+        ("2024-01-08", 0): 1,  # user 3 cohort week
+    }
+
+
+def test_resample_gapfill_fills_and_leads_null(spark):
+    events = spark.createDataFrame(
+        [
+            # global range: Jan 1 .. Jan 4 (user 2 sets the max)
+            (1, 1, dt.datetime(2024, 1, 1, 5), "x", 1.5),
+            (2, 1, dt.datetime(2024, 1, 1, 6), "x", 2.25),  # same day: sums
+            (3, 1, dt.datetime(2024, 1, 3, 1), "x", 10.0),
+            (4, 2, dt.datetime(2024, 1, 2, 1), "x", 7.0),
+            (5, 2, dt.datetime(2024, 1, 4, 1), "x", 1.0),
+        ],
+        _EVENT_SCHEMA + ", value double",
+    )
+    got = {
+        (r["user_id"], str(r["day"])): r["value_ffill"]
+        for r in AN.resample_gapfill(events).collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): 3.75,  # 1.5 + 2.25 summed
+        (1, "2024-01-02"): 3.75,  # gap -> carried forward
+        (1, "2024-01-03"): 10.0,
+        (1, "2024-01-04"): 10.0,  # trailing gap carries too
+        (2, "2024-01-01"): None,  # before user 2's first active day
+        (2, "2024-01-02"): 7.0,
+        (2, "2024-01-03"): 7.0,
+        (2, "2024-01-04"): 1.0,
+    }
+
+
+def test_heavy_hitters_exact_vs_groupby_any_partitioning(spark):
+    # 10 'hot' (50%), 6 'warm' (30%), 4 singletons: with m=4 the
+    # threshold is freq*4 > 20 <=> freq > 5 -> {hot, warm} exactly;
+    # 'warm' at freq*m == N-2 clears, a freq-5 item would tie at 20
+    # and be EXCLUDED (strict >)
+    data = ["hot"] * 10 + ["warm"] * 6 + ["a", "b", "c", "d"]
+    expected = {("hot", 10), ("warm", 6)}
+    for n_parts in (1, 3, 7):
+        items = spark.createDataFrame(
+            [(v,) for v in data], "item string"
+        ).repartition(n_parts)
+        got = {
+            (r["item"], r["freq"])
+            for r in P.heavy_hitters(items, "item", m=4).collect()
+        }
+        assert got == expected, f"partitioning {n_parts} changed the answer"
+
+
+def test_heavy_hitters_strict_threshold_boundary(spark):
+    # N=20, m=4: freq=5 sits exactly at freq*m == N -> excluded
+    data = ["x"] * 5 + ["y"] * 5 + ["z"] * 5 + ["w"] * 5
+    items = spark.createDataFrame([(v,) for v in data], "item string")
+    assert P.heavy_hitters(items, "item", m=4).collect() == []
+
+
+def test_funnel_plan_has_no_window_or_cartesian(spark):
+    events = spark.createDataFrame(
+        [(1, 1, _ts(1), "a"), (2, 1, _ts(2), "b")], _EVENT_SCHEMA
+    )
+    plan = AN.funnel(events, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan.lower()
+    assert "CartesianProduct" not in plan
