@@ -559,6 +559,72 @@ def cmd_score(args) -> None:
     print(json.dumps(summary, sort_keys=True))
 
 
+def cmd_events(args) -> None:
+    """Event-sequence analytics over an events parquet
+    (operators/analytics.py): any of --funnel STEP..., --retention,
+    --gapfill. Each requested report writes a parquet subdir under
+    --output; one JSON summary line prints at the end."""
+    import json
+    import os as _os
+
+    from py_gtfs_duckdb_spark.operators import analytics as AN
+    from py_gtfs_duckdb_spark.plans._tables import (
+        ensure_battery_confs,
+        normalize_event_ts,
+    )
+    from py_gtfs_duckdb_spark.session import get_spark
+
+    if not (args.funnel or args.retention or args.gapfill):
+        raise SystemExit(
+            "nothing to do: pass --funnel STEP [STEP ...], --retention, "
+            "and/or --gapfill"
+        )
+    spark = get_spark("gtfs-cli")
+    ensure_battery_confs(spark)
+    events = normalize_event_ts(
+        spark.read.parquet(args.input), args.ts_col
+    )
+    summary: dict = {}
+    if args.funnel:
+        out = AN.funnel(
+            events, args.funnel, user_col=args.user_col, ts_col=args.ts_col
+        )
+        path = _os.path.join(args.output, "funnel")
+        out.write.mode("overwrite").parquet(path)
+        rows = spark.read.parquet(path).orderBy("step").collect()
+        summary["funnel"] = [
+            {"step": r["step"], "event_type": r["event_type"], "users": r["users"]}
+            for r in rows
+        ]
+    if args.retention:
+        out = AN.cohort_retention(
+            events, user_col=args.user_col, ts_col=args.ts_col
+        )
+        path = _os.path.join(args.output, "retention")
+        out.write.mode("overwrite").parquet(path)
+        agg = spark.read.parquet(path).selectExpr(
+            "count(*) AS cells", "count(DISTINCT cohort_week) AS cohorts"
+        ).first()
+        summary["retention"] = {"cells": agg["cells"], "cohorts": agg["cohorts"]}
+    if args.gapfill:
+        out = AN.resample_gapfill(
+            events,
+            user_col=args.user_col,
+            ts_col=args.ts_col,
+            value_col=args.value_col,
+        )
+        path = _os.path.join(args.output, "gapfill")
+        out.write.mode("overwrite").parquet(path)
+        agg = spark.read.parquet(path).selectExpr(
+            "count(*) AS rows",
+            "sum(CASE WHEN value_ffill IS NULL THEN 1 ELSE 0 END) AS leading_nulls",
+        ).first()
+        summary["gapfill"] = {
+            "rows": agg["rows"], "leading_nulls": agg["leading_nulls"],
+        }
+    print(json.dumps(summary, sort_keys=True))
+
+
 def cmd_tokenize(args) -> None:
     """BPE tokenization over a documents parquet (extension surface):
     train a merge table distributedly on the input (batched 'fast'
@@ -953,6 +1019,28 @@ def main(argv: list[str] | None = None) -> int:
         help="also emit the zlib bits-per-byte column and its quartiles",
     )
     sp.set_defaults(fn=cmd_score)
+
+    sp = sub.add_parser(
+        "events", help="event-sequence analytics over an events parquet"
+    )
+    sp.add_argument("--input", "-i", required=True, help="events parquet path")
+    sp.add_argument("--output", "-o", required=True, help="report directory")
+    sp.add_argument(
+        "--funnel", nargs="+", metavar="STEP",
+        help="ordered conversion funnel over these event types",
+    )
+    sp.add_argument(
+        "--retention", action="store_true",
+        help="weekly cohort retention matrix",
+    )
+    sp.add_argument(
+        "--gapfill", action="store_true",
+        help="forward-filled daily value resample per user",
+    )
+    sp.add_argument("--user-col", default="user_id")
+    sp.add_argument("--ts-col", default="ts")
+    sp.add_argument("--value-col", default="value")
+    sp.set_defaults(fn=cmd_events)
 
     sp = sub.add_parser(
         "tokenize", help="BPE tokenization over a documents parquet"

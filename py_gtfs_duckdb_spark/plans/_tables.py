@@ -37,14 +37,21 @@ def ensure_battery_confs(spark: SparkSession) -> None:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_battery_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is physically TIMESTAMP(NANOS). Depending on the Spark
-    # version/confs it surfaces as epoch-nanos LONG (legacy nanosAsLong),
-    # TIMESTAMP_NTZ (Spark 4.1+ native nanos read, micros-truncated), or
-    # already TIMESTAMP. Normalize all three to TIMESTAMP (LTZ): with the
-    # UTC session timezone set above, the NTZ→LTZ cast and the integer
-    # nanos→micros division land on the same instant the DuckDB oracle sees.
+    return normalize_event_ts(df, "ts")
+
+
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize a physically-TIMESTAMP(NANOS) column to TIMESTAMP (LTZ).
+
+    Depending on the Spark version/confs a nanos timestamp surfaces as
+    epoch-nanos LONG (legacy nanosAsLong), TIMESTAMP_NTZ (Spark 4.1+
+    native nanos read, micros-truncated), or already TIMESTAMP. With the
+    UTC session timezone set, the NTZ→LTZ cast and the integer
+    nanos→micros division land on the same instant the DuckDB oracle
+    sees. Shared by the battery reader :func:`t` and the events CLI verb
+    (which takes arbitrary parquet paths)."""
     for field in df.schema.fields:
-        if field.name != "ts":
+        if field.name != ts_col:
             continue
         if isinstance(field.dataType, T.LongType):
             # DIV keeps 64-bit integer math — a double roundtrip would
@@ -53,11 +60,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # nanos need the remainder adjustment to land on the same
             # microsecond.
             df = df.withColumn(
-                "ts",
+                ts_col,
                 F.expr(
-                    "timestamp_micros(ts DIV 1000 - CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"
+                    f"timestamp_micros(`{ts_col}` DIV 1000 - "
+                    f"CASE WHEN `{ts_col}` % 1000 < 0 THEN 1 ELSE 0 END)"
                 ),
             )
         elif isinstance(field.dataType, T.TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+            df = df.withColumn(ts_col, F.col(ts_col).cast(T.TimestampType()))
     return df

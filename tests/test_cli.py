@@ -566,3 +566,58 @@ def test_cli_score_bigram_and_compression(spark, tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         main(["score", "-i", src, "-o", out, "--order", "2", "-m", src])
+
+
+def test_cli_events_end_to_end(spark, tmp_path, capsys):
+    import datetime as dt
+    import json
+
+    from py_gtfs_duckdb_spark.__main__ import main
+
+    def ts(day, hour):
+        return dt.datetime(2024, 1, day, hour)
+
+    events = spark.createDataFrame(
+        [
+            # user 1 converts fully; user 2 stops at signup
+            (1, 1, ts(1, 1), "signup", 2.0),
+            (2, 1, ts(1, 2), "click", 3.0),
+            (3, 1, ts(3, 1), "purchase", 5.0),
+            (4, 2, ts(2, 1), "signup", 7.0),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    src = str(tmp_path / "events.parquet")
+    events.write.parquet(src)
+    out = str(tmp_path / "reports")
+    assert main([
+        "events", "-i", src, "-o", out,
+        "--funnel", "signup", "click", "purchase",
+        "--retention", "--gapfill",
+    ]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["funnel"] == [
+        {"step": 0, "event_type": "signup", "users": 2},
+        {"step": 1, "event_type": "click", "users": 1},
+        {"step": 2, "event_type": "purchase", "users": 1},
+    ]
+    # both users start in the same ISO week (Mon 2024-01-01)
+    assert summary["retention"] == {"cells": 1, "cohorts": 1}
+    # 2 users x 3 days (Jan 1..3); user 2 active only from Jan 2
+    assert summary["gapfill"] == {"rows": 6, "leading_nulls": 1}
+    filled = {
+        (r["user_id"], str(r["day"])): r["value_ffill"]
+        for r in spark.read.parquet(out + "/gapfill").collect()
+    }
+    assert filled[(1, "2024-01-02")] == 5.0  # 2+3 carried over the gap
+    assert filled[(2, "2024-01-01")] is None
+
+
+def test_cli_events_requires_a_report(tmp_path):
+    import pytest as _pytest
+
+    from py_gtfs_duckdb_spark.__main__ import main
+
+    with _pytest.raises(SystemExit):
+        main(["events", "-i", "x.parquet", "-o", str(tmp_path)])
