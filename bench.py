@@ -167,6 +167,8 @@ EXTRA = [
     "q_cohort_retention",
     "q_resample_gapfill",
     "q_heavy_hitters",
+    # round-13 addition: bloom-prefilter decontamination tier
+    "q_decontaminate_bloom",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

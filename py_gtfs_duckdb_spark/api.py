@@ -147,6 +147,7 @@ from py_gtfs_duckdb_spark.operators.temporal import (  # noqa: F401
 # pipeline composition
 from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
     audit_scorecard,
+    bloom_decontaminate,
     corpus_diff,
     chunk_documents,
     curate_corpus,

@@ -89,6 +89,98 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """:func:`decontaminate` semantics — (doc_id, n_shared) winnowed-
+    fingerprint overlap with the benchmark partition — through a BLOOM
+    PREFILTER: the tier for when the benchmark fingerprint set is too
+    big to broadcast as an exact hash set but its bitmask still fits.
+
+    The benchmark fps fold into an ``n_bits`` Bloom bitmask built
+    DISTRIBUTEDLY (each fp explodes to its ``n_hashes`` bit positions;
+    only the DISTINCT SET BITS — bounded by ``n_bits/8`` bytes, never by
+    benchmark size — reach the driver), broadcast once, and probed by an
+    Arrow-vectorized pandas_udf over the corpus fingerprints. Bloom
+    membership has NO false negatives, so filtering to probe-positives
+    loses no true overlap; the surviving trickle (true hits + ~fpp of
+    the corpus) then verifies through the EXACT join against the
+    benchmark set, which removes every false positive — the result is
+    bit-identical to :func:`decontaminate` (pinned by test and by
+    sharing its DuckDB oracle). The exchange before that verify join
+    carries probe-positive fps only, not the corpus fingerprint stream —
+    at 100 TB that is the difference between shuffling ~0.1% and 100%
+    of the corpus winnow output. Defaults: 1 Mi bits / 4 probes ≈ 2.4%
+    fpp at 10^5 distinct benchmark fps (fpp = (1-e^(-kn/m))^k).
+
+    Probe positions use double hashing over the fp (already a uniform
+    31-bit winnow hash): pos_j = (fp·A + j·(fp·B mod P') + j²) mod
+    n_bits with fixed odd constants — deterministic, engine-portable,
+    int64-safe (fp < 2^31, A,B < 2^31 → products < 2^62)."""
+    _A, _B, _P = 2654435761, 2246822519, 2147483647
+
+    def _positions_cols(fp: Column) -> list[Column]:
+        h1 = F.pmod(fp * F.lit(_A), F.lit(_P))
+        h2 = F.pmod(fp * F.lit(_B), F.lit(_P))
+        return [
+            F.pmod(h1 + F.lit(j) * h2 + F.lit(j * j), F.lit(n_bits)).cast("long")
+            for j in range(n_hashes)
+        ]
+
+    bench_fps = shared(
+        winnow_fingerprints(docs.where(benchmark_pred), text_col, id_col)
+        .select("fp")
+        .distinct()
+    )
+    set_bits = [
+        r["pos"]
+        for r in bench_fps.select(
+            F.explode(F.array(*_positions_cols(F.col("fp")))).alias("pos")
+        )
+        .distinct()
+        .collect()  # bounded by n_bits by construction, not by |benchmark|
+    ]
+    import numpy as np
+
+    mask = np.zeros(n_bits // 8 + 1, dtype=np.uint8)
+    if set_bits:
+        pos = np.asarray(set_bits, dtype=np.int64)
+        np.bitwise_or.at(mask, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(mask)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _bloom_probe(fp_s):
+        import numpy as np
+        import pandas as pd
+
+        m = bc.value
+        fp = fp_s.to_numpy(dtype=np.int64)
+        h1 = (fp * _A) % _P
+        h2 = (fp * _B) % _P
+        hit = np.ones(len(fp), dtype=bool)
+        for j in range(n_hashes):
+            p = (h1 + j * h2 + j * j) % n_bits
+            hit &= (m[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit)
+
+    corpus_fps = winnow_fingerprints(docs.where(~benchmark_pred), text_col, id_col)
+    positives = corpus_fps.filter(_bloom_probe(F.col("fp")))
+    return (
+        positives.join(bench_fps, "fp")  # exact verify kills false positives
+        .groupBy("id")
+        .agg(F.count_distinct("fp").cast("bigint").alias("n_shared"))
+        .select(F.col("id").alias("doc_id"), "n_shared")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 2048,

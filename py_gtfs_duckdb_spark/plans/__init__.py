@@ -257,6 +257,9 @@ _PRIORITY = [
     "q_cohort_retention",
     "q_resample_gapfill",
     "q_heavy_hitters",
+    # NEW in round 13: bloom-prefilter decontamination tier (shares
+    # q_decontaminate's oracle — identical rows by construction)
+    "q_decontaminate_bloom",
 ]
 
 # Window-partition allowlist — the systematic form of the per-query

@@ -904,10 +904,12 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_decontaminate",
-    # winnow CTEs mirror q_doc_winnow's oracle verbatim (driver-green)
-    oracle="""
+# Shared by q_decontaminate (exact broadcast tier) and
+# q_decontaminate_bloom (bloom-prefilter tier): the two plans must return
+# IDENTICAL rows — bloom membership has no false negatives and the exact
+# verify join removes every false positive — so both hash against the
+# same oracle. Winnow CTEs mirror q_doc_winnow's oracle verbatim.
+_DECON_WINNOW_ORACLE = """
     WITH w AS (
         SELECT doc_id AS id,
                list_filter(string_split(text, ' '), x -> x <> '') AS ws
@@ -939,8 +941,10 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fps2 f JOIN bench b USING (fp)
     WHERE f.id % 97 <> 0
     GROUP BY f.id
-    """,
-)
+    """
+
+
+@query("q_decontaminate", oracle=_DECON_WINNOW_ORACLE)
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus documents sharing winnowed
     fingerprints with a held-out benchmark partition (here: doc_id % 97),
@@ -949,6 +953,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     never reshuffles beyond the winnow window."""
     d = t(spark, sf_dir, "documents")
     return P.decontaminate(d, F.col("doc_id") % 97 == 0)
+
+
+@query("q_decontaminate_bloom", oracle=_DECON_WINNOW_ORACLE)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME decontamination result through the Bloom-prefilter tier
+    (operators/pipeline.py:bloom_decontaminate) — for when the benchmark
+    fingerprint set outgrows an exact broadcast but its bitmask still
+    fits: benchmark fps fold distributedly into a broadcast 1 Mi-bit
+    mask (only DISTINCT SET BITS reach the driver — bounded by the mask
+    size, never benchmark size), an Arrow pandas_udf probes the corpus
+    fingerprints, and only probe-positives (true hits + ~fpp noise)
+    shuffle into the exact verify join. No false negatives by
+    construction, false positives killed by the verify — hash-identical
+    to q_decontaminate, so it shares that oracle."""
+    d = t(spark, sf_dir, "documents")
+    return P.bloom_decontaminate(d, F.col("doc_id") % 97 == 0)
 
 
 @query(

@@ -1123,3 +1123,37 @@ def test_skew_report_planted_hot_key(spark):
 
     comp = skew_report(df, ["k", "s"], top_n=1).collect()
     assert (comp[0]["k"], comp[0]["s"], comp[0]["cnt"]) == ("hot", "x", 50)
+
+
+def test_bloom_decontaminate_matches_exact_tier(spark):
+    shared_txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(0, f"benchmark text {shared_txt} end")]
+    rows += [(i, f"corpus {i} copy {shared_txt} trailing") for i in (1, 97 + 1)]
+    rows += [
+        (i, f"doc {i} totally unrelated words nothing shared here at all ok fine")
+        for i in range(2, 60)
+        if i != 98
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pred = F.col("doc_id") % 97 == 0
+    exact = {
+        (r["doc_id"], r["n_shared"])
+        for r in P.decontaminate(docs, pred).collect()
+    }
+    assert exact, "planted overlap must be non-empty"
+    for n_bits in (1 << 10, 1 << 16):  # tiny mask stresses fp collisions
+        got = {
+            (r["doc_id"], r["n_shared"])
+            for r in P.bloom_decontaminate(docs, pred, n_bits=n_bits).collect()
+        }
+        assert got == exact, f"n_bits={n_bits} diverged from the exact tier"
+
+
+def test_bloom_decontaminate_empty_benchmark(spark):
+    docs = spark.createDataFrame(
+        [(1, "some words here that never match any benchmark row at all")],
+        "doc_id long, text string",
+    )
+    assert (
+        P.bloom_decontaminate(docs, F.col("doc_id") < 0).collect() == []
+    )
