@@ -169,6 +169,8 @@ EXTRA = [
     "q_heavy_hitters",
     # round-13 addition: bloom-prefilter decontamination tier
     "q_decontaminate_bloom",
+    # round-13 addition: GIF (LZW) codec face
+    "q_image_resize_gif",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 
@@ -208,6 +210,8 @@ def _codec_throughput() -> dict:
       ppm ~2900 MB/s and wav-pcm ~3700 (memcpy-bound), y4m ~2000,
       wav-g711 ~150 (table lookup), png ~105 (zlib-bound after the r13
       all-filter-0 vectorized fast path; ~47 with per-row unfiltering),
+      gif ~1.3 (LZW — a per-symbol Python loop, same entropy-tier
+      boundary as jpeg; the pluggable registry is the full-corpus path),
       jpeg ~1.0 and avi-mjpeg ~1.05 (entropy decode — r13 rework:
       unstuffed segments + 10-bit prefix LUT + one 32-bit peek per
       coefficient + batched IDCT took it from 0.22; still the slow tier
@@ -224,6 +228,15 @@ def _codec_throughput() -> dict:
     fixtures = {
         "ppm": ([M.synth_ppm(s, 64, 48) for s in range(6)], M.decode_ppm),
         "png": ([M.synth_png(s, 64, 48) for s in range(6)], C.decode_png),
+        # GIF is palette-bound (<=256 colors): quantize the gradient to
+        # 8 levels/channel (<=64 colors) before encoding
+        "gif": (
+            [
+                C.encode_gif(M._synth_gradient(s, 64, 48) // 32 * 32)
+                for s in range(6)
+            ],
+            C.decode_gif,
+        ),
         "jpeg": (
             [C.encode_jpeg(im, quality=90) for im in rng_imgs],
             C.decode_jpeg,

@@ -1031,3 +1031,249 @@ def decode_avi_mjpeg(payload: bytes):
     ]
     decoded = [decode_jpeg(f) for f in frames]
     return int(w), int(h), decoded
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a, public spec): LZW dictionary coding — the third
+# compression family in this module after DEFLATE (PNG) and Huffman+DCT
+# (JPEG). Palette-indexed pixels, variable-width LSB-first LZW codes in
+# 255-byte sub-blocks. Decode supports GIF87a and GIF89a, global and
+# local color tables, Adam-style 4-pass interlacing, and skips 89a
+# extension blocks; animated GIFs (a second image descriptor) reject
+# loudly — a partial-patch frame silently decoded as the whole image
+# would be wrong pixels. The encoder emits a real growing-dictionary
+# LZW stream (clear-and-reset at the 4096-code cap) so decode exercises
+# the same code paths javax.imageio's writer produces.
+# ---------------------------------------------------------------------------
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+# 4-pass interlace layout (GIF spec appendix E): (first row, row step)
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
+    """Variable-width LSB-first GIF LZW -> index bytes. Stops after
+    ``n_pixels`` indices (some writers omit the explicit end code)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # dictionary as a list of bytes entries; reset via truncation
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+    acc = bits = pos = 0
+    while len(out) < n_pixels:
+        while bits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"GIF LZW: first code {code} not in table")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK special case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF LZW: code {code} beyond table {len(table)}")
+        out += entry
+        prev = entry
+        # widen AFTER appending; cap at 12 bits (table may reach 4096
+        # and stay there until the writer sends a clear)
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out[:n_pixels])
+
+
+def _gif_lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Index bytes -> GIF LZW with a real growing dictionary (reset at
+    the 4096-code cap), LSB-first variable-width codes."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    if indices:
+        run = bytes(indices[:1])
+        for b in indices[1:]:
+            cand = run + bytes([b])
+            if cand in table:
+                run = cand
+                continue
+            emit(table[run], code_size)
+            if next_code < 4096:
+                table[cand] = next_code
+                # the DECODER widens when its table FILLS the current
+                # width; mirror that exactly or the streams de-sync
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+                next_code += 1
+            else:  # dictionary full: reset, like javax's writer
+                emit(clear, code_size)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = end + 1
+                code_size = min_code_size + 1
+            run = bytes([b])
+        emit(table[run], code_size)
+    emit(end, code_size)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(img, interlace: bool = False) -> bytes:
+    """(h, w, 3) or (h, w) uint8 numpy array -> single-frame GIF89a.
+    Palette = the image's unique colors (<= 256 required — GIF is
+    palette-indexed; quantization is a lossy preprocessing choice this
+    lossless fixture encoder refuses to make silently)."""
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"unsupported image shape {arr.shape}")
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(
+            f"{len(palette)} unique colors — GIF needs <= 256 (quantize first)"
+        )
+    # color-table size = 2^(n+1) >= palette size, minimum 2 entries
+    n = max(1, int(len(palette) - 1).bit_length())
+    table = np.zeros((1 << n, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    min_code_size = max(2, n)  # spec: at least 2 even for tiny palettes
+
+    if interlace:
+        order = []
+        for first, step in _GIF_INTERLACE_PASSES:
+            order.extend(range(first, h, step))
+        idx_rows = indices.reshape(h, w)[order, :]
+    else:
+        idx_rows = indices.reshape(h, w)
+    lzw = _gif_lzw_encode(min_code_size, bytes(idx_rows.reshape(-1).astype(np.uint8)))
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((n - 1) << 4) | (n - 1), 0, 0)
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out.append(min_code_size)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """Single-frame GIF bytes -> (h, w, 3) uint8 numpy array. Supports
+    87a/89a, global/local color tables, interlacing; skips extension
+    blocks; rejects animated GIFs (a second image descriptor) instead of
+    returning a partial-patch first frame as if it were the image."""
+    import numpy as np
+
+    if payload[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, flags, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, size * 3, pos).reshape(size, 3)
+        pos += size * 3
+    frame = None
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks, all skippable
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        if frame is not None:
+            raise ValueError(
+                "animated/multi-frame GIF not supported (frame 2 found) — "
+                "register a library decoder via media_registry for animations"
+            )
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if (left, top, w, h) != (0, 0, sw, sh):
+            raise ValueError(
+                "GIF frame does not cover the logical screen — partial "
+                "frames are an animation feature"
+            )
+        ct = gct
+        if iflags & 0x80:
+            size = 2 << (iflags & 0x07)
+            ct = np.frombuffer(payload, np.uint8, size * 3, pos).reshape(size, 3)
+            pos += size * 3
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            n = payload[pos]
+            data += payload[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1  # block terminator
+        idx = np.frombuffer(
+            _gif_lzw_decode(min_code_size, bytes(data), w * h), np.uint8
+        )
+        if idx.max(initial=0) >= len(ct):
+            raise ValueError("GIF index beyond color table")
+        rows = ct[idx].reshape(h, w, 3)
+        if iflags & 0x40:  # interlaced: invert the 4-pass row order
+            order = []
+            for first, step in _GIF_INTERLACE_PASSES:
+                order.extend(range(first, h, step))
+            out = np.empty_like(rows)
+            out[order, :, :] = rows
+            rows = out
+        frame = rows
+    if frame is None:
+        raise ValueError("GIF contains no image descriptor")
+    return frame

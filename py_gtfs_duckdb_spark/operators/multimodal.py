@@ -425,11 +425,25 @@ def synth_png(seed: int, width: int = 16, height: int = 12) -> bytes:
     return encode_png(_synth_gradient(seed, width, height))
 
 
+def synth_gif(seed: int, width: int = 16, height: int = 12) -> bytes:
+    """The SAME gradient as synth_ppm in a real LZW-compressed container
+    — single-frame GIF89a (operators/codecs.py). Pixel-identical to the
+    PPM twin, so the PPM oracle replays this too. The gradient has one
+    R level per column and one G level per row -> up to width*height
+    unique colors, so this synthesizer is palette-safe only at the
+    default 16x12 (192 colors); larger fixtures must quantize first
+    (GIF's 256-entry palette is a format limit, not a codec choice)."""
+    from py_gtfs_duckdb_spark.operators.codecs import encode_gif
+
+    return encode_gif(_synth_gradient(seed, width, height))
+
+
 def decode_image(payload: bytes):
     """(h, w, 3) uint8 array from image bytes — dispatches through the
     pluggable decoder registry (operators/media_registry.py). Built-ins:
     ``ppm-p6`` (raw raster), ``png`` (stdlib-zlib DEFLATE), ``jpeg``
-    (pure-numpy baseline, cross-validated vs javax.imageio). Other
+    (pure-numpy baseline, cross-validated vs javax.imageio), ``gif``
+    (LZW, cross-validated vs javax.imageio). Other
     containers reject with a message naming ``register_decoder`` — a
     deployment shipping e.g. libjpeg-turbo/Pillow plugs its decoder in
     with one call, no engine patch."""
@@ -472,7 +486,7 @@ def documents_as_images(docs: DataFrame, container: str = "ppm") -> DataFrame:
     documents_as_audio. ``container`` picks the wire format ("ppm" raw
     raster, "png" DEFLATE-compressed); pixels are identical either way."""
     base = docs.select(F.col("doc_id").alias("media_id"))
-    synth = {"ppm": synth_ppm, "png": synth_png}[container]
+    synth = {"ppm": synth_ppm, "png": synth_png, "gif": synth_gif}[container]
 
     def run(batches):
         import pandas as pd
@@ -713,6 +727,7 @@ def video_frame_features(media: DataFrame) -> DataFrame:
 # register_decoder replaces by name, so re-import stays idempotent.
 # ---------------------------------------------------------------------------
 from py_gtfs_duckdb_spark.operators import media_registry as _media_registry
+from py_gtfs_duckdb_spark.operators.codecs import decode_gif as _codec_gif
 from py_gtfs_duckdb_spark.operators.codecs import decode_jpeg as _codec_jpeg
 from py_gtfs_duckdb_spark.operators.codecs import decode_png as _codec_png
 
@@ -726,6 +741,10 @@ _media_registry.register_decoder(
 )
 _media_registry.register_decoder(
     "image", "jpeg", lambda p: p.startswith(b"\xff\xd8"), _codec_jpeg,
+    prepend=False,
+)
+_media_registry.register_decoder(
+    "image", "gif", lambda p: p[:6] in (b"GIF87a", b"GIF89a"), _codec_gif,
     prepend=False,
 )
 _media_registry.register_decoder(

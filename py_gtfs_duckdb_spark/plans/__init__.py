@@ -260,6 +260,10 @@ _PRIORITY = [
     # NEW in round 13: bloom-prefilter decontamination tier (shares
     # q_decontaminate's oracle — identical rows by construction)
     "q_decontaminate_bloom",
+    # NEW in round 13: GIF (LZW) codec face — third compression family
+    # after DEFLATE (PNG) and Huffman+DCT (JPEG); same analytic oracle
+    # as the PPM/PNG twins
+    "q_image_resize_gif",
 ]
 
 # Window-partition allowlist — the systematic form of the per-query

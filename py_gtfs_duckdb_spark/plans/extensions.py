@@ -3018,6 +3018,35 @@ def q_image_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_image_resize_gif", oracle=_image_resize_oracle_sql())
+def q_image_resize_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_image_resize pipeline over the LZW-compressed container:
+    the same seeded gradient wrapped as single-frame GIF89a (palette +
+    variable-width LZW, operators/codecs.py:encode_gif/decode_gif,
+    javax.imageio-cross-validated both directions) and block-average
+    resized. Pixels are identical to the PPM/PNG twins by construction,
+    so the SAME analytic oracle replays all three — a hash mismatch here
+    is a GIF codec bug, isolated from the resize math."""
+    from py_gtfs_duckdb_spark.functions import pround
+
+    media = M.documents_as_images(
+        t(spark, sf_dir, "documents"), container="gif"
+    )
+    out = M.resize_images(media, out_w=4, out_h=3)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.posexplode("pixels").alias("px_idx", "px_raw"),
+    ).select(
+        "media_id",
+        "width",
+        "height",
+        "px_idx",
+        pround(F.col("px_raw"), 4).alias("px_value"),
+    )
+
+
 @query(
     "q_video_frames",
     # Every row is decode-verified integer arithmetic: frame count =

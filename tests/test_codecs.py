@@ -557,3 +557,123 @@ def test_jpeg_entropy_rework_differential_soak(spark):
         assert diff.mean() <= 1.0, (trial, h, w, q, ri, diff.mean())
         assert np.percentile(diff, 99) <= 4, (trial, h, w, q, ri)
         assert diff.max() <= 64, (trial, h, w, q, ri, diff.max())
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW)
+# ---------------------------------------------------------------------------
+
+from py_gtfs_duckdb_spark.operators.codecs import (  # noqa: E402
+    decode_gif,
+    encode_gif,
+)
+
+
+def _palette_img(seed: int, h: int, w: int, n_colors: int = 120):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    return pal[rng.integers(0, n_colors, (h, w))]
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip_lossless(interlace):
+    img = _palette_img(3, 24, 31)
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=interlace)), img)
+
+
+def test_gif_roundtrip_crosses_dictionary_reset():
+    # 96x96 random from a 200-color palette pushes the LZW dictionary to
+    # the 4096-code cap — the encoder's clear-and-reset and the decoder's
+    # 12-bit ceiling + post-clear rewidening all execute
+    img = _palette_img(7, 96, 96, n_colors=200)
+    enc = encode_gif(img)
+    assert np.array_equal(decode_gif(enc), img)
+
+
+def test_gif_tiny_and_grey_shapes():
+    assert np.array_equal(
+        decode_gif(encode_gif(np.full((1, 1, 3), 9, np.uint8))),
+        np.full((1, 1, 3), 9, np.uint8),
+    )
+    grey = np.arange(15, dtype=np.uint8).reshape(5, 3)
+    assert np.array_equal(
+        decode_gif(encode_gif(grey)), np.stack([grey] * 3, axis=-1)
+    )
+
+
+def test_gif_rejects_oversized_palette_and_animation():
+    h = w = 32  # 1024 pixels -> can exceed 256 unique colors
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    while len(np.unique(img.reshape(-1, 3), axis=0)) <= 256:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(img)
+    # splice a second image descriptor on -> animated, must reject
+    one = encode_gif(_palette_img(1, 4, 4))
+    body_start = one.index(b"\x2c")
+    frame = one[body_start:-1]  # image block without the trailer
+    with pytest.raises(ValueError, match="animated|multi-frame"):
+        decode_gif(one[:-1] + frame + b"\x3b")
+
+
+def test_gif_skips_extension_blocks():
+    one = encode_gif(_palette_img(2, 6, 5))
+    # inject a Graphic Control Extension (89a) before the image block
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    i = one.index(b"\x2c")
+    assert np.array_equal(
+        decode_gif(one[:i] + gce + one[i:]), decode_gif(one)
+    )
+
+
+def test_gif_cross_validates_with_javax_imageio(spark):
+    """Standard-compliance gate, the PNG/JPEG pattern: javax.imageio (an
+    independent public implementation) must read THIS encoder's output
+    pixel-exactly (GIF is lossless within a <=256-color palette), and
+    this decoder must read ImageIO's writer output — including its own
+    LZW dictionary-growth decisions on a 64x64 stream."""
+    jvm = spark._jvm
+
+    def javax_read(payload):
+        bais = jvm.java.io.ByteArrayInputStream(bytearray(payload))
+        bi = jvm.javax.imageio.ImageIO.read(bais)
+        assert bi is not None
+        h, w = bi.getHeight(), bi.getWidth()
+        out = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                rgb = bi.getRGB(x, y)
+                out[y, x] = [(rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF]
+        return out
+
+    img = _palette_img(11, 24, 31)
+    for interlace in (False, True):
+        assert np.array_equal(
+            javax_read(encode_gif(img, interlace=interlace)), img
+        ), f"javax misreads our stream (interlace={interlace})"
+
+    img2 = _palette_img(13, 64, 64)
+    h, w = img2.shape[:2]
+    bi = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in img2[y, x])
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bi, "gif", baos)
+    payload = bytes(baos.toByteArray())
+    assert np.array_equal(decode_gif(payload), javax_read(payload))
+    assert np.array_equal(decode_gif(payload), img2)
+
+
+def test_decode_image_dispatches_gif():
+    from py_gtfs_duckdb_spark.operators.multimodal import (
+        _synth_gradient,
+        decode_image,
+        synth_gif,
+    )
+
+    assert np.array_equal(
+        decode_image(synth_gif(5)), _synth_gradient(5, 16, 12)
+    )
