@@ -144,9 +144,11 @@ def test_decode_image_dispatch(spark):
     # unknown magic -> honest stub error; malformed KNOWN magic -> the
     # codec's own loud parse error, never silent wrong pixels
     with pytest.raises(NotImplementedError, match="image container"):
-        decode_image(b"GIF89a not supported")
+        decode_image(b"RIFF0000WEBPVP8 webp needs a library decoder")
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 truncated jpeg")
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a truncated gif")
 
 
 # --- baseline JPEG ---------------------------------------------------------

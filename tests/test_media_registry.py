@@ -39,17 +39,17 @@ def clean_registry():
 
 
 def test_builtins_registered_via_the_same_hook():
-    assert R.registered_names("image") == ["ppm-p6", "png", "jpeg"]
+    assert R.registered_names("image") == ["ppm-p6", "png", "jpeg", "gif"]
     assert R.registered_names("audio") == ["wav-riff"]
     assert R.registered_names("video") == ["y4m", "avi-mjpeg"]
 
 
 def test_rejection_names_the_hook_and_the_registered_decoders():
     with pytest.raises(NotImplementedError) as exc:
-        M.decode_image(b"GIF89a definitely unsupported")
+        M.decode_image(b"RIFF0000WEBPVP8 definitely unsupported")
     msg = str(exc.value)
     assert "register_decoder" in msg
-    assert "ppm-p6" in msg and "png" in msg and "jpeg" in msg
+    assert "ppm-p6" in msg and "png" in msg and "jpeg" in msg and "gif" in msg
     with pytest.raises(NotImplementedError) as exc:
         M.decode_wav(b"ID3\x03 mp3 frame goes here")
     assert "register_decoder" in str(exc.value)
