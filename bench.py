@@ -169,8 +169,9 @@ EXTRA = [
     "q_heavy_hitters",
     # round-13 addition: bloom-prefilter decontamination tier
     "q_decontaminate_bloom",
-    # round-13 addition: GIF (LZW) codec face
+    # round-13 additions: GIF (LZW) and BMP (RLE8) codec faces
     "q_image_resize_gif",
+    "q_image_resize_bmp",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 
@@ -210,6 +211,7 @@ def _codec_throughput() -> dict:
       ppm ~2900 MB/s and wav-pcm ~3700 (memcpy-bound), y4m ~2000,
       wav-g711 ~150 (table lookup), png ~105 (zlib-bound after the r13
       all-filter-0 vectorized fast path; ~47 with per-row unfiltering),
+      bmp-rle8 ~5 (per-escape Python loop over vectorized run fills),
       gif ~1.3 (LZW — a per-symbol Python loop, same entropy-tier
       boundary as jpeg; the pluggable registry is the full-corpus path),
       jpeg ~1.0 and avi-mjpeg ~1.05 (entropy decode — r13 rework:
@@ -236,6 +238,13 @@ def _codec_throughput() -> dict:
                 for s in range(6)
             ],
             C.decode_gif,
+        ),
+        "bmp-rle8": (
+            [
+                C.encode_bmp(M._synth_gradient(s, 64, 48) // 32 * 32, "rle8")
+                for s in range(6)
+            ],
+            C.decode_bmp,
         ),
         "jpeg": (
             [C.encode_jpeg(im, quality=90) for im in rng_imgs],

@@ -189,9 +189,11 @@ from py_gtfs_duckdb_spark.operators.analytics import (  # noqa: F401
 # multimodal
 from py_gtfs_duckdb_spark.operators.codecs import (  # noqa: F401
     decode_avi_mjpeg,
+    decode_bmp,
     decode_gif,
     decode_jpeg,
     decode_png,
+    encode_bmp,
     encode_gif,
     encode_avi_mjpeg,
     encode_jpeg,

@@ -1277,3 +1277,173 @@ def decode_gif(payload: bytes):
     if frame is None:
         raise ValueError("GIF contains no image descriptor")
     return frame
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows bitmap, public spec): the fourth compression family here —
+# RLE8 run-length coding over palette indices — plus uncompressed 24-bit
+# BI_RGB. Decode handles BITMAPINFOHEADER (and larger V4/V5 headers whose
+# first 40 bytes are layout-compatible), bottom-up and top-down rows,
+# 8-bit palette (RLE8 + uncompressed) and 24-bit BGR. RLE8 delta escapes
+# leave skipped pixels at palette index 0 (the spec's "undefined" pixels
+# — a deterministic choice, documented rather than random memory).
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img, compression: str = "rle8") -> bytes:
+    """(h, w, 3) or (h, w) uint8 array -> BMP bytes. ``compression``:
+    ``"rle8"`` (8-bit palette run-length; <= 256 unique colors required,
+    the GIF encoder's lossless-fixture contract) or ``"rgb24"``
+    (uncompressed BI_RGB)."""
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"unsupported image shape {arr.shape}")
+    h, w = arr.shape[:2]
+    if compression == "rgb24":
+        stride = (w * 3 + 3) & ~3
+        raster = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = arr[y, :, ::-1].tobytes()  # BGR
+            raster += row + b"\x00" * (stride - len(row))
+        bits_off = 14 + 40
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+        )
+        hdr = struct.pack("<2sIHHI", b"BM", bits_off + len(raster), 0, 0, bits_off)
+        return hdr + info + bytes(raster)
+    if compression != "rle8":
+        raise ValueError(f"unsupported compression {compression!r}")
+    flat = arr.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(
+            f"{len(palette)} unique colors — RLE8 needs <= 256 (quantize first)"
+        )
+    idx = indices.reshape(h, w).astype(np.uint8)
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes([int(b), int(g), int(r), 0])  # BGRX entries
+    pal += b"\x00" * (4 * (256 - len(palette)))
+    data = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = idx[y]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            if run >= 2:
+                data += bytes([run, int(row[x])])
+                x += run
+            else:
+                # absolute (literal) mode needs >= 3 pixels; below that,
+                # emit length-1 encoded runs
+                start = x
+                while (
+                    x < w
+                    and (x + 1 >= w or row[x + 1] != row[x])
+                    and x - start < 254
+                ):
+                    x += 1
+                n = x - start
+                if n >= 3:
+                    data += bytes([0, n]) + row[start:x].tobytes()
+                    if n % 2:
+                        data += b"\x00"  # absolute runs are word-aligned
+                else:
+                    for i in range(start, x):
+                        data += bytes([1, int(row[i])])
+        data += b"\x00\x00"  # end of line
+    data[-2:] = b"\x00\x01"  # final EOL becomes end-of-bitmap
+    bits_off = 14 + 40 + 1024
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(data), 2835, 2835, 256, 0
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", bits_off + len(data), 0, 0, bits_off)
+    return hdr + info + bytes(pal) + bytes(data)
+
+
+def decode_bmp(payload: bytes):
+    """BMP bytes -> (h, w, 3) uint8 array. Supports 24-bit BI_RGB and
+    8-bit palette (BI_RGB + BI_RLE8), bottom-up and top-down; rejects
+    other depths/compressions loudly."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    (bits_off,) = struct.unpack_from("<I", payload, 10)
+    (info_size,) = struct.unpack_from("<I", payload, 14)
+    if info_size < 40:
+        raise ValueError(f"unsupported BMP header size {info_size} (OS/2?)")
+    w, h_raw, planes, bpp, comp, _sz = struct.unpack_from("<iiHHII", payload, 18)
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    if planes != 1:
+        raise ValueError("BMP planes != 1")
+    (n_colors,) = struct.unpack_from("<I", payload, 46)
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    if bpp == 24 and comp == 0:
+        stride = (w * 3 + 3) & ~3
+        for i in range(h):
+            y = i if top_down else h - 1 - i
+            off = bits_off + i * stride
+            if off + w * 3 > len(payload):
+                raise ValueError("truncated BMP raster")
+            row = np.frombuffer(payload, np.uint8, w * 3, off).reshape(w, 3)
+            out[y] = row[:, ::-1]  # BGR -> RGB
+        return out
+    if bpp != 8:
+        raise ValueError(f"unsupported BMP bpp {bpp} (8 or 24 only)")
+    n_pal = n_colors or 256
+    pal_off = 14 + info_size
+    pal = np.frombuffer(payload, np.uint8, n_pal * 4, pal_off).reshape(n_pal, 4)
+    rgb = pal[:, [2, 1, 0]]  # BGRX -> RGB
+    idx = np.zeros((h, w), dtype=np.uint8)
+    if comp == 0:
+        stride = (w + 3) & ~3
+        for i in range(h):
+            y = i if top_down else h - 1 - i
+            idx[y] = np.frombuffer(payload, np.uint8, w, bits_off + i * stride)
+    elif comp == 1:  # BI_RLE8
+        pos = bits_off
+        x = 0
+        i = 0  # rows filled so far (bottom-up unless top_down)
+        while pos + 1 < len(payload):
+            n, v = payload[pos], payload[pos + 1]
+            pos += 2
+            y = i if top_down else h - 1 - i
+            if n > 0:  # encoded run
+                if x + n > w or i >= h:
+                    raise ValueError("RLE8 run overflows image")
+                idx[y, x : x + n] = v
+                x += n
+            elif v == 0:  # end of line
+                x = 0
+                i += 1
+            elif v == 1:  # end of bitmap
+                break
+            elif v == 2:  # delta: skip right/up (undefined pixels stay 0)
+                if pos + 1 >= len(payload):
+                    raise ValueError("truncated RLE8 delta")
+                x += payload[pos]
+                i += payload[pos + 1]
+                pos += 2
+            else:  # absolute run of v literal pixels, word-aligned
+                if x + v > w or i >= h or pos + v > len(payload):
+                    raise ValueError("RLE8 absolute run overflows image")
+                idx[y, x : x + v] = np.frombuffer(payload, np.uint8, v, pos)
+                pos += v + (v % 2)
+                x += v
+        else:
+            raise ValueError("RLE8 stream missing end-of-bitmap")
+    else:
+        raise ValueError(f"unsupported BMP compression {comp}")
+    if idx.max(initial=0) >= len(rgb):
+        raise ValueError("BMP index beyond palette")
+    return rgb[idx].astype(np.uint8)

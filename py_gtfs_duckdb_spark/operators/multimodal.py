@@ -438,12 +438,23 @@ def synth_gif(seed: int, width: int = 16, height: int = 12) -> bytes:
     return encode_gif(_synth_gradient(seed, width, height))
 
 
+def synth_bmp(seed: int, width: int = 16, height: int = 12) -> bytes:
+    """The SAME gradient as synth_ppm in an RLE8-compressed BMP
+    (operators/codecs.py). Pixel-identical to the PPM twin; the default
+    16x12 gradient's 192 unique colors fit the 8-bit palette (see
+    synth_gif for the palette-bound caveat on larger sizes)."""
+    from py_gtfs_duckdb_spark.operators.codecs import encode_bmp
+
+    return encode_bmp(_synth_gradient(seed, width, height), "rle8")
+
+
 def decode_image(payload: bytes):
     """(h, w, 3) uint8 array from image bytes — dispatches through the
     pluggable decoder registry (operators/media_registry.py). Built-ins:
     ``ppm-p6`` (raw raster), ``png`` (stdlib-zlib DEFLATE), ``jpeg``
     (pure-numpy baseline, cross-validated vs javax.imageio), ``gif``
-    (LZW, cross-validated vs javax.imageio). Other
+    (LZW) and ``bmp`` (RLE8 run-length + 24-bit), both cross-validated
+    vs javax.imageio. Other
     containers reject with a message naming ``register_decoder`` — a
     deployment shipping e.g. libjpeg-turbo/Pillow plugs its decoder in
     with one call, no engine patch."""
@@ -486,7 +497,9 @@ def documents_as_images(docs: DataFrame, container: str = "ppm") -> DataFrame:
     documents_as_audio. ``container`` picks the wire format ("ppm" raw
     raster, "png" DEFLATE-compressed); pixels are identical either way."""
     base = docs.select(F.col("doc_id").alias("media_id"))
-    synth = {"ppm": synth_ppm, "png": synth_png, "gif": synth_gif}[container]
+    synth = {
+        "ppm": synth_ppm, "png": synth_png, "gif": synth_gif, "bmp": synth_bmp,
+    }[container]
 
     def run(batches):
         import pandas as pd
@@ -727,6 +740,7 @@ def video_frame_features(media: DataFrame) -> DataFrame:
 # register_decoder replaces by name, so re-import stays idempotent.
 # ---------------------------------------------------------------------------
 from py_gtfs_duckdb_spark.operators import media_registry as _media_registry
+from py_gtfs_duckdb_spark.operators.codecs import decode_bmp as _codec_bmp
 from py_gtfs_duckdb_spark.operators.codecs import decode_gif as _codec_gif
 from py_gtfs_duckdb_spark.operators.codecs import decode_jpeg as _codec_jpeg
 from py_gtfs_duckdb_spark.operators.codecs import decode_png as _codec_png
@@ -745,6 +759,10 @@ _media_registry.register_decoder(
 )
 _media_registry.register_decoder(
     "image", "gif", lambda p: p[:6] in (b"GIF87a", b"GIF89a"), _codec_gif,
+    prepend=False,
+)
+_media_registry.register_decoder(
+    "image", "bmp", lambda p: p[:2] == b"BM", _codec_bmp,
     prepend=False,
 )
 _media_registry.register_decoder(

@@ -264,6 +264,9 @@ _PRIORITY = [
     # after DEFLATE (PNG) and Huffman+DCT (JPEG); same analytic oracle
     # as the PPM/PNG twins
     "q_image_resize_gif",
+    # NEW in round 13: BMP (RLE8 run-length) codec face — fourth
+    # compression family, same analytic oracle
+    "q_image_resize_bmp",
 ]
 
 # Window-partition allowlist — the systematic form of the per-query

@@ -3047,6 +3047,35 @@ def q_image_resize_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_image_resize_bmp", oracle=_image_resize_oracle_sql())
+def q_image_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_image_resize pipeline over the RUN-LENGTH-compressed
+    container: the seeded gradient as RLE8 BMP (palette + run-length
+    escapes, operators/codecs.py:encode_bmp/decode_bmp, javax.imageio-
+    cross-validated both directions). Fourth codec face of the same
+    analytic oracle (PPM raw / PNG DEFLATE / GIF LZW / BMP RLE) — a
+    hash mismatch isolates a BMP codec bug from the shared resize
+    math."""
+    from py_gtfs_duckdb_spark.functions import pround
+
+    media = M.documents_as_images(
+        t(spark, sf_dir, "documents"), container="bmp"
+    )
+    out = M.resize_images(media, out_w=4, out_h=3)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.posexplode("pixels").alias("px_idx", "px_raw"),
+    ).select(
+        "media_id",
+        "width",
+        "height",
+        "px_idx",
+        pround(F.col("px_raw"), 4).alias("px_value"),
+    )
+
+
 @query(
     "q_video_frames",
     # Every row is decode-verified integer arithmetic: frame count =

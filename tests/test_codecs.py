@@ -679,3 +679,109 @@ def test_decode_image_dispatches_gif():
     assert np.array_equal(
         decode_image(synth_gif(5)), _synth_gradient(5, 16, 12)
     )
+
+
+# ---------------------------------------------------------------------------
+# BMP (RLE8)
+# ---------------------------------------------------------------------------
+
+from py_gtfs_duckdb_spark.operators.codecs import (  # noqa: E402
+    decode_bmp,
+    encode_bmp,
+)
+
+
+@pytest.mark.parametrize("compression", ["rle8", "rgb24"])
+def test_bmp_roundtrip_lossless(compression):
+    img = _palette_img(17, 24, 31)
+    assert np.array_equal(decode_bmp(encode_bmp(img, compression)), img)
+
+
+def test_bmp_rle8_runs_and_literals():
+    # long runs, isolated literals, and the word-alignment padding path
+    img = np.zeros((33, 70, 3), dtype=np.uint8)
+    img[:, 10:50] = [200, 30, 40]
+    img[5, ::2] = [1, 2, 3]
+    enc = encode_bmp(img, "rle8")
+    assert np.array_equal(decode_bmp(enc), img)
+    # RLE8 compresses the runs well below the uncompressed raster
+    assert len(enc) < len(encode_bmp(img, "rgb24"))
+
+
+def test_bmp_top_down_and_delta_escape():
+    # hand-build a top-down 8-bit BMP with a delta escape: 2 pixels of
+    # color 1, delta-skip (3 right, 1 down), 1 pixel color 1, EOB —
+    # skipped pixels stay palette index 0
+    import struct as _s
+
+    pal = bytearray()
+    pal += bytes([10, 20, 30, 0])   # index 0 (BGRX)
+    pal += bytes([40, 50, 60, 0])   # index 1
+    pal += b"\x00" * 4 * 254
+    rle = bytes([2, 1, 0, 2, 3, 1, 1, 1, 0, 1])
+    bits_off = 14 + 40 + 1024
+    info = _s.pack("<IiiHHIIiiII", 40, 6, -2, 1, 8, 1, len(rle), 0, 0, 256, 0)
+    hdr = _s.pack("<2sIHHI", b"BM", bits_off + len(rle), 0, 0, bits_off)
+    got = decode_bmp(hdr + info + bytes(pal) + rle)
+    exp = np.zeros((2, 6, 3), dtype=np.uint8)
+    exp[:, :] = [30, 20, 10]             # index 0 everywhere (RGB)
+    exp[0, 0:2] = [60, 50, 40]           # the first run (top-down row 0)
+    exp[1, 5] = [60, 50, 40]             # after delta (x=2+3, y=0+1)
+    assert np.array_equal(got, exp)
+
+
+def test_bmp_rejects_unsupported_shapes():
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX nope")
+    img = _palette_img(1, 4, 4)
+    enc = bytearray(encode_bmp(img, "rgb24"))
+    enc[28] = 16  # bpp -> 16
+    with pytest.raises(ValueError, match="bpp"):
+        decode_bmp(bytes(enc))
+
+
+def test_bmp_cross_validates_with_javax_imageio(spark):
+    """Standard-compliance gate: javax.imageio must read BOTH our RLE8
+    and rgb24 streams pixel-exactly, and this decoder must read
+    ImageIO's own BMP writer output."""
+    jvm = spark._jvm
+
+    def javax_read(payload):
+        bais = jvm.java.io.ByteArrayInputStream(bytearray(payload))
+        bi = jvm.javax.imageio.ImageIO.read(bais)
+        assert bi is not None
+        h, w = bi.getHeight(), bi.getWidth()
+        out = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                rgb = bi.getRGB(x, y)
+                out[y, x] = [(rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF]
+        return out
+
+    img = _palette_img(19, 17, 23)
+    for compression in ("rle8", "rgb24"):
+        assert np.array_equal(javax_read(encode_bmp(img, compression)), img), (
+            f"javax misreads our {compression}"
+        )
+    h, w = 19, 27
+    img2 = _palette_img(23, h, w)
+    bi = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in img2[y, x])
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bi, "bmp", baos)
+    assert np.array_equal(decode_bmp(bytes(baos.toByteArray())), img2)
+
+
+def test_decode_image_dispatches_bmp():
+    from py_gtfs_duckdb_spark.operators.multimodal import (
+        _synth_gradient,
+        decode_image,
+        synth_bmp,
+    )
+
+    assert np.array_equal(
+        decode_image(synth_bmp(5)), _synth_gradient(5, 16, 12)
+    )

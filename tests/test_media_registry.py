@@ -39,7 +39,9 @@ def clean_registry():
 
 
 def test_builtins_registered_via_the_same_hook():
-    assert R.registered_names("image") == ["ppm-p6", "png", "jpeg", "gif"]
+    assert R.registered_names("image") == [
+        "ppm-p6", "png", "jpeg", "gif", "bmp",
+    ]
     assert R.registered_names("audio") == ["wav-riff"]
     assert R.registered_names("video") == ["y4m", "avi-mjpeg"]
 
