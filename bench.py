@@ -172,6 +172,11 @@ EXTRA = [
     # round-13 additions: GIF (LZW) and BMP (RLE8) codec faces
     "q_image_resize_gif",
     "q_image_resize_bmp",
+    # round-13 additions: PMI collocations, windowed funnel, Markov
+    # transition matrix
+    "q_pmi_bigrams",
+    "q_event_funnel_window",
+    "q_event_transitions",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

@@ -111,6 +111,7 @@ from py_gtfs_duckdb_spark.operators.lexical import (  # noqa: F401
     bigram_nll,
     bm25_topk,
     dsir_weights,
+    pmi_bigrams,
     tfidf_keywords,
     unigram_model,
     unigram_nll,
@@ -184,6 +185,7 @@ from py_gtfs_duckdb_spark.operators.analytics import (  # noqa: F401
     cohort_retention,
     funnel,
     resample_gapfill,
+    transition_matrix,
 )
 
 # multimodal

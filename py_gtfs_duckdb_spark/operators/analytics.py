@@ -48,6 +48,7 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel: how many users reached step i having
     reached steps 0..i-1 first, in strict timestamp order.
@@ -55,9 +56,12 @@ def funnel(
     A user "reaches" step 0 at their earliest ``steps[0]`` event, and
     step i>0 at their earliest ``steps[i]`` event STRICTLY AFTER their
     step i-1 reach time (equal timestamps do not qualify — the
-    deterministic tie rule the oracle mirrors). Returns one row per
-    step: ``step`` (BIGINT ordinal), ``event_type``, ``users``
-    (BIGINT count of users that reached it).
+    deterministic tie rule the oracle mirrors). With ``within_seconds``
+    each step must additionally land within that many seconds of the
+    previous step's reach time (inclusive) — the "converted within 7
+    days" form every funnel tool offers. Returns one row per step:
+    ``step`` (BIGINT ordinal), ``event_type``, ``users`` (BIGINT count
+    of users that reached it).
     """
     assert steps, "funnel needs at least one step"
     reached: DataFrame | None = None
@@ -69,9 +73,16 @@ def funnel(
         else:
             # reached is one row per user — joins co-partitioned on the
             # user key (or broadcast by AQE as the funnel narrows)
+            qualifies = F.col(ts_col) > F.col("__t_prev")
+            if within_seconds is not None:
+                qualifies = qualifies & (
+                    F.col(ts_col)
+                    <= F.col("__t_prev")
+                    + F.make_interval(secs=F.lit(float(within_seconds)))
+                )
             cur = (
                 ev.join(reached, user_col)
-                .filter(F.col(ts_col) > F.col("__t_prev"))
+                .filter(qualifies)
                 .groupBy(user_col)
                 .agg(F.min(ts_col).alias("__t"))
             )
@@ -163,4 +174,30 @@ def resample_gapfill(
         (F.last("__dv", ignorenulls=True).over(w) / float(scale)).alias(
             "value_ffill"
         ),
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence: (from_type, to_type, transitions BIGINT) — the
+    next-event-prediction / journey-map aggregate. Adjacency is resolved
+    with a LEAD window PARTITIONED BY USER ordered by (ts, seq) — the
+    entity-bounded allowlist contract: a partition is one user's events,
+    the frame is O(1), and the downstream count is a map-side-combined
+    groupBy over the types² matrix, never the event stream."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, seq_col)
+    return (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("transitions"))
     )

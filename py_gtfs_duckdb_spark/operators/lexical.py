@@ -525,3 +525,87 @@ def dsir_weights(
             .alias("dsir"),
         )
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(bigram, c12, pmi): the k strongest word collocations by pointwise
+    mutual information — PMI(w1,w2) = ln(c12·N / (c1·c2)) with c1/c2 the
+    bigram-position marginals — above a count floor (PMI is unstable on
+    rare pairs; the floor is the standard fix). The collocation-mining
+    face of the bigram LM: :func:`bigram_nll` scores documents under the
+    transition model, this ranks the transitions themselves.
+
+    Determinism: all four log terms quantize to BIGINT micro-nats per
+    TYPE (the unigram_nll scheme), pmi_q stays integer, and the top-k
+    orders by (pmi_q DESC, bigram) — exact ties, so the DuckDB oracle
+    replays the LIMIT subset bit-for-bit.
+
+    Scale: the bigram stream is the same narrow per-row array transform
+    as bigram_nll (adjacency resolved inside the staged words array, no
+    token shuffle); marginals are map-side-combined groupBys over the
+    bigram TYPE table (vocab-sized, not corpus-sized); the global top-k
+    is TakeOrderedAndProject over that type table — no window, no full
+    sort."""
+    arr_col = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    staged = df.select(F.col(id_col), arr_col.alias("ws"))
+    n_words = F.size(F.col("ws"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), n_words - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("ws"), i),
+            F.element_at(F.col("ws"), i + 1),
+        ),
+    )
+    toks = staged.filter(n_words >= 2).select(F.explode(pairs).alias("b"))
+    c2 = (
+        toks.groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .select(
+            "b",
+            F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("b"), F.lit(" "), F.lit(2)).alias("w2"),
+            "c12",
+        )
+    )
+    lc = c2.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    rc = c2.groupBy("w2").agg(F.sum("c12").cast("bigint").alias("c2n"))
+    tot = c2.agg(F.sum("c12").cast("bigint").alias("n"))
+
+    def q(col):
+        return F.floor(
+            F.log(col.cast("double")) * 1000000.0 + F.lit(0.5)
+        ).cast("bigint")
+
+    scored = (
+        c2.join(lc, "w1")
+        .join(rc, "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c12") >= min_count)
+        .select(
+            F.col("b").alias("bigram"),
+            "c12",
+            (
+                q(F.col("c12")) + q(F.col("n"))
+                - q(F.col("c1")) - q(F.col("c2n"))
+            ).alias("__pmi_q"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("__pmi_q").desc(), "bigram")
+        .limit(k)
+        .select(
+            "bigram",
+            "c12",
+            (
+                F.floor(F.col("__pmi_q") / 1000000.0 * 10000.0 + F.lit(0.5))
+                / 10000.0
+            ).alias("pmi"),
+        )
+    )

@@ -267,6 +267,11 @@ _PRIORITY = [
     # NEW in round 13: BMP (RLE8 run-length) codec face — fourth
     # compression family, same analytic oracle
     "q_image_resize_bmp",
+    # NEW in round 13: PMI collocations (micro-nat integer top-k),
+    # windowed funnel, and the Markov transition matrix
+    "q_pmi_bigrams",
+    "q_event_funnel_window",
+    "q_event_transitions",
 ]
 
 # Window-partition allowlist — the systematic form of the per-query
@@ -356,6 +361,10 @@ WINDOW_PARTITION_ALLOWLIST: dict[str, set[tuple[str, ...]]] = {
     # — the daily pre-aggregation collapses raw events before the
     # window sees them), frame = O(1) running last(ignorenulls)
     "q_resample_gapfill": {("user_id",)},
+    # LEAD adjacency over one user's event sequence: entity-bounded
+    # partition, O(1) frame; the downstream count aggregates the
+    # types-squared matrix, not the stream
+    "q_event_transitions": {("user_id",)},
 }
 
 _missing = set(QUERIES) - set(_PRIORITY)

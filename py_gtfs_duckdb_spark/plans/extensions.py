@@ -1647,6 +1647,51 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.bigram_nll(t(spark, sf_dir, "documents"))
 
 
+@query(
+    "q_pmi_bigrams",
+    # same micro-nat quantization as the bigram-NLL model; integer pmi_q
+    # makes the (pmi DESC, bigram) top-20 tie-exact on both engines
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), toks AS (
+        SELECT unnest([ws[i] || ' ' || ws[i+1]
+                       for i in range(1, len(ws))]) AS b
+        FROM w WHERE len(ws) >= 2
+    ), c2 AS (
+        SELECT b, split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+               CAST(COUNT(*) AS BIGINT) AS c12
+        FROM toks GROUP BY 1, 2, 3
+    ), lc AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+    rc AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2n FROM c2 GROUP BY w2),
+    tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM c2),
+    scored AS (
+        SELECT b AS bigram, c12,
+               CAST(floor(ln(c12) * 1000000.0 + 0.5) AS BIGINT)
+               + CAST(floor(ln(n) * 1000000.0 + 0.5) AS BIGINT)
+               - CAST(floor(ln(c1) * 1000000.0 + 0.5) AS BIGINT)
+               - CAST(floor(ln(c2n) * 1000000.0 + 0.5) AS BIGINT) AS pmi_q
+        FROM c2 JOIN lc USING (w1) JOIN rc USING (w2), tot
+        WHERE c12 >= 5
+    )
+    SELECT bigram, c12,
+           floor(pmi_q / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS pmi
+    FROM scored
+    ORDER BY pmi_q DESC, bigram
+    LIMIT 20
+    """,
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word collocations by pointwise mutual information with a
+    count floor (operators/lexical.py:pmi_bigrams) — the collocation-
+    mining face of the bigram LM (q_bigram_nll scores documents under
+    the transition model; this ranks the transitions). Marginals are
+    map-side-combined groupBys over the bigram TYPE table; the global
+    top-k is TakeOrderedAndProject — no window, no full sort."""
+    return L.pmi_bigrams(t(spark, sf_dir, "documents"))
+
+
 _PQ_CB: dict[str, dict] = {}
 
 

@@ -472,3 +472,73 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.resample_gapfill(e).withColumn(
         "day", F.date_format("day", "yyyy-MM-dd")
     )
+
+
+@query(
+    "q_event_funnel_window",
+    # the same step-k CTE chain as q_event_funnel with the conversion
+    # window added: each stage must land within 2 days (inclusive) of
+    # the previous stage's reach time
+    oracle="""
+    WITH s0 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), s1 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s0 ON e.user_id = s0.user_id
+        WHERE e.event_type = 'click' AND e.ts > s0.t
+          AND e.ts <= s0.t + INTERVAL 2 DAY
+        GROUP BY e.user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s1.t
+          AND e.ts <= s1.t + INTERVAL 2 DAY
+        GROUP BY e.user_id
+    )
+    SELECT CAST(0 AS BIGINT) AS step, 'signup' AS event_type,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s0) AS users
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'click',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s1)
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'purchase',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+    """,
+)
+def q_event_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel with a CONVERSION WINDOW — each step must land within
+    2 days of the previous step's reach time (the "converted within N
+    days" form every funnel tool offers; unlike q_event_funnel, which
+    all 150 synthetic users eventually complete, the window makes the
+    stages discriminate). Same bounded per-step state shape."""
+    e = t(spark, sf_dir, "events")
+    return AN.funnel(
+        e, ["signup", "click", "purchase"], within_seconds=2 * 86400
+    )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH o AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS transitions
+    FROM o WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences (operators/analytics.py:transition_matrix) — the
+    journey-map / next-event-prediction aggregate. LEAD window keys on
+    user_id (entity-bounded, allowlisted); the count is a map-side-
+    combined groupBy over the types-squared matrix."""
+    e = t(spark, sf_dir, "events")
+    return AN.transition_matrix(e)

@@ -147,3 +147,90 @@ def test_funnel_plan_has_no_window_or_cartesian(spark):
     plan = AN.funnel(events, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition" not in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_conversion_window(spark):
+    events = spark.createDataFrame(
+        [
+            # user 1: b 30 min after a -> inside a 1h window
+            (1, 1, _ts(1), "a"),
+            (2, 1, _ts(1, 30), "b"),
+            # user 2: b exactly 1h after a -> inclusive boundary, counts
+            (3, 2, _ts(1), "a"),
+            (4, 2, _ts(2), "b"),
+            # user 3: b 1h1s after a -> outside
+            (5, 3, _ts(1), "a"),
+            (6, 3, _ts(2, 0, 1), "b"),
+        ],
+        _EVENT_SCHEMA,
+    )
+    rows = {
+        r["event_type"]: r["users"]
+        for r in AN.funnel(events, ["a", "b"], within_seconds=3600).collect()
+    }
+    assert rows == {"a": 3, "b": 2}
+    # without the window user 3 converts too
+    rows2 = {
+        r["event_type"]: r["users"]
+        for r in AN.funnel(events, ["a", "b"]).collect()
+    }
+    assert rows2 == {"a": 3, "b": 3}
+
+
+def test_transition_matrix_hand_counts(spark):
+    events = spark.createDataFrame(
+        [
+            # user 1 sequence: a -> b -> b -> c   (ties broken by event_id)
+            (1, 1, _ts(1), "a"),
+            (2, 1, _ts(2), "b"),
+            (3, 1, _ts(3), "b"),
+            (4, 1, _ts(4), "c"),
+            # user 2 sequence: a -> c; same-ts tie ordered by event_id
+            (5, 2, _ts(1), "a"),
+            (6, 2, _ts(1), "c"),
+            # user 3: single event -> no transition
+            (7, 3, _ts(1), "a"),
+        ],
+        _EVENT_SCHEMA,
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["transitions"]
+        for r in AN.transition_matrix(events).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "c"): 1, ("a", "c"): 1}
+
+
+def test_pmi_bigrams_hand_computed(spark):
+    import math
+
+    from py_gtfs_duckdb_spark.operators.lexical import pmi_bigrams
+
+    # corpus bigrams: "x y" x4, "y x" x3, "x x" x1  (doc "x y x y x y x y x"
+    # gives x-y alternation; second doc adds "x x")
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y x y"), (2, "y x y x x")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["bigram"]: (r["c12"], r["pmi"])
+        for r in pmi_bigrams(docs, min_count=1, k=10).collect()
+    }
+    # totals: doc1 -> x y,y x,x y,y x,x y,y x,x y ; doc2 -> y x,x y,y x,x x
+    # c12: "x y"=5, "y x"=5, "x x"=1 ; N=11
+    # marginals: c1(x)=6, c1(y)=5, c2(y)=5, c2(x)=6
+    def q(v):
+        return math.floor(math.log(v) * 1e6 + 0.5)
+
+    def pmi(c12, c1, c2n, n=11):
+        pq = q(c12) + q(n) - q(c1) - q(c2n)
+        return math.floor(pq / 1e6 * 1e4 + 0.5) / 1e4
+
+    assert rows == {
+        "x y": (5, pmi(5, 6, 5)),
+        "y x": (5, pmi(5, 5, 6)),
+        "x x": (1, pmi(1, 6, 6)),
+    }
+    # count floor prunes the singleton
+    assert {
+        r["bigram"] for r in pmi_bigrams(docs, min_count=2, k=10).collect()
+    } == {"x y", "y x"}
