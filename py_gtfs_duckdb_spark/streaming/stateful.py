@@ -140,3 +140,88 @@ def run_dedup_stream(
             stream, key_cols, ts_col=ts_col, watermark=watermark
         ),
     )
+
+
+def _advance_funnel(steps: list, within_ms: int | None):
+    n_steps = len(steps)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        stage, reach_ts = (-1, -1)
+        if state.exists:
+            stage, reach_ts = state.get[1], state.get[2]
+        rows = []
+        events = []
+        for pdf in pdfs:
+            for et, ts in zip(pdf["event_type"], pdf["ts"]):
+                events.append((int(ts), str(et)))
+        # within a batch, replay in event-time order — the one reordering
+        # a micro-batch CAN give for free; cross-batch stragglers older
+        # than the reached stage are ignored (documented incremental
+        # semantics)
+        for ts, et in sorted(events):
+            # one event advances at most one stage
+            if stage + 1 >= n_steps or et != steps[stage + 1]:
+                continue
+            qualifies = stage < 0 or ts > reach_ts
+            if qualifies and within_ms is not None and stage >= 0:
+                qualifies = ts <= reach_ts + within_ms
+            if qualifies:
+                stage += 1
+                reach_ts = ts
+                rows.append((key[0], stage, steps[stage], ts))
+        if stage >= 0:
+            state.update((key[0], stage, reach_ts))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user", "stage", "event_type", "reach_ts"]
+            )
+
+    return fn
+
+
+def funnel_stream(
+    stream: DataFrame,
+    steps: list,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming face of operators/analytics.py:funnel — a per-user
+    stage machine in ``applyInPandasWithState``: state is (furthest
+    stage, its reach epoch-millis), each advance emits one changelog row
+    (user, stage, event_type, reach_ts). ``within_seconds`` adds the
+    conversion-window rule of the batch operator.
+
+    Semantics: EXACTLY the batch funnel when each user's step events
+    arrive in event-time order across micro-batches (within a batch,
+    events replay in event-time order regardless of arrival). A
+    cross-batch straggler older than the already-reached stage is
+    ignored — the standard incremental-funnel caveat, documented rather
+    than silently wrong: stage advances are monotone, so the stream
+    never needs retractions. State per user is two integers — millions
+    of users fit one state store comfortably (contrast the batch form,
+    which re-aggregates per step; the stream form pays O(1) per
+    event)."""
+    from pyspark.sql import functions as F
+
+    normalized = stream.select(
+        F.col(user_col).cast("string").alias("user"),
+        F.col(type_col).cast("string").alias("event_type"),
+        (F.col(ts_col).cast("double") * 1000).cast("long").alias("ts")
+        if dict(stream.dtypes)[ts_col] == "timestamp"
+        else F.col(ts_col).cast("long").alias("ts"),
+    )
+    within_ms = None if within_seconds is None else within_seconds * 1000
+    return normalized.groupBy("user").applyInPandasWithState(
+        _advance_funnel(list(steps), within_ms),
+        outputStructType="user STRING, stage INT, event_type STRING, reach_ts LONG",
+        stateStructType="user STRING, stage INT, reach_ts LONG",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

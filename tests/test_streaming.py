@@ -283,3 +283,92 @@ def test_merger_cache_empty_between_micro_batches(spark, lake, merger):
     assert cache_empty()
     merger.process_batch(batch(spark, [vehicle("v1"), alert("al1", deleted=True)]))
     assert cache_empty()
+
+
+def test_stateful_funnel_stream(spark, tmp_path):
+    """applyInPandasWithState funnel: per-user stage machine across
+    micro-batches — advances are monotone, in-batch events replay in
+    event-time order, cross-batch stragglers are ignored, and the
+    conversion window gates a too-late step."""
+    import json as _json
+
+    from py_gtfs_duckdb_spark.streaming.stateful import funnel_stream
+
+    spool = tmp_path / "fspool"
+    spool.mkdir()
+    # batch 1 (file order != event order inside the batch: replay sorts):
+    #   u1 reaches signup@100 then click@200 (arrives first in file)
+    #   u2 signup@100 only
+    rows1 = [
+        {"user_id": "u1", "event_type": "click", "ts": 200},
+        {"user_id": "u1", "event_type": "signup", "ts": 100},
+        {"user_id": "u2", "event_type": "signup", "ts": 100},
+    ]
+    (spool / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows1))
+    # batch 2: u1 purchases@300; u2's straggler click@50 (before its
+    # signup reach) is ignored; u3 clicks without ever signing up
+    rows2 = [
+        {"user_id": "u1", "event_type": "purchase", "ts": 300},
+        {"user_id": "u2", "event_type": "click", "ts": 50},
+        {"user_id": "u3", "event_type": "click", "ts": 10},
+    ]
+    (spool / "b2.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+
+    stream = spark.readStream.schema(
+        "user_id string, event_type string, ts long"
+    ).option("maxFilesPerTrigger", 1).json(str(spool))
+    out = funnel_stream(stream, ["signup", "click", "purchase"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_state")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "fckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT user, stage, event_type, reach_ts FROM funnel_state"
+    ).collect()
+    got = {(r["user"], r["stage"]): (r["event_type"], r["reach_ts"]) for r in rows}
+    assert got == {
+        ("u1", 0): ("signup", 100),
+        ("u1", 1): ("click", 200),
+        ("u1", 2): ("purchase", 300),
+        ("u2", 0): ("signup", 100),
+    }
+
+
+def test_stateful_funnel_stream_conversion_window(spark, tmp_path):
+    import json as _json
+
+    from py_gtfs_duckdb_spark.streaming.stateful import funnel_stream
+
+    spool = tmp_path / "wspool"
+    spool.mkdir()
+    rows = [
+        {"user_id": "u1", "event_type": "signup", "ts": 1000},
+        {"user_id": "u1", "event_type": "click", "ts": 3000},  # 2s later
+        {"user_id": "u2", "event_type": "signup", "ts": 1000},
+        {"user_id": "u2", "event_type": "click", "ts": 2000},  # exactly 1s
+    ]
+    (spool / "b.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(
+        "user_id string, event_type string, ts long"
+    ).json(str(spool))
+    out = funnel_stream(stream, ["signup", "click"], within_seconds=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_window_state")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user"], r["stage"])
+        for r in spark.sql("SELECT * FROM funnel_window_state").collect()
+    }
+    # u2's click at the inclusive 1s boundary advances; u1's 2s click no
+    assert got == {("u1", 0), ("u2", 0), ("u2", 1)}
