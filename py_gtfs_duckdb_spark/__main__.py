@@ -7,7 +7,7 @@ reference (parquet-in/parquet-out, no lake argument): curate / search /
 despan / dedup (single-tier: exact / minhash / ngram / containment / simhash) /
 ingest (streaming near-dup gate over a JSONL spool) /
 mix (explicit weights or ``--alpha`` temperature) / score / tokenize /
-sample / audit / profile / drift — see MIGRATION.md's CLI table.
+sample / audit / profile / drift / events — see MIGRATION.md's CLI table.
 
 Usage: ``python -m py_gtfs_duckdb_spark <command> <lake_root> [options]``
 """
@@ -574,10 +574,10 @@ def cmd_events(args) -> None:
     )
     from py_gtfs_duckdb_spark.session import get_spark
 
-    if not (args.funnel or args.retention or args.gapfill):
+    if not (args.funnel or args.retention or args.gapfill or args.transitions):
         raise SystemExit(
             "nothing to do: pass --funnel STEP [STEP ...], --retention, "
-            "and/or --gapfill"
+            "--gapfill, and/or --transitions"
         )
     spark = get_spark("gtfs-cli")
     ensure_battery_confs(spark)
@@ -587,7 +587,8 @@ def cmd_events(args) -> None:
     summary: dict = {}
     if args.funnel:
         out = AN.funnel(
-            events, args.funnel, user_col=args.user_col, ts_col=args.ts_col
+            events, args.funnel, user_col=args.user_col, ts_col=args.ts_col,
+            within_seconds=args.within,
         )
         path = _os.path.join(args.output, "funnel")
         out.write.mode("overwrite").parquet(path)
@@ -606,6 +607,16 @@ def cmd_events(args) -> None:
             "count(*) AS cells", "count(DISTINCT cohort_week) AS cohorts"
         ).first()
         summary["retention"] = {"cells": agg["cells"], "cohorts": agg["cohorts"]}
+    if args.transitions:
+        out = AN.transition_matrix(
+            events, user_col=args.user_col, ts_col=args.ts_col
+        )
+        path = _os.path.join(args.output, "transitions")
+        out.write.mode("overwrite").parquet(path)
+        agg = spark.read.parquet(path).selectExpr(
+            "count(*) AS cells", "sum(transitions) AS total"
+        ).first()
+        summary["transitions"] = {"cells": agg["cells"], "total": agg["total"]}
     if args.gapfill:
         out = AN.resample_gapfill(
             events,
@@ -1036,6 +1047,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "--gapfill", action="store_true",
         help="forward-filled daily value resample per user",
+    )
+    sp.add_argument(
+        "--transitions", action="store_true",
+        help="first-order Markov transition matrix over event sequences",
+    )
+    sp.add_argument(
+        "--within", type=int, default=None, metavar="SECONDS",
+        help="funnel conversion window: each step within this many "
+        "seconds of the previous step's reach",
     )
     sp.add_argument("--user-col", default="user_id")
     sp.add_argument("--ts-col", default="ts")

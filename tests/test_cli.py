@@ -621,3 +621,36 @@ def test_cli_events_requires_a_report(tmp_path):
 
     with _pytest.raises(SystemExit):
         main(["events", "-i", "x.parquet", "-o", str(tmp_path)])
+
+
+def test_cli_events_transitions_and_within(spark, tmp_path, capsys):
+    import datetime as dt
+    import json
+
+    from py_gtfs_duckdb_spark.__main__ import main
+
+    events = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2024, 1, 1, 1), "signup", 1.0),
+            (2, 1, dt.datetime(2024, 1, 1, 2), "click", 1.0),   # 1h later
+            (3, 2, dt.datetime(2024, 1, 1, 1), "signup", 1.0),
+            (4, 2, dt.datetime(2024, 1, 3, 1), "click", 1.0),   # 2 days later
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    src = str(tmp_path / "events.parquet")
+    events.write.parquet(src)
+    out = str(tmp_path / "reports")
+    assert main([
+        "events", "-i", src, "-o", out,
+        "--funnel", "signup", "click", "--within", "86400",
+        "--transitions",
+    ]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # only user 1 converts inside the 1-day window
+    assert summary["funnel"][1] == {
+        "step": 1, "event_type": "click", "users": 1,
+    }
+    # transitions: signup->click for each user = 1 cell, total 2
+    assert summary["transitions"] == {"cells": 1, "total": 2}
