@@ -94,8 +94,9 @@ def bloom_decontaminate(
     benchmark_pred: Column,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_bits: int = 1 << 20,
+    n_bits: int | None = None,
     n_hashes: int = 4,
+    stats: dict | None = None,
 ) -> DataFrame:
     """:func:`decontaminate` semantics — (doc_id, n_shared) winnowed-
     fingerprint overlap with the benchmark partition — through a BLOOM
@@ -115,8 +116,17 @@ def bloom_decontaminate(
     sharing its DuckDB oracle). The exchange before that verify join
     carries probe-positive fps only, not the corpus fingerprint stream —
     at 100 TB that is the difference between shuffling ~0.1% and 100%
-    of the corpus winnow output. Defaults: 1 Mi bits / 4 probes ≈ 2.4%
-    fpp at 10^5 distinct benchmark fps (fpp = (1-e^(-kn/m))^k).
+    of the corpus winnow output.
+
+    ``n_bits=None`` (the default) SIZES THE MASK TO THE BENCHMARK: the
+    next power of two >= 16 bits per distinct benchmark fp (~0.24% fpp
+    at 4 probes; fpp = (1-e^(-kn/m))^k), floor 2^16, cap 2^30 (128 MiB
+    — still broadcastable). A fixed mask is the failure mode the sf1
+    probe caught at baking time: 10x the benchmark into a saturating
+    mask lifted fpp from ~0.1% to ~50% and the verify-join shuffle went
+    68x for 10x input — auto-sizing restores ~linear scaling, and the
+    count() that pays for it is one cheap action on the already-persisted
+    benchmark frame.
 
     Probe positions use double hashing over the fp (already a uniform
     31-bit winnow hash): pos_j = (fp·A + j·(fp·B mod P') + j²) mod
@@ -137,6 +147,9 @@ def bloom_decontaminate(
         .select("fp")
         .distinct()
     )
+    if n_bits is None:
+        n_fps = bench_fps.count()
+        n_bits = 1 << max(16, min(30, (16 * max(n_fps, 1) - 1).bit_length()))
     set_bits = [
         r["pos"]
         for r in bench_fps.select(
@@ -173,6 +186,12 @@ def bloom_decontaminate(
 
     corpus_fps = winnow_fingerprints(docs.where(~benchmark_pred), text_col, id_col)
     positives = corpus_fps.filter(_bloom_probe(F.col("fp")))
+    if stats is not None:
+        # diagnostic hook (tests, tuning): one extra pass over the
+        # corpus fingerprints — never taken on the production path
+        stats["n_bits"] = n_bits
+        stats["n_set_bits"] = len(set_bits)
+        stats["n_positives"] = positives.count()
     return (
         positives.join(bench_fps, "fp")  # exact verify kills false positives
         .groupBy("id")

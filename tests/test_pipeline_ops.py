@@ -1157,3 +1157,53 @@ def test_bloom_decontaminate_empty_benchmark(spark):
     assert (
         P.bloom_decontaminate(docs, F.col("doc_id") < 0).collect() == []
     )
+
+
+def test_bloom_mask_autosizing_bounds_fpp(spark):
+    """The bloom prefilter's SCALE property: as the benchmark grows, the
+    auto-sized mask keeps the false-positive trickle bounded, so the
+    verify-join shuffle tracks the TRUE overlap (the answer), not the
+    corpus. A deliberately saturated fixed mask shows the failure mode
+    auto-sizing prevents (the one the sf1 probe caught at baking time:
+    68x shuffle for 10x benchmark)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i:04d}" for i in range(8000)]
+
+    def doc(i, n=30):
+        return " ".join(words[j] for j in rng.integers(0, len(words), n))
+
+    # ids: benchmark = id < n_bench (pred below); corpus disjoint texts
+    corpus = [(10_000 + i, doc(i)) for i in range(300)]
+    for n_bench in (20, 200):
+        bench = [(i, doc(i)) for i in range(n_bench)]
+        docs = spark.createDataFrame(bench + corpus, "doc_id long, text string")
+        pred = F.col("doc_id") < 10_000
+        stats: dict = {}
+        out = P.bloom_decontaminate(docs, pred, stats=stats).collect()
+        # disjoint random vocab draws -> essentially no true overlap;
+        # whatever IS shared is exact (out), everything else is fpp
+        n_true = sum(r["n_shared"] for r in out)
+        corpus_fp_rows = stats["n_positives"]  # positives ⊇ true hits
+        assert stats["n_positives"] <= n_true + 0.02 * 300 * 40 + 50, (
+            n_bench,
+            stats,
+        )
+        # the mask actually resized with the benchmark
+        if n_bench == 20:
+            small_bits = stats["n_bits"]
+        else:
+            assert stats["n_bits"] >= small_bits, stats
+    # saturated fixed mask: nearly everything probes positive
+    stats_sat: dict = {}
+    docs = spark.createDataFrame(
+        [(i, doc(i)) for i in range(200)] + corpus, "doc_id long, text string"
+    )
+    P.bloom_decontaminate(
+        docs, F.col("doc_id") < 10_000, n_bits=1 << 8, stats=stats_sat
+    ).collect()
+    assert stats_sat["n_positives"] > 20 * max(stats["n_positives"], 1), (
+        stats_sat,
+        stats,
+    )

@@ -590,6 +590,18 @@ def sf1_documents_dir(spark, tmp_path_factory):
         "q_dedup_containment",
         "q_dedup_containment_inc",
         "q_decontaminate_semantic",
+        # round-13 addition: the two-pass frequent-items sketch (pass 1
+        # is map-side only — shuffle volume is candidates + recount, not
+        # the bigram stream). q_decontaminate_bloom is deliberately NOT
+        # here: its verify-join shuffle tracks the ANSWER size
+        # (probe-positives = true overlap + fpp), and this replica
+        # fixture inflates true overlap ~77x at 10x input (measured: a
+        # benchmark replica genuinely overlaps its 9 sibling replicas) —
+        # the linear-input bound is the wrong null model for an
+        # output-proportional operator. Its scale property (fpp stays
+        # bounded as the benchmark grows, via mask auto-sizing) is
+        # pinned by test_bloom_mask_autosizing_bounds_fpp below.
+        "q_heavy_hitters",
     ],
 )
 def test_sf1_probe_scales_linearly(spark, sf1_documents_dir, qname):
