@@ -234,3 +234,92 @@ def test_pmi_bigrams_hand_computed(spark):
     assert {
         r["bigram"] for r in pmi_bigrams(docs, min_count=2, k=10).collect()
     } == {"x y", "y x"}
+
+
+def _ref_funnel(rows, steps, within_s=None):
+    """Sequential per-user reference model of the funnel spec."""
+    by_user: dict = {}
+    for _eid, uid, ts, et in rows:
+        by_user.setdefault(uid, []).append((ts, et))
+    counts = [0] * len(steps)
+    stages = {}
+    for uid, evs in by_user.items():
+        reach = None
+        stage = -1
+        for i, step in enumerate(steps):
+            cand = [
+                ts
+                for ts, et in evs
+                if et == step
+                and (i == 0 or ts > reach)
+                and (
+                    i == 0
+                    or within_s is None
+                    or (ts - reach).total_seconds() <= within_s
+                )
+            ]
+            if not cand:
+                break
+            reach = min(cand)
+            stage = i
+            counts[i] += 1
+        stages[uid] = stage
+    return counts, stages
+
+
+def test_funnel_differential_fuzz(spark):
+    import random
+
+    rng = random.Random(1234)
+    steps = ["s0", "s1", "s2"]
+    for trial in range(6):
+        within = rng.choice([None, 1800, 7200])
+        rows = []
+        eid = 0
+        for uid in range(40):
+            for _ in range(rng.randint(0, 12)):
+                eid += 1
+                # coarse timestamps force plenty of exact ties
+                ts = dt.datetime(2024, 1, 1) + dt.timedelta(
+                    seconds=1800 * rng.randint(0, 11)
+                )
+                rows.append((eid, uid, ts, rng.choice(steps + ["noise"])))
+        if not rows:
+            continue
+        events = spark.createDataFrame(rows, _EVENT_SCHEMA)
+        got = {
+            r["step"]: r["users"]
+            for r in AN.funnel(events, steps, within_seconds=within).collect()
+        }
+        want, _ = _ref_funnel(rows, steps, within)
+        assert [got[i] for i in range(3)] == want, (trial, within)
+
+
+def test_transition_matrix_differential_fuzz(spark):
+    import random
+    from collections import Counter
+
+    rng = random.Random(99)
+    rows = []
+    eid = 0
+    for uid in range(30):
+        for _ in range(rng.randint(0, 15)):
+            eid += 1
+            ts = dt.datetime(2024, 1, 1) + dt.timedelta(
+                seconds=3600 * rng.randint(0, 5)  # tie-heavy
+            )
+            rows.append((eid, uid, ts, rng.choice("abcd")))
+    events = spark.createDataFrame(rows, _EVENT_SCHEMA)
+    got = {
+        (r["from_type"], r["to_type"]): r["transitions"]
+        for r in AN.transition_matrix(events).collect()
+    }
+    ref: Counter = Counter()
+    by_user: dict = {}
+    for eid_, uid, ts, et in rows:
+        by_user.setdefault(uid, []).append((ts, eid_, et))
+    for seq in by_user.values():
+        seq.sort()  # (ts, event_id) — the operator's declared order
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            ref[(a, b)] += 1
+    assert got == dict(ref)
