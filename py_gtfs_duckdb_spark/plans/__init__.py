@@ -79,7 +79,12 @@ from py_gtfs_duckdb_spark.plans import flagship  # noqa: E402,F401
 #   7 builder picks .. modules changed in r12/r13 (see inline comments).
 # After this window lands, no registered query's driver evidence will be
 # older than round 11 (= 2 rounds), for the eighth consecutive round.
-# Round-14 owes the 47 r11-evidence queries listed first past the
+# Round-14 owes, in order: the 11 round-13 registrations (never
+# driver-checked — q_event_funnel, q_cohort_retention,
+# q_resample_gapfill, q_heavy_hitters, q_decontaminate_bloom,
+# q_image_resize_gif, q_image_resize_bmp, q_pmi_bigrams,
+# q_event_funnel_window, q_event_transitions, q_bigram_nll — slots
+# 1-11), then the 47 r11-evidence queries listed first past the
 # boundary.
 _PRIORITY = [
     # --- round-13 window (50 slots) ---
