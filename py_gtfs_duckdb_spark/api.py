@@ -184,6 +184,7 @@ from py_gtfs_duckdb_spark.operators.pipeline import (  # noqa: F401
 from py_gtfs_duckdb_spark.operators.analytics import (  # noqa: F401
     cohort_retention,
     funnel,
+    funnel_times,
     resample_gapfill,
     transition_matrix,
 )

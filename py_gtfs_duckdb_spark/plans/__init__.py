@@ -277,6 +277,8 @@ _PRIORITY = [
     "q_pmi_bigrams",
     "q_event_funnel_window",
     "q_event_transitions",
+    # NEW in round 13: median time-to-convert per funnel stage
+    "q_funnel_time_to_convert",
 ]
 
 # Window-partition allowlist — the systematic form of the per-query

@@ -542,3 +542,45 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined groupBy over the types-squared matrix."""
     e = t(spark, sf_dir, "events")
     return AN.transition_matrix(e)
+
+
+@query(
+    "q_funnel_time_to_convert",
+    # Spark percentile(x, 0.5) interpolates identically to DuckDB
+    # quantile_cont (the q_quantile_tokens precedent); gaps stay integer
+    # epoch-micros until the shared fixed-order float epilogue
+    oracle="""
+    WITH s0 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), s1 AS (
+        SELECT e.user_id, MIN(e.ts) AS t, s0.t AS prev_t
+        FROM events e JOIN s0 ON e.user_id = s0.user_id
+        WHERE e.event_type = 'click' AND e.ts > s0.t
+        GROUP BY e.user_id, s0.t
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t, s1.t AS prev_t
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s1.t
+        GROUP BY e.user_id, s1.t
+    )
+    SELECT CAST(1 AS BIGINT) AS step, 'click' AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS users,
+           floor(quantile_cont(epoch_us(t) - epoch_us(prev_t), 0.5)
+                 / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS median_gap_s
+    FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT),
+           floor(quantile_cont(epoch_us(t) - epoch_us(prev_t), 0.5)
+                 / 1000000.0 * 10000.0 + 0.5) / 10000.0
+    FROM s2
+    """,
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median time-to-convert per funnel stage (operators/analytics.py:
+    funnel_times) — the stall-diagnosis half of funnel analytics. The
+    previous reach time rides through the per-user aggregate, so no
+    extra join; the median aggregates one BIGINT gap per converted
+    user."""
+    e = t(spark, sf_dir, "events")
+    return AN.funnel_times(e, ["signup", "click", "purchase"])

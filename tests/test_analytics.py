@@ -323,3 +323,21 @@ def test_transition_matrix_differential_fuzz(spark):
         for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
             ref[(a, b)] += 1
     assert got == dict(ref)
+
+
+def test_funnel_times_hand_computed(spark):
+    events = spark.createDataFrame(
+        [
+            # user 1: a@1:00 -> b@1:30 (1800s); user 2: a@1:00 -> b@2:00
+            # (3600s); user 3: a only. median gap = (1800+3600)/2 = 2700
+            (1, 1, _ts(1), "a"),
+            (2, 1, _ts(1, 30), "b"),
+            (3, 2, _ts(1), "a"),
+            (4, 2, _ts(2), "b"),
+            (5, 3, _ts(1), "a"),
+        ],
+        _EVENT_SCHEMA,
+    )
+    [row] = AN.funnel_times(events, ["a", "b"]).collect()
+    assert (row["step"], row["event_type"], row["users"]) == (1, "b", 2)
+    assert row["median_gap_s"] == 2700.0
