@@ -7,7 +7,8 @@ reference (parquet-in/parquet-out, no lake argument): curate / search /
 despan / dedup (single-tier: exact / minhash / ngram / containment / simhash) /
 ingest (streaming near-dup gate over a JSONL spool) /
 mix (explicit weights or ``--alpha`` temperature) / score / tokenize /
-sample / audit / profile / drift / events — see MIGRATION.md's CLI table.
+sample / audit / profile / drift / events / frequent — see MIGRATION.md's
+CLI table.
 
 Usage: ``python -m py_gtfs_duckdb_spark <command> <lake_root> [options]``
 """
@@ -574,10 +575,13 @@ def cmd_events(args) -> None:
     )
     from py_gtfs_duckdb_spark.session import get_spark
 
-    if not (args.funnel or args.retention or args.gapfill or args.transitions):
+    if not (
+        args.funnel or args.retention or args.gapfill or args.transitions
+        or args.times
+    ):
         raise SystemExit(
-            "nothing to do: pass --funnel STEP [STEP ...], --retention, "
-            "--gapfill, and/or --transitions"
+            "nothing to do: pass --funnel STEP [STEP ...], --times STEP..., "
+            "--retention, --gapfill, and/or --transitions"
         )
     spark = get_spark("gtfs-cli")
     ensure_battery_confs(spark)
@@ -607,6 +611,22 @@ def cmd_events(args) -> None:
             "count(*) AS cells", "count(DISTINCT cohort_week) AS cohorts"
         ).first()
         summary["retention"] = {"cells": agg["cells"], "cohorts": agg["cohorts"]}
+    if args.times:
+        out = AN.funnel_times(
+            events, args.times, user_col=args.user_col, ts_col=args.ts_col
+        )
+        path = _os.path.join(args.output, "funnel_times")
+        out.write.mode("overwrite").parquet(path)
+        rows = spark.read.parquet(path).orderBy("step").collect()
+        summary["funnel_times"] = [
+            {
+                "step": r["step"],
+                "event_type": r["event_type"],
+                "users": r["users"],
+                "median_gap_s": r["median_gap_s"],
+            }
+            for r in rows
+        ]
     if args.transitions:
         out = AN.transition_matrix(
             events, user_col=args.user_col, ts_col=args.ts_col
@@ -634,6 +654,53 @@ def cmd_events(args) -> None:
             "rows": agg["rows"], "leading_nulls": agg["leading_nulls"],
         }
     print(json.dumps(summary, sort_keys=True))
+
+
+def cmd_frequent(args) -> None:
+    """Exact frequent n-grams above a 1/m corpus share
+    (operators/pipeline.py:heavy_hitters — two-pass candidates-then-
+    recount, exact result): boilerplate-phrase mining over a documents
+    parquet. Writes (item, freq) parquet, prints a JSON summary."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from py_gtfs_duckdb_spark.operators.pipeline import heavy_hitters
+    from py_gtfs_duckdb_spark.session import get_spark
+
+    spark = get_spark("gtfs-cli")
+    docs = _read_corpus(spark, args.input)
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    if args.ngram == 1:
+        items = docs.select(F.explode(ws).alias("item"))
+    else:
+        n = args.ngram
+        staged = docs.select(ws.alias("__ws")).filter(F.size("__ws") >= n)
+        items = staged.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(__ws) - {n - 1}), "
+                    f"i -> array_join(slice(__ws, i, {n}), ' '))"
+                )
+            ).alias("item")
+        )
+    out = heavy_hitters(items, "item", m=args.share_denominator)
+    out.write.mode("overwrite").parquet(args.output)
+    back = spark.read.parquet(args.output)
+    agg = back.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("freq").alias("mass")
+    ).first()
+    print(
+        json.dumps(
+            {
+                "ngram": args.ngram,
+                "share_denominator": args.share_denominator,
+                "heavy_hitters": agg["n"],
+                "occurrence_mass": agg["mass"],
+            },
+            sort_keys=True,
+        )
+    )
 
 
 def cmd_tokenize(args) -> None:
@@ -1032,6 +1099,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.set_defaults(fn=cmd_score)
 
     sp = sub.add_parser(
+        "frequent", help="exact frequent n-grams above a 1/m corpus share"
+    )
+    sp.add_argument("--input", "-i", required=True, help="documents parquet path")
+    sp.add_argument("--output", "-o", required=True)
+    sp.add_argument("--ngram", "-n", type=int, default=2, choices=[1, 2, 3])
+    sp.add_argument(
+        "--share-denominator", "-m", type=int, default=850,
+        help="report items with freq * m > total (share above 1/m)",
+    )
+    sp.set_defaults(fn=cmd_frequent)
+
+    sp = sub.add_parser(
         "events", help="event-sequence analytics over an events parquet"
     )
     sp.add_argument("--input", "-i", required=True, help="events parquet path")
@@ -1051,6 +1130,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "--transitions", action="store_true",
         help="first-order Markov transition matrix over event sequences",
+    )
+    sp.add_argument(
+        "--times", nargs="+", metavar="STEP",
+        help="median time-to-convert per stage over these event types",
     )
     sp.add_argument(
         "--within", type=int, default=None, metavar="SECONDS",

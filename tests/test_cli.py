@@ -654,3 +654,56 @@ def test_cli_events_transitions_and_within(spark, tmp_path, capsys):
     }
     # transitions: signup->click for each user = 1 cell, total 2
     assert summary["transitions"] == {"cells": 1, "total": 2}
+
+
+def test_cli_frequent_end_to_end(spark, tmp_path, capsys):
+    import json
+
+    from py_gtfs_duckdb_spark.__main__ import main
+
+    # 'a b' appears 8 times (4 per doc), everything else once or twice:
+    # with m=4 the threshold is freq*4 > N
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b a b x"), (2, "a b a b a b a b y z")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "freq")
+    assert main([
+        "frequent", "-i", src, "-o", out, "-n", "2", "-m", "4",
+    ]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    back = {
+        r["item"]: r["freq"] for r in spark.read.parquet(out).collect()
+    }
+    # bigram totals: doc1 has 8 bigrams, doc2 has 9 -> N=17; 'a b'
+    # (freq 8) and 'b a' (freq 6) clear freq*4 > 17, nothing else does
+    assert back == {"a b": 8, "b a": 6}
+    assert summary["heavy_hitters"] == 2 and summary["occurrence_mass"] == 14
+
+
+def test_cli_events_times(spark, tmp_path, capsys):
+    import datetime as dt
+    import json
+
+    from py_gtfs_duckdb_spark.__main__ import main
+
+    events = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2024, 1, 1, 1), "signup", 1.0),
+            (2, 1, dt.datetime(2024, 1, 1, 2), "click", 1.0),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    src = str(tmp_path / "events.parquet")
+    events.write.parquet(src)
+    out = str(tmp_path / "reports")
+    assert main([
+        "events", "-i", src, "-o", out, "--times", "signup", "click",
+    ]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["funnel_times"] == [
+        {"step": 1, "event_type": "click", "users": 1, "median_gap_s": 3600.0}
+    ]
