@@ -242,4 +242,5 @@ from py_gtfs_duckdb_spark.streaming.stats import (  # noqa: F401
 from py_gtfs_duckdb_spark.streaming.stateful import (  # noqa: F401
     exact_dedup_stream,
     funnel_stream,
+    transition_stream,
 )

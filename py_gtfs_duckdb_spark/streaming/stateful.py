@@ -225,3 +225,75 @@ def funnel_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _advance_transitions():
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_type, last_ts, last_seq = None, -1, -1
+        if state.exists:
+            last_type, last_ts, last_seq = (
+                state.get[1], state.get[2], state.get[3]
+            )
+        events = []
+        for pdf in pdfs:
+            for et, ts, seq in zip(pdf["event_type"], pdf["ts"], pdf["seq"]):
+                events.append((int(ts), int(seq), str(et)))
+        rows = []
+        for ts, seq, et in sorted(events):
+            # cross-batch stragglers older than the carried tail are
+            # dropped (same incremental caveat as funnel_stream)
+            if (ts, seq) <= (last_ts, last_seq) and last_type is not None:
+                continue
+            if last_type is not None:
+                rows.append((key[0], last_type, et, ts))
+            last_type, last_ts, last_seq = et, ts, seq
+        state.update((key[0], last_type, last_ts, last_seq))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user", "from_type", "to_type", "ts"]
+            )
+
+    return fn
+
+
+def transition_stream(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Streaming face of operators/analytics.py:transition_matrix — a
+    per-user adjacency tracker in ``applyInPandasWithState``: state is
+    the tail event (type, ts, seq), each arriving event emits one
+    (user, from_type, to_type, ts) changelog row, and a streaming
+    ``groupBy(from_type, to_type).count()`` downstream maintains the
+    live matrix. Within a batch, events replay in (ts, seq) order;
+    cross-batch stragglers older than the carried tail are dropped —
+    exactly the batch matrix when each user's events arrive in order
+    (the funnel_stream contract). State per user is one event —
+    O(users), not O(events)."""
+    from pyspark.sql import functions as F
+
+    normalized = stream.select(
+        F.col(user_col).cast("string").alias("user"),
+        F.col(type_col).cast("string").alias("event_type"),
+        (F.col(ts_col).cast("double") * 1000).cast("long").alias("ts")
+        if dict(stream.dtypes)[ts_col] == "timestamp"
+        else F.col(ts_col).cast("long").alias("ts"),
+        F.col(seq_col).cast("long").alias("seq"),
+    )
+    return normalized.groupBy("user").applyInPandasWithState(
+        _advance_transitions(),
+        outputStructType=(
+            "user STRING, from_type STRING, to_type STRING, ts LONG"
+        ),
+        stateStructType="user STRING, last_type STRING, ts LONG, seq LONG",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -372,3 +372,52 @@ def test_stateful_funnel_stream_conversion_window(spark, tmp_path):
     }
     # u2's click at the inclusive 1s boundary advances; u1's 2s click no
     assert got == {("u1", 0), ("u2", 0), ("u2", 1)}
+
+
+
+def test_stateful_transition_stream(spark, tmp_path):
+    """applyInPandasWithState adjacency tracker: the tail event carries
+    across micro-batches, in-batch events replay in (ts, seq) order, and
+    the emitted changelog aggregates to the batch transition matrix."""
+    import json as _json
+
+    from py_gtfs_duckdb_spark.streaming.stateful import transition_stream
+
+    spool = tmp_path / "tspool"
+    spool.mkdir()
+    # batch 1, deliberately out of file order within the batch:
+    # u1: a@100 -> b@200 ; u2: a@100
+    rows1 = [
+        {"user_id": "u1", "event_type": "b", "ts": 200, "event_id": 2},
+        {"user_id": "u1", "event_type": "a", "ts": 100, "event_id": 1},
+        {"user_id": "u2", "event_type": "a", "ts": 100, "event_id": 3},
+    ]
+    (spool / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows1))
+    # batch 2: u1 continues b->c (tail carried), u2's straggler @50 drops
+    rows2 = [
+        {"user_id": "u1", "event_type": "c", "ts": 300, "event_id": 4},
+        {"user_id": "u2", "event_type": "b", "ts": 50, "event_id": 5},
+    ]
+    (spool / "b2.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+
+    stream = spark.readStream.schema(
+        "user_id string, event_type string, ts long, event_id long"
+    ).option("maxFilesPerTrigger", 1).json(str(spool))
+    out = transition_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trans_state")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user"], r["from_type"], r["to_type"], r["ts"])
+        for r in spark.sql("SELECT * FROM trans_state").collect()
+    }
+    assert got == {
+        ("u1", "a", "b", 200),
+        ("u1", "b", "c", 300),
+    }
