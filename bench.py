@@ -178,6 +178,7 @@ EXTRA = [
     "q_event_funnel_window",
     "q_event_transitions",
     "q_funnel_time_to_convert",
+    "q_rolling_distinct",
 ]
 N_EXTRA_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
 

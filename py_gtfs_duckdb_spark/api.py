@@ -186,6 +186,7 @@ from py_gtfs_duckdb_spark.operators.analytics import (  # noqa: F401
     funnel,
     funnel_times,
     resample_gapfill,
+    rolling_distinct,
     transition_matrix,
 )
 

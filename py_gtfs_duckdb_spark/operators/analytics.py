@@ -265,3 +265,40 @@ def funnel_times(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def rolling_distinct(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rolling N-day distinct actives per day (the WAU/MAU curve): for
+    every day in the table's range, how many distinct users had at least
+    one event in the N-day window ENDING that day. Returns ``day``
+    (yyyy-MM-dd string, the hash convention) and ``wau`` (BIGINT).
+
+    Shape: raw events first collapse to DISTINCT (user, day) — the only
+    pass over the stream — then each active-day row explodes into the N
+    window-end days it contributes to, and a two-phase distinct count
+    aggregates per day. The exchange carries N x daily-active rows,
+    never events; no window function, so no per-day sort and nothing
+    keyed on an unbounded partition."""
+    day = F.to_date(ts_col)
+    days = events.select(F.col(user_col), day.alias("__day")).distinct()
+    bounds = events.agg(F.min(day).alias("__mn"), F.max(day).alias("__mx"))
+    expanded = days.select(
+        user_col,
+        F.explode(
+            F.sequence(
+                F.col("__day"), F.date_add(F.col("__day"), window_days - 1)
+            )
+        ).alias("__wday"),
+    )
+    return (
+        expanded.crossJoin(F.broadcast(bounds))
+        .filter(F.col("__wday").between(F.col("__mn"), F.col("__mx")))
+        .groupBy("__wday")
+        .agg(F.countDistinct(user_col).alias("wau"))
+        .select(F.date_format("__wday", "yyyy-MM-dd").alias("day"), "wau")
+    )

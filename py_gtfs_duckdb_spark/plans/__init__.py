@@ -279,6 +279,8 @@ _PRIORITY = [
     "q_event_transitions",
     # NEW in round 13: median time-to-convert per funnel stage
     "q_funnel_time_to_convert",
+    # NEW in round 13: rolling 7-day distinct actives (WAU curve)
+    "q_rolling_distinct",
 ]
 
 # Window-partition allowlist — the systematic form of the per-query

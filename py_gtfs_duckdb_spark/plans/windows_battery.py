@@ -584,3 +584,34 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     user."""
     e = t(spark, sf_dir, "events")
     return AN.funnel_times(e, ["signup", "click", "purchase"])
+
+
+@query(
+    "q_rolling_distinct",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), expanded AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                           INTERVAL 1 DAY)) AS DATE) AS wday
+        FROM days
+    ), b AS (
+        SELECT CAST(MIN(ts) AS DATE) AS mn, CAST(MAX(ts) AS DATE) AS mx
+        FROM events
+    )
+    SELECT CAST(wday AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM expanded, b WHERE wday BETWEEN mn AND mx
+    GROUP BY wday
+    """,
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives per day — the WAU curve
+    (operators/analytics.py:rolling_distinct). Events collapse to
+    distinct (user, day) before anything else, each active-day explodes
+    into the 7 window ends it serves, and a two-phase distinct count
+    finishes — no window function, exchange bounded by 7x daily
+    actives."""
+    e = t(spark, sf_dir, "events")
+    return AN.rolling_distinct(e, window_days=7)

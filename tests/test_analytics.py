@@ -341,3 +341,27 @@ def test_funnel_times_hand_computed(spark):
     [row] = AN.funnel_times(events, ["a", "b"]).collect()
     assert (row["step"], row["event_type"], row["users"]) == (1, "b", 2)
     assert row["median_gap_s"] == 2700.0
+
+
+def test_rolling_distinct_hand_computed(spark):
+    events = spark.createDataFrame(
+        [
+            # range Jan 1..5; window 3 days
+            (1, 1, dt.datetime(2024, 1, 1, 5), "x"),
+            (2, 2, dt.datetime(2024, 1, 2, 5), "x"),
+            (3, 1, dt.datetime(2024, 1, 2, 6), "x"),   # same user again
+            (4, 3, dt.datetime(2024, 1, 5, 5), "x"),
+        ],
+        _EVENT_SCHEMA,
+    )
+    got = {
+        r["day"]: r["wau"]
+        for r in AN.rolling_distinct(events, window_days=3).collect()
+    }
+    assert got == {
+        "2024-01-01": 1,  # u1
+        "2024-01-02": 2,  # u1, u2
+        "2024-01-03": 2,  # u1, u2 (within 3-day lookback)
+        "2024-01-04": 2,  # u1@Jan2, u2@Jan2
+        "2024-01-05": 1,  # u3 only (Jan2 actives aged out)
+    }
