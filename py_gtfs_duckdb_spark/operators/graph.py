@@ -225,13 +225,19 @@ def strongly_connected_components(
 
     Algorithm — trim + min-pivot peel, all DataFrame joins:
 
-    1. TRIM: a node with no outgoing or no incoming edge cannot sit on a
-       cycle, so it is its own SCC; settle and remove it. Repeated
-       trimming dissolves the acyclic bulk (containment pair graphs are
-       almost entirely stars and short chains) in rounds bounded by the
-       longest chain.
-    2. PEEL (when a trim pass settles nothing, i.e. every remaining node
-       has in- and out-degree >= 1): compute f(v) = min id forward-
+    1. TRIM (edge-only): an edge (u, v) can lie on a cycle only if u has
+       an incoming edge and v has an outgoing edge, so each round keeps
+       exactly those edges — two semi-joins — until the edge set stops
+       shrinking. The fixpoint is the CYCLIC CORE (every remaining node
+       has in- and out-degree >= 1 within it); every node that fell out
+       is its own SCC, settled in ONE left_anti at the end instead of a
+       per-round settled-frame append. Because each round filters the
+       previous edge set, an unchanged COUNT proves an unchanged SET —
+       one count job per round is the whole convergence test (the r13
+       optimization pass: the node-frame bookkeeping this replaces paid
+       ~5 scheduler rounds per trim level; guide §1.2/§2.4 — the
+       per-round constant is pure scheduler latency at any scale).
+    2. PEEL (on the non-empty core): compute f(v) = min id forward-
        reachable from v (O(diameter) min-label rounds). Every label
        value p is a self-pivot (f(p) = p), and any node v with f(v) = p
        that p reaches back is mutually reachable with p — and every
@@ -247,49 +253,51 @@ def strongly_connected_components(
     near-dup workloads this serves (cycles only among near-identical
     documents) almost all nodes settle in the trim phase.
     ``localCheckpoint`` truncates lineage each round (swap for reliable
-    ``checkpoint`` on a real cluster)."""
-    e = (
+    ``checkpoint`` on a real cluster); the lazy form materializes under
+    the same count job that tests convergence, so each round schedules
+    ONE job."""
+    e0 = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .na.drop()
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    nodes = (
-        e.select(F.col("u").alias("id"))
-        .unionByName(e.select(F.col("v").alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
-    settled: list[DataFrame] = []
 
-    def remove(nodes_df: DataFrame, edges_df: DataFrame, gone: DataFrame):
-        nodes_df = nodes_df.join(gone, "id", "left_anti").localCheckpoint()
-        edges_df = (
-            edges_df.join(gone.select(F.col("id").alias("u")), "u", "left_anti")
-            .join(gone.select(F.col("id").alias("v")), "v", "left_anti")
-            .localCheckpoint()
-        )
-        return nodes_df, edges_df
-
-    for _ in range(max_iter):
-        if nodes.isEmpty():
-            break
-        trivial = (
-            nodes.join(e.select(F.col("u").alias("id")), "id", "left_anti")
-            .unionByName(
-                nodes.join(e.select(F.col("v").alias("id")), "id", "left_anti")
+    def trim(e: DataFrame, n_prev: int) -> tuple[DataFrame, int]:
+        """Edge-only trim to the cyclic core; 1 count job per round."""
+        for _ in range(max_iter):
+            if n_prev == 0:
+                return e, 0
+            # semi-joins need no distinct build side — skipping it skips
+            # two shuffles per round (the broadcast build dedups anyway)
+            kept = (
+                e.join(e.select(F.col("v").alias("u")), "u", "left_semi")
+                .join(e.select(F.col("u").alias("v")), "v", "left_semi")
+                .localCheckpoint(eager=False)
             )
-            .distinct()
-            .localCheckpoint()
+            n_kept = kept.count()
+            if n_kept == n_prev:  # kept ⊆ e, so equal count == equal set
+                return e, n_prev
+            e, n_prev = kept, n_kept
+        raise RuntimeError(
+            f"scc trim did not converge in {max_iter} rounds"
         )
-        if not trivial.isEmpty():
-            settled.append(trivial.select("id", F.col("id").alias("scc")))
-            nodes, e = remove(nodes, e, trivial)
-            continue
 
+    e, n_e = trim(e0, e0.count())
+    settled: list[DataFrame] = []  # core SCCs from peel rounds
+    for _ in range(max_iter):
+        if n_e == 0:
+            break
+        nodes = (
+            e.select(F.col("u").alias("id"))
+            .unionByName(e.select(F.col("v").alias("id")))
+            .distinct()
+        )
         # peel: f(v) = min forward-reachable id (incl. self)
-        lbl = nodes.select("id", F.col("id").alias("f")).localCheckpoint()
+        lbl = nodes.select("id", F.col("id").alias("f")).localCheckpoint(
+            eager=False
+        )
         for _ in range(max_iter):
             succ_min = (
                 e.join(lbl.select(F.col("id").alias("v"), "f"), "v")
@@ -299,11 +307,15 @@ def strongly_connected_components(
             new = (
                 lbl.join(succ_min.withColumnRenamed("u", "id"), "id", "left")
                 .select("id", F.least("f", "sf").alias("f"), F.col("f").alias("old"))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
-            changed = new.where(F.col("f") != F.col("old")).limit(1).count()
-            lbl = new.select("id", "f").localCheckpoint()
-            if changed == 0:
+            # one full-pass agg both materializes the checkpoint and
+            # answers convergence (vs a limit-probe + separate job)
+            changed = new.agg(
+                F.sum((F.col("f") != F.col("old")).cast("long"))
+            ).collect()[0][0]
+            lbl = new.select("id", "f")
+            if not changed:
                 break
         else:
             raise RuntimeError(
@@ -316,9 +328,11 @@ def strongly_connected_components(
             .join(lbl.select(F.col("id").alias("v"), F.col("f").alias("fv")), "v")
             .where(F.col("fu") == F.col("fv"))
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        marks = lbl.where(F.col("f") == F.col("id")).select("id").localCheckpoint()
+        marks = lbl.where(F.col("f") == F.col("id")).select("id").localCheckpoint(
+            eager=False
+        )
         for _ in range(max_iter):
             fresh = (
                 class_edges.join(
@@ -327,39 +341,51 @@ def strongly_connected_components(
                 .select(F.col("v").alias("id"))
                 .distinct()
                 .join(marks, "id", "left_anti")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
-            if fresh.isEmpty():
+            # full count, NOT isEmpty: a partial action on a lazy
+            # checkpoint leaves it unmaterialized and the next round
+            # would recompute the whole lineage
+            if fresh.count() == 0:
                 break
-            marks = marks.unionByName(fresh).localCheckpoint()
+            marks = marks.unionByName(fresh).localCheckpoint(eager=False)
         else:
             raise RuntimeError(
                 f"scc pivot flood did not converge in {max_iter} rounds"
             )
 
-        done = marks.join(lbl, "id").select("id", F.col("f").alias("scc"))
-        settled.append(done.localCheckpoint())
-        nodes, e = remove(nodes, e, done.select("id"))
+        done = (
+            marks.join(lbl, "id")
+            .select("id", F.col("f").alias("scc"))
+            .localCheckpoint(eager=False)
+        )
+        settled.append(done)
+        e = (
+            e.join(done.select(F.col("id").alias("u")), "u", "left_anti")
+            .join(done.select(F.col("id").alias("v")), "v", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        e, n_e = trim(e, e.count())
     else:
         raise RuntimeError(
             f"strongly_connected_components did not settle in {max_iter} rounds"
         )
 
+    # every original node not settled by a peel is its own SCC
+    nodes0 = (
+        e0.select(F.col("u").alias("id"))
+        .unionByName(e0.select(F.col("v").alias("id")))
+        .distinct()
+    )
     if not settled:
-        spark = edges.sparkSession
-        id_type = nodes.schema["id"].dataType
-        from pyspark.sql import types as T
-
-        return spark.createDataFrame(
-            [],
-            T.StructType(
-                [T.StructField("id", id_type), T.StructField("scc", id_type)]
-            ),
-        )
-    out = settled[0]
+        return nodes0.select("id", F.col("id").alias("scc"))
+    core = settled[0]
     for frame in settled[1:]:
-        out = out.unionByName(frame)
-    return out
+        core = core.unionByName(frame)
+    singles = nodes0.join(core.select("id"), "id", "left_anti").select(
+        "id", F.col("id").alias("scc")
+    )
+    return core.unionByName(singles)
 
 
 # Observability for the iterative policy resolution: updated on every
@@ -392,7 +418,7 @@ def containment_rejects(
     whose successors are all already-rejected is kept. Rounds are
     bounded by the longest containment chain."""
     labels = strongly_connected_components(edges, src, dst, max_iter)
-    labels = labels.localCheckpoint()
+    labels = labels.localCheckpoint(eager=False)
     cedges = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .na.drop()
@@ -401,44 +427,63 @@ def containment_rejects(
         .where(F.col("cu") != F.col("cv"))
         .select("cu", "cv")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    und = labels.select(F.col("scc").alias("c")).distinct().localCheckpoint()
-    kept = und.limit(0).localCheckpoint()
-    rejected = und.limit(0).localCheckpoint()
+    # ONE status frame instead of three (und/kept/rejected): st 0 =
+    # undetermined, 1 = kept, 2 = rejected. Each round joins the
+    # successor statuses on once and settles everything determinable —
+    # same sinks-first level-per-round semantics (dag_rounds identical to
+    # the three-frame form the r13 optimization pass replaced), but ONE
+    # count job per round instead of ~6 localCheckpoint/count jobs
+    # (guide §1.2: the per-round constant is scheduler latency, not data).
+    status = (
+        labels.select(F.col("scc").alias("c"))
+        .distinct()
+        .select("c", F.lit(0).alias("st"))
+        .localCheckpoint(eager=False)
+    )
+    n_und = status.count()
     dag_rounds = 0
     for _ in range(max_iter):
-        if und.isEmpty():
+        if n_und == 0:
             break
         dag_rounds += 1
-        # blocker: an edge to a not-yet-rejected successor (kept OR
-        # undetermined) keeps a node undetermined-or-rejected
-        blockers = (
-            cedges.join(rejected.select(F.col("c").alias("cv")), "cv", "left_anti")
-            .select(F.col("cu").alias("c"))
-            .distinct()
+        succ = (
+            cedges.join(
+                status.select(F.col("c").alias("cv"), F.col("st").alias("s_st")),
+                "cv",
+            )
+            .groupBy("cu")
+            .agg(
+                # blocker: any not-yet-rejected successor (kept OR und)
+                F.max(F.when(F.col("s_st") != 2, 1).otherwise(0)).alias(
+                    "has_blocker"
+                ),
+                F.max(F.when(F.col("s_st") == 1, 1).otherwise(0)).alias(
+                    "has_kept"
+                ),
+            )
         )
-        kept_new = und.join(blockers, "c", "left_anti").localCheckpoint()
-        to_kept = (
-            cedges.join(kept.select(F.col("c").alias("cv")), "cv", "left_semi")
-            .select(F.col("cu").alias("c"))
-            .distinct()
+        status = (
+            status.join(succ.withColumnRenamed("cu", "c"), "c", "left")
+            .select(
+                "c",
+                F.when(F.col("st") != 0, F.col("st"))
+                .when(F.coalesce(F.col("has_blocker"), F.lit(0)) == 0, F.lit(1))
+                .when(F.col("has_kept") == 1, F.lit(2))
+                .otherwise(F.lit(0))
+                .alias("st"),
+            )
+            .localCheckpoint(eager=False)
         )
-        rejected_new = und.join(to_kept, "c", "left_semi").localCheckpoint()
-        n_progress = kept_new.count() + rejected_new.count()
-        if n_progress == 0:
+        n_new = status.where(F.col("st") == 0).count()
+        if n_new >= n_und:
             raise RuntimeError(
                 "containment policy made no progress — edge set is not a "
                 "DAG after condensation (impossible unless SCC labels are "
                 "wrong)"
             )
-        kept = kept.unionByName(kept_new).localCheckpoint()
-        rejected = rejected.unionByName(rejected_new).localCheckpoint()
-        und = (
-            und.join(kept_new, "c", "left_anti")
-            .join(rejected_new, "c", "left_anti")
-            .localCheckpoint()
-        )
+        n_und = n_new
     else:
         raise RuntimeError(
             f"containment policy did not converge in {max_iter} rounds"
@@ -446,11 +491,17 @@ def containment_rejects(
     LAST_RUN_STATS.clear()
     LAST_RUN_STATS.update(dag_rounds=dag_rounds)
     in_rejected_scc = labels.join(
-        rejected.select(F.col("c").alias("scc")), "scc", "left_semi"
+        status.where(F.col("st") == 2).select(F.col("c").alias("scc")),
+        "scc",
+        "left_semi",
     ).select("id")
     kept_scc_losers = (
         labels.where(F.col("id") != F.col("scc"))
-        .join(kept.select(F.col("c").alias("scc")), "scc", "left_semi")
+        .join(
+            status.where(F.col("st") == 1).select(F.col("c").alias("scc")),
+            "scc",
+            "left_semi",
+        )
         .select("id")
     )
     return in_rejected_scc.unionByName(kept_scc_losers)

@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from py_gtfs_duckdb_spark.functions import fan_out
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -250,6 +252,8 @@ def documents_as_g711(docs: DataFrame, n_samples: int = 400) -> DataFrame:
     is a deterministic function of doc_id (code[i] = (doc_id*31 + i*7)
     mod 256) — so an oracle can replay the decoded PCM by indexing the
     expansion table, no lossy-encoder replay needed."""
+    # no fan_out here: G.711 expansion is a table lookup (~140 MB/s), too
+    # cheap to pay for the extra exchange (measured +36% at sf0.1)
     base = docs.select(F.col("doc_id").alias("media_id"))
 
     def run(batches):
@@ -368,7 +372,11 @@ def documents_as_audio(docs: DataFrame) -> DataFrame:
     """Media table with REAL WAV payloads synthesized per doc_id — the
     audio twin of documents_as_media. Payload generation happens executor-
     side in Arrow batches (no driver loop, no collected bytes)."""
-    base = docs.select(F.col("doc_id").alias("media_id"))
+    # fan_out: the synth + downstream decode stages are CPU-dense and
+    # narrow; a single-split input would serialize them onto one core
+    # (guide §2 input parallelism). No-op at real scale (multi-split
+    # inputs clear the ratio bar inside fan_out).
+    base = fan_out(docs).select(F.col("doc_id").alias("media_id"))
 
     def run(batches):
         import pandas as pd
@@ -496,7 +504,11 @@ def documents_as_images(docs: DataFrame, container: str = "ppm") -> DataFrame:
     executor-side in Arrow batches — the image twin of
     documents_as_audio. ``container`` picks the wire format ("ppm" raw
     raster, "png" DEFLATE-compressed); pixels are identical either way."""
-    base = docs.select(F.col("doc_id").alias("media_id"))
+    # fan_out: the synth + downstream decode stages are CPU-dense and
+    # narrow; a single-split input would serialize them onto one core
+    # (guide §2 input parallelism). No-op at real scale (multi-split
+    # inputs clear the ratio bar inside fan_out).
+    base = fan_out(docs).select(F.col("doc_id").alias("media_id"))
     synth = {
         "ppm": synth_ppm, "png": synth_png, "gif": synth_gif, "bmp": synth_bmp,
     }[container]
@@ -671,7 +683,11 @@ def decode_video(payload: bytes):
 def documents_as_videos(docs: DataFrame) -> DataFrame:
     """Media table with REAL Y4M payloads synthesized per doc_id,
     executor-side in Arrow batches."""
-    base = docs.select(F.col("doc_id").alias("media_id"))
+    # fan_out: the synth + downstream decode stages are CPU-dense and
+    # narrow; a single-split input would serialize them onto one core
+    # (guide §2 input parallelism). No-op at real scale (multi-split
+    # inputs clear the ratio bar inside fan_out).
+    base = fan_out(docs).select(F.col("doc_id").alias("media_id"))
 
     def run(batches):
         import pandas as pd

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from py_gtfs_duckdb_spark.functions import pround
+from py_gtfs_duckdb_spark.functions import fan_out, pround
 from py_gtfs_duckdb_spark.operators._scope import shared
 
 TOKEN_RE = r"\w+|[^\w\s]"  # BPE-ish: words plus standalone punctuation
@@ -233,7 +233,9 @@ def compression_stats(
                 columns=[id_col, "n_bytes", "z_bytes", "bits_per_byte"],
             )
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+    # fan_out: per-doc zlib deflate is the CPU cost here; a single-split
+    # scan would run it on one core (guide §2/§4). No-op at real scale.
+    return fan_out(df).select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
 def quality_col(c: Column) -> Column:
