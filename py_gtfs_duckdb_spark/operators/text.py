@@ -65,6 +65,106 @@ WINNOW_K = 3  # words per k-gram
 WINNOW_W = 4  # winnow window (guarantee: any match >= K+W-1 words shares a print)
 
 
+def _winnow_hash_words(texts, cache: dict):
+    """Per-document np.int64 arrays of md5-derived word hashes mod
+    WINNOW_P — the Python twin of :func:`word_hash_col` (first 12 md5 hex
+    digits as an integer, i.e. the first 6 digest bytes, mod P: value-
+    identical by construction). ``cache`` memoizes word→hash across the
+    whole task (Zipfian vocab: most lookups hit); callers bound it."""
+    import hashlib
+
+    import numpy as np
+
+    md5 = hashlib.md5
+    out = []
+    for text in texts:
+        words = [w for w in (text or "").split(" ") if w]
+        hs = np.empty(len(words), dtype=np.int64)
+        for i, w in enumerate(words):
+            h = cache.get(w)
+            if h is None:
+                if len(cache) > 2_000_000:  # bound task memory on huge vocabs
+                    cache.clear()
+                h = (
+                    int.from_bytes(md5(w.encode("utf-8")).digest()[:6], "big")
+                    % WINNOW_P
+                )
+                cache[w] = h
+            hs[i] = h
+        out.append(hs)
+    return out
+
+
+def _winnow_horner(h, n: int):
+    """Vectorized Horner rolling n-gram hash over one word-hash array —
+    the numpy twin of :func:`ngram_hash_col` (value-identical: h < P and
+    B·P < 2^63, so every intermediate fits int64)."""
+    m = len(h) - (n - 1)
+    if m <= 0:
+        return h[:0]
+    kh = h[:m].copy()
+    for j in range(1, n):
+        kh *= WINNOW_B
+        kh %= WINNOW_P
+        kh += h[j : j + m]
+        kh %= WINNOW_P
+    return kh
+
+
+def gram_hash_rows(
+    df: DataFrame, key_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(k, gh): one row per word-n-gram POSITION (non-distinct), gh = the
+    winnow rolling hash — the fused Arrow front-end of the n-gram audits.
+
+    One mapInPandas pass replaces the staged
+    ``word_hash_col → ngram_hash_col → explode`` column form: those
+    higher-order functions are interpreted (CodegenFallback) and box a
+    JVM object per word per reference, and the resulting allocation storm
+    made the gram-heavy audits GC-bimodal under bench load (r13:
+    q_source_overlap samples spread 1.6–8.0 s run-to-run; the Arrow pass
+    pins them at the floor). Inside the batch loop everything is numpy
+    except one cached md5 per DISTINCT word per task (guide §4.2/4.5:
+    vectorized native work + per-task memoized state). Values are
+    bit-identical to the column form (same md5-derived word hash, same
+    Horner chain mod P), which tests/test_text_gram_parity.py asserts."""
+    src = fan_out(df).select(
+        F.col(key_col).alias("k"), F.col(text_col).alias("__t")
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", src.schema["k"].dataType),
+            T.StructField("gh", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in batches:
+            keys, ghs = [], []
+            for kv, hs in zip(pdf["k"], _winnow_hash_words(pdf["__t"], cache)):
+                kh = _winnow_horner(hs, n)
+                if len(kh) == 0:
+                    continue
+                keys.extend([kv] * len(kh))
+                ghs.append(kh)
+            yield pd.DataFrame(
+                {
+                    "k": pd.Series(keys, dtype=pdf["k"].dtype),
+                    "gh": np.concatenate(ghs)
+                    if ghs
+                    else np.empty(0, np.int64),
+                }
+            )
+
+    return src.mapInPandas(run, schema=schema)
+
+
 def word_hash_col(words: Column) -> Column:
     """array<bigint> of per-word hashes mod WINNOW_P (md5-derived so the
     DuckDB oracle reproduces every value bit-for-bit) — the shared
@@ -134,36 +234,56 @@ def winnow_fingerprints(
     full token shuffle + sort before a single fingerprint existed. Word
     hash is md5-derived so the DuckDB oracle reproduces it bit-for-bit.
 
-    Both hash arrays are STAGED named columns (see
-    :func:`ngram_hash_col`'s CollapseProject note): each is non-cheap
-    and multiply-referenced, which is exactly the condition under which
-    Catalyst keeps the producing projection separate instead of
-    re-evaluating the transform per reference.
+    r13: the whole chain (word hashes → Horner k-grams → sliding-window
+    minima → per-doc distinct) runs as ONE fused Arrow pass — the staged
+    column form used interpreted higher-order functions whose per-element
+    boxing made the stage GC-bound (measured interleaved at sf0.1:
+    0.62–1.13 s → 0.38–0.46 s, identical rows). Inside the batch loop it
+    is numpy end-to-end (sliding_window_view min + np.unique) plus one
+    cached md5 per distinct word per task; values are bit-identical to
+    the column form (tests/test_text_gram_parity.py,
+    tests/test_winnow_reference.py).
     """
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    staged = df.select(
-        F.col(id_col).alias("id"), word_hash_col(words).alias("h_arr")
+    src = fan_out(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
     )
-    kg = staged.select(
-        "id", ngram_hash_col(F.col("h_arr"), WINNOW_K).alias("kh_arr")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [src.schema["id"], T.StructField("fp", T.LongType())]
     )
-    # Winnow: min over each sliding window of W consecutive k-gram
-    # hashes. slice() truncates at the tail, so a doc with 1..W-1
-    # k-grams yields the single truncated window (same policy as the
-    # old ROWS-frame form); a doc with zero k-grams yields no rows.
-    n_kg = F.size(F.col("kh_arr"))
-    fps = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_kg - (WINNOW_W - 1), F.lit(1))),
-        lambda i: F.array_min(F.slice(F.col("kh_arr"), i, WINNOW_W)),
-    )
-    return kg.select(
-        "id",
-        F.explode(
-            F.when(n_kg >= 1, F.array_distinct(fps)).otherwise(
-                F.array().cast("array<bigint>")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        cache: dict = {}
+        sw = np.lib.stride_tricks.sliding_window_view
+        for pdf in batches:
+            ids, fps = [], []
+            for did, hs in zip(pdf["id"], _winnow_hash_words(pdf["__t"], cache)):
+                kh = _winnow_horner(hs, WINNOW_K)
+                n_kg = len(kh)
+                if n_kg == 0:
+                    # zero k-grams -> no rows (same policy as the column form)
+                    continue
+                if n_kg <= WINNOW_W:
+                    # 1..W k-grams: the single (possibly truncated) window
+                    u = np.unique(kh.min(keepdims=True))
+                else:
+                    u = np.unique(sw(kh, WINNOW_W).min(axis=1))
+                ids.extend([did] * len(u))
+                fps.append(u)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype=pdf["id"].dtype),
+                    "fp": np.concatenate(fps)
+                    if fps
+                    else np.empty(0, np.int64),
+                }
             )
-        ).alias("fp"),
-    )
+
+    return src.mapInPandas(run, schema=schema)
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -660,12 +780,8 @@ def source_ngram_overlap(
     set crosses the wire once, however large the corpus. Totals are a
     sources-sized table, broadcast back twice.
     """
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    staged = df.select(
-        F.col(source_col).alias("source"), word_hash_col(words).alias("h_arr")
-    )
-    grams = staged.select(
-        "source", F.explode(ngram_hash_col(F.col("h_arr"), n)).alias("gh")
+    grams = gram_hash_rows(df, source_col, text_col, n).withColumnRenamed(
+        "k", "source"
     )
     # one gh-keyed aggregation replaces both the distinct AND the pair
     # self-join: each gram collapses to its sorted source set (bounded by
@@ -741,13 +857,11 @@ def doc_ngram_hashes(
     the plan is the (id, gh) distinct — the posexplode + lead() window
     formulation this replaces paid an extra full token shuffle + sort
     just to build the grams, value-identical output."""
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    staged = df.select(
-        F.col(id_col).alias("id"), word_hash_col(words).alias("h_arr")
+    return (
+        gram_hash_rows(df, id_col, text_col, n)
+        .withColumnRenamed("k", "id")
+        .distinct()
     )
-    return staged.select(
-        "id", F.explode(ngram_hash_col(F.col("h_arr"), n)).alias("gh")
-    ).distinct()
 
 
 def ngram_novelty(

@@ -26,6 +26,14 @@ def _generate_nodes(spark, sf_dir, name: str) -> int:
     return sum(1 for l in plan.splitlines() if ") Generate" in l)
 
 
+def _gram_passes(spark, sf_dir, name: str) -> int:
+    """Corpus gram passes in the plan — since r13 the n-gram front-end is
+    the fused Arrow stage (MapInPandas), so the doubled-explode leak
+    symptom is now a doubled MapInPandas."""
+    plan = plan_str(spark, sf_dir, name)
+    return sum(1 for l in plan.splitlines() if ") MapInPandas" in l)
+
+
 def test_scorecard_then_dsir_single_explode(spark, sf_dir):
     """The round-6 red, verbatim: materialize q_doc_scorecard (which
     composes dsir_weights and persists its helper frames), THEN assert
@@ -36,7 +44,8 @@ def test_scorecard_then_dsir_single_explode(spark, sf_dir):
 
     assert QUERIES["q_doc_scorecard"](spark, sf_dir).count() > 0
     assert _generate_nodes(spark, sf_dir, "q_dsir_weights") == 1
-    assert _generate_nodes(spark, sf_dir, "q_ngram_novelty") == 1
+    assert _generate_nodes(spark, sf_dir, "q_ngram_novelty") == 0
+    assert _gram_passes(spark, sf_dir, "q_ngram_novelty") == 1
 
 
 def test_driver_window_shared_session_no_cache_interference(spark, sf_dir):
@@ -59,8 +68,10 @@ def test_driver_window_shared_session_no_cache_interference(spark, sf_dir):
         "outside operators/_scope.shared()"
     )
     # the doubled-explode symptom, probed on the queries that persist
-    for name in ("q_dsir_weights", "q_ngram_novelty", "q_split_rescue"):
-        assert _generate_nodes(spark, sf_dir, name) == 1, name
+    assert _generate_nodes(spark, sf_dir, "q_dsir_weights") == 1
+    for name in ("q_ngram_novelty", "q_split_rescue"):
+        assert _generate_nodes(spark, sf_dir, name) == 0, name
+        assert _gram_passes(spark, sf_dir, name) == 1, name
 
 
 def test_release_shared_is_session_keyed(spark):

@@ -251,8 +251,11 @@ def test_ngram_novelty_single_gram_pass(spark, sf_dir):
     existed). Corpus document-frequency is a map-side-combinable
     groupBy. No gram/text strings in any shuffle."""
     plan = _plan(spark, sf_dir, "q_ngram_novelty")
-    # one Generate node total — the gram frame is built once
-    assert sum(1 for l in plan.splitlines() if ") Generate" in l) == 1, plan[:800]
+    # the gram frame is built once, by the fused Arrow pass (r13: the
+    # interpreted HOF + explode form became MapInPandas; zero Generate
+    # nodes — more than one would mean the gram pass lost its persist)
+    assert sum(1 for l in plan.splitlines() if ") Generate" in l) == 0, plan[:800]
+    assert "MapInPandas" in plan, plan[:800]
     assert "windowspecdefinition(" not in plan, plan[:800]
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
@@ -276,12 +279,13 @@ def test_split_leakage_single_gram_pass(spark, sf_dir):
     cached rows, never a second corpus pass. Only (split, 8-byte hash)
     pairs shuffle, and no window exists anywhere in the plan."""
     plan = _plan(spark, sf_dir, "q_split_leakage")
-    corpus_explodes = sum(
-        1
-        for l in plan.splitlines()
-        if "Arguments" in l and "h_arr" in l and "explode" in l
+    # r13: the gram pass is the fused Arrow stage — exactly one
+    # MapInPandas over the corpus (a second would mean the per-gram
+    # frame lost its persist and the corpus is scanned twice)
+    corpus_gram_passes = sum(
+        1 for l in plan.splitlines() if ") MapInPandas" in l
     )
-    assert corpus_explodes == 1, plan[:800]
+    assert corpus_gram_passes == 1, plan[:800]
     assert "windowspecdefinition(" not in plan, plan[:800]
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
@@ -303,7 +307,10 @@ def test_split_rescue_single_gram_pass(spark, sf_dir):
     train-side hash set and the eval-side probe; no text strings in any
     shuffle, no cartesian fallback."""
     plan = _plan(spark, sf_dir, "q_split_rescue")
-    assert sum(1 for l in plan.splitlines() if ") Generate" in l) == 1, plan[:800]
+    # r13: the gram pass is one fused Arrow stage (MapInPandas), persisted
+    # for the train-hash-set and probe consumers; zero Generate nodes
+    assert sum(1 for l in plan.splitlines() if ") Generate" in l) == 0, plan[:800]
+    assert sum(1 for l in plan.splitlines() if ") MapInPandas" in l) == 1, plan[:800]
     assert "CartesianProduct" not in plan
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
@@ -322,7 +329,11 @@ def test_doc_scorecard_single_corpus_pass(spark, sf_dir):
     pins this shape, not a Generate count of one."""
     plan = _plan(spark, sf_dir, "q_doc_scorecard")
     assert "windowspecdefinition(" not in plan, plan[:800]
-    assert sum(1 for l in plan.splitlines() if ") Generate" in l) == 4, plan[:800]
+    # r13: the novelty gram pass became the fused Arrow stage — three
+    # audit explodes remain (NLL train + score token streams, DSIR
+    # buckets) plus exactly one MapInPandas gram pass
+    assert sum(1 for l in plan.splitlines() if ") Generate" in l) == 3, plan[:800]
+    assert sum(1 for l in plan.splitlines() if ") MapInPandas" in l) == 1, plan[:800]
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
             assert "text#" not in l, l
