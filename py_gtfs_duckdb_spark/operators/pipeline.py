@@ -494,9 +494,16 @@ def curate_corpus(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    d1 = docs.join(keep_exact, id_col, "left_semi")
+    # d1 feeds THREE consumers (the MinHash pass, quality_score, and the
+    # near-dup anti-join) in BOTH report modes, so it persists
+    # unconditionally — with_report=False used to re-derive the full-text
+    # regex fingerprint + groupBy + semi-join chain once per consumer
+    # (r13: the audit-off curate bench entries paid ~30% for skipping
+    # the audit's caches). The with_report path still frees each stage
+    # eagerly after its count; audit-off frames release via the scoped
+    # registry when the owning query/scope ends.
+    d1 = shared(docs.join(keep_exact, id_col, "left_semi"))
     if with_report:
-        d1 = shared(d1)
         report["after_exact_dedup"] = d1.count()
 
     # 2 — near-dup canonicalization
@@ -511,18 +518,18 @@ def curate_corpus(
     dropped = clusters.join(
         kept.select(F.col("kept_doc_id").alias(id_col)), id_col, "left_anti"
     ).select(id_col)
-    d2 = d1.join(dropped, id_col, "left_anti")
+    # d2 is read by quality_rules AND the d3 chain (or, rules-off, IS d3
+    # with its two consumers below) — persist in both report modes.
+    d2 = shared(d1.join(dropped, id_col, "left_anti"))
     if with_report:
-        d2 = shared(d2)
         report["after_near_dedup"] = d2.count()
         d1.unpersist()
 
     # 3 — rule-based quality filter
     if apply_quality_rules:
         passing = quality_rules(d2, text_col, id_col).filter("pass_all").select(id_col)
-        d3 = d2.join(passing, id_col, "left_semi")
-        if with_report:
-            d3 = shared(d3)
+        # d3 feeds pii_scrub AND the d4 re-join — two consumers either way
+        d3 = shared(d2.join(passing, id_col, "left_semi"))
     else:
         d3 = d2
     if with_report:
@@ -544,10 +551,9 @@ def curate_corpus(
             .where(F.col("nll").between(float(lo), float(hi)))
             .select(id_col)
         )
-        pre_nll = d3  # still persisted under with_report (step 3's cache)
-        d3 = d3.join(in_band, id_col, "left_semi")
+        pre_nll = d3  # still persisted (step 3's cache)
+        d3 = shared(d3.join(in_band, id_col, "left_semi"))
         if with_report:
-            d3 = shared(d3)
             report["after_nll_filter"] = d3.count()
             # mirror the d1/d2 handling: the pre-filter cache has served
             # its use once the post-filter frame is materialized
@@ -566,9 +572,8 @@ def curate_corpus(
             .select(id_col)
         )
         pre_nov = d3
-        d3 = d3.join(fresh, id_col, "left_semi")
+        d3 = shared(d3.join(fresh, id_col, "left_semi"))
         if with_report:
-            d3 = shared(d3)
             report["after_novelty_filter"] = d3.count()
             if pre_nov is not d2:
                 pre_nov.unpersist()
@@ -576,6 +581,9 @@ def curate_corpus(
     # 4 — PII redaction (counts on original text, then text := redacted)
     scrub = pii_scrub(d3, text_col, id_col)
     if with_report:
+        # the audit aggregate AND the d4 join both read scrub — persist so
+        # the three PII regex passes run once, not twice
+        scrub = shared(scrub)
         pii = scrub.agg(
             F.sum(F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")).alias("n")
         ).first()
