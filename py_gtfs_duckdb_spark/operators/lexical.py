@@ -278,6 +278,13 @@ def bigram_nll(
         .select(F.col(id_col), F.explode(pairs).alias("p"))
         .select(F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.b").alias("b"))
     )
+    # c2 (the trained bigram LM) is referenced twice — the context
+    # marginal below and the model join — but is deliberately NOT
+    # persisted: both references sit in ONE action, so ReuseExchange
+    # already shares the aggregation's exchange, and an explicit persist
+    # only adds a materialization barrier (measured interleaved r13:
+    # persist 1.91s vs 1.64s median at sf0.1 — the unigram_nll
+    # re-scan-beats-caching finding, one level up).
     c2 = toks.groupBy("b", "w1").agg(
         F.count(F.lit(1)).cast("bigint").alias("c2")
     )
@@ -564,6 +571,12 @@ def pmi_bigrams(
         ),
     )
     toks = staged.filter(n_words >= 2).select(F.explode(pairs).alias("b"))
+    # c2 (the bigram TYPE table) has four references — both marginals,
+    # the total, and the scored join — but is deliberately NOT persisted:
+    # all four sit in ONE action, ReuseExchange shares the aggregation's
+    # exchange across them, and an explicit persist only adds a
+    # materialization barrier (measured interleaved r13: persist 1.46s
+    # vs 1.14s median at sf0.1).
     c2 = (
         toks.groupBy("b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))

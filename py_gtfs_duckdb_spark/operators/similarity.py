@@ -367,6 +367,21 @@ def _assign_cells(
     return src.mapInPandas(run, schema=schema)
 
 
+def ivf_corpus_cells(
+    corpus: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, c_vec, cell): the corpus-side IVF cell assignment WITH
+    the vector carried — one narrow Arrow pass, nprobe-independent.
+    Exposed so probe sweeps (:func:`ivf_topk` ``corpus_cells=``) compute
+    it once per corpus+centroid version instead of once per setting.
+    (Distinct from :func:`ivf_cells`, the vectorless persisted index
+    artifact.)"""
+    return _assign_cells(corpus, centroids, id_col, vec_col, "vec_id", "c_vec", 1)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -376,6 +391,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list | None = None,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into
     ``n_centroids`` cells (nearest seed centroid by cosine), then search
@@ -395,11 +411,21 @@ def ivf_topk(
     Deterministic and oracle-checkable end-to-end (rounded cosines, ties
     broken by centroid id / vec_id). Returns (query_id, vec_id, cosine,
     rank).
+
+    ``corpus_cells`` accepts a precomputed :func:`ivf_corpus_cells`
+    frame for the SAME corpus+centroids: the corpus-side assignment is
+    nprobe-independent, so a caller sweeping probe settings (the recall
+    curve) persists it once instead of paying one full corpus pass per
+    setting. Identical results either way.
     """
     cent_rows = centroids if centroids is not None else ivf_centroids(
         corpus, n_centroids, id_col, vec_col
     )
-    cells = _assign_cells(corpus, cent_rows, id_col, vec_col, "vec_id", "c_vec", 1)
+    cells = (
+        corpus_cells
+        if corpus_cells is not None
+        else ivf_corpus_cells(corpus, cent_rows, id_col, vec_col)
+    )
     probes = _assign_cells(
         queries, cent_rows, id_col, vec_col, "query_id", "q_vec", nprobe
     )

@@ -4150,15 +4150,22 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads to pick the cheapest probe setting above the recall target.
     The exact table computes ONCE (scoped persist) and feeds all three
     comparisons; each comparison is a semi-join + combinable count over
-    k x |queries| rows."""
+    k x |queries| rows. The IVF side likewise trains its seed centroids
+    once and persists the nprobe-INDEPENDENT corpus cell assignment, so
+    the sweep pays one corpus scan, not one per probe setting —
+    identical results, two fewer full passes (r13)."""
     from py_gtfs_duckdb_spark.operators._scope import shared
 
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     exact = shared(S.cosine_topk(e, q, k=5))
+    cent = S.ivf_centroids(e, 16)
+    cells = shared(S.ivf_corpus_cells(e, cent))
     parts = []
     for np_ in (1, 2, 4):
-        approx = S.ivf_topk(e, q, k=5, nprobe=np_)
+        approx = S.ivf_topk(
+            e, q, k=5, nprobe=np_, centroids=cent, corpus_cells=cells
+        )
         parts.append(
             S.ann_recall(approx, exact, 5).select(
                 F.lit(np_).cast("bigint").alias("nprobe"),
