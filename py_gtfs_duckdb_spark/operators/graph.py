@@ -256,6 +256,9 @@ def strongly_connected_components(
     ``checkpoint`` on a real cluster); the lazy form materializes under
     the same count job that tests convergence, so each round schedules
     ONE job."""
+    stats = SCC_LAST_RUN_STATS
+    stats.clear()
+    stats.update(trim_rounds=0, peels=0, label_rounds=0, flood_rounds=0)
     e0 = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .na.drop()
@@ -269,6 +272,7 @@ def strongly_connected_components(
         for _ in range(max_iter):
             if n_prev == 0:
                 return e, 0
+            stats["trim_rounds"] += 1
             # semi-joins need no distinct build side — skipping it skips
             # two shuffles per round (the broadcast build dedups anyway)
             kept = (
@@ -289,6 +293,7 @@ def strongly_connected_components(
     for _ in range(max_iter):
         if n_e == 0:
             break
+        stats["peels"] += 1
         nodes = (
             e.select(F.col("u").alias("id"))
             .unionByName(e.select(F.col("v").alias("id")))
@@ -299,6 +304,7 @@ def strongly_connected_components(
             eager=False
         )
         for _ in range(max_iter):
+            stats["label_rounds"] += 1
             succ_min = (
                 e.join(lbl.select(F.col("id").alias("v"), "f"), "v")
                 .groupBy("u")
@@ -334,6 +340,7 @@ def strongly_connected_components(
             eager=False
         )
         for _ in range(max_iter):
+            stats["flood_rounds"] += 1
             fresh = (
                 class_edges.join(
                     marks.select(F.col("id").alias("u")), "u", "left_semi"
@@ -394,6 +401,13 @@ def strongly_connected_components(
 # the sf1 probe (tests/test_scale_helpers.py) asserts exactly that by
 # comparing this counter across a 10x input replication.
 LAST_RUN_STATS: dict = {}
+
+# Per-call SCC phase-round counters (observability only): how many trim /
+# peel / min-label / pivot-flood rounds the last strongly_connected_
+# components call scheduled. Each round is one Spark job, so these SUM to
+# (almost all of) the call's fixed scheduler cost — the quantity the r13
+# optimization pass measures before/after.
+SCC_LAST_RUN_STATS: dict = {}
 
 
 def containment_rejects(
