@@ -564,9 +564,16 @@ def quality_rules(
         (F.size(words) - F.size(F.array_distinct(words))).cast("double")
         / F.size(words),
     ).otherwise(F.lit(0.0))
-    sw_distinct = sum(
-        F.when(F.lower(c).rlike(rf"\b{w}\b"), 1).otherwise(0)
-        for w in LANG_STOPWORDS["en"]
+    # distinct stopwords PRESENT, in ONE regex pass: the per-stopword
+    # rlike form ran |stopwords| separate full-text regex scans per row
+    # (r13, guide §1.2 per-task work); one alternation extract + per-row
+    # array_distinct counts the same membership set — \b anchors make the
+    # leftmost-first alternation match exactly whole stopwords, so
+    # "distinct matches" == "stopwords whose \b-anchored pattern occurs",
+    # the oracle's sum-of-presence-flags semantics (_sw_distinct_sql).
+    sw_pat = r"\b(" + "|".join(LANG_STOPWORDS["en"]) + r")\b"
+    sw_distinct = F.size(
+        F.array_distinct(F.regexp_extract_all(F.lower(c), F.lit(sw_pat), 0))
     ).cast("bigint")
 
     r_word_count = (n_words >= RULE_MIN_WORDS) & (n_words <= RULE_MAX_WORDS)
