@@ -301,6 +301,17 @@ def main() -> None:
 
     spark = get_spark("bench")
 
+    # Effective-topology evidence (VERDICT r13 Next #2): the scaling
+    # contract runs this bench at two core counts, but the JSON only
+    # echoed the requested env — emit what the JVM actually got so
+    # `suspect_cpus_ignored` can be cleared (or confirmed) by evidence.
+    master = spark.sparkContext.master
+    parallelism = spark.sparkContext.defaultParallelism
+    print(
+        f"# topology: master={master} defaultParallelism={parallelism}",
+        file=sys.stderr,
+    )
+
     # Warm the JVM/codegen path and the input tables once (not counted):
     # long-lived clusters pay footer reads/class-loading once, not per
     # query, so steady-state is the honest per-query figure.
@@ -527,6 +538,8 @@ def main() -> None:
         "metric": "headline_batch_total",
         "value": round(total, 3),
         "unit": "sec",
+        "master": master,
+        "parallelism": parallelism,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_samples": N_SAMPLES,
@@ -581,6 +594,8 @@ def main() -> None:
             "metric",
             "value",
             "unit",
+            "master",
+            "parallelism",
             "queries",
             "sf",
             "n_samples",

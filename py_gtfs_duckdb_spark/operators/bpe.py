@@ -258,6 +258,7 @@ def bpe_encode_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_cols: tuple[str, ...] = (),
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """(doc_id, n_words, n_chars, n_bpe_tokens, chars_per_token): apply a
     FIXED merge table (default :data:`FIXED_MERGES_V1`) and count subword
@@ -282,9 +283,20 @@ def bpe_encode_stats(
     production 32k-merge vocabulary must not depend on Catalyst's
     expression-depth ceiling. Same output, same rounding; the two paths
     agree wherever ordered-replace ≡ greedy holds (tests/test_bpe.py
-    pins it for every frozen table on the corpus vocabulary)."""
+    pins it for every frozen table on the corpus vocabulary).
+
+    ``use_arrow=True`` forces the Arrow kernel for shallow tables too.
+    The trade (measured r14, interleaved at sf0.1): per EXECUTED row the
+    Arrow kernel is ~5x faster (0.19x, tools/ab_bpe_vocab.py stats mode
+    — the expression path's per-word replace chain is an interpreted
+    HOF, and the memo collapses the closed vocabulary to dict hits), but
+    the expression form is a LAZY projection Catalyst can prune —
+    a consumer that never reads the encode columns pays nothing, while
+    a MapInPandas always executes. Default ``None`` keeps the prunable
+    expression form under the depth ceiling; consumers that always
+    aggregate the counts (q_bpe_fertility) pass ``use_arrow=True``."""
     merges = FIXED_MERGES_V1 if merges is None else merges
-    if len(merges) > MAX_EXPR_MERGES:
+    if use_arrow or len(merges) > MAX_EXPR_MERGES:
         return _bpe_stats_arrow(docs, merges, text_col, id_col, keep_cols)
     text = F.replace(F.col(text_col), F.lit(SEP))
     words = F.filter(F.split(text, " "), lambda w: w != "")
@@ -336,8 +348,10 @@ def _bpe_stats_arrow(
     SEP-sanitize, split on ' ' dropping empties, n_chars = non-space
     length — and applies the shared ``pround`` ratio JVM-side so the
     hash-checked columns are bit-identical to the shallow path."""
+    from py_gtfs_duckdb_spark.functions import fan_out
+
     rank = {(left, right): i for i, (left, right) in enumerate(merges)}
-    src = docs.select(
+    src = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in keep_cols],
         F.col(text_col).alias("__t"),
@@ -413,56 +427,85 @@ def bpe_vocab_spectrum(
     corpus; a merge whose token never surfaces is dead weight in the
     vocab budget).
 
-    Scale shape: per-doc encode is the same narrow projection as
-    :func:`bpe_encode_stats`; ONE explode of the doc's token array feeds
-    a token-keyed count — map-side combinable and bounded by the
-    vocabulary (chars + merges + EOW variants), so the aggregate is tiny
-    at any corpus size; top-k is TakeOrderedAndProject (per-partition
-    heaps), never a global sort. Ties break on the token string so the
-    result is deterministic. Input text is sanitized of the SEP byte
-    (see :func:`bpe_encode_stats`). Merge tables past
-    :data:`MAX_EXPR_MERGES` dispatch to the Arrow :func:`bpe_tokenize`
-    kernel (same downstream vocabulary-bounded aggregation, token arrays
-    exploded instead of the separator-string split)."""
+    Scale shape (r14 rework, guide §4.2 + §2.3): ONE Arrow-batched
+    ``mapInPandas`` pass encodes (memoized per distinct word per task —
+    the same greedy kernel as :func:`bpe_tokenize`) and PRE-AGGREGATES
+    per batch, emitting (token, occurrences-in-batch, docs-in-batch)
+    rows. Each document is one input row, so batches partition the doc
+    set and summing per-batch distinct-doc counts is the exact
+    ``n_docs``. The exchange then carries vocabulary×batches rows
+    instead of one row per corpus token occurrence, the downstream
+    aggregate is two combinable sums (the previous ``countDistinct(id)``
+    expanded every token row 2x through an Expand node), and top-k stays
+    TakeOrderedAndProject (per-partition heaps), never a global sort.
+    Ties break on the token string so the result is deterministic.
+
+    This replaced the shallow-table expression encoder
+    (``bpe_encode_word_expr`` inside an array ``transform``): HOFs are
+    interpreted (CodegenFallback), so every word occurrence paid
+    len(merges) interpreted Replace evaluations; the memoized kernel
+    pays one greedy encode per DISTINCT word per task. Measured r14
+    (interleaved, sf0.1, tools/ab_bpe_vocab.py): 0.60x before the
+    pre-aggregation, values row-identical (ordered-replace ≡ greedy is
+    pinned for every frozen table on this corpus by tests/test_bpe.py,
+    and the battery oracle hash-checks the output). Input text is
+    sanitized of the SEP byte (see :func:`bpe_encode_stats`); works for
+    any table depth (no Catalyst expression ceiling)."""
+    from py_gtfs_duckdb_spark.functions import fan_out
+
     merges = FIXED_MERGES_V1 if merges is None else merges
-    if len(merges) > MAX_EXPR_MERGES:
-        sane = docs.select(
-            F.col(id_col).alias("id"),
-            F.replace(F.col(text_col), F.lit(SEP)).alias("__txt"),
-        )
-        toks = bpe_tokenize(
-            sane, {"merges": list(merges)}, text_col="__txt", id_col="id"
-        ).select("id", F.explode("tokens").alias("token"))
-        return (
-            toks.groupBy("token")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
-                F.countDistinct("id").cast("bigint").alias("n_docs"),
+    rank = {(left, right): i for i, (left, right) in enumerate(merges)}
+    src = fan_out(docs).select(F.col(text_col).alias("__t"))
+    schema = T.StructType(
+        [
+            T.StructField("token", T.StringType()),
+            T.StructField("occ", T.LongType()),
+            T.StructField("docs", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            occ: dict[str, int] = {}
+            dc: dict[str, int] = {}
+            for text in pdf["__t"]:
+                if text is None:
+                    continue
+                wc: dict[str, int] = {}
+                for w in text.replace(SEP, "").split(" "):
+                    if w:
+                        wc[w] = wc.get(w, 0) + 1
+                per_doc: dict[str, int] = {}
+                for w, c in wc.items():
+                    got = memo.get(w)
+                    if got is None:
+                        got = memo[w] = _encode_word(w, rank)
+                    for tok in got:
+                        per_doc[tok] = per_doc.get(tok, 0) + c
+                for tok, c in per_doc.items():
+                    occ[tok] = occ.get(tok, 0) + c
+                    dc[tok] = dc.get(tok, 0) + 1
+            yield pd.DataFrame(
+                {
+                    "token": pd.Series(list(occ), dtype="object"),
+                    "occ": pd.Series(
+                        [occ[t] for t in occ], dtype="int64"
+                    ),
+                    "docs": pd.Series(
+                        [dc[t] for t in occ], dtype="int64"
+                    ),
+                }
             )
-            .orderBy(F.desc("n_occurrences"), "token")
-            .limit(top_k)
-        )
-    words = F.filter(
-        F.split(F.replace(F.col(text_col), F.lit(SEP)), " "),
-        lambda w: w != "",
-    )
-    staged = docs.select(
-        F.col(id_col).alias("id"),
-        F.concat_ws(
-            "", F.transform(words, lambda w: bpe_encode_word_expr(w, merges))
-        ).alias("enc"),
-    )
-    toks = staged.select(
-        "id",
-        F.explode(
-            F.filter(F.split(F.col("enc"), SEP), lambda t: t != "")
-        ).alias("token"),
-    )
+
     return (
-        toks.groupBy("token")
+        src.mapInPandas(run, schema=schema)
+        .groupBy("token")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
-            F.countDistinct("id").cast("bigint").alias("n_docs"),
+            F.sum("occ").cast("bigint").alias("n_occurrences"),
+            F.sum("docs").cast("bigint").alias("n_docs"),
         )
         .orderBy(F.desc("n_occurrences"), "token")
         .limit(top_k)
@@ -477,11 +520,17 @@ def bpe_tokenize(
 ) -> DataFrame:
     """(id, tokens array<string>, n_bpe_tokens): apply the merge table.
     Narrow Arrow-batched pass; per-batch word memo (repeated words cost a
-    dict hit, not a merge loop)."""
+    dict hit, not a merge loop). fan_out spreads a single-split scan
+    over the cores (CPU-dense Python stage; no-op at real scale and on
+    post-shuffle inputs — see functions.fan_out)."""
+    from py_gtfs_duckdb_spark.functions import fan_out
+
     rank = {
         (left, right): i for i, (left, right) in enumerate(model["merges"])
     }
-    src = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    src = fan_out(docs).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    )
     schema = T.StructType(
         [
             src.schema["id"],

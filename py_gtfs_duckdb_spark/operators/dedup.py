@@ -709,16 +709,17 @@ def containment_pairs_incremental(
     )
 
 
-def _containment_join(
+def _containment_candidates(
     sets_a: DataFrame,
     sets_b: DataFrame,
     threshold: float,
     exclude_same_id: bool,
 ) -> DataFrame:
-    """Core A-prefix × B-full-index containment join over two (id, hs,
-    sz) frames — the ONE definition behind :func:`containment_pairs`
-    (sets_a is sets_b, same-id pairs excluded) and
-    :func:`containment_pairs_incremental` (disjoint id spaces)."""
+    """Candidate (id_a, id_b) pairs of the containment join — the
+    A-prefix × B-full-index stage of :func:`_containment_join`, factored
+    out so the A/B harness can count candidates per form. Emits one row
+    per SHARED prefix hash (band-duplicated, like the LSH candidate
+    stage): the caller collapses duplicates."""
     # size-scaled slack so float rounding can only ADMIT a borderline
     # candidate (verified exactly later), never prune a true pair. The
     # prefix length must use the SAME slacked ceil as o_min: when sz*t
@@ -750,8 +751,23 @@ def _containment_join(
     )
     if exclude_same_id:
         cond = cond & (F.col("a.id") != F.col("b.id"))
-    pairs = a.join(b, cond).select(
+    return a.join(b, cond).select(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    )
+
+
+def _containment_join(
+    sets_a: DataFrame,
+    sets_b: DataFrame,
+    threshold: float,
+    exclude_same_id: bool,
+) -> DataFrame:
+    """Core A-prefix × B-full-index containment join over two (id, hs,
+    sz) frames — the ONE definition behind :func:`containment_pairs`
+    (sets_a is sets_b, same-id pairs excluded) and
+    :func:`containment_pairs_incremental` (disjoint id spaces)."""
+    pairs = _containment_candidates(
+        sets_a, sets_b, threshold, exclude_same_id
     )
     sa = sets_a.select(
         F.col("id").alias("id_a"), F.col("hs").alias("hs_a"),

@@ -465,6 +465,14 @@ def curate_corpus(
     way: connected components is an iterative fixpoint that materializes
     eagerly (operators/graph.py); only the AUDIT actions are optional.
 
+    Caching contract: the multi-consumer stage frames (d1/d2/d3, scrub)
+    persist via the scoped registry in BOTH report modes (with the audit
+    on they are additionally freed eagerly after each stage count).
+    Long-lived audit-off callers outside the battery/bench must wrap
+    each call in ``api.shared_scope(spark)`` (or call
+    ``api.release_shared`` after consuming the result) so the cached
+    frames are freed — see operators/_scope.py (ADVICE r13).
+
     Scale shape: every stage is one of the audited plans (digest groupBy,
     LSH bucket join + star-CC, scan-speed rules, regexp scrub, narrow
     annotations); with the report on, stage counts are COUNT(*) actions

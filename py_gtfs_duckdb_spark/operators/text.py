@@ -40,8 +40,13 @@ def word_count(col) -> Column:
 
 
 def punct_count(col) -> Column:
-    return F.length(
-        F.regexp_replace(col, f"[^{PUNCT_RE[1:-1]}]", "")
+    # count-of-class via translate: length(c) - length(c minus the class
+    # characters) — a codegen'd char-map pass; the regexp_replace form
+    # this replaces ran the regex engine over every char and
+    # materialized the filtered copy just to take its length (r14,
+    # guide §1.2 per-task work; identical count for any input)
+    return (
+        F.length(col) - F.length(F.translate(col, ".,;:!?", ""))
     ).cast("bigint")
 
 
@@ -65,12 +70,21 @@ WINNOW_K = 3  # words per k-gram
 WINNOW_W = 4  # winnow window (guarantee: any match >= K+W-1 words shares a print)
 
 
+# Non-string key for the memo's cold generation: document words are
+# strings, so a tuple key can never collide with a cached word.
+_CACHE_OLD_GEN = ("__winnow_old_gen__",)
+
+
 def _winnow_hash_words(texts, cache: dict):
     """Per-document np.int64 arrays of md5-derived word hashes mod
     WINNOW_P — the Python twin of :func:`word_hash_col` (first 12 md5 hex
     digits as an integer, i.e. the first 6 digest bytes, mod P: value-
     identical by construction). ``cache`` memoizes word→hash across the
-    whole task (Zipfian vocab: most lookups hit); callers bound it."""
+    whole task (Zipfian vocab: most lookups hit). Memory bound: a
+    two-generation swap — on overflow the live entries become the cold
+    generation (hits promote back into the hot dict) instead of a full
+    clear, which would discard the Zipf-head words along with the tail
+    (ADVICE r13). Eviction never changes a value, only recompute cost."""
     import hashlib
 
     import numpy as np
@@ -83,12 +97,20 @@ def _winnow_hash_words(texts, cache: dict):
         for i, w in enumerate(words):
             h = cache.get(w)
             if h is None:
-                if len(cache) > 2_000_000:  # bound task memory on huge vocabs
+                old = cache.get(_CACHE_OLD_GEN)
+                h = old.get(w) if old is not None else None
+                if h is None:
+                    h = (
+                        int.from_bytes(
+                            md5(w.encode("utf-8")).digest()[:6], "big"
+                        )
+                        % WINNOW_P
+                    )
+                if len(cache) > 1_000_000:  # ~same total bound as the old
+                    old = dict(cache)       # 2M single-generation clear
+                    old.pop(_CACHE_OLD_GEN, None)
                     cache.clear()
-                h = (
-                    int.from_bytes(md5(w.encode("utf-8")).digest()[:6], "big")
-                    % WINNOW_P
-                )
+                    cache[_CACHE_OLD_GEN] = old
                 cache[w] = h
             hs[i] = h
         out.append(hs)
@@ -555,9 +577,20 @@ def quality_rules(
     c = F.col(text_col)
     words = F.filter(F.split(c, " "), lambda w: w != "")
     n_words = word_count(c)
-    alpha_chars = F.length(F.regexp_replace(c, "[^A-Za-z0-9]", "")).cast("double")
+    # count-of-class via translate (see punct_count): identical counts,
+    # char-map pass instead of a regex scan + filtered-copy per rule
+    # (r14 interleaved A/B at sf0.1: 0.79x for the whole projection,
+    # tools/ab_quality_exprs.py, 0 value mismatches on the full corpus)
+    alnum = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    )
+    alpha_chars = (
+        F.length(c) - F.length(F.translate(c, alnum, ""))
+    ).cast("double")
     mean_wl = F.when(n_words > 0, alpha_chars / n_words).otherwise(F.lit(0.0))
-    symbols = F.length(F.regexp_replace(c, "[^#…]", "")).cast("double")
+    symbols = (F.length(c) - F.length(F.translate(c, "#…", ""))).cast(
+        "double"
+    )
     symbol_ratio = F.when(n_words > 0, symbols / n_words).otherwise(F.lit(0.0))
     dup_frac = F.when(
         F.size(words) > 0,
@@ -572,8 +605,16 @@ def quality_rules(
     # "distinct matches" == "stopwords whose \b-anchored pattern occurs",
     # the oracle's sum-of-presence-flags semantics (_sw_distinct_sql).
     sw_pat = r"\b(" + "|".join(LANG_STOPWORDS["en"]) + r")\b"
-    sw_distinct = F.size(
-        F.array_distinct(F.regexp_extract_all(F.lower(c), F.lit(sw_pat), 0))
+    # coalesce: NULL text must count 0 stopwords (r_stopwords false, like
+    # the per-stopword rlike-sum form this replaced), not null-propagate
+    # into a tri-state pass_all (ADVICE r13)
+    sw_distinct = F.coalesce(
+        F.size(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower(c), F.lit(sw_pat), 0)
+            )
+        ),
+        F.lit(0),
     ).cast("bigint")
 
     r_word_count = (n_words >= RULE_MIN_WORDS) & (n_words <= RULE_MAX_WORDS)

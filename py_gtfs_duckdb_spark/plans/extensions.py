@@ -2321,7 +2321,13 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from py_gtfs_duckdb_spark.functions import pround
 
-    s = B.bpe_encode_stats(t(spark, sf_dir, "documents"), keep_cols=("source",))
+    # use_arrow: this consumer always aggregates the counts, so the
+    # encode always executes — the memoized Arrow kernel is ~5x cheaper
+    # per executed row than the interpreted replace-chain HOF (r14,
+    # tools/ab_bpe_vocab.py stats mode), and no pruning is forfeited
+    s = B.bpe_encode_stats(
+        t(spark, sf_dir, "documents"), keep_cols=("source",), use_arrow=True
+    )
     return (
         s.groupBy("source")
         .agg(
