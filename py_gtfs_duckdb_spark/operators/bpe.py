@@ -347,11 +347,15 @@ def _bpe_stats_arrow(
     token arrays). Mirrors the expression path's definitions exactly —
     SEP-sanitize, split on ' ' dropping empties, n_chars = non-space
     length — and applies the shared ``pround`` ratio JVM-side so the
-    hash-checked columns are bit-identical to the shallow path."""
-    from py_gtfs_duckdb_spark.functions import fan_out
+    hash-checked columns are bit-identical to the shallow path.
 
+    Deliberately NO fan_out here (r14 measured): the memoized kernel is
+    so cheap per row (dict hits on a closed vocabulary) that the
+    round-robin exchange costs more than 32-way parallelism saves
+    (0.44 s -> 0.73 s with fan_out at sf0.1) — unlike the md5-dense
+    shingle/winnow stages where fan_out was measured to win (r13)."""
     rank = {(left, right): i for i, (left, right) in enumerate(merges)}
-    src = fan_out(docs).select(
+    src = docs.select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in keep_cols],
         F.col(text_col).alias("__t"),
@@ -451,11 +455,11 @@ def bpe_vocab_spectrum(
     and the battery oracle hash-checks the output). Input text is
     sanitized of the SEP byte (see :func:`bpe_encode_stats`); works for
     any table depth (no Catalyst expression ceiling)."""
-    from py_gtfs_duckdb_spark.functions import fan_out
-
     merges = FIXED_MERGES_V1 if merges is None else merges
     rank = {(left, right): i for i, (left, right) in enumerate(merges)}
-    src = fan_out(docs).select(F.col(text_col).alias("__t"))
+    # no fan_out: measured slower for the memoized kernel (see
+    # _bpe_stats_arrow's note)
+    src = docs.select(F.col(text_col).alias("__t"))
     schema = T.StructType(
         [
             T.StructField("token", T.StringType()),
@@ -520,17 +524,13 @@ def bpe_tokenize(
 ) -> DataFrame:
     """(id, tokens array<string>, n_bpe_tokens): apply the merge table.
     Narrow Arrow-batched pass; per-batch word memo (repeated words cost a
-    dict hit, not a merge loop). fan_out spreads a single-split scan
-    over the cores (CPU-dense Python stage; no-op at real scale and on
-    post-shuffle inputs — see functions.fan_out)."""
-    from py_gtfs_duckdb_spark.functions import fan_out
-
+    dict hit, not a merge loop). No fan_out: measured slower here — see
+    :func:`_bpe_stats_arrow`'s note (the memo makes per-row work too
+    cheap to amortize a repartition exchange)."""
     rank = {
         (left, right): i for i, (left, right) in enumerate(model["merges"])
     }
-    src = fan_out(docs).select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
-    )
+    src = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
     schema = T.StructType(
         [
             src.schema["id"],
