@@ -206,6 +206,36 @@ N_CURATE_SAMPLES = int(
 )
 
 
+def _python_probe_ms() -> float:
+    """Fixed pure-Python + numpy microprobe, min of 3 (ms). Why (r14):
+    ambient_factor is computed from JVM-query medians, but the host can
+    drift on the PYTHON-WORKER side independently — r14 measured
+    mapInPandas-heavy extras ~2x slower across two windows whose
+    ambient_factor moved only 0.74 -> 0.76 (proven code-independent by
+    re-running the untouched r13 tree on the same host). This probe
+    pins that axis: read media/gram extras against python_probe_ms the
+    way JVM queries are read against ambient_factor. The workload
+    mirrors the hot Python-stage mix (md5 over short strings + int64
+    numpy vector math); fixed sizes so the number is comparable
+    across rounds (anchor on this host, calm: ~35-55 ms)."""
+    import hashlib
+
+    import numpy as np
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(20_000):
+            acc ^= hashlib.md5(str(i).encode("utf-8")).digest()[0]
+        a = np.arange(400_000, dtype=np.int64)
+        for _ in range(20):
+            a = (a * 2_654_435_761) % 2_147_483_647
+        acc ^= int(a[acc % len(a)])
+        best = min(best, (time.perf_counter() - t0) * 1000)
+    return round(best, 1)
+
+
 def _codec_throughput() -> dict:
     """Per-codec decode throughput (VERDICT r12 Next #3): the pure-
     Python/numpy codecs are the one hot path battery timings hide (they
@@ -307,8 +337,10 @@ def main() -> None:
     # `suspect_cpus_ignored` can be cleared (or confirmed) by evidence.
     master = spark.sparkContext.master
     parallelism = spark.sparkContext.defaultParallelism
+    python_probe = _python_probe_ms()
     print(
-        f"# topology: master={master} defaultParallelism={parallelism}",
+        f"# topology: master={master} defaultParallelism={parallelism} "
+        f"python_probe_ms={python_probe}",
         file=sys.stderr,
     )
 
@@ -540,6 +572,7 @@ def main() -> None:
         "unit": "sec",
         "master": master,
         "parallelism": parallelism,
+        "python_probe_ms": python_probe,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_samples": N_SAMPLES,
@@ -596,6 +629,7 @@ def main() -> None:
             "unit",
             "master",
             "parallelism",
+            "python_probe_ms",
             "queries",
             "sf",
             "n_samples",
