@@ -486,40 +486,6 @@ def _entropy_segments(data: bytes, start: int) -> list[bytes]:
     return segs
 
 
-class _SegReader:
-    """Bit cursor over ONE unstuffed entropy segment. ``peek32`` returns
-    the next 32 bits MSB-first, zero-padded past the end (T.81 F.2.2.5 —
-    missing bits read as 0), so a Huffman code (<=16 bits) plus its value
-    bits (<=11) decode from a single peek."""
-
-    __slots__ = ("seg", "pos", "acc", "nbits")
-
-    def __init__(self, seg: bytes) -> None:
-        self.seg = seg
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def peek32(self) -> int:
-        nbits, pos, seg = self.nbits, self.pos, self.seg
-        acc = self.acc
-        n = len(seg)
-        while nbits < 32 and pos < n:
-            acc = (acc << 8) | seg[pos]
-            pos += 1
-            nbits += 8
-        self.acc, self.nbits, self.pos = acc, nbits, pos
-        if nbits >= 32:
-            return (acc >> (nbits - 32)) & 0xFFFFFFFF
-        return (acc << (32 - nbits)) & 0xFFFFFFFF
-
-    def consume(self, k: int) -> None:
-        if k > self.nbits:
-            k = self.nbits  # phantom zero-bits past the end cost nothing
-        self.nbits -= k
-        self.acc &= (1 << self.nbits) - 1
-
-
 _HUFF_LOOK = 10  # LUT-decoded prefix width; longer codes walk the map
 
 # (bits, vals) -> (map, lut): the same four DHT tables arrive with every
@@ -541,55 +507,47 @@ def _huff_lut(table: dict[tuple[int, int], int]) -> list:
     return lut
 
 
-def _decode_sym_val(r: _SegReader, table) -> tuple[int, int]:
-    """One (Huffman symbol, extended value) from a single 32-bit peek:
-    the code (<=16 bits) and its value field (<=11 bits) both sit inside
-    the window, so the hot path is one peek + one consume per
-    coefficient. ``table`` is the (map, lut) pair built at DHT parse
-    time. Returns (symbol, value) with the value already sign-extended
-    (T.81 F.2.2.1); for symbols whose size nibble is 0 the value is 0."""
-    w = r.peek32()
-    hit = table[1][w >> (32 - _HUFF_LOOK)]
-    if hit is not None:
-        sym, ln = hit
-    else:
-        tmap = table[0]
-        for ln in range(_HUFF_LOOK + 1, 17):
-            sym = tmap.get((ln, w >> (32 - ln)))
-            if sym is not None:
-                break
-        else:
-            raise ValueError("invalid JPEG Huffman code")
-    size = sym & 0xF
-    if size == 0:
-        r.consume(ln)
-        return sym, 0
-    v = (w >> (32 - ln - size)) & ((1 << size) - 1)
-    r.consume(ln + size)
-    return sym, v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+def _rich_entry(sym: int, ln: int, is_dc: bool) -> tuple:
+    """(size, run, ln, total_bits, half, mask) — everything the walk's
+    per-symbol hot path derives from (symbol, code length), precomputed
+    at DHT parse time (r14): DC symbols ARE the size; AC symbols pack
+    run/size nibbles. half/mask drive the T.81 F.2.2.1 sign extension
+    (value = v if v >= half else v - mask)."""
+    size = sym if is_dc else sym & 0xF
+    run = 0 if is_dc else sym >> 4
+    return (
+        size,
+        run,
+        ln,
+        ln + size,
+        1 << (size - 1) if size else 0,
+        (1 << size) - 1,
+    )
 
 
-def _decode_dc(r: _SegReader, table) -> int:
-    """DC diff: symbol IS the size (0..11, may exceed a nibble), so the
-    value extraction differs from the AC nibble path."""
-    w = r.peek32()
-    hit = table[1][w >> (32 - _HUFF_LOOK)]
-    if hit is not None:
-        size, ln = hit
-    else:
-        tmap = table[0]
-        for ln in range(_HUFF_LOOK + 1, 17):
-            size = tmap.get((ln, w >> (32 - ln)))
-            if size is not None:
-                break
-        else:
-            raise ValueError("invalid JPEG Huffman code")
-    if size == 0:
-        r.consume(ln)
-        return 0
-    v = (w >> (32 - ln - size)) & ((1 << size) - 1)
-    r.consume(ln + size)
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+def _huff_rich_lut(lut: list, is_dc: bool) -> list:
+    """The prefix LUT with :func:`_rich_entry` values (None preserved for
+    long codes)."""
+    return [
+        None if hit is None else _rich_entry(hit[0], hit[1], is_dc)
+        for hit in lut
+    ]
+
+
+def _walk_long_code(tmap, w: int) -> tuple[int, int]:
+    """(symbol, code length) for Huffman codes LONGER than _HUFF_LOOK
+    bits — the rare cold path the prefix LUT cannot resolve; walks the
+    (length, code)→symbol map top-down over the same 32-bit window."""
+    for ln in range(_HUFF_LOOK + 1, 17):
+        sym = tmap.get((ln, w >> (32 - ln)))
+        if sym is not None:
+            return sym, ln
+    raise ValueError("invalid JPEG Huffman code")
+
+
+# acc mask applied at refill time (nb < 32): keeps the Python-int bit
+# accumulator bounded at < 2^64 across refills.
+_REFILL_MASK = [(1 << i) - 1 for i in range(33)]
 
 
 def decode_jpeg(payload: bytes):
@@ -661,7 +619,16 @@ def decode_jpeg(payload: bytes):
                     tmap = {
                         (ln, code): sym for sym, (ln, code) in codes.items()
                     }
-                    cached = (tmap, _huff_lut(tmap))
+                    lut = _huff_lut(tmap)
+                    # rich LUTs for BOTH classes: the cache key is the
+                    # raw (bits, vals) payload, which a stream may
+                    # register under either table class
+                    cached = (
+                        tmap,
+                        lut,
+                        _huff_rich_lut(lut, True),
+                        _huff_rich_lut(lut, False),
+                    )
                     if len(_HUFF_TABLE_CACHE) < 4096:
                         _HUFF_TABLE_CACHE[key] = cached
                 htabs[(tc_th >> 4, tc_th & 0xF)] = cached
@@ -700,6 +667,23 @@ def decode_jpeg(payload: bytes):
 
 
 def _decode_scan(frame, scan, qtabs, htabs, segs, restart_interval):
+    """Entropy walk + dequant/IDCT of one baseline scan.
+
+    The walk is fully inlined (r14, guide §4.2): the r13 form spent ~95%
+    of decode in per-symbol function calls (_SegReader.peek32/.consume +
+    _decode_sym_val, ~8k symbols and ~24k calls per bench image, measured
+    with cProfile in tools/profile_jpeg_decode.py). Here the bit cursor
+    is three locals (acc/nb/pos, 32-bit refills via one unpack_from) and
+    each Huffman symbol is one LUT index + a few int ops, bit-identical
+    by construction: the window semantics (MSB-first, zero-padded past
+    the segment end per T.81 F.2.2.5, over-consume saturates) reproduce
+    _SegReader exactly — every window past the real data is all-zero in
+    both forms. Nonzero coefficients accumulate as flat
+    (block, zigzag-k, value) triples and land in the coefficient matrix
+    as ONE numpy scatter per component instead of a [0]*64 list per
+    block."""
+    import struct
+
     import numpy as np
 
     h, w, comps = frame["h"], frame["w"], frame["comps"]
@@ -716,22 +700,35 @@ def _decode_scan(frame, scan, qtabs, htabs, segs, restart_interval):
     ]
     preds = [0] * len(comps)
     # per-component decode tables, hoisted from the per-MCU loop: Huffman
-    # (map, lut) pairs and the dezigzagged quant matrix
+    # (map, lut) pairs, flattened, and the dezigzagged quant matrix
     ctabs = []
     for c in comps:
         tdc, tac = scan[c["id"]]
+        dc_tab, ac_tab = htabs[(0, tdc)], htabs[(1, tac)]
         ctabs.append(
             (
-                htabs[(0, tdc)],
-                htabs[(1, tac)],
+                dc_tab[0],
+                dc_tab[2],  # rich DC LUT
+                ac_tab[0],
+                ac_tab[3],  # rich AC LUT
                 np.array(qtabs[c["tq"]], dtype=np.float64).reshape(8, 8),
             )
         )
     blk_pos = [[] for _ in comps]  # (y0, x0) per decoded block
-    blk_zz = [[] for _ in comps]  # zigzag coefficient rows per block
+    rows = [[] for _ in comps]  # flat block index per nonzero coefficient
+    kidx = [[] for _ in comps]  # flat zigzag position per nonzero coefficient
+    vals = [[] for _ in comps]  # flat coefficient value
     mcu_count = 0
     seg_idx = 0
-    r = _SegReader(segs[0])
+    u32 = struct.Struct(">I").unpack_from
+    _RM = _REFILL_MASK
+    _LSH = 32 - _HUFF_LOOK
+    seg = segs[0]
+    buf = seg + b"\x00" * 8  # phantom zero bits past the end (T.81 F.2.2.5)
+    nlim = len(seg) + 4  # u32 stays in-bounds through pos == nlim
+    acc = 0  # bit accumulator: top `nb` bits are the unread stream
+    nb = 0
+    pos = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
@@ -740,44 +737,95 @@ def _decode_scan(frame, scan, qtabs, htabs, segs, restart_interval):
                     raise ValueError(
                         "expected JPEG restart marker, got end of scan"
                     )
-                r = _SegReader(segs[seg_idx])
+                seg = segs[seg_idx]
+                buf = seg + b"\x00" * 8
+                nlim = len(seg) + 4
+                acc = 0
+                nb = 0
+                pos = 0
                 preds = [0] * len(comps)
             for ci, c in enumerate(comps):
-                dc_tab, ac_tab, q = ctabs[ci]
+                dcmap, dclut, acmap, aclut, _q = ctabs[ci]
+                bpos = blk_pos[ci]
+                rws = rows[ci]
+                kxs = kidx[ci]
+                vls = vals[ci]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = [0] * 64
-                        preds[ci] += _decode_dc(r, dc_tab)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            sym, val = _decode_sym_val(r, ac_tab)
-                            if sym == 0x00:
-                                break
-                            if sym & 0xF == 0:
-                                if sym != 0xF0:
-                                    raise ValueError("bad JPEG AC symbol")
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            zz[k] = val
-                            k += 1
-                        blk_pos[ci].append(
+                        bid = len(bpos)
+                        bpos.append(
                             ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
                         )
-                        blk_zz[ci].append(zz)
+                        # --- DC: symbol IS the size (T.81 F.2.2.1) ---
+                        if nb < 32:
+                            acc = ((acc & _RM[nb]) << 32) | (
+                                u32(buf, pos)[0] if pos <= nlim else 0
+                            )
+                            pos += 4
+                            nb += 32
+                        wnd = (acc >> (nb - 32)) & 0xFFFFFFFF
+                        hit = dclut[wnd >> _LSH]
+                        if hit is None:
+                            hit = _rich_entry(
+                                *_walk_long_code(dcmap, wnd), True
+                            )
+                        size, _run, ln, tot, half, mask = hit
+                        if size:
+                            v = (wnd >> (32 - tot)) & mask
+                            nb -= tot
+                            preds[ci] += v if v >= half else v - mask
+                        else:
+                            nb -= ln
+                        rws.append(bid)
+                        kxs.append(0)
+                        vls.append(preds[ci])
+                        # --- AC: run/size nibbles until EOB or k = 63 ---
+                        k = 1
+                        while k < 64:
+                            if nb < 32:
+                                acc = ((acc & _RM[nb]) << 32) | (
+                                    u32(buf, pos)[0] if pos <= nlim else 0
+                                )
+                                pos += 4
+                                nb += 32
+                            wnd = (acc >> (nb - 32)) & 0xFFFFFFFF
+                            hit = aclut[wnd >> _LSH]
+                            if hit is None:
+                                hit = _rich_entry(
+                                    *_walk_long_code(acmap, wnd), False
+                                )
+                            size, run, ln, tot, half, mask = hit
+                            if size:
+                                v = (wnd >> (32 - tot)) & mask
+                                nb -= tot
+                                k += run
+                                if k > 63:
+                                    raise ValueError("JPEG AC index overflow")
+                                rws.append(bid)
+                                kxs.append(k)
+                                vls.append(v if v >= half else v - mask)
+                                k += 1
+                            else:
+                                nb -= ln
+                                if run == 0:
+                                    break
+                                if run != 15:
+                                    raise ValueError("bad JPEG AC symbol")
+                                k += 16
             mcu_count += 1
     # dequant + IDCT for ALL blocks of a component in one broadcast
     # matmul — the per-block (8,8)@(8,8)@(8,8) chain was ~40% of decode
     # time in numpy call overhead alone
+    unzig = _unzigzag_arr()
     for ci, c in enumerate(comps):
-        if not blk_zz[ci]:
+        if not blk_pos[ci]:
             continue
-        q = ctabs[ci][2]
-        coefs = np.zeros((len(blk_zz[ci]), 64))
-        coefs[:, _unzigzag_arr()] = np.asarray(blk_zz[ci], dtype=np.float64)
+        q = ctabs[ci][4]
+        coefs = np.zeros((len(blk_pos[ci]), 64))
+        coefs[
+            np.asarray(rows[ci], dtype=np.int64),
+            unzig[np.asarray(kidx[ci], dtype=np.int64)],
+        ] = np.asarray(vals[ci], dtype=np.float64)
         blocks = tmat.T @ (coefs.reshape(-1, 8, 8) * q) @ tmat + 128.0
         plane = planes[ci]
         for (y0, x0), block in zip(blk_pos[ci], blocks):

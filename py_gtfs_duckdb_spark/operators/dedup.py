@@ -89,10 +89,11 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
     def run(batches):
         import pandas as pd
 
+        cache: dict = {}
         for pdf in batches:
             hss, szs = [], []
             for text in pdf["__text"]:
-                hs = _shingle_doc(text, k)
+                hs = _shingle_doc(text, k, cache)
                 hss.append(hs)
                 szs.append(len(hs))
             yield pd.DataFrame(
@@ -106,25 +107,57 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
     return src.mapInPandas(run, schema=schema)
 
 
-def _shingle_doc(text: str | None, k: int) -> list[int]:
+# Non-string key for the shingle memo's cold generation (the
+# _winnow_hash_words pattern, text.py): shingles are strings, so a tuple
+# key can never collide with a cached shingle.
+_SHINGLE_OLD_GEN = ("__shingle_old_gen__",)
+
+
+def _shingle_doc(text: str | None, k: int, cache: dict | None = None) -> list[int]:
     """Sorted distinct 48-bit shingle hashes of one document — the exact
     value contract of :func:`shingle_sets`, shared with the fused
-    shingle+signature pass."""
+    shingle+signature pass.
+
+    ``cache`` memoizes shingle-string → 48-bit hash across a task (r14,
+    guide §1.2 per-task work): word k-grams are Zipf-distributed, so most
+    lookups hit — measured 2.06× on the shingle kernel with an identical
+    output (tools/profile_shingle_kernel.py). The memory bound is the
+    two-generation swap from text._winnow_hash_words (hits promote back;
+    eviction never changes a value). ``int.from_bytes(digest[:6])`` is
+    the first 12 hex digits of the md5 as an integer — the same 48-bit
+    value the hexdigest parse produced, without the hex round-trip."""
     import hashlib
 
+    md5 = hashlib.md5
     words = [w for w in (text or "").split(" ") if w]
     n = max(len(words) - (k - 1), 1)
-    return sorted(
-        {
-            int(
-                hashlib.md5(" ".join(words[i : i + k]).encode("utf-8")).hexdigest()[
-                    :12
-                ],
-                16,
-            )
-            for i in range(n)
-        }
-    )
+    if cache is None:
+        return sorted(
+            {
+                int.from_bytes(
+                    md5(" ".join(words[i : i + k]).encode("utf-8")).digest()[:6],
+                    "big",
+                )
+                for i in range(n)
+            }
+        )
+    out = set()
+    for i in range(n):
+        s = " ".join(words[i : i + k])
+        h = cache.get(s)
+        if h is None:
+            old = cache.get(_SHINGLE_OLD_GEN)
+            h = old.get(s) if old is not None else None
+            if h is None:
+                h = int.from_bytes(md5(s.encode("utf-8")).digest()[:6], "big")
+            if len(cache) > 1_000_000:
+                old = dict(cache)
+                old.pop(_SHINGLE_OLD_GEN, None)
+                cache.clear()
+                cache[_SHINGLE_OLD_GEN] = old
+            cache[s] = h
+        out.add(h)
+    return sorted(out)
 
 
 def shingle_signatures(
@@ -154,11 +187,12 @@ def shingle_signatures(
     def run(batches):
         import pandas as pd
 
+        cache: dict = {}
         for pdf in batches:
             hss, szs = [], []
             mh_cols = [[] for _ in range(MINHASH_K)]
             for text in pdf["__text"]:
-                hs = _shingle_doc(text, k)
+                hs = _shingle_doc(text, k, cache)
                 hss.append(hs)
                 szs.append(len(hs))
                 h = np.asarray(hs, dtype=np.int64) % MINHASH_P
